@@ -46,6 +46,166 @@ object SparkEntry {
         .filter(col("s_acctbal") > 0).select("s_suppkey")
       ordered(Filters.filterMemberOfAny(li, Seq("l_suppkey", "l_partkey"), activeIds))
     },
+
+    // §2 row 7 — de-para column rename (DE_PARA_PA pattern, ×6 ETLs).
+    "q07_depara_rename" -> { (s, dir) =>
+      ordered(Renames.dePara(Tables.lineitem(s, dir), Map(
+        "l_orderkey" -> "pedido_id", "l_partkey" -> "item_id",
+        "l_suppkey" -> "fornecedor_id", "l_linenumber" -> "linha_numero",
+        "l_quantity" -> "quantidade_apresentada",
+        "l_extendedprice" -> "valor_apresentado", "l_discount" -> "desconto",
+        "l_tax" -> "imposto", "l_returnflag" -> "devolucao_status",
+        "l_linestatus" -> "linha_status", "l_shipdate" -> "envio_data",
+      )))
+    },
+
+    // §2 row 10 — AAAAMM → timestamp with coerce (invalids → null).
+    "q10_aaaamm_parse" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val raw = when(k % 11 === 0, lit("BAD999"))
+        .when(k % 13 === 0, lit(""))
+        .otherwise(date_format(col("o_orderdate"), "yyyyMM"))
+      ordered(Tables.orders(s, dir).select(
+        k,
+        raw.as("competencia_aaaamm"),
+        Dates.parseAaaamm(raw).as("competencia_data"),
+      ))
+    },
+
+    // §2 row 11 — AAAAMMDD robust parse (blank-padded digits, junk → null).
+    "q11_aaaammdd_parse" -> { (s, dir) =>
+      val k = col("l_orderkey")
+      val s8 = date_format(col("l_shipdate"), "yyyyMMdd")
+      val blankPadded =
+        when(substring(s8, 7, 1) === "0",
+          concat(substring(s8, 1, 6), lit(" "), substring(s8, 8, 1))).otherwise(s8)
+      val raw = when(k % 17 === 0, lit("ABCDEFGH"))
+        .when(k % 3 === 0, blankPadded)
+        .otherwise(s8)
+      ordered(Tables.lineitem(s, dir).select(
+        k, col("l_linenumber"),
+        raw.as("data_aaaammdd"),
+        Dates.parseAaaammdd(raw).as("data_parseada"),
+      ))
+    },
+
+    // §2 row 12 — null-normalization pack ('' / all-zeros / all-9s / '999').
+    "q12_null_rules" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val codigoA = when(k % 5 === 0, lit("")).otherwise(col("o_orderstatus"))
+      val codigoB = when(k % 4 === 0, lit("0000")).when(k % 9 === 0, lit(""))
+        .otherwise(col("o_custkey").cast("string"))
+      val codigoC = when(k % 6 === 0, lit("999999"))
+        .when(k % 7 === 0, lit(null).cast("string"))
+        .otherwise(lpad((col("o_custkey") % 1000).cast("string"), 6, "0"))
+      val idade = when(k % 8 === 0, lit("999")).otherwise((k % 120).cast("string"))
+      ordered(Tables.orders(s, dir).select(
+        k,
+        NullRules.emptyToNull(codigoA).as("codigo_a"),
+        NullRules.allZerosToNull(codigoB).as("codigo_b"),
+        NullRules.allNinesToNull(codigoC).as("codigo_c"),
+        NullRules.sentinelToNull(idade, "999").as("usuario_idade"),
+      ))
+    },
+
+    // §2 row 13 — '0'/'1' → bool (else null), 'M' → mantido.
+    "q13_bool_coercion" -> { (s, dir) =>
+      val k = col("l_orderkey")
+      val flag01 = when(k % 10 === 0, lit("2"))
+        .when(k % 15 === 0, lit(null).cast("string"))
+        .otherwise((col("l_linenumber") % 2).cast("string"))
+      val mantidoRaw = when(col("l_returnflag") === "R", lit("M")).otherwise(col("l_returnflag"))
+      ordered(Tables.lineitem(s, dir).select(
+        k, col("l_linenumber"),
+        flag01.as("flag_bruta"),
+        Booleans.zeroOne(flag01).as("obito"),
+        mantidoRaw.as("mantido_bruto"),
+        Booleans.isM(mantidoRaw).as("estabelecimento_mantido"),
+      ))
+    },
+
+    // §2 row 14 — null out dependent columns when desfecho is null.
+    "q14_conditional_nullout" -> { (s, dir) =>
+      val desfecho = when(col("l_returnflag") === "N", lit(null).cast("string"))
+        .otherwise(col("l_returnflag"))
+      val base = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        desfecho.as("desfecho_motivo"),
+        (col("l_linenumber") % 2 === 0).as("obito"),
+        (col("l_quantity") > 25).as("alta"),
+      )
+      ordered(NullRules.nullOutWhen(base, col("desfecho_motivo").isNull, Seq("obito", "alta")))
+    },
+
+    // §2 row 15 — positional code split cod[:3] / cod[3:].
+    "q15_string_slice" -> { (s, dir) =>
+      val code = concat(
+        lpad((col("p_partkey") % 900).cast("string"), 3, "0"),
+        lpad(col("p_size").cast("string"), 4, "0"))
+      ordered(Tables.part(s, dir).select(
+        col("p_partkey"),
+        Strings.slicePrefix(code, 3).as("servico_id"),
+        Strings.sliceFrom(code, 3).as("servico_classificacao_id"),
+      ))
+    },
+
+    // §2 row 16 — Roman numeral → integer string, invalid passthrough.
+    "q16_roman_numeral" -> { (s, dir) =>
+      val romano = Strings.intToRoman(col("n_nationkey") + 1)
+      ordered(Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        romano.as("regiao_romana"),
+        Strings.romanToInt(romano).as("regiao_numero"),
+        Strings.romanToInt(col("n_name")).as("nome_passthrough"),
+      ))
+    },
+
+    // §2 row 17 — deterministic sha2 surrogate id (vs reference uuid7).
+    "q17_surrogate_id" -> { (s, dir) =>
+      ordered(Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        Ids.surrogateId(Seq(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        )).as("id"),
+      ))
+    },
+
+    // §2 row 20 — audit timestamps (frozen clock for determinism) + source
+    // constant column.
+    "q20_audit_constants" -> { (s, dir) =>
+      val frozenNow = lit("2026-08-01 00:00:00").cast("timestamp_ntz")
+      ordered(Tables.nation(s, dir).select(
+        col("n_nationkey"), col("n_name"),
+        frozenNow.as("criacao_data"),
+        frozenNow.as("atualizacao_data"),
+        lit("PASP2408").as("ftp_arquivo_nome"),
+      ))
+    },
+
+    // §2 row 23 — schema-map casts with per-value try_cast semantics.
+    "q23_schema_casts" -> { (s, dir) =>
+      val cast0 = Casts.castWithSchema(Tables.events(s, dir), Map(
+        "user_id" -> "string",
+        "value" -> "decimal(18,3)",
+        "props" -> "int",
+        "ts" -> "date",
+      ))
+      ordered(cast0.select(
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("valor"),
+        col("props").as("props_numerico"),
+        col("ts").as("dia"),
+      ))
+    },
+
+    // §2 row 24 — non-null validation gates as an aggregate (not applymap).
+    "q24_validation_gates" -> { (s, dir) =>
+      val base = Tables.lineitem(s, dir).withColumn(
+        "flag_opcional",
+        when(col("l_orderkey") % 50 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")))
+      ordered(Casts.nullViolations(base, Seq("l_quantity", "l_shipdate", "flag_opcional")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -65,5 +225,144 @@ object SparkEntry {
         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
         |   OR l_partkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q07_depara_rename" ->
+      """SELECT l_orderkey AS pedido_id, l_partkey AS item_id,
+        |  l_suppkey AS fornecedor_id, l_linenumber AS linha_numero,
+        |  l_quantity AS quantidade_apresentada,
+        |  l_extendedprice AS valor_apresentado, l_discount AS desconto,
+        |  l_tax AS imposto, l_returnflag AS devolucao_status,
+        |  l_linestatus AS linha_status, l_shipdate AS envio_data
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q10_aaaamm_parse" ->
+      """SELECT o_orderkey, competencia_aaaamm,
+        |  try_strptime(competencia_aaaamm, '%Y%m') AS competencia_data
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'BAD999'
+        |         WHEN o_orderkey % 13 = 0 THEN ''
+        |         ELSE strftime(o_orderdate, '%Y%m') END AS competencia_aaaamm
+        |  FROM orders)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q11_aaaammdd_parse" ->
+      """SELECT l_orderkey, l_linenumber, data_aaaammdd,
+        |  try_strptime(
+        |    lpad(trim(substr(data_aaaammdd, 1, 4)), 4, '0') ||
+        |    lpad(trim(substr(data_aaaammdd, 5, 2)), 2, '0') ||
+        |    lpad(trim(substr(data_aaaammdd, 7, 2)), 2, '0'),
+        |    '%Y%m%d') AS data_parseada
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 17 = 0 THEN 'ABCDEFGH'
+        |         WHEN l_orderkey % 3 = 0 AND substr(s8, 7, 1) = '0'
+        |           THEN substr(s8, 1, 6) || ' ' || substr(s8, 8, 1)
+        |         ELSE s8 END AS data_aaaammdd
+        |  FROM (SELECT *, strftime(l_shipdate, '%Y%m%d') AS s8 FROM lineitem))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q12_null_rules" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN codigo_a = '' THEN NULL ELSE codigo_a END AS codigo_a,
+        |  CASE WHEN regexp_matches(codigo_b, '^0*$') THEN NULL ELSE codigo_b END AS codigo_b,
+        |  CASE WHEN regexp_matches(codigo_c, '^9+$') THEN NULL ELSE codigo_c END AS codigo_c,
+        |  CASE WHEN usuario_idade = '999' THEN NULL ELSE usuario_idade END AS usuario_idade
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE o_orderstatus END AS codigo_a,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN '0000'
+        |         WHEN o_orderkey % 9 = 0 THEN ''
+        |         ELSE CAST(o_custkey AS VARCHAR) END AS codigo_b,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN '999999'
+        |         WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE lpad(CAST(o_custkey % 1000 AS VARCHAR), 6, '0') END AS codigo_c,
+        |    CASE WHEN o_orderkey % 8 = 0 THEN '999'
+        |         ELSE CAST(o_orderkey % 120 AS VARCHAR) END AS usuario_idade
+        |  FROM orders)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q13_bool_coercion" ->
+      """SELECT l_orderkey, l_linenumber, flag_bruta,
+        |  CASE WHEN flag_bruta = '1' THEN true
+        |       WHEN flag_bruta = '0' THEN false END AS obito,
+        |  mantido_bruto,
+        |  CASE WHEN mantido_bruto = 'M' THEN true ELSE false END AS estabelecimento_mantido
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 10 = 0 THEN '2'
+        |         WHEN l_orderkey % 15 = 0 THEN NULL
+        |         ELSE CAST(l_linenumber % 2 AS VARCHAR) END AS flag_bruta,
+        |    CASE WHEN l_returnflag = 'R' THEN 'M' ELSE l_returnflag END AS mantido_bruto
+        |  FROM lineitem)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q14_conditional_nullout" ->
+      """SELECT l_orderkey, l_linenumber, desfecho_motivo,
+        |  CASE WHEN desfecho_motivo IS NULL THEN NULL ELSE obito END AS obito,
+        |  CASE WHEN desfecho_motivo IS NULL THEN NULL ELSE alta END AS alta
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END AS desfecho_motivo,
+        |    l_linenumber % 2 = 0 AS obito,
+        |    l_quantity > 25 AS alta
+        |  FROM lineitem)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q15_string_slice" ->
+      """SELECT p_partkey,
+        |  substr(code, 1, 3) AS servico_id,
+        |  substr(code, 4) AS servico_classificacao_id
+        |FROM (
+        |  SELECT p_partkey,
+        |    lpad(CAST(p_partkey % 900 AS VARCHAR), 3, '0') ||
+        |    lpad(CAST(p_size AS VARCHAR), 4, '0') AS code
+        |  FROM part)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q16_roman_numeral" ->
+      """SELECT n_nationkey,
+        |  ['','X','XX','XXX'][((n_nationkey + 1) // 10) + 1] ||
+        |  ['','I','II','III','IV','V','VI','VII','VIII','IX'][((n_nationkey + 1) % 10) + 1]
+        |    AS regiao_romana,
+        |  CAST(n_nationkey + 1 AS VARCHAR) AS regiao_numero,
+        |  n_name AS nome_passthrough
+        |FROM nation ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q17_surrogate_id" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  sha256(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS id
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q20_audit_constants" ->
+      """SELECT n_nationkey, n_name,
+        |  TIMESTAMP '2026-08-01 00:00:00' AS criacao_data,
+        |  TIMESTAMP '2026-08-01 00:00:00' AS atualizacao_data,
+        |  'PASP2408' AS ftp_arquivo_nome
+        |FROM nation ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q23_schema_casts" ->
+      """SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,3)) AS DOUBLE) AS valor,
+        |  TRY_CAST(props AS INT) AS props_numerico,
+        |  CAST(ts AS DATE) AS dia
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q24_validation_gates" ->
+      """WITH base AS (
+        |  SELECT *, CASE WHEN l_orderkey % 50 = 0 THEN NULL
+        |                 ELSE l_returnflag END AS flag_opcional
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN flag_opcional IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM base)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS coluna, n1 AS nulos, total FROM c
+        |  UNION ALL SELECT 'l_shipdate', n2, total FROM c
+        |  UNION ALL SELECT 'flag_opcional', n3, total FROM c)
+        |WHERE nulos > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

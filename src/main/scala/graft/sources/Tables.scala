@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table catalog over a scale-factor directory.
   *
@@ -24,7 +26,18 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** events.ts is nanosecond-precision parquet, which Spark's vectorized
+    * reader rejects (PARQUET_TYPE_ILLEGAL). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as raw ns
+    * since epoch; normalize here to a µs timestamp (integer `div`, no
+    * double round-trip — ns epochs overflow double precision).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
