@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.sources.{Listing, ReportCsv, Staging, Tables}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
@@ -206,6 +206,163 @@ object SparkEntry {
           .otherwise(col("l_returnflag")))
       ordered(Casts.nullViolations(base, Seq("l_quantity", "l_shipdate", "flag_opcional")))
     },
+
+    // §2 row 1 — batched record ingestion: source arrives as tagged record
+    // batches; one distributed scan, lote derived, recombined downstream.
+    "q01_batch_ingest" -> { (s, dir) =>
+      val batches = (0 until 4).map { b =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === b)
+          .withColumn("lote", lit(b))
+      }
+      ordered(Rollup.unionBatches(batches)
+        .groupBy("lote")
+        .agg(
+          count(lit(1L)).as("registros"),
+          sum(col("l_quantity").cast("decimal(28,3)")).cast("double").as("quantidade_total"),
+        ))
+    },
+
+    // §2 row 2 — listing-line regex parse + 8-char name slicing.
+    "q02_listing_parse" -> { (s, dir) =>
+      val ufs = array(lit("SP"), lit("BA"), lit("CE"), lit("MG"), lit("PR"))
+      val nome = concat(
+        lit("PA"), element_at(ufs, (col("o_custkey") % 5 + 1).cast("int")),
+        date_format(col("o_orderdate"), "yyMM"),
+        when(col("o_orderkey") % 4 === 0, lit("b")).otherwise(lit("")),
+        lit(".dbc"))
+      val linha = concat_ws(" ",
+        date_format(col("o_orderdate"), "MM-dd-yy"), lit("09:15AM"),
+        (col("o_totalprice").cast("long")).cast("string"), nome)
+      val lines = Tables.orders(s, dir).select(col("o_orderkey"), linha.as("linha"))
+      val parsed = Listing.splitName(Listing.parseLines(lines, "linha"), "nome_completo")
+      ordered(parsed.select(
+        col("o_orderkey"), col("tipo"), col("sigla_uf"), col("ano"), col("mes"),
+        col("particao"), col("nome"), col("tamanho"),
+        Listing.modificationTs(col("data_modificacao"), col("hora"))
+          .as("timestamp_modificacao"),
+        Dates.parseAaaamm(concat(lit("20"), col("ano"), col("mes")))
+          .as("processamento_periodo_data_inicio"),
+      ))
+    },
+
+    // §2 row 3 — report-body parse: header/footer trim, decimal-comma +
+    // thousands-dot numerals, Unnamed spill column dropped.
+    "q03_report_csv" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digits9 = lpad((cents / lit(100L)).cast("long").cast("string"), 9, "0")
+      val valorTxt = concat(
+        substring(digits9, 1, 3), lit("."), substring(digits9, 4, 3), lit("."),
+        substring(digits9, 7, 3), lit(","), lpad((cents % 100).cast("string"), 2, "0"))
+      val report = o.select(
+        col("o_orderkey").as("linha_numero"),
+        lpad((col("o_custkey") % 999999).cast("string"), 6, "0").as("Ibge"),
+        valorTxt.as("valor_txt"),
+        lit("").as("Unnamed: 3"),
+        (col("o_orderkey") % 100 === 99).as("marcador_fonte"),
+      )
+      val body = ReportCsv.dropUnnamed(ReportCsv.trimHeaderFooter(
+        report, "linha_numero", 3, col("marcador_fonte")))
+      ordered(body.select(
+        col("linha_numero"), col("Ibge"),
+        ReportCsv.parseDecimalComma(col("valor_txt")).as("quantidade_aprovada"),
+      ))
+    },
+
+    // §2 row 4 — staged storage roundtrip (schema-preserving).
+    "q04_stage_roundtrip" -> { (s, dir) =>
+      val staged = Staging.stageRoundtrip(
+        s, Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        s"${System.getProperty("java.io.tmpdir")}/graft-stage/orders")
+      ordered(staged.groupBy("o_orderstatus").agg(
+        count(lit(1L)).as("pedidos"),
+        sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("valor_total"),
+        max(col("o_orderdate")).as("ultima_data"),
+      ))
+    },
+
+    // §2 row 5 — chunked COPY-style bulk load (chunk = write partition).
+    "q05_bulk_load" -> { (s, dir) =>
+      val chunked = Tables.orders(s, dir)
+        .withColumn("chunk", (col("o_orderkey") % 8).cast("int"))
+      val loaded = Staging.bulkLoadRoundtrip(
+        s, chunked, "chunk", s"${System.getProperty("java.io.tmpdir")}/graft-stage/orders_chunked")
+      ordered(loaded.groupBy("chunk").agg(
+        count(lit(1L)).as("registros"),
+        sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("valor_total"),
+      ))
+    },
+
+    // §2 row 6 — delete-conflicts upsert: incoming batch wins on key.
+    "q06_upsert" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      val incoming = o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      ordered(Upsert.upsert(target, incoming, Seq("o_orderkey")))
+    },
+
+    // §2 row 18 — period dimension lookup as a broadcast range join.
+    "q18_period_range_join" -> { (s, dir) =>
+      val periods = Tables.orders(s, dir).select(
+        to_date(date_trunc("MONTH", col("o_orderdate"))).as("data_inicio"))
+        .distinct()
+        .select(
+          col("data_inicio"), last_day(col("data_inicio")).as("data_fim"),
+          date_format(col("data_inicio"), "yyyyMM").as("periodo_codigo"))
+      val joined = DimJoins.periodLookup(
+        Tables.lineitem(s, dir), to_date(col("l_shipdate")), periods, "data_inicio", "data_fim")
+      ordered(joined.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("periodo_codigo")))
+    },
+
+    // §2 row 19 — geography id equi-join (BroadcastHashJoin).
+    "q19_geo_equi_join" -> { (s, dir) =>
+      val dim = Tables.nation(s, dir).select(
+        col("n_nationkey"),
+        col("n_name").as("unidade_geografica_nome"),
+        Ids.surrogateId(Seq(lit("geo"), col("n_nationkey"))).as("unidade_geografica_id"))
+      val joined = DimJoins.dimLookup(Tables.customer(s, dir), "c_nationkey", dim, "n_nationkey")
+      ordered(joined.select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("unidade_geografica_nome"), col("unidade_geografica_id")))
+    },
+
+    // §2 row 21 — the transform chain applied per batch, recombined with
+    // unionByName (the reference's per-lote transformar_pa + concat).
+    "q21_batch_union" -> { (s, dir) =>
+      val activeIds = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") > 0).select("s_suppkey")
+      def transformBatch(b: Int): DataFrame = {
+        val lote = Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === b)
+        val selecionado = Filters.filterMemberOfAny(lote, Seq("l_suppkey", "l_partkey"), activeIds)
+          .filter(Filters.anyOf(Seq(
+            col("l_returnflag") === "R",
+            col("l_linestatus") === "O" && col("l_quantity") > 40,
+          )))
+        Renames.dePara(selecionado, Map(
+          "l_quantity" -> "quantidade_apresentada",
+          "l_extendedprice" -> "valor_apresentado",
+          "l_shipdate" -> "realizacao_data"))
+          .withColumn("id", Ids.surrogateId(Seq(
+            col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
+          .withColumn("criacao_data", lit("2026-08-01 00:00:00").cast("timestamp_ntz"))
+          .withColumn("ftp_arquivo_nome", concat(lit("PASP24"), lpad(lit(b.toString), 2, "0")))
+      }
+      ordered(Rollup.unionBatches((0 until 3).map(transformBatch)))
+    },
+
+    // §2 row 22 — partitioned-metadata roll-up with trailing-months filter.
+    "q22_metadata_rollup" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val trailing = Rollup.keepTrailingMonths(li, Seq("l_returnflag"), "l_shipdate", 13)
+      ordered(Rollup.rollupPartitions(
+        trailing.withColumn("grupo", (col("l_orderkey") % 10).cast("int"))
+          .withColumn("particao", col("l_linenumber").cast("string")),
+        Seq("l_returnflag", "l_linestatus", "grupo"),
+        "particao", "l_quantity", "l_shipdate"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -347,6 +504,113 @@ object SparkEntry {
         |  TRY_CAST(props AS INT) AS props_numerico,
         |  CAST(ts AS DATE) AS dia
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q01_batch_ingest" ->
+      """SELECT CAST(l_orderkey % 4 AS INT) AS lote, count(*) AS registros,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,3))) AS DOUBLE) AS quantidade_total
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q02_listing_parse" ->
+      """SELECT o_orderkey, 'PA' AS tipo, uf AS sigla_uf,
+        |  substr(yymm, 1, 2) AS ano, substr(yymm, 3, 2) AS mes,
+        |  NULLIF(partic, '') AS particao,
+        |  'PA' || uf || yymm AS nome,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS tamanho,
+        |  make_timestamp(2000 + CAST(substr(yymm, 1, 2) AS INT),
+        |    CAST(strftime(o_orderdate, '%m') AS INT),
+        |    CAST(strftime(o_orderdate, '%d') AS INT), 9, 15, 0.0)
+        |    AS timestamp_modificacao,
+        |  try_strptime('20' || yymm, '%Y%m') AS processamento_periodo_data_inicio
+        |FROM (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice,
+        |    ['SP','BA','CE','MG','PR'][CAST(o_custkey % 5 AS INT) + 1] AS uf,
+        |    strftime(o_orderdate, '%y%m') AS yymm,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 'b' ELSE '' END AS partic
+        |  FROM orders)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q03_report_csv" ->
+      """WITH f AS (
+        |  SELECT min(o_orderkey) AS fs FROM orders WHERE o_orderkey % 100 = 99),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey AS linha_numero,
+        |  lpad(CAST(o_custkey % 999999 AS VARCHAR), 6, '0') AS "Ibge",
+        |  CAST(lpad(CAST(cents // 100 AS VARCHAR), 9, '0') || '.' ||
+        |       lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+        |    AS quantidade_aprovada
+        |FROM b CROSS JOIN f
+        |WHERE o_orderkey > 3 AND (fs IS NULL OR o_orderkey < fs)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q04_stage_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS pedidos,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS valor_total,
+        |  max(o_orderdate) AS ultima_data
+        |FROM orders GROUP BY o_orderstatus ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q05_bulk_load" ->
+      """SELECT CAST(o_orderkey % 8 AS INT) AS chunk, count(*) AS registros,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS valor_total
+        |FROM orders GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q06_upsert" ->
+      """SELECT * FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 2 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q18_period_range_join" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, p.periodo_codigo
+        |FROM lineitem l LEFT JOIN (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS data_inicio,
+        |    strftime(date_trunc('month', o_orderdate), '%Y%m') AS periodo_codigo
+        |  FROM orders) p
+        |ON CAST(date_trunc('month', l_shipdate) AS DATE) = p.data_inicio
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q19_geo_equi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  n_name AS unidade_geografica_nome,
+        |  sha256(concat_ws('|', 'geo', n_nationkey)) AS unidade_geografica_id
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q21_batch_union" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |  l_quantity AS quantidade_apresentada,
+        |  l_extendedprice AS valor_apresentado,
+        |  l_discount, l_tax, l_returnflag, l_linestatus,
+        |  l_shipdate AS realizacao_data,
+        |  sha256(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS id,
+        |  TIMESTAMP '2026-08-01 00:00:00' AS criacao_data,
+        |  'PASP24' || lpad(CAST(l_orderkey % 3 AS VARCHAR), 2, '0') AS ftp_arquivo_nome
+        |FROM lineitem
+        |WHERE (l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0)
+        |    OR l_partkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0))
+        |  AND (l_returnflag = 'R' OR (l_linestatus = 'O' AND l_quantity > 40))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q22_metadata_rollup" ->
+      """WITH t AS (
+        |  SELECT l.*, CAST(l_orderkey % 10 AS INT) AS grupo,
+        |    CAST(l_linenumber AS VARCHAR) AS particao
+        |  FROM lineitem l
+        |  JOIN (SELECT l_returnflag AS rf,
+        |          CAST(date_trunc('month', max(l_shipdate)) AS DATE)
+        |            - INTERVAL 13 MONTH AS cutoff
+        |        FROM lineitem GROUP BY 1) c
+        |    ON l.l_returnflag = c.rf AND CAST(l.l_shipdate AS DATE) >= c.cutoff)
+        |SELECT l_returnflag, l_linestatus, grupo,
+        |  string_agg(particao, ',' ORDER BY particao) AS particoes,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,3))) AS DOUBLE) AS tamanho_total,
+        |  max(l_shipdate) AS ts_max, min(l_shipdate) AS ts_min,
+        |  count(*) AS num_particoes
+        |FROM t GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dimension-lookup joins.
+  *
+  * Reference resolves the period and geography dimensions with per-row
+  * `lru_cache`d database lookups (`periodo_por_data`,
+  * sm_cloud_run/utilitarios/datas.py:65-91; `id_sus_para_id_impulso`,
+  * sm_cloud_run/utilitarios/geografias.py:80-99) — a row-at-a-time
+  * anti-pattern at scale. Spark-first these are broadcast joins: the dims are
+  * tiny (hundreds of periods, thousands of geographies), so the fact table is
+  * never shuffled and the range predicate is evaluated map-side.
+  */
+object DimJoins {
+
+  /** Left-join the period dim on `start <= dateExpr <= end`.
+    *
+    * With a broadcast dim this is a BroadcastNestedLoopJoin over a
+    * few-hundred-row build side — O(n·|periods|) map-side work with no
+    * shuffle, which at 100 TB beats a sort-merge range join on a skewed date
+    * key by orders of magnitude.
+    */
+  def periodLookup(
+      fact: DataFrame, dateExpr: Column,
+      periods: DataFrame, startCol: String, endCol: String): DataFrame =
+    fact.join(
+      broadcast(periods),
+      dateExpr >= periods(startCol) && dateExpr <= periods(endCol),
+      "left")
+
+  /** Left-join a geography (or any small) dim on an equality key —
+    * BroadcastHashJoin, fact side stays in place.
+    */
+  def dimLookup(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataFrame =
+    fact.join(broadcast(dim), fact(factKey) === dim(dimKey), "left")
+}

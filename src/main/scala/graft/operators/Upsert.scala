@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch upsert / delete-conflicts.
+  *
+  * Reference: before loading a batch it deletes target rows whose
+  * `ftp_arquivo_nome` matches the incoming file (`deletar_conflitos`,
+  * sm_cloud_run/utilitarios/bd_utilitarios.py:262-283), and the metadata
+  * table is upserted row-by-row in a Python loop
+  * (etl/datasus_ftp_metadados.py:293-351).
+  *
+  * Spark-first: upsert is one hash anti-join (drop target rows whose key
+  * appears in the incoming batch) plus `unionByName` — the standard
+  * merge pattern; one shuffle of each side, no driver loop.
+  */
+object Upsert {
+
+  /** Delete-conflicts: drop target rows matching the incoming batch tag. */
+  def deleteConflicts(target: DataFrame, tagCol: String, tag: Column): DataFrame =
+    target.filter(!col(tagCol) <=> tag)
+
+  /** Upsert `incoming` into `target` on `keys`: incoming wins on conflict.
+    * The anti-join build side is the incoming key set only (projected before
+    * the join, so a small batch against a huge target broadcasts).
+    */
+  def upsert(target: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    // Distinct renamed key set — avoids ambiguous self-join resolution when
+    // target and incoming share lineage.
+    val incomingKeys = incoming
+      .select(keys.map(k => col(k).as(s"__graft_k_$k")): _*).distinct()
+    val cond = keys.map(k => target(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+    target.join(incomingKeys, cond, "left_anti").unionByName(incoming)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Staged storage + chunked bulk load.
+  *
+  * Reference stages transformed frames as whole CSV strings in object
+  * storage (sm_cloud_run/utilitarios/cloud_storage.py:8-50) and bulk-loads
+  * with chunked COPY (`carregar_dataframe`/`postgresql_copiar_dados`,
+  * sm_cloud_run/utilitarios/bd_utilitarios.py:85-251, passo=10000).
+  *
+  * Spark-first: staging is a parquet write (schema+types preserved, column
+  * pruning on re-read — CSV staging loses both); the COPY chunking maps to
+  * write partitioning (`passo` ≈ records per output partition), which is
+  * what a distributed sink parallelizes over.
+  */
+object Staging {
+
+  /** Stage to parquet and hand back the re-read frame. */
+  def stageRoundtrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Chunked bulk load: write grouped by a chunk column (directory
+    * partition per chunk, the COPY-batch analog) and re-read.
+    */
+  def bulkLoadRoundtrip(
+      spark: SparkSession, df: DataFrame, chunkCol: String, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).partitionBy(chunkCol).parquet(path)
+    spark.read.parquet(path)
+  }
+}

@@ -1,75 +1,77 @@
 #!/usr/bin/env python3
-"""Local pre-check mirroring the driver's DuckDB oracle compare.
+"""Local mirror of the driver's correctness gate: run Verify's parquet dumps
+against the DuckDB oracle and compare rows / schema / values.
 
-Dev tooling only (not part of the shipped Scala library). Usage:
-    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
-    python3 tools/compare.py /root/testdata/sf0.01 /tmp/verify_out [query...]
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, os
-import duckdb
-import pyarrow.parquet as pq
-import pandas as pd
+import json
+import sys
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # canonicalize dtypes for compare: timestamps -> ns, floats stay float64
-    return df.reset_index(drop=True)
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
     con = duckdb.connect()
-    for p in glob.glob(f"{sf_dir}/*.parquet"):
-        name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails = 0
-    for name, sql in sorted(oracle.items()):
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
         if only and name not in only:
             continue
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not spark_files:
-            print(f"{name}: FAIL (no spark output)"); fails += 1; continue
-        s = canon(pq.read_table(spark_files[0]).to_pandas())
         try:
-            d = canon(con.execute(sql).fetchdf())
+            want = con.sql(oracles[name])
+            wcols = sorted(want.columns)
+            wrows = [tuple(norm(v) for v in row) for row in
+                     con.sql(f"SELECT {','.join(wcols)} FROM want").fetchall()]
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = sorted(got.columns)
+            grows = [tuple(norm(v) for v in row) for row in
+                     con.sql(f"SELECT {','.join(gcols)} FROM got").fetchall()]
         except Exception as e:
-            print(f"{name}: FAIL (oracle error: {e})"); fails += 1; continue
-        ok_rows = len(s) == len(d)
-        ok_cols = list(s.columns) == list(d.columns)
-        ok_vals = False
-        detail = ""
-        if ok_rows and ok_cols:
-            try:
-                for c in s.columns:
-                    sc, dc = s[c], d[c]
-                    if str(sc.dtype).startswith("datetime") or str(dc.dtype).startswith("datetime"):
-                        sc = pd.to_datetime(sc); dc = pd.to_datetime(dc)
-                    eq = (sc.isna() & dc.isna()) | (sc == dc)
-                    if not eq.all():
-                        bad = (~eq).idxmax()
-                        detail = f" col={c} row={bad} spark={sc[bad]!r} duck={dc[bad]!r} (spark_dtype={s[c].dtype}, duck_dtype={d[c].dtype})"
-                        raise ValueError
-                ok_vals = True
-            except ValueError:
-                pass
-            except Exception as e:
-                detail = f" cmp error: {e}"
-        st = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        if st == "FAIL":
-            fails += 1
-            if not ok_rows: detail = f" rows spark={len(s)} duck={len(d)}" + detail
-            if not ok_cols: detail = f" cols spark={list(s.columns)} duck={list(d.columns)}" + detail
-        print(f"{name}: {st} ({len(s)} rows){detail}")
-    # queries without oracle: rows-only
-    qdirs = {os.path.basename(x) for x in glob.glob(f"{out_dir}/q*") if os.path.isdir(x)}
-    for name in sorted(qdirs - set(oracle)):
-        if only and name not in only:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
             continue
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        n = sum(pq.ParquetFile(f).metadata.num_rows for f in files) if files else 0
-        print(f"{name}: rows-only ({n} rows)")
-    sys.exit(1 if fails else 0)
+        if wcols != gcols:
+            print(f"FAIL {name}: cols oracle={wcols} spark={gcols}")
+            n_fail += 1
+            continue
+        if len(wrows) != len(grows):
+            print(f"FAIL {name}: rows oracle={len(wrows)} spark={len(grows)}")
+            n_fail += 1
+            continue
+        # order-insensitive compare (both sides sorted the same way anyway)
+        if sorted(wrows) != sorted(grows):
+            sw, sg = sorted(wrows), sorted(grows)
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sw, sg)) if a != b]
+            print(f"FAIL {name}: {len(diffs)} differing rows of {len(sw)}; first:")
+            for i, a, b in diffs[:3]:
+                print(f"  row {i} cols={wcols}\n   oracle: {a}\n   spark:  {b}")
+            n_fail += 1
+            continue
+        print(f"OK {name} ({len(grows)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
     main()
