@@ -363,6 +363,85 @@ object SparkEntry {
         Seq("l_returnflag", "l_linestatus", "grupo"),
         "particao", "l_quantity", "l_shipdate"))
     },
+    // §2 row 25 — exact dedup: content-hash groupBy keep-min-id, one
+    // shuffle with map-side combine (no window, no join-back).
+    "q25_exact_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dupes = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+      ordered(llm.Dedup.exactDedup(docs.unionByName(dupes), "text", "doc_id"))
+    },
+
+    // §2 row 26 — MinHash-LSH near-dup: banded buckets, pairs only within
+    // buckets, exact-Jaccard verify (rows-only; recall spec in scalatest).
+    "q26_minhash_lsh" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      ordered(llm.Dedup.minhashNearDups(
+        docs.unionByName(variants), "doc_id", "text", threshold = 0.5))
+    },
+
+    // §2 row 27 — SimHash near-dup: 16-bit chunk blocking + Hamming verify
+    // (rows-only; bit-exactness spec in scalatest).
+    "q27_simhash" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      ordered(llm.Dedup.simhashPairs(
+        docs.unionByName(variants), "doc_id", "text", maxHamming = 3))
+    },
+
+    // §2 row 28 — blocked exact n-gram Jaccard (deterministic blocks →
+    // SQL-oracle-checkable candidate scoring).
+    "q28_ngram_jaccard" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" zz9")))
+      ordered(llm.Dedup.blockedJaccard(docs.unionByName(variants), "doc_id", "text"))
+    },
+
+    // §2 row 31 — language-ID: marker-vocabulary scores + argmax.
+    "q31_lang_id" -> { (s, dir) =>
+      val toks = llm.TextAnalysis.tokens(col("text"))
+      val (scores, pred) = llm.TextAnalysis.langId(toks)
+      ordered(Tables.documents(s, dir).select(
+        col("doc_id") +:
+          scores.map { case (lang, sc) => sc.cast("long").as(s"score_$lang") } :+
+          pred.as("lang_pred"): _*))
+    },
+
+    // §2 row 32 — quality scoring from length/punct/digit/stopword ratios.
+    "q32_quality_score" -> { (s, dir) =>
+      ordered(Tables.documents(s, dir).select(
+        col("doc_id"),
+        llm.TextAnalysis.qualityScore(col("text")).as("qualidade")))
+    },
+
+    // §2 row 33 — token counting: whitespace, BPE-ish regex, chars/4.
+    "q33_token_count" -> { (s, dir) =>
+      ordered(Tables.documents(s, dir).select(
+        col("doc_id"),
+        llm.TextAnalysis.wsTokenCount(col("text")).as("tokens_ws"),
+        llm.TextAnalysis.bpeTokenCount(col("text")).as("tokens_bpe"),
+        llm.TextAnalysis.estTokenCount(col("text")).as("tokens_est"),
+      ))
+    },
+
+    // §2 row 34 — document fingerprint: min-md5 over word 3-shingles.
+    "q34_fingerprint" -> { (s, dir) =>
+      val toks = llm.TextAnalysis.tokens(col("text"))
+      ordered(Tables.documents(s, dir).select(
+        col("doc_id"),
+        llm.TextAnalysis.fingerprint(col("text")).as("impressao_digital"),
+        size(llm.TextAnalysis.shingleSet(toks, 3)).cast("long").as("n_shingles"),
+      ))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -611,6 +690,109 @@ object SparkEntry {
         |  max(l_shipdate) AS ts_max, min(l_shipdate) AS ts_min,
         |  count(*) AS num_particoes
         |FROM t GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q25_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT text, min(doc_id) AS keep FROM all_docs GROUP BY text)
+        |SELECT a.* FROM all_docs a
+        |JOIN k ON a.text = k.text AND a.doc_id = k.keep
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q28_ngram_jaccard" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz9'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[1:2], ' ') AS block,
+        |    list_distinct(CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |      ELSE [] END) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |  (CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+        |   - CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE))
+        |    AS jaccard
+        |FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q31_lang_id" ->
+      """SELECT doc_id,
+        |  len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) AS score_en,
+        |  len(list_filter(tk, t -> t IN ('data','value','batch','row'))) AS score_pt,
+        |  len(list_filter(tk, t -> t IN ('query','scan','merge'))) AS score_es,
+        |  CASE
+        |    WHEN len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) > 0
+        |      THEN 'en'
+        |    WHEN len(list_filter(tk, t -> t IN ('data','value','batch','row'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('data','value','batch','row'))) > 0
+        |      THEN 'pt'
+        |    WHEN len(list_filter(tk, t -> t IN ('query','scan','merge'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('query','scan','merge'))) > 0
+        |      THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |      FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q32_quality_score" ->
+      """SELECT doc_id,
+        |  0.4 * (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / greatest(CAST(len(tk) AS DOUBLE), 1.0)) +
+        |  0.3 * least(1.0,
+        |    (CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE)
+        |     / greatest(CAST(len(tk) AS DOUBLE), 1.0)) / 8.0) -
+        |  0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |  0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+        |    AS qualidade
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(lower(text)), '\s+') AS tk
+        |      FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q33_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS tokens_bpe,
+        |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS tokens_est
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS impressao_digital,
+        |  len(list_distinct(sh)) AS n_shingles
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |      ELSE [] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM documents))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

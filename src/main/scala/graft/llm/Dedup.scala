@@ -1,0 +1,154 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash-LSH, SimHash, blocked n-gram
+  * Jaccard.
+  *
+  * Scale contract: candidate generation is ALWAYS bucketed — shingle sets
+  * are hashed to band buckets and pairs are generated only within a bucket
+  * (a shuffle on the bucket key, linear-ish in rows). There is no all-pairs
+  * cartesian anywhere; the scalatest suite asserts the physical plan
+  * contains no CartesianProduct/BroadcastNestedLoopJoin for these paths.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash, keeping the row with the minimum id per
+    * duplicate group. One shuffle (`groupBy` on the 256-bit content hash,
+    * map-side partial `min_by`) — no join back, no window over the table.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("__graft_h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__graft_r"))
+      .select(cols.map(c => col(s"__graft_r.$c").as(c)): _*)
+  }
+
+  /** MinHash signature over a distinct-shingle set: element `s` is
+    * `min(xxhash64(s, shingle))`. Null when the set is empty.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingleSet, sh => xxhash64(s, sh))))
+
+  /** One row per (id, band, bandHash): LSH band buckets of the signature.
+    * Docs sharing any band bucket become candidate pairs.
+    */
+  def lshBuckets(
+      docs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)).as("bhash"))
+        }: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+
+  /** Distinct candidate id pairs (a < b) from shared band buckets. The join
+    * key is (band, bhash) — pair generation is local to a bucket.
+    */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bhash"), col("__id").as("id_a"))
+    val b = buckets.select(
+      col("band").as("__b2"), col("bhash").as("__h2"), col("__id").as("id_b"))
+    a.join(b,
+        col("band") === col("__b2") && col("bhash") === col("__h2") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard between two distinct-element arrays, written as
+    * |∩| / (|A| + |B| − |∩|) so the SQL oracle can reproduce it exactly.
+    */
+  def jaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    inter / (size(shA).cast("double") + size(shB).cast("double") - inter)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: shingle → signature → band buckets →
+    * within-bucket candidates → exact-Jaccard verify ≥ `threshold`.
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val keyed = docs.select(
+        col(idCol).as("__id"),
+        TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sigs = keyed.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val pairs = candidatePairs(lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand))
+    val shA = keyed.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = keyed.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the distinct token set: bit `i` is set when the
+    * sum of ±1 contributions (sign of bit `i` of each token's xxhash64) is
+    * positive. Pure nested higher-order expressions — no UDF.
+    */
+  /** Literal `array(1L<<0 … 1L<<63)` so lambda-variable bit indices can be
+    * tested without the Int-only shift builders.
+    */
+  private val Pow2: Column = array(Seq.tabulate(64)(j => lit(1L << j)): _*)
+
+  def simhash64(toks: Column): Column = {
+    val uniq = array_distinct(toks)
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+      val p = element_at(Pow2, (i + 1).cast("int"))
+      val bitSum = aggregate(uniq, lit(0),
+        (a, t) => a + when(xxhash64(t).bitwiseAND(p) =!= 0, 1).otherwise(-1))
+      acc + when(bitSum > 0, p).otherwise(lit(0L))
+    })
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit chunks (any shared chunk →
+    * candidate; Hamming ≤ 3 over 4 chunks guarantees one equal chunk by
+    * pigeonhole), verify `bit_count(xor) <= maxHamming`.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
+    val chunked = sh.select(col("__id"), col("__sim"),
+      explode(array((0 until 4).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("__sim"), j * 16).bitwiseAND(0xFFFFL).as("bhash"))
+      }: _*)).as("bb"))
+      .select(col("__id"), col("__sim"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val a = chunked.select(col("band"), col("bhash"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
+    val b = chunked.select(col("band").as("__b2"), col("bhash").as("__h2"),
+      col("__id").as("id_b"), col("__sim").as("__sim_b"))
+    a.join(b,
+        col("band") === col("__b2") && col("bhash") === col("__h2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked exact n-gram Jaccard: pairs are generated only within a
+    * deterministic block (first two tokens), then scored exactly. The
+    * oracle-checkable counterpart of the LSH candidate step.
+    */
+  def blockedJaccard(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val keyed = docs.select(
+        col(idCol).as("__id"),
+        concat_ws(" ", slice(toks, 1, 2)).as("__block"),
+        TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val a = keyed.select(col("__block"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure Catalyst expressions (higher-order array
+  * functions, regexes) — no UDFs — so the whole per-document analysis fuses
+  * into one whole-stage-codegen pass over the scan and runs embarrassingly
+  * parallel at 100 TB: no shuffle, no state, no driver involvement.
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** How many tokens are members of a small marker vocabulary. */
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Marker vocabularies per language for the n-gram-heuristic language ID.
+    * (Neutral demo sets over the synthetic corpus vocabulary; swap for real
+    * stopword tables in production.)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "small"),
+    "pt" -> Seq("data", "value", "batch", "row"),
+    "es" -> Seq("query", "scan", "merge"),
+  )
+
+  /** Language-ID scores + argmax prediction (fixed tie-break = declaration
+    * order, `und` when every score is zero).
+    */
+  def langId(toks: Column): (Seq[(String, Column)], Column) = {
+    val scores = LangMarkers.map { case (lang, m) => lang -> markerScore(toks, m) }
+    val best = scores.map(_._2).reduceLeft((a, b) => greatest(a, b))
+    val pred = scores.foldRight(lit("und")) { case ((lang, s), el) =>
+      when(s === best && s > 0, lit(lang)).otherwise(el)
+    }
+    (scores, pred)
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic quality score from length / punctuation / digit / stopword
+    * ratios. Deterministic double arithmetic (same operation order as the
+    * SQL oracle).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double")
+    val digits = regexp_count(text, lit("[0-9]")).cast("double")
+    val stop = markerScore(toks, Stopwords).cast("double")
+    val sumLen = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+      .cast("double")
+    val meanLen = sumLen / greatest(nToks, lit(1.0))
+    lit(0.4) * (stop / greatest(nToks, lit(1.0))) +
+      lit(0.3) * least(lit(1.0), meanLen / lit(8.0)) -
+      lit(0.2) * (punct / greatest(nChars, lit(1.0))) -
+      lit(0.1) * (digits / greatest(nChars, lit(1.0)))
+  }
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other glyphs. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace-token count. */
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish regex token count. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  /** chars/4 rule-of-thumb token estimate. */
+  def estTokenCount(text: Column): Column =
+    ceil(length(text).cast("double") / lit(4.0)).cast("long")
+
+  /** Word n-gram shingles (empty array when the document is shorter than
+    * `n` tokens).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct-shingle set (dedup/Jaccard building block). */
+  def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
+
+  /** Document fingerprint: the minimum md5 over word 3-shingles — a
+    * winnowing-style content signature that is stable under reordering of
+    * document chunks and reproducible cross-engine (md5 is standard).
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(tokens(text), n), sh => md5(sh.cast("binary"))))
+}
