@@ -442,6 +442,43 @@ object SparkEntry {
         size(llm.TextAnalysis.shingleSet(toks, 3)).cast("long").as("n_shingles"),
       ))
     },
+    // §2 row 29 — brute-force cosine top-k: broadcast query set, decimal
+    // -exact dot products, per-query window top-k.
+    "q29_cosine_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      ordered(llm.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    },
+
+    // §2 row 30 — LSH-bucketed ANN: hyperplane buckets, equi-join, exact
+    // rerank (rows-only; recall spec in scalatest).
+    "q30_ann_lsh" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      ordered(llm.Similarity.annTopK(emb, queries, "vec_id", "embedding", 10, planes = 4))
+    },
+
+    // §2 row 35 — multimodal binary column + typed metadata (decode kernel
+    // stubbed; Spark-side plumbing in llm.Multimodal.decodeBatches).
+    "q35_multimodal_meta" -> { (s, dir) =>
+      val blobbed = llm.Multimodal.withBlob(
+        Tables.documents(s, dir), "text", "payload")
+      val meta = llm.Multimodal.blobMeta(col("payload"))
+      ordered(blobbed.select(
+        col("doc_id") +: col("lang") +: meta.map { case (n, c) => c.as(n) }: _*))
+    },
+
+    // §2 row 36 — tumbling-window aggregate over events (batch form of the
+    // streaming windowed agg; streaming twin exercised in scalatest).
+    "q36_windowed_agg" -> { (s, dir) =>
+      ordered(streaming.Events.tumblingAgg(Tables.events(s, dir)))
+    },
+
+    // §2 row 37 — gap-based sessionization (batch window form; streaming
+    // flatMapGroupsWithState twin exercised in scalatest).
+    "q37_sessionize" -> { (s, dir) =>
+      ordered(streaming.Events.sessionize(Tables.events(s, dir)))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -793,6 +830,64 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
         |        FROM documents))
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q29_cosine_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(list_aggregate(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE) AS dot
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+        |  CROSS JOIN embeddings c),
+        |s AS (
+        |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
+        |  FROM p
+        |  JOIN n nq ON p.query_id = nq.vec_id
+        |  JOIN n nc ON p.corpus_id = nc.vec_id)
+        |SELECT * FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q35_multimodal_meta" ->
+      """SELECT doc_id, lang,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |  sha256(text) AS conteudo_sha256
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q36_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS janela_inicio,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS janela_fim,
+        |  event_type, count(*) AS eventos,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS valor_total
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q37_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS novo
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(novo) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sessao
+        |    , ts
+        |  FROM e)
+        |SELECT user_id, sessao, count(*) AS eventos,
+        |  min(ts) AS inicio, max(ts) AS fim
+        |FROM s GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

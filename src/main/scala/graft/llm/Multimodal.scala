@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * Real media decode (image/audio/video) needs native libraries that are
+  * not in this environment, so the decode kernel is STUBBED with a
+  * deterministic fake — but everything Spark-side is real and tested:
+  * the binary column representation, metadata extraction as pure
+  * expressions, the batched `mapPartitions` decode harness (schema,
+  * batching, partition-parallelism), and the feature-vector schema the
+  * decoder emits.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload column (here: the UTF-8 bytes of a
+    * text column — in production, image/audio bytes read from files).
+    */
+  def withBlob(df: DataFrame, srcCol: String, blobCol: String): DataFrame =
+    df.withColumn(blobCol, col(srcCol).cast("binary"))
+
+  /** Typed metadata over a binary payload, all scan-level expressions:
+    * byte length, magic-prefix hex, content sha256.
+    */
+  def blobMeta(blob: Column): Seq[(String, Column)] = Seq(
+    "n_bytes" -> length(blob).cast("long"),
+    "magic_hex" -> lower(hex(substring(blob, 1, 4))),
+    "conteudo_sha256" -> sha2(blob, 256),
+  )
+
+  /** Schema of the decoder output appended by [[decodeBatches]]. */
+  val DecodedSchema: StructType = StructType(Seq(
+    StructField("alt_px", IntegerType),
+    StructField("larg_px", IntegerType),
+    StructField("canais", IntegerType),
+    StructField("recursos", ArrayType(FloatType)),
+  ))
+
+  /** STUB decode kernel — deterministic fake standing in for a real
+    * image/audio decoder (`??? : real decoder requires native libs`).
+    * Derives pseudo width/height/channels and a 4-dim feature vector from
+    * the payload bytes so the plumbing is end-to-end testable.
+    */
+  private[llm] def decodeStub(payload: Array[Byte]): Row = {
+    val h = java.util.Arrays.hashCode(payload)
+    val feats = Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xFF).toFloat / 255.0f)
+    Row(64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024), 3, feats)
+  }
+
+  /** Batched partition-parallel decode harness: each partition iterates its
+    * payloads in `batchSize` groups (the shape a vectorized/pandas-style
+    * decode kernel wants), appending [[DecodedSchema]] columns. The kernel
+    * is injectable so tests can swap the stub.
+    */
+  def decodeBatches(
+      df: DataFrame, blobCol: String, batchSize: Int = 64,
+      kernel: Array[Byte] => Row = decodeStub): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ DecodedSchema.fields)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val decoded = kernel(r.getAs[Array[Byte]](blobIdx))
+          Row.fromSeq(r.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

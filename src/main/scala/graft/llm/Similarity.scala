@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — corpus × broadcast(query set),
+  * scored with pure array expressions. Scale path: random-hyperplane LSH
+  * buckets so each query only scores its bucket's corpus rows (bucket join,
+  * never a full cross product).
+  *
+  * Determinism: dot products and squared norms accumulate through
+  * `DECIMAL(38,18)` (exact, order-independent) and only then become doubles,
+  * so ranking is bit-identical across engines and partitionings — float
+  * summation order can never reorder a top-k.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ through decimal — order-independent exact accumulation. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(38,18)")),
+      lit(0).cast("decimal(38,18)"),
+      (acc, v) => (acc + v).cast("decimal(38,18)"))
+
+  /** ‖v‖ as a double (exact decimal sum of squares, then sqrt). */
+  def l2Norm(v: Column): Column = sqrt(dotDecimal(v, v).cast("double"))
+
+  /** cos(a,b) — both norms must be nonzero. */
+  def cosine(a: Column, b: Column): Column =
+    dotDecimal(a, b).cast("double") / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: every (query, corpus) pair via
+    * broadcast(queries) — the corpus never shuffles — then a per-query
+    * window top-k. O(|corpus|·|queries|·dim) map-side work.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .join(q)
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component g(plane, dim) ∈
+    * (-1, 1): a hash of the coordinates, scaled. Reproducible everywhere —
+    * no RNG state shipped to executors.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(plane), dim), lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Random-hyperplane signature: bit per plane = sign of ⟨v, g(plane,·)⟩.
+    * Returns an int bucket in [0, 2^planes).
+    */
+  def lshBucket(v: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries and corpus hash to hyperplane buckets; each
+    * query scores only corpus rows in its bucket (equi-join on bucket id,
+    * shuffle is linear in rows), then per-query top-k re-rank by exact
+    * cosine. Recall < 1 by construction; the scalatest suite measures it
+    * against `bruteForceTopK`.
+    */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      lshBucket(col(vecCol), planes).as("__qbucket")))
+    val scored = cb.join(qb, col("__bucket") === col("__qbucket"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators: tumbling-window aggregation and gap-based
+  * sessionization, each in two equivalent forms:
+  *
+  *  - batch (DataFrame over the `events` table) — oracle-checkable;
+  *  - Structured Streaming (watermark + windowed agg / custom
+  *    `flatMapGroupsWithState` session state) — exercised by the scalatest
+  *    suite through MemoryStream.
+  *
+  * The batch and streaming forms share window semantics (epoch-aligned
+  * tumbling windows; >gap starts a new session) so a pipeline can switch
+  * between backfill and live ingestion without changing results.
+  */
+object Events {
+
+  // ---------------------------------------------------------------- batch
+
+  /** Epoch-aligned tumbling-window aggregate (count + exact decimal sum). */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("janela"), col("event_type"))
+      .agg(
+        count(lit(1L)).as("eventos"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("valor_total"))
+      .select(
+        col("janela.start").as("janela_inicio"),
+        col("janela.end").as("janela_fim"),
+        col("event_type"), col("eventos"), col("valor_total"))
+
+  /** Gap-based sessionization as window expressions: a session breaks when
+    * the gap to the previous event (per user, ordered by ts then event_id
+    * for determinism) exceeds `gapMinutes`.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val novo = when(
+      prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1)
+      .otherwise(0)
+    events
+      .withColumn("__novo", novo)
+      .withColumn("sessao",
+        sum(col("__novo")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sessao"))
+      .agg(
+        count(lit(1L)).as("eventos"),
+        min(col("ts")).as("inicio"),
+        max(col("ts")).as("fim"))
+  }
+
+  // ------------------------------------------------------------ streaming
+
+  /** Streaming twin of [[tumblingAgg]]: event-time window + watermark so
+    * state is bounded and late data beyond `lateness` is dropped.
+    */
+  def tumblingAggStream(
+      events: DataFrame, width: String = "1 hour",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("janela"), col("event_type"))
+      .agg(
+        count(lit(1L)).as("eventos"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("valor_total"))
+      .select(
+        col("janela.start").as("janela_inicio"),
+        col("janela.end").as("janela_fim"),
+        col("event_type"), col("eventos"), col("valor_total"))
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(sessao: Long, eventos: Long, inicioUs: Long, fimUs: Long)
+  case class SessionOut(
+      user_id: Long, sessao: Long, eventos: Long, inicio: Timestamp, fim: Timestamp)
+
+  /** Streaming twin of [[sessionize]]: per-user custom state via
+    * `flatMapGroupsWithState`. Emits a session when the gap closes it; a
+    * processing-time timeout flushes the open session when the group goes
+    * quiet. State is one small record per active user — bounded.
+    */
+  def sessionizeStream(
+      spark: SparkSession, events: Dataset[SessionEvent],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.sessao, s.eventos,
+              new Timestamp(s.inicioUs / 1000L), new Timestamp(s.fimUs / 1000L)))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.fimUs <= gapUs =>
+                  cur = Some(s.copy(eventos = s.eventos + 1, fimUs = math.max(s.fimUs, t)))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessao, s.eventos,
+                    new Timestamp(s.inicioUs / 1000L), new Timestamp(s.fimUs / 1000L))
+                  cur = Some(SessionState(s.sessao + 1, 1L, t, t))
+                case None =>
+                  cur = Some(SessionState(1L, 1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
