@@ -88,16 +88,17 @@ object Events {
     */
   def sessionizeStream(
       spark: SparkSession, events: Dataset[SessionEvent],
-      gapMinutes: Int = 30): Dataset[SessionOut] = {
+      gapMinutes: Int = 30,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout()
 
     def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeout) {
         (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -123,7 +124,7 @@ object Events {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"$gapMinutes minutes")
+              if (useTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
             }
             closed.result().iterator
           }

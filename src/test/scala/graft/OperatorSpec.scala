@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.ReportCsv
+import graft.llm.Multimodal
+
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("romanToInt: strict numerals convert, invalid forms pass through") {
+    val df = Seq("XIV", "IX", "MCMXCIV", "IIII", "ABC", "").toDF("r")
+    val out = df.select(Strings.romanToInt(col("r"))).as[String].collect().toSeq
+    assert(out == Seq("14", "9", "1994", "IIII", "ABC", ""))
+  }
+
+  test("parseAaaammdd tolerates blank-padded digit groups, nulls junk") {
+    val df = Seq("20260801", "2026 8 1", "ABCDEFGH").toDF("d")
+    val out = df.select(Dates.parseAaaammdd(col("d")).cast("string"))
+      .as[String].collect().toSeq
+    assert(out == Seq("2026-08-01 00:00:00", "2026-08-01 00:00:00", null))
+  }
+
+  test("null rules: empty / all-zero / all-nine / sentinel") {
+    val df = Seq(("", "000", "9999", "999")).toDF("a", "b", "c", "d")
+    val out = df.select(
+      NullRules.emptyToNull(col("a")), NullRules.allZerosToNull(col("b")),
+      NullRules.allNinesToNull(col("c")), NullRules.sentinelToNull(col("d"), "999"))
+      .as[(Option[String], Option[String], Option[String], Option[String])].head()
+    assert(out == (None, None, None, None))
+  }
+
+  test("decimal-comma report numerals parse exactly") {
+    val df = Seq("1.234.567,89", "0,50", "12", "1.000").toDF("v")
+    val out = df.select(ReportCsv.parseDecimalComma(col("v"))).as[Double].collect().toSeq
+    assert(out == Seq(1234567.89, 0.5, 12.0, 1000.0))
+  }
+
+  test("upsert: incoming wins on key, non-conflicting target survives") {
+    val target = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val incoming = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")
+    val out = Upsert.upsert(target, incoming, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+
+  test("multimodal decode harness appends the decoded schema deterministically") {
+    val df = Multimodal.withBlob(
+      Seq((1L, "some payload"), (2L, "other payload")).toDF("id", "text"),
+      "text", "payload")
+    val decoded = Multimodal.decodeBatches(df, "payload", batchSize = 1)
+    assert(decoded.columns.toSeq ==
+      Seq("id", "text", "payload", "alt_px", "larg_px", "canais", "recursos"))
+    val twice = Multimodal.decodeBatches(df, "payload", batchSize = 64)
+    assert(decoded.drop("payload").collect().map(_.toSeq).toSet ==
+      twice.drop("payload").collect().map(_.toSeq).toSet)
+    // injectable kernel: swap the stub for a constant decoder
+    val fixed = Multimodal.decodeBatches(df, "payload",
+      kernel = _ => org.apache.spark.sql.Row(1, 2, 3, Array(0.5f)))
+    assert(fixed.select("alt_px").as[Int].collect().toSeq == Seq(1, 1))
+  }
+}

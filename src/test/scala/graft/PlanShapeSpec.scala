@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** 100 TB scale-safety assertions on the physical plans: filters reach the
+  * parquet scan, dimension lookups broadcast, bucketed dedup/ANN paths
+  * never degenerate into cartesian products, and hot paths stay inside
+  * whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  test("parquet scan gets pushed filters and pruned columns") {
+    val df = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val plan = planString(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed to scan:\n$plan")
+    // pruned to the projected + filtered columns only (3 of 6)
+    assert(plan.contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"),
+      s"columns not pruned at scan:\n$plan")
+  }
+
+  test("q08 predicate filter stays a codegen'd scan filter (no UDF, no shuffle)") {
+    val plan = planString(SparkEntry.queries("q08_predicate_filter")(spark, sfDir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // `*(n)` marks a whole-stage-codegen span; the filter must sit in one
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined,
+      s"filter not codegen'd:\n$plan")
+  }
+
+  test("q09 membership filter uses broadcast joins, never collects the dim") {
+    val plan = planString(SparkEntry.queries("q09_semijoin_filter")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q18 period range join broadcasts the period dim") {
+    val plan = planString(SparkEntry.queries("q18_period_range_join")(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"range join should be broadcast nested loop over a tiny dim:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q19 geography equi-join is a BroadcastHashJoin") {
+    val plan = planString(SparkEntry.queries("q19_geo_equi_join")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("LSH dedup paths never contain a cartesian product") {
+    for (q <- Seq("q26_minhash_lsh", "q27_simhash", "q30_ann_lsh")) {
+      val plan = planString(SparkEntry.queries(q)(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$q degenerated to cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate join must be an equi-join on bucket keys:\n$plan")
+    }
+  }
+
+  test("q22 rollup aggregates partially before the shuffle") {
+    val plan = planString(SparkEntry.queries("q22_metadata_rollup")(spark, sfDir))
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      s"expected hash aggregation with map-side partials:\n$plan")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cosine: identity = 1, orthogonal = 0, exact") {
+    val df = Seq((
+      Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f), Seq(0.0f, 0.0f, 1.0f),
+      Seq(0.0f, 1.0f, 0.0f),
+    )).toDF("a", "a2", "ez", "ey")
+    val (self, ortho) = df.select(
+      Similarity.cosine(col("a"), col("a2")),
+      Similarity.cosine(col("ez"), col("ey"))).as[(Double, Double)].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(ortho == 0.0)
+  }
+
+  test("brute-force top-k ranks self first for every query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val top1 = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty && top1.forall { case (q, c) => q == c })
+  }
+
+  test("ANN always finds self and never scores outside its bucket universe") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", 10, planes = 4)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Long)].collect()
+    val qids = queries.select("vec_id").as[Long].collect().toSet
+    assert(qids.forall(q => ann.exists { case (qq, cc, r) => qq == q && cc == q && r == 1L }),
+      "self must be rank 1 in its own bucket")
+  }
+
+  test("ANN recall against brute force is substantial at 2 planes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(emb, queries, "vec_id", "embedding", k, planes = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = truth.count(ann.contains).toDouble / truth.size
+    assert(recall >= 0.3, s"ANN recall@$k = $recall")
+  }
+}

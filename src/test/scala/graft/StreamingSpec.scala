@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Events
+import graft.streaming.Events.{SessionEvent, SessionOut}
+
+/** Structured Streaming twins verified against their batch forms through
+  * MemoryStream — same data, same windows, same results.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    (1L, ts("2026-01-01 10:05:00"), 7L, "view", 1.5),
+    (2L, ts("2026-01-01 10:40:00"), 7L, "view", 2.5),
+    (3L, ts("2026-01-01 11:10:00"), 7L, "buy", 10.0),
+    (4L, ts("2026-01-01 10:20:00"), 8L, "view", 0.5),
+    (5L, ts("2026-01-01 13:00:00"), 8L, "view", 3.0),
+  )
+
+  test("streaming tumbling agg equals the batch tumbling agg") {
+    val batch = Events.tumblingAgg(
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamed = Events.tumblingAggStream(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val q = streamed.writeStream
+      .format("memory").queryName("win_agg").outputMode("complete").start()
+    try {
+      mem.addData(sample)
+      q.processAllAvailable()
+      val got = spark.table("win_agg").collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got\nbatch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization closes sessions on gap like the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = Events.sessionizeStream(spark, mem.toDS(),
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // batch 1: user 8 opens a session; user 7 chains two events (≤ gap).
+      mem.addData(Seq(
+        SessionEvent(8L, 4L, ts("2026-01-01 10:20:00")),
+        SessionEvent(7L, 1L, ts("2026-01-01 10:05:00")),
+        SessionEvent(7L, 2L, ts("2026-01-01 10:25:00"))))
+      q.processAllAvailable()
+      assert(spark.table("sessions").isEmpty, "no gap crossed yet — nothing closes")
+      // batch 2: user 8 comes back after > 30 min — session 1 closes.
+      mem.addData(Seq(SessionEvent(8L, 5L, ts("2026-01-01 13:00:00"))))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[SessionOut].collect()
+      assert(closed.toSeq == Seq(
+        SessionOut(8L, 1L, 1L, ts("2026-01-01 10:20:00"), ts("2026-01-01 10:20:00"))))
+    } finally q.stop()
+
+    val batch = Events.sessionize(
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val u8 = batch.filter(col("user_id") === 8 && col("sessao") === 1)
+      .select("eventos").as[Long].head()
+    assert(u8 == 1L, "batch form agrees: user 8 session 1 has one event")
+  }
+}
