@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators: exact, MinHash-LSH, SimHash, blocked n-gram
   * Jaccard.
@@ -75,12 +76,22 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Persist the branch points: shingle sets feed both the signature path
+    // and the two jaccard join-backs, and the bucket relation feeds both
+    // sides of the candidate self-join. Without this, CollapseProject
+    // inlines the signature expression once per band and the self-join
+    // doubles it — ~10× recomputation of the most expensive stage. The
+    // persisted relations are (id, shingles)/(id, band, bhash) — tiny
+    // relative to the corpus, spillable to disk at scale.
     val keyed = docs.select(
         col(idCol).as("__id"),
         TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = keyed.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
-    val pairs = candidatePairs(lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand))
+    val buckets = lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(buckets)
     val shA = keyed.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val shB = keyed.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
@@ -114,8 +125,11 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    // Persisted: the 4-chunk explode would otherwise inline the 64-bit
+    // simhash fold once per chunk, and the self-join doubles it again.
     val sh = docs.select(col(idCol).as("__id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("__id"), col("__sim"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -146,6 +160,7 @@ object Dedup {
         concat_ws(" ", slice(toks, 1, 2)).as("__block"),
         TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides reuse it
     val a = keyed.select(col("__block"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
     a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))

@@ -40,12 +40,18 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms are per-vector, so compute them once per side before the
+    // pair join — per-pair work is then a single dot product.
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")))
+    val scored = corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn"))
       .join(q)
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+        (dotDecimal(col("__qv"), col("__cv")).cast("double") /
+          (col("__qn") * col("__cn"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -81,12 +87,15 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"),
       lshBucket(col(vecCol), planes).as("__qbucket")))
     val scored = cb.join(qb, col("__bucket") === col("__qbucket"))
       .select(col("query_id"), col("corpus_id"),
-        cosine(col("__qv"), col("__cv")).as("cosine"))
+        (dotDecimal(col("__qv"), col("__cv")).cast("double") /
+          (col("__qn") * col("__cn"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
