@@ -29,10 +29,24 @@ object Strings {
       .when(ch === "M", 1000).otherwise(0)
 
   /** Roman numeral → its integer value as a string; non-Roman input passes
-    * through unchanged; null stays null. Pure expressions (subtractive rule
-    * over the char array) — no UDF.
+    * through unchanged; null stays null. Backed by the native codegen'd
+    * [[graft.functions.RomanToInt]] expression (single static call per row,
+    * no per-row array materialization).
     */
   def romanToInt(c: Column): Column = {
+    // Idempotent: makes the native function resolvable from any session
+    // without requiring the spark.sql.extensions config.
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("roman_to_int", c)
+  }
+
+  /** Pure-expression form of [[romanToInt]] (subtractive rule over the char
+    * array via higher-order functions) — same semantics, kept as the
+    * no-custom-expression fallback and as cross-checked documentation of
+    * the algorithm.
+    */
+  def romanToIntExpr(c: Column): Column = {
     val chars = split(c, "")
     val n = size(chars)
     val vals = transform(chars, charValue _)

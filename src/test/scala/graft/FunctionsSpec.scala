@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.Strings
+
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val cases =
+    Seq("XIV", "IX", "MCMXCIV", "XL", "IIII", "VX", "ABC", "", "I", "MMMM")
+
+  test("native roman_to_int matches the pure-expression form on all cases") {
+    val df = cases.toDF("r")
+    val native = df.select(Strings.romanToInt(col("r"))).as[String].collect().toSeq
+    val pure = df.select(Strings.romanToIntExpr(col("r"))).as[String].collect().toSeq
+    assert(native == pure)
+    assert(native == Seq("14", "9", "1994", "40", "IIII", "VX", "ABC", "", "1", "4000"))
+  }
+
+  test("native roman_to_int handles null") {
+    val out = Seq(Option.empty[String]).toDF("r")
+      .select(Strings.romanToInt(col("r"))).as[Option[String]].head()
+    assert(out.isEmpty)
+  }
+
+  test("roman_to_int is registered for SQL text users") {
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT roman_to_int('MMXXVI')").as[String].head()
+    assert(out == "2026")
+  }
+
+  test("native expression stays inside whole-stage codegen") {
+    // parquet-backed input so ConvertToLocalRelation can't fold the project
+    val df = graft.sources.Tables.nation(spark, sfDir)
+      .select(Strings.romanToInt(Strings.intToRoman(col("n_nationkey") + 1)).as("v"))
+    val plan = planString(df)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      s"expected codegen'd project:\n$plan")
+  }
+}
