@@ -479,6 +479,26 @@ object SparkEntry {
     "q37_sessionize" -> { (s, dir) =>
       ordered(streaming.Events.sessionize(Tables.events(s, dir)))
     },
+
+    // §2 row 38 — embedding-cosine near-dup dedup: planted co-directional
+    // vectors (float doubling is exact), label-blocked pair generation,
+    // decimal-exact cosine threshold.
+    "q38_embedding_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val variants = emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x + x))
+      ordered(llm.Dedup.embeddingNearDups(
+        emb.unionByName(variants), "vec_id", "embedding", "label", threshold = 0.99))
+    },
+
+    // §2 row 39 — ingestion dedup: one event per (user, type), earliest
+    // (ts, event_id) wins; single min_by groupBy (streaming twin:
+    // dropDuplicatesWithinWatermark, exercised in scalatest).
+    "q39_ingest_dedup" -> { (s, dir) =>
+      ordered(streaming.Events.ingestDedup(
+        Tables.events(s, dir), Seq("user_id", "event_type")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -888,6 +908,37 @@ object SparkEntry {
         |SELECT user_id, sessao, count(*) AS eventos,
         |  min(ts) AS inicio, max(ts) AS fim
         |FROM s GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q38_embedding_dedup" ->
+      """WITH all_e AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, label, list_transform(embedding, x -> x + x)
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |n AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(list_aggregate(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE)) AS nrm
+        |  FROM all_e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+        |    CAST(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE) AS dot
+        |  FROM all_e a JOIN all_e b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, label, cosine FROM (
+        |  SELECT id_a, id_b, label, p.dot / (na.nrm * nb.nrm) AS cosine
+        |  FROM p JOIN n na ON p.id_a = na.vec_id JOIN n nb ON p.id_b = nb.vec_id)
+        |WHERE cosine >= 0.99 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q39_ingest_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

@@ -148,6 +148,30 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs within a deterministic block
+    * (e.g. a label/cluster/partition column): self-join on the block key —
+    * shuffle linear in rows, pair work quadratic only within a block —
+    * then exact decimal-accumulated cosine ≥ `threshold`. For unblocked
+    * corpora, use [[Similarity.lshBucket]] as the block key (rows-only).
+    */
+  def embeddingNearDups(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val keyed = df.select(
+        col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
+        Similarity.l2Norm(col(vecCol)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides reuse it
+    val a = keyed.select(col("__block"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__block").as(blockCol),
+        (Similarity.dotDecimal(col("__va"), col("__vb")).cast("double") /
+          (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Blocked exact n-gram Jaccard: pairs are generated only within a
     * deterministic block (first two tokens), then scored exactly. The
     * oracle-checkable counterpart of the LSH candidate step.

@@ -57,7 +57,27 @@ object Events {
         max(col("ts")).as("fim"))
   }
 
+  /** Ingestion dedup: one event per key set, keeping the earliest
+    * (ts, event_id). A single `groupBy` with map-side-combining `min_by` —
+    * no window over the full table, no second shuffle.
+    */
+  def ingestDedup(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = events.columns.toSeq
+    events.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), struct(col("ts"), col("event_id")))
+        .as("__graft_r"))
+      .select(cols.map(c => col(s"__graft_r.$c").as(c)): _*)
+  }
+
   // ------------------------------------------------------------ streaming
+
+  /** Streaming twin of [[ingestDedup]]: state bounded by the watermark;
+    * keeps the first-seen event per key (equal to earliest-ts when the
+    * source delivers in event-time order).
+    */
+  def ingestDedupStream(
+      events: DataFrame, keys: Seq[String], lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
 
   /** Streaming twin of [[tumblingAgg]]: event-time window + watermark so
     * state is bounded and late data beyond `lateness` is dropped.

@@ -53,6 +53,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("embedding near-dup finds planted co-directional vectors only") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 2.0f)),
+      (2L, 0, Seq(2.0f, 0.0f, 4.0f)),   // same direction as 1
+      (3L, 0, Seq(-1.0f, 5.0f, 0.0f)),  // far from 1 and 2
+      (4L, 1, Seq(1.0f, 0.0f, 2.0f)),   // same direction as 1 but other block
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("simhash64 is deterministic and order-insensitive over token sets") {
     val df = Seq(
       (1L, "one two three four"),

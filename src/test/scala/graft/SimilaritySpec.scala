@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
       "self must be rank 1 in its own bucket")
   }
 
+  test("multi-probe ANN recall >= single-probe recall, never duplicates candidates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length, "duplicate candidate pairs")
+      truth.count(got.toSet.contains).toDouble / truth.size
+    }
+    val single = recallOf(Similarity.annTopK(emb, queries, "vec_id", "embedding", k, planes = 4))
+    val multi = recallOf(Similarity.annTopKMultiProbe(emb, queries, "vec_id", "embedding", k, planes = 4))
+    assert(multi >= single, s"multi-probe $multi < single-probe $single")
+    assert(multi >= 0.5, s"multi-probe recall@$k = $multi")
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)

@@ -44,6 +44,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup drops later duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val deduped = Events.ingestDedupStream(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      Seq("user_id", "event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2026-01-01 10:00:00"), 7L, "view", 1.0),
+        (2L, ts("2026-01-01 10:01:00"), 7L, "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (3L, ts("2026-01-01 10:02:00"), 7L, "view", 3.0),
+        (4L, ts("2026-01-01 10:02:00"), 7L, "buy", 4.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 4L), s"got $ids")
+    } finally q.stop()
+
+    // batch twin keeps the earliest per key
+    val batchIds = Events.ingestDedup(
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      Seq("user_id", "event_type"))
+      .select("event_id").as[Long].collect().toSet
+    assert(batchIds == Set(1L, 3L, 4L))
+  }
+
   test("streaming sessionization closes sessions on gap like the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
