@@ -165,7 +165,14 @@ object Dedup {
       col("__v").as("__va"), col("__n").as("__na"))
     val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
+    // Two-phase scoring: a codegen'd double-precision screen over every
+    // in-block pair (error ≤ ~1e-13 ≪ the 1e-6 margin), then the exact
+    // order-independent decimal cosine only for survivors — decimal
+    // arithmetic never touches the O(block²) pair volume.
+    val screen = Similarity.dotDouble(col("__va"), col("__vb")) /
+      (col("__na") * col("__nb"))
     a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))
+      .filter(screen >= threshold - 1e-6)
       .select(col("id_a"), col("id_b"), col("__block").as(blockCol),
         (Similarity.dotDecimal(col("__va"), col("__vb")).cast("double") /
           (col("__na") * col("__nb"))).as("cosine"))

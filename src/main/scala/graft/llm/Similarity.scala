@@ -26,6 +26,15 @@ object Similarity {
       lit(0).cast("decimal(38,18)"),
       (acc, v) => (acc + v).cast("decimal(38,18)"))
 
+  /** Σ aᵢ·bᵢ in plain double — fast codegen'd screen, NOT deterministic
+    * across summation orders; use only as a pre-filter with a safety margin
+    * before [[dotDecimal]] rescoring (64-term FP error ≤ ~1e-13).
+    */
+  def dotDouble(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** ‖v‖ as a double (exact decimal sum of squares, then sqrt). */
   def l2Norm(v: Column): Column = sqrt(dotDecimal(v, v).cast("double"))
 
