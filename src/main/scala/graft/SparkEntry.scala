@@ -499,6 +499,39 @@ object SparkEntry {
       ordered(streaming.Events.ingestDedup(
         Tables.events(s, dir), Seq("user_id", "event_type")))
     },
+
+    // §2 row 40 — incremental staleness detection (verificar_e_executar):
+    // consumed-ts null or older than produced-ts.
+    "q40_stale_detect" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val meta = Tables.orders(s, dir).select(
+        k.as("item_id"),
+        col("o_orderdate").as("ts_producao"),
+        when(k % 3 === 0, lit(null).cast("timestamp"))
+          .when(k % 5 === 0, col("o_orderdate") - expr("INTERVAL 2 DAYS"))
+          .otherwise(col("o_orderdate") + expr("INTERVAL 1 DAY")).as("ts_consumo"))
+      ordered(Incremental.needsRefresh(meta, "ts_producao", "ts_consumo"))
+    },
+
+    // §2 row 41 — wide→long report verticalization (melt/unpivot) + PT
+    // MES/AAAA competence parse, fillna(0) int cast.
+    "q41_melt_report" -> { (s, dir) =>
+      val k = col("o_orderkey")
+      val wide = Tables.orders(s, dir).select(
+        k.as("municipio_linha"),
+        lpad((col("o_custkey") % 999999).cast("string"), 6, "0").as("Ibge"),
+        when(k % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_totalprice").cast("long")).as("JAN/2026"),
+        (col("o_custkey") % 100).as("FEV/2026"),
+        when(k % 11 === 0, lit(null).cast("long"))
+          .otherwise(k % 50).as("MAR/2026"))
+      val long = ReportCsv.meltReport(
+        wide, Seq("municipio_linha", "Ibge"),
+        Seq("JAN/2026", "FEV/2026", "MAR/2026"),
+        "competencia", "quantidade_aprovada")
+      ordered(long.withColumn("periodo_data_inicio",
+        ReportCsv.parsePtCompetencia(col("competencia"))))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -939,6 +972,45 @@ object SparkEntry {
         |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q40_stale_detect" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey AS item_id, o_orderdate AS ts_producao,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |         WHEN o_orderkey % 5 = 0 THEN o_orderdate - INTERVAL 2 DAY
+        |         ELSE o_orderdate + INTERVAL 1 DAY END AS ts_consumo
+        |  FROM orders)
+        |WHERE ts_consumo IS NULL OR ts_producao > ts_consumo
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q41_melt_report" ->
+      """WITH wide AS (
+        |  SELECT o_orderkey AS municipio_linha,
+        |    lpad(CAST(o_custkey % 999999 AS VARCHAR), 6, '0') AS "Ibge",
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(trunc(o_totalprice) AS BIGINT) END AS jan,
+        |    o_custkey % 100 AS fev,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE o_orderkey % 50 END AS mar
+        |  FROM orders),
+        |long AS (
+        |  SELECT municipio_linha, "Ibge", 'JAN/2026' AS competencia,
+        |    CAST(coalesce(jan, 0) AS INT) AS quantidade_aprovada FROM wide
+        |  UNION ALL
+        |  SELECT municipio_linha, "Ibge", 'FEV/2026',
+        |    CAST(coalesce(fev, 0) AS INT) FROM wide
+        |  UNION ALL
+        |  SELECT municipio_linha, "Ibge", 'MAR/2026',
+        |    CAST(coalesce(mar, 0) AS INT) FROM wide)
+        |SELECT *,
+        |  make_date(CAST(substr(competencia, 5, 4) AS INT),
+        |    CASE substr(competencia, 1, 3)
+        |      WHEN 'JAN' THEN 1 WHEN 'FEV' THEN 2 WHEN 'MAR' THEN 3
+        |      WHEN 'ABR' THEN 4 WHEN 'MAI' THEN 5 WHEN 'JUN' THEN 6
+        |      WHEN 'JUL' THEN 7 WHEN 'AGO' THEN 8 WHEN 'SET' THEN 9
+        |      WHEN 'OUT' THEN 10 WHEN 'NOV' THEN 11 WHEN 'DEZ' THEN 12 END,
+        |    1) AS periodo_data_inicio
+        |FROM long ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

@@ -25,6 +25,34 @@ object ReportCsv {
   def parseDecimalComma(c: Column): Column =
     regexp_replace(regexp_replace(c, "\\.", ""), ",", ".").cast("double")
 
+  /** Verticalize a wide report (one column per category/competence) into
+    * long form — the reference's `DataFrame.melt` over the SISAB report
+    * (sm_cloud_run/utilitarios/sisab_relatorio_producao_utilitarios.py:
+    * 305-312). Spark-first: `unpivot` (pure narrow transform, no shuffle);
+    * empty cells become 0 like the reference's `fillna(0).astype(int)`.
+    */
+  def meltReport(
+      df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+      varName: String, valueName: String): DataFrame =
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valueName)
+      .withColumn(valueName, coalesce(col(valueName), lit(0)).cast("int"))
+
+  private val PtMonths = Seq(
+    "JAN" -> "01", "FEV" -> "02", "MAR" -> "03", "ABR" -> "04",
+    "MAI" -> "05", "JUN" -> "06", "JUL" -> "07", "AGO" -> "08",
+    "SET" -> "09", "OUT" -> "10", "NOV" -> "11", "DEZ" -> "12")
+
+  /** `MES/AAAA` Portuguese competence label → month-start date
+    * (`MESES[dt[:3]] + dt[3:]` then `%m/%Y`,
+    * sisab_relatorio_producao_utilitarios.py:319-324); unknown → null.
+    */
+  def parsePtCompetencia(c: Column): Column = {
+    val mm = PtMonths.foldLeft(lit(null).cast("string")) { case (acc, (pt, num)) =>
+      when(upper(substring(c, 1, 3)) === pt, lit(num)).otherwise(acc)
+    }
+    make_date(substring(c, 5, 4).cast("int"), mm.cast("int"), lit(1))
+  }
+
   /** Drop pandas-style `Unnamed` spill columns. */
   def dropUnnamed(df: DataFrame): DataFrame =
     df.drop(df.columns.filter(_.startsWith("Unnamed")): _*)

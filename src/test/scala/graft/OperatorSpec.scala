@@ -46,6 +46,28 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set((1L, "new"), (2L, "keep"), (3L, "ins")))
   }
 
+  test("staleness predicate: null or older consumed timestamp needs refresh") {
+    val df = Seq(
+      (1L, "2026-01-02 00:00:00", "2026-01-01 00:00:00"), // stale
+      (2L, "2026-01-02 00:00:00", null),                  // never consumed
+      (3L, "2026-01-02 00:00:00", "2026-01-03 00:00:00"), // fresh
+    ).toDF("id", "p", "c")
+      .select(col("id"), col("p").cast("timestamp").as("p"), col("c").cast("timestamp").as("c"))
+    val out = Incremental.needsRefresh(df, "p", "c").select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("melt keeps empty cells as zero and parses PT competences") {
+    val wide = Seq((1L, Some(5L), None: Option[Long])).toDF("id", "JAN/2026", "DEZ/2025")
+    val long = graft.sources.ReportCsv.meltReport(
+      wide, Seq("id"), Seq("JAN/2026", "DEZ/2025"), "competencia", "qtd")
+      .withColumn("inicio",
+        graft.sources.ReportCsv.parsePtCompetencia(col("competencia")).cast("string"))
+    val out = long.select("competencia", "qtd", "inicio")
+      .as[(String, Int, String)].collect().toSet
+    assert(out == Set(("JAN/2026", 5, "2026-01-01"), ("DEZ/2025", 0, "2025-12-01")))
+  }
+
   test("multimodal decode harness appends the decoded schema deterministically") {
     val df = Multimodal.withBlob(
       Seq((1L, "some payload"), (2L, "other payload")).toDF("id", "text"),
