@@ -30,6 +30,20 @@ object DimJoins {
       dateExpr >= periods(startCol) && dateExpr <= periods(endCol),
       "left")
 
+  /** Month-aligned fast path for [[periodLookup]]: when every period is
+    * exactly one calendar month, the range predicate collapses to an
+    * equality on the month start — a BroadcastHashJoin instead of a nested
+    * loop, O(n) with no per-period probing. Prefer this whenever the period
+    * dimension is the standard monthly competence calendar.
+    */
+  def periodLookupMonthAligned(
+      fact: DataFrame, dateExpr: Column,
+      periods: DataFrame, startCol: String): DataFrame =
+    fact.join(
+      broadcast(periods),
+      to_date(date_trunc("MONTH", dateExpr)) === periods(startCol),
+      "left")
+
   /** Left-join a geography (or any small) dim on an equality key —
     * BroadcastHashJoin, fact side stays in place.
     */

@@ -45,6 +45,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("month-aligned period lookup equals the range join and hash-joins") {
+    import graft.operators.DimJoins
+    val periods = Tables.orders(spark, sfDir).select(
+      to_date(date_trunc("MONTH", col("o_orderdate"))).as("data_inicio"))
+      .distinct()
+      .select(col("data_inicio"), last_day(col("data_inicio")).as("data_fim"),
+        date_format(col("data_inicio"), "yyyyMM").as("periodo_codigo"))
+    val li = Tables.lineitem(spark, sfDir)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "periodo_codigo")
+      .collect().map(_.toSeq).toSet
+    val viaRange = proj(DimJoins.periodLookup(
+      li, to_date(col("l_shipdate")), periods, "data_inicio", "data_fim"))
+    val aligned = DimJoins.periodLookupMonthAligned(
+      li, col("l_shipdate"), periods, "data_inicio")
+    assert(proj(aligned) == viaRange)
+    assert(planString(aligned).contains("BroadcastHashJoin"),
+      "aligned path must hash-join")
+  }
+
   test("q19 geography equi-join is a BroadcastHashJoin") {
     val plan = planString(SparkEntry.queries("q19_geo_equi_join")(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
