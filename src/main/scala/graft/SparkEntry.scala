@@ -532,6 +532,15 @@ object SparkEntry {
       ordered(long.withColumn("periodo_data_inicio",
         ReportCsv.parsePtCompetencia(col("competencia"))))
     },
+
+    // §2 row 42 — IVF ANN: k-means cells, nProbe nearest cells per query,
+    // exact-cosine rerank inside probed cells (rows-only; recall spec in
+    // scalatest).
+    "q42_ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      ordered(llm.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 10))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -56,6 +56,22 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.5, s"multi-probe recall@$k = $multi")
   }
 
+  test("IVF ANN: self always found, recall beats single-probe at nProbe=4") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.llm.Ivf.ivfTopK(
+        emb, queries, "vec_id", "embedding", k, nCells = 8, nProbe = 4)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Long)].collect()
+    val qids = queries.select("vec_id").as[Long].collect().toSet
+    assert(qids.forall(q => ivf.exists { case (qq, cc, r) => qq == q && cc == q && r == 1L }),
+      "every query's own cell must contain itself at rank 1")
+    val recall = truth.count(ivf.map(t => (t._1, t._2)).toSet.contains).toDouble / truth.size
+    assert(recall >= 0.4, s"IVF recall@$k = $recall")
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
