@@ -68,6 +68,26 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set(("JAN/2026", 5, "2026-01-01"), ("DEZ/2025", 0, "2025-12-01")))
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    val fact = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val dim = graft.sources.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name")
+    val plain = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .drop("s_suppkey").collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(
+      fact.withColumnRenamed("l_suppkey", "s_suppkey"), dim, "s_suppkey",
+      Seq("l_orderkey", "l_linenumber"), salt = 8)
+    val saltedRows = salted
+      .select("l_orderkey", "s_suppkey", "l_linenumber", "l_quantity", "s_name")
+    val plainRows = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      .select(fact("l_orderkey"), dim("s_suppkey"), fact("l_linenumber"),
+        fact("l_quantity"), dim("s_name"))
+    assert(saltedRows.collect().map(_.toSeq).toSet ==
+      plainRows.collect().map(_.toSeq).toSet)
+    assert(!salted.columns.contains("__graft_salt"))
+  }
+
   test("multimodal decode harness appends the decoded schema deterministically") {
     val df = Multimodal.withBlob(
       Seq((1L, "some payload"), (2L, "other payload")).toDF("id", "text"),
