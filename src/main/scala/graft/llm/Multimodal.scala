@@ -51,10 +51,35 @@ object Multimodal {
     Row(64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024), 3, feats)
   }
 
+  /** STUB resize kernel — `??? : real resize requires an image library`.
+    * Deterministic fake: verifies the target box and echoes scaled
+    * dimensions derived from the payload, preserving aspect via min-ratio.
+    */
+  def resizeStub(maxW: Int, maxH: Int)(payload: Array[Byte]): Row = {
+    val d = decodeStub(payload)
+    val (h, w) = (d.getInt(0), d.getInt(1))
+    val r = math.min(maxW.toDouble / w, maxH.toDouble / h).min(1.0)
+    Row((h * r).toInt.max(1), (w * r).toInt.max(1), d.getInt(2), d.get(3))
+  }
+
+  /** STUB frame-sample kernel — `??? : real frame extraction requires a
+    * video library`. Deterministic fake: every `stride`-th pseudo-frame
+    * offset derived from the payload length (the batch plumbing — one input
+    * row fanning out to N frame rows — is the real part).
+    */
+  def sampleFrames(
+      df: DataFrame, blobCol: String, stride: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("frame_indice",
+        explode(sequence(lit(0), greatest(
+          (length(col(blobCol)) / lit(stride)).cast("int") - 1, lit(0)))))
+      .withColumn("frame_offset", col("frame_indice") * stride)
+  }
+
   /** Batched partition-parallel decode harness: each partition iterates its
     * payloads in `batchSize` groups (the shape a vectorized/pandas-style
     * decode kernel wants), appending [[DecodedSchema]] columns. The kernel
-    * is injectable so tests can swap the stub.
+    * is injectable so tests can swap the stub (e.g. [[resizeStub]]).
     */
   def decodeBatches(
       df: DataFrame, blobCol: String, batchSize: Int = 64,

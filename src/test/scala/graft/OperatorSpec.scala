@@ -103,4 +103,16 @@ class OperatorSpec extends SparkSpec {
       kernel = _ => org.apache.spark.sql.Row(1, 2, 3, Array(0.5f)))
     assert(fixed.select("alt_px").as[Int].collect().toSeq == Seq(1, 1))
   }
+
+  test("multimodal resize and frame-sample stubs keep the plumbing honest") {
+    val df = Multimodal.withBlob(
+      Seq((1L, "a payload of some length here")).toDF("id", "text"), "text", "payload")
+    val resized = Multimodal.decodeBatches(df, "payload",
+      kernel = Multimodal.resizeStub(64, 64))
+    val (h, w) = resized.select("alt_px", "larg_px").as[(Int, Int)].head()
+    assert(h <= 64 && w <= 64 && h >= 1 && w >= 1)
+    val frames = Multimodal.sampleFrames(df, "payload", stride = 8)
+    val offs = frames.select("frame_offset").as[Int].collect().toSeq
+    assert(offs == Seq(0, 8, 16), s"got $offs") // 29 bytes / 8 -> 3 frames
+  }
 }
