@@ -922,7 +922,7 @@ object SparkEntry {
     "q35_multimodal_meta" ->
       """SELECT doc_id, lang,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |  lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
         |  sha256(text) AS conteudo_sha256
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators: exact, MinHash-LSH, SimHash, blocked n-gram
   * Jaccard.
@@ -87,10 +86,10 @@ object Dedup {
         col(idCol).as("__id"),
         TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val sigs = keyed.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
     val buckets = lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val pairs = candidatePairs(buckets)
     val shA = keyed.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val shB = keyed.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
@@ -129,7 +128,7 @@ object Dedup {
     // simhash fold once per chunk, and the self-join doubles it again.
     val sh = docs.select(col(idCol).as("__id"),
       simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val chunked = sh.select(col("__id"), col("__sim"),
       explode(array((0 until 4).map { j =>
         struct(lit(j).as("band"),
@@ -160,7 +159,7 @@ object Dedup {
     val keyed = df.select(
         col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
         Similarity.l2Norm(col(vecCol)).as("__n"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides reuse it
+      .transform(CacheScope.persistTracked) // both self-join sides reuse it
     val a = keyed.select(col("__block"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__n").as("__na"))
     val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"),
@@ -191,7 +190,7 @@ object Dedup {
         concat_ws(" ", slice(toks, 1, 2)).as("__block"),
         TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK) // both self-join sides reuse it
+      .transform(CacheScope.persistTracked) // both self-join sides reuse it
     val a = keyed.select(col("__block"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
     a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))

@@ -5,7 +5,6 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** IVF (inverted-file) approximate nearest neighbour — the
   * centroid-partitioned scale path next to the hyperplane-LSH variant in
@@ -36,7 +35,7 @@ object Ivf {
     val feat = corpus.select(
         col(idCol), col(vecCol),
         array_to_vector(col(vecCol)).as("__feat"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.persistTracked)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(feat)

@@ -42,25 +42,26 @@ object Multimodal {
 
   /** STUB decode kernel — deterministic fake standing in for a real
     * image/audio decoder (`??? : real decoder requires native libs`).
-    * Derives pseudo width/height/channels and a 4-dim feature vector from
-    * the payload bytes so the plumbing is end-to-end testable.
+    * Takes the whole batch like a vectorized/pandas-style decoder would;
+    * derives pseudo width/height/channels and a 4-dim feature vector per
+    * payload so the plumbing is end-to-end testable.
     */
-  private[llm] def decodeStub(payload: Array[Byte]): Row = {
+  def decodeStub(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { payload =>
     val h = java.util.Arrays.hashCode(payload)
     val feats = Array.tabulate(4)(i => ((h >>> (i * 8)) & 0xFF).toFloat / 255.0f)
     Row(64 + math.floorMod(h, 1024), 64 + math.floorMod(h >> 10, 1024), 3, feats)
   }
 
   /** STUB resize kernel — `??? : real resize requires an image library`.
-    * Deterministic fake: verifies the target box and echoes scaled
-    * dimensions derived from the payload, preserving aspect via min-ratio.
+    * Deterministic fake: honors the target box, preserving aspect via
+    * min-ratio over the decode stub's pseudo dimensions.
     */
-  def resizeStub(maxW: Int, maxH: Int)(payload: Array[Byte]): Row = {
-    val d = decodeStub(payload)
-    val (h, w) = (d.getInt(0), d.getInt(1))
-    val r = math.min(maxW.toDouble / w, maxH.toDouble / h).min(1.0)
-    Row((h * r).toInt.max(1), (w * r).toInt.max(1), d.getInt(2), d.get(3))
-  }
+  def resizeStub(maxW: Int, maxH: Int)(batch: Seq[Array[Byte]]): Seq[Row] =
+    decodeStub(batch).map { d =>
+      val (h, w) = (d.getInt(0), d.getInt(1))
+      val r = math.min(maxW.toDouble / w, maxH.toDouble / h).min(1.0)
+      Row((h * r).toInt.max(1), (w * r).toInt.max(1), d.getInt(2), d.get(3))
+    }
 
   /** STUB frame-sample kernel — `??? : real frame extraction requires a
     * video library`. Deterministic fake: every `stride`-th pseudo-frame
@@ -83,16 +84,17 @@ object Multimodal {
     */
   def decodeBatches(
       df: DataFrame, blobCol: String, batchSize: Int = 64,
-      kernel: Array[Byte] => Row = decodeStub): DataFrame = {
+      kernel: Seq[Array[Byte]] => Seq[Row] = decodeStub): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ DecodedSchema.fields)
     val blobIdx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val decoded = kernel(r.getAs[Array[Byte]](blobIdx))
-          Row.fromSeq(r.toSeq ++ decoded.toSeq)
-        }
+        // one kernel call per batch — the vectorized-decoder shape
+        val decoded = kernel(batch.map(_.getAs[Array[Byte]](blobIdx)))
+        require(decoded.length == batch.length,
+          s"decode kernel returned ${decoded.length} rows for ${batch.length} payloads")
+        batch.lazyZip(decoded).map((r, d) => Row.fromSeq(r.toSeq ++ d.toSeq))
       }
     }(enc)
   }

@@ -14,7 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Ids {
 
-  /** 64-hex-char deterministic surrogate id over the natural-key columns. */
-  def surrogateId(naturalKey: Seq[Column], sep: String = "|"): Column =
-    sha2(concat_ws(sep, naturalKey: _*), 256)
+  /** 64-hex-char deterministic surrogate id over the natural-key columns.
+    *
+    * Injective serialization guards: separators inside string parts are
+    * escaped (`|` → `\|`) and nulls get an explicit sentinel — otherwise
+    * `concat_ws` silently skips nulls and `("a|b")` vs `("a","b")` would
+    * collide, giving distinct records the same id. (A part equal to the
+    * literal NUL sentinel could still collide — natural keys are expected
+    * to be printable codes/numbers.) For all-numeric non-null keys the
+    * serialization equals plain `concat_ws('|', …)`, which is what the SQL
+    * oracle uses.
+    */
+  /** NUL as the null-part sentinel — cannot appear in printable key codes. */
+  private val NullSentinel: String = 0.toChar.toString
+
+  def surrogateId(naturalKey: Seq[Column], sep: String = "|"): Column = {
+    val parts = naturalKey.map { c =>
+      coalesce(replace(c.cast("string"), lit(sep), lit("\\" + sep)), lit(NullSentinel))
+    }
+    sha2(concat_ws(sep, parts: _*), 256)
+  }
 }

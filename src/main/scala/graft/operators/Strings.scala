@@ -33,13 +33,20 @@ object Strings {
     * [[graft.functions.RomanToInt]] expression (single static call per row,
     * no per-row array materialization).
     */
-  def romanToInt(c: Column): Column = {
-    // Idempotent: makes the native function resolvable from any session
-    // without requiring the spark.sql.extensions config.
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
-    call_function("roman_to_int", c)
-  }
+  def romanToInt(c: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        // Idempotent registration: makes the native function resolvable
+        // without requiring the spark.sql.extensions config. Registers in
+        // the ACTIVE session — columns built under one session but analyzed
+        // in another need GraftExtensions/GraftFunctions.register there.
+        graft.functions.GraftFunctions.register(s)
+        call_function("roman_to_int", c)
+      case None =>
+        // No session yet (e.g. module-level column values): same semantics
+        // through the pure-expression form.
+        romanToIntExpr(c)
+    }
 
   /** Pure-expression form of [[romanToInt]] (subtractive rule over the char
     * array via higher-order functions) — same semantics, kept as the

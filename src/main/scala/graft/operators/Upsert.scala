@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Delete-conflicts: drop target rows matching the incoming batch tag. */
+  /** Delete-conflicts: drop target rows matching the incoming batch tag
+    * (null-safe, so a null tag deletes the null-tagged rows).
+    */
   def deleteConflicts(target: DataFrame, tagCol: String, tag: Column): DataFrame =
-    target.filter(!col(tagCol) <=> tag)
+    target.filter(!(col(tagCol) <=> tag))
 
   /** Upsert `incoming` into `target` on `keys`: incoming wins on conflict.
     * The anti-join build side is the incoming key set only (projected before

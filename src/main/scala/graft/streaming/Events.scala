@@ -133,7 +133,13 @@ object Events {
               val t = us(e.ts)
               cur match {
                 case Some(s) if t - s.fimUs <= gapUs =>
-                  cur = Some(s.copy(eventos = s.eventos + 1, fimUs = math.max(s.fimUs, t)))
+                  // out-of-order arrivals extend the session on BOTH ends;
+                  // events > gap before the current window still merge here
+                  // (cross-batch reordering beyond that needs event-time
+                  // sessionization, see tumblingAggStream's watermarking)
+                  cur = Some(s.copy(eventos = s.eventos + 1,
+                    inicioUs = math.min(s.inicioUs, t),
+                    fimUs = math.max(s.fimUs, t)))
                 case Some(s) =>
                   closed += SessionOut(userId, s.sessao, s.eventos,
                     new Timestamp(s.inicioUs / 1000L), new Timestamp(s.fimUs / 1000L))

@@ -100,8 +100,35 @@ class OperatorSpec extends SparkSpec {
       twice.drop("payload").collect().map(_.toSeq).toSet)
     // injectable kernel: swap the stub for a constant decoder
     val fixed = Multimodal.decodeBatches(df, "payload",
-      kernel = _ => org.apache.spark.sql.Row(1, 2, 3, Array(0.5f)))
+      kernel = _.map(_ => org.apache.spark.sql.Row(1, 2, 3, Array(0.5f))))
     assert(fixed.select("alt_px").as[Int].collect().toSeq == Seq(1, 1))
+    // batch shape is real: one kernel call sees the whole partition batch
+    val batchSizes = Multimodal.decodeBatches(
+        df.coalesce(1), "payload", batchSize = 64,
+        kernel = b => b.map(_ => org.apache.spark.sql.Row(b.length, 0, 0, Array.empty[Float])))
+      .select("alt_px").as[Int].collect().toSeq
+    assert(batchSizes == Seq(2, 2), s"kernel saw $batchSizes")
+  }
+
+  test("deleteConflicts drops exactly the tagged rows") {
+    val target = Seq((1L, "A"), (2L, "B"), (3L, null: String)).toDF("k", "tag")
+    val kept = Upsert.deleteConflicts(target, "tag", lit("A"))
+      .select("k").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    val keptNull = Upsert.deleteConflicts(target, "tag", lit(null).cast("string"))
+      .select("k").as[Long].collect().toSet
+    assert(keptNull == Set(1L, 2L))
+  }
+
+  test("surrogateId distinguishes null-shifted and separator-bearing keys") {
+    val df = Seq(
+      (Option("a"), Option.empty[String], Option("b")),
+      (Option("a"), Option("b"), Option.empty[String]),
+      (Option("a|b"), Option.empty[String], Option.empty[String]),
+    ).toDF("x", "y", "z")
+    val ids = df.select(Ids.surrogateId(Seq(col("x"), col("y"), col("z"))))
+      .as[String].collect().toSeq
+    assert(ids.distinct.length == 3, s"collision: $ids")
   }
 
   test("multimodal resize and frame-sample stubs keep the plumbing honest") {
