@@ -110,6 +110,22 @@ class OperatorSpec extends SparkSpec {
     assert(batchSizes == Seq(2, 2), s"kernel saw $batchSizes")
   }
 
+  test("readDelimited ingests the report dialect (ISO-8859-1, semicolons)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-report").toFile
+    val f = new java.io.File(dir, "report.csv")
+    val w = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), "ISO-8859-1")
+    w.write("Ibge;Municipio;valor\n120020;Cruzeiro do Sul;1.234,56\n")
+    w.write("355030;São Paulo;7,00\n")
+    w.close()
+    val df = graft.sources.ReportCsv.readDelimited(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("Ibge", "Municipio", "valor"))
+    val out = df
+      .withColumn("v", graft.sources.ReportCsv.parseDecimalComma(col("valor")))
+      .select("Municipio", "v").as[(String, Double)].collect().toSet
+    assert(out == Set(("Cruzeiro do Sul", 1234.56), ("São Paulo", 7.0)))
+  }
+
   test("deleteConflicts drops exactly the tagged rows") {
     val target = Seq((1L, "A"), (2L, "B"), (3L, null: String)).toDF("k", "tag")
     val kept = Upsert.deleteConflicts(target, "tag", lit("A"))
