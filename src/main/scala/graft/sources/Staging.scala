@@ -30,4 +30,19 @@ object Staging {
     df.write.mode(SaveMode.Overwrite).partitionBy(chunkCol).parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Persist `df` as a bucketed+sorted catalog table. Tables bucketed the
+    * same way on their join key then hash-join WITHOUT a shuffle on either
+    * side — at 100 TB this converts every recurring fact-fact join on the
+    * key into a scan-local merge. (Bucketing only applies through the
+    * catalog, hence `saveAsTable` rather than a path write.)
+    */
+  def bucketedTable(
+      spark: SparkSession, df: DataFrame, name: String,
+      bucketCol: String, nBuckets: Int): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+    spark.table(name)
+  }
 }

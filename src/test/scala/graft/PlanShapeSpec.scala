@@ -79,6 +79,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed tables join without any shuffle") {
+    import graft.sources.Staging
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey", "l_quantity")
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    val bl = Staging.bucketedTable(spark, li, "graft_li_b", "l_orderkey", 4)
+    val bo = Staging.bucketedTable(spark, ord, "graft_ord_b", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
+      val plan = planString(joined)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q22 rollup aggregates partially before the shuffle") {
     val plan = planString(SparkEntry.queries("q22_metadata_rollup")(spark, sfDir))
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
