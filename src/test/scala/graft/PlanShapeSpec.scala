@@ -81,6 +81,17 @@ class PlanShapeSpec extends SparkSpec {
 
   test("co-bucketed tables join without any shuffle") {
     import graft.sources.Staging
+    // a previous JVM's warehouse dir survives while the in-memory catalog
+    // does not — clear both or saveAsTable hits LOCATION_ALREADY_EXISTS
+    for (t <- Seq("graft_li_b", "graft_ord_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-test-warehouse/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey", "l_quantity")
     val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
     val bl = Staging.bucketedTable(spark, li, "graft_li_b", "l_orderkey", 4)
