@@ -533,6 +533,13 @@ object SparkEntry {
         ReportCsv.parsePtCompetencia(col("competencia"))))
     },
 
+    // §2 row 43 — the full reference ETL chain composed end-to-end
+    // (pipelines.Procedures): one declarative plan, broadcast dims, no
+    // intermediate materialization.
+    "q43_full_pipeline" -> { (s, dir) =>
+      ordered(pipelines.Procedures.run(s, dir))
+    },
+
     // §2 row 42 — IVF ANN: k-means cells, nProbe nearest cells per query,
     // exact-cosine rerank inside probed cells (rows-only; recall spec in
     // scalatest).
@@ -1020,6 +1027,46 @@ object SparkEntry {
         |      WHEN 'OUT' THEN 10 WHEN 'NOV' THEN 11 WHEN 'DEZ' THEN 12 END,
         |    1) AS periodo_data_inicio
         |FROM long ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q43_full_pipeline" ->
+      """WITH active AS (SELECT s_suppkey FROM supplier WHERE s_acctbal > 0),
+        |base AS (
+        |  SELECT l.*,
+        |    CASE WHEN l_orderkey % 9 = 0 THEN ''
+        |         ELSE lpad(CAST(l_partkey % 9999 AS VARCHAR), 7, '0') END AS codigo
+        |  FROM lineitem l
+        |  WHERE (l_suppkey IN (SELECT s_suppkey FROM active)
+        |      OR l_partkey IN (SELECT s_suppkey FROM active))
+        |    AND (l_returnflag = 'R' OR (l_linestatus = 'O' AND l_quantity > 45))),
+        |geo AS (
+        |  SELECT s_suppkey AS geo_suppkey, n_name AS unidade_geografica_nome
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |periods AS (
+        |  SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS data_inicio,
+        |    strftime(date_trunc('month', o_orderdate), '%Y%m') AS periodo_codigo
+        |  FROM orders)
+        |SELECT
+        |  sha256(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)) AS id,
+        |  l_orderkey AS pedido_id, l_linenumber AS linha_numero,
+        |  l_quantity AS quantidade_apresentada,
+        |  l_extendedprice AS valor_apresentado,
+        |  l_shipdate AS realizacao_data,
+        |  try_strptime(strftime(l_shipdate, '%Y%m'), '%Y%m') AS competencia_data,
+        |  NULLIF(codigo, '') AS condicao_codigo,
+        |  CASE WHEN l_linenumber % 2 = 1 THEN true
+        |       WHEN l_linenumber % 2 = 0 THEN false END AS obito,
+        |  substr(codigo, 1, 3) AS servico_id,
+        |  substr(codigo, 4) AS servico_classificacao_id,
+        |  unidade_geografica_nome,
+        |  p.periodo_codigo,
+        |  TIMESTAMP '2026-08-01 00:00:00' AS criacao_data,
+        |  'PASP2408' AS ftp_arquivo_nome
+        |FROM base b
+        |LEFT JOIN geo g ON b.l_suppkey = g.geo_suppkey
+        |LEFT JOIN periods p
+        |  ON CAST(date_trunc('month', b.l_shipdate) AS DATE) = p.data_inicio
+        |WHERE l_quantity IS NOT NULL
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q24_validation_gates" ->
       """WITH base AS (

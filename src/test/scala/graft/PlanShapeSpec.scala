@@ -107,6 +107,23 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q43 full pipeline: broadcast-only joins, fact side never shuffles") {
+    val df = graft.pipelines.Procedures.run(spark, sfDir) // without ordered()
+    val plan = planString(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Exchange rangepartitioning"))
+    // the only hash exchanges allowed are the tiny dim-prep distincts that
+    // live INSIDE broadcast build sides — the fact path itself must fuse
+    // into whole-stage codegen with zero shuffles
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(c =>
+      c.startsWith("s_suppkey") || c.startsWith("data_inicio") ||
+        c.startsWith("__graft_dk")),
+      s"unexpected fact-side shuffle on $exchanges:\n$plan")
+  }
+
   test("q22 rollup aggregates partially before the shuffle") {
     val plan = planString(SparkEntry.queries("q22_metadata_rollup")(spark, sfDir))
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
