@@ -74,7 +74,7 @@ object RomanOps {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.romanToIntDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 /** Imperative registration for sessions built without the extension. */
@@ -85,8 +85,11 @@ object GraftFunctions {
     (children: Seq[Expression]) => RomanToInt(children.head): Expression,
   )
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = romanToIntDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  private[functions] def descriptors = Seq(
+    romanToIntDescriptor, VectorDotDecimal.descriptor)
+
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

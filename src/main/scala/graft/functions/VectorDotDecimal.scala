@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Σ aᵢ·bᵢ accumulated through `DECIMAL(38,18)` — the hot inner loop
+  * of cosine scoring (q29/q38/q42), as one tight per-pair static call.
+  *
+  * Bit-identical to the expression form
+  * `aggregate(zip_with(a, b, (x,y) => (x*y).cast(decimal(38,18))), 0, +)`:
+  * each product is rounded through Spark's own [[Decimal]] (the same
+  * shortest-double-repr + HALF_UP path `Cast` uses), and scale-18 additions
+  * are exact — so swapping it in cannot change any oracle-checked result.
+  * What it removes is the per-pair 64-element Decimal array materialization
+  * and the per-step expression interpretation.
+  *
+  * Mismatched lengths or null elements yield null (zip_with semantics).
+  */
+case class VectorDotDecimal(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DecimalType(38, 18)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vector_dot_decimal"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotDecimal(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.dotDecimal($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDotDecimal =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel (separate object so codegen sees a Java static call). */
+object VectorOps {
+
+  def dotDecimal(
+      a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Decimal = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null // zip_with pads → null product → null sum
+    var sum = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      // Per-product: Spark Cast(double -> decimal(38,18)) is the double's
+      // shortest decimal representation (BigDecimal.valueOf) padded to
+      // scale 18 (verified element-by-element against Cast output).
+      val d = java.math.BigDecimal.valueOf(x * y)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+      // Per-step: Add(decimal(38,18), decimal(38,18)) needs precision 39,
+      // so Spark's precision-loss rule types the result decimal(38,17) —
+      // every addition in the fold rounds to scale 17 (HALF_UP) before the
+      // cast back to (38,18) pads a zero. Replicate bit-for-bit: the
+      // expression form is what every oracle hash was verified against.
+      sum = sum.add(d).setScale(17, java.math.RoundingMode.HALF_UP)
+      i += 1
+    }
+    if (sum.precision > 38) null
+    else Decimal(sum.setScale(18), 38, 18)
+  }
+}
+
+/** Registration descriptor + imperative registrar (same pattern as
+  * roman_to_int).
+  */
+object VectorDotDecimal {
+  private[functions] val descriptor = (
+    FunctionIdentifier("vector_dot_decimal"),
+    new ExpressionInfo(classOf[VectorDotDecimal].getName, "vector_dot_decimal"),
+    (children: Seq[Expression]) =>
+      VectorDotDecimal(children.head, children(1)): Expression,
+  )
+}

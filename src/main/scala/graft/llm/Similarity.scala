@@ -18,8 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ through decimal — order-independent exact accumulation. */
+  /** Σ aᵢ·bᵢ through decimal — order-independent exact accumulation.
+    * Backed by the native [[graft.functions.VectorDotDecimal]] expression
+    * (one static call per pair, no intermediate Decimal array); falls back
+    * to the equivalent higher-order-function form when no session is
+    * active. Both are bit-identical (see `FunctionsSpec`).
+    */
   def dotDecimal(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function("vector_dot_decimal", a, b)
+      case None => dotDecimalExpr(a, b)
+    }
+
+  /** Pure-expression form of [[dotDecimal]] — same semantics, kept as the
+    * no-custom-expression fallback and equivalence baseline.
+    */
+  def dotDecimalExpr(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast("decimal(38,18)")),

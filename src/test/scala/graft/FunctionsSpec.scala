@@ -32,6 +32,26 @@ class FunctionsSpec extends SparkSpec {
     assert(out == "2026")
   }
 
+  test("native vector_dot_decimal is bit-identical to the expression form") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").as("b")))
+    val out = pairs.select(
+      graft.llm.Similarity.dotDecimal(col("a"), col("b")).cast("double").as("nat"),
+      graft.llm.Similarity.dotDecimalExpr(col("a"), col("b")).cast("double").as("hof"))
+    assert(out.filter(!(col("nat") <=> col("hof"))).isEmpty,
+      "native and expression dot products diverged")
+    // null / mismatched-length semantics match zip_with
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f)),
+    ).toDF("a", "b")
+    val e = edge.select(
+      graft.llm.Similarity.dotDecimal(col("a"), col("b")).as("nat"),
+      graft.llm.Similarity.dotDecimalExpr(col("a"), col("b")).as("hof"))
+      .as[(Option[BigDecimal], Option[BigDecimal])].head()
+    assert(e._1.isEmpty && e._2.isEmpty)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)
