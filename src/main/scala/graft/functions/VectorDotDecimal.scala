@@ -19,6 +19,9 @@ import org.apache.spark.sql.types._
   * and the per-step expression interpretation.
   *
   * Mismatched lengths or null elements yield null (zip_with semantics).
+  * Non-finite products and decimal overflow also yield null — deliberately
+  * more forgiving than the ANSI-mode Cast in the expression form, which
+  * throws: one poisoned embedding must not abort a corpus-scale job.
   */
 case class VectorDotDecimal(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,9 +49,17 @@ case class VectorDotDecimal(left: Expression, right: Expression)
     VectorOps.dotDecimal(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       isFloat(left), isFloat(right))
 
+  // NOT defineCodeGen: the kernel returns null for mismatched lengths /
+  // null or non-finite elements, so ev.isNull must be derived from the
+  // result (defineCodeGen would leave it false and NPE downstream).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorOps.dotDecimal($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.VectorOps.dotDecimal(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDotDecimal =
@@ -68,10 +79,14 @@ object VectorOps {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val p = x * y
+      // Cast(double -> decimal) yields null for NaN/Infinity — mirror it
+      // (BigDecimal.valueOf would throw NumberFormatException instead).
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
       // Per-product: Spark Cast(double -> decimal(38,18)) is the double's
       // shortest decimal representation (BigDecimal.valueOf) padded to
       // scale 18 (verified element-by-element against Cast output).
-      val d = java.math.BigDecimal.valueOf(x * y)
+      val d = java.math.BigDecimal.valueOf(p)
         .setScale(18, java.math.RoundingMode.HALF_UP)
       // Per-step: Add(decimal(38,18), decimal(38,18)) needs precision 39,
       // so Spark's precision-loss rule types the result decimal(38,17) —
@@ -79,10 +94,12 @@ object VectorOps {
       // cast back to (38,18) pads a zero. Replicate bit-for-bit: the
       // expression form is what every oracle hash was verified against.
       sum = sum.add(d).setScale(17, java.math.RoundingMode.HALF_UP)
+      // CheckOverflow runs per step in the expression chain; the (38,18)
+      // cast needs one more digit than the scale-17 value (×10 pad).
+      if (sum.precision + 1 > 38) return null
       i += 1
     }
-    if (sum.precision > 38) null
-    else Decimal(sum.setScale(18), 38, 18)
+    Decimal(sum.setScale(18), 38, 18)
   }
 }
 

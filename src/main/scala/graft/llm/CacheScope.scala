@@ -19,6 +19,10 @@ import org.apache.spark.storage.StorageLevel
   * }}}
   */
 object CacheScope {
+  // Process-global, single-driver-thread discipline: releaseAll() assumes
+  // no other thread is mid-query on these operators (it would unpersist
+  // their in-flight branch points and reintroduce the recompute blow-up).
+  // Concurrent drivers should serialize release points per batch.
 
   private val tracked = mutable.ListBuffer.empty[DataFrame]
 

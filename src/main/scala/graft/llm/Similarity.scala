@@ -23,6 +23,12 @@ object Similarity {
     * (one static call per pair, no intermediate Decimal array); falls back
     * to the equivalent higher-order-function form when no session is
     * active. Both are bit-identical (see `FunctionsSpec`).
+    *
+    * Note: like [[graft.operators.Strings.romanToInt]], the native path
+    * resolves by name against the ACTIVE session's registry — a column
+    * built under one session but analyzed under another needs
+    * `GraftFunctions.register` (or the `GraftExtensions` config) on the
+    * analyzing session, or use [[dotDecimalExpr]] for a session-free tree.
     */
   def dotDecimal(a: Column, b: Column): Column =
     org.apache.spark.sql.SparkSession.getActiveSession match {

@@ -30,7 +30,12 @@ object Ids {
 
   def surrogateId(naturalKey: Seq[Column], sep: String = "|"): Column = {
     val parts = naturalKey.map { c =>
-      coalesce(replace(c.cast("string"), lit(sep), lit("\\" + sep)), lit(NullSentinel))
+      // escape the escape char FIRST, then the separator — otherwise
+      // ("a\", "b|c") and ("a|b\", "c") both serialize to a\|b\|c
+      val escaped = replace(
+        replace(c.cast("string"), lit("\\"), lit("\\\\")),
+        lit(sep), lit("\\" + sep))
+      coalesce(escaped, lit(NullSentinel))
     }
     sha2(concat_ws(sep, parts: _*), 256)
   }

@@ -40,6 +40,17 @@ object Staging {
   def bucketedTable(
       spark: SparkSession, df: DataFrame, name: String,
       bucketCol: String, nBuckets: Int): DataFrame = {
+    // A previous JVM's warehouse directory outlives the in-memory catalog;
+    // Overwrite can't drop a table the catalog doesn't know, so clear the
+    // stale location explicitly or saveAsTable throws LOCATION_ALREADY_EXISTS.
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val stale = new java.io.File(warehouse, name.toLowerCase(java.util.Locale.ROOT))
+    if (stale.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(stale).deleteRecursively()
+    }
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(name)

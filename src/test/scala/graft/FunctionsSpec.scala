@@ -41,15 +41,34 @@ class FunctionsSpec extends SparkSpec {
       graft.llm.Similarity.dotDecimalExpr(col("a"), col("b")).cast("double").as("hof"))
     assert(out.filter(!(col("nat") <=> col("hof"))).isEmpty,
       "native and expression dot products diverged")
-    // null / mismatched-length semantics match zip_with
-    val edge = Seq(
-      (Seq(1.0f, 2.0f), Seq(1.0f)),
-    ).toDF("a", "b")
-    val e = edge.select(
-      graft.llm.Similarity.dotDecimal(col("a"), col("b")).as("nat"),
-      graft.llm.Similarity.dotDecimalExpr(col("a"), col("b")).as("hof"))
-      .as[(Option[BigDecimal], Option[BigDecimal])].head()
-    assert(e._1.isEmpty && e._2.isEmpty)
+    // Edge semantics (mismatched lengths, NaN, Infinity, null element) must
+    // hold in the CODEGEN path too — go through parquet so
+    // ConvertToLocalRelation can't fold into interpreted eval.
+    val edgeDir = java.nio.file.Files.createTempDirectory("graft-dot-edge").toString
+    Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f)),          // length mismatch
+      (3L, Seq(1.0e9f, 0f), Seq(1.0e9f, 0f)),    // big but fits decimal(38,18)
+      (4L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),    // plain
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(edgeDir)
+    val edge = spark.read.parquet(edgeDir)
+    val rows = edge.select(col("id"),
+      graft.llm.Similarity.dotDecimal(col("a"), col("b")).cast("double").as("nat"),
+      graft.llm.Similarity.dotDecimalExpr(col("a"), col("b")).cast("double").as("hof"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == rows.map(r => (r._1, r._3)),
+      s"codegen path diverged from expression form: $rows")
+    assert(rows(0)._2.isEmpty, "length mismatch must be null")
+    assert(rows(2)._2.contains(11.0))
+    // NaN: the native kernel yields null (a poisoned embedding must not
+    // kill the job) where the ANSI-mode Cast in the expression form throws.
+    val nanDir = java.nio.file.Files.createTempDirectory("graft-dot-nan").toString
+    Seq((2L, Seq(Float.NaN, 1.0f), Seq(1.0f, 1.0f)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(nanDir)
+    val nan = spark.read.parquet(nanDir).select(
+      graft.llm.Similarity.dotDecimal(col("a"), col("b")).cast("double"))
+      .as[Option[Double]].head()
+    assert(nan.isEmpty, "NaN product must be null, not a crash")
   }
 
   test("native expression stays inside whole-stage codegen") {

@@ -141,10 +141,12 @@ class OperatorSpec extends SparkSpec {
       (Option("a"), Option.empty[String], Option("b")),
       (Option("a"), Option("b"), Option.empty[String]),
       (Option("a|b"), Option.empty[String], Option.empty[String]),
+      (Option("a\\"), Option("b|c"), Option.empty[String]),
+      (Option("a|b\\"), Option("c"), Option.empty[String]),
     ).toDF("x", "y", "z")
     val ids = df.select(Ids.surrogateId(Seq(col("x"), col("y"), col("z"))))
       .as[String].collect().toSeq
-    assert(ids.distinct.length == 3, s"collision: $ids")
+    assert(ids.distinct.length == 5, s"collision: $ids")
   }
 
   test("multimodal resize and frame-sample stubs keep the plumbing honest") {
