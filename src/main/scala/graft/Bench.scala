@@ -6,7 +6,11 @@ object Bench {
     val spark = GraftSession.create()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink forces FULL computation of every output column —
+      // count() would let the optimizer strip projections and sorts and
+      // time little more than the scan.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       finally llm.CacheScope.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
