@@ -434,12 +434,18 @@ object SparkEntry {
     },
 
     // §2 row 34 — document fingerprint: min-md5 over word 3-shingles.
+    // Explode form: md5 runs as a codegen'd projection over shingle rows
+    // (inside a higher-order `transform` it would be interpreted —
+    // CodegenFallback); the groupBy collapses map-side to one row per doc
+    // since each doc's shingles never span partitions.
     "q34_fingerprint" -> { (s, dir) =>
       val toks = llm.TextAnalysis.tokens(col("text"))
-      ordered(Tables.documents(s, dir).select(
-        col("doc_id"),
-        llm.TextAnalysis.fingerprint(col("text")).as("impressao_digital"),
-        size(llm.TextAnalysis.shingleSet(toks, 3)).cast("long").as("n_shingles"),
+      val exploded = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode_outer(llm.TextAnalysis.shingleSet(toks, 3)).as("shingle"))
+      ordered(exploded.groupBy("doc_id").agg(
+        min(md5(col("shingle").cast("binary"))).as("impressao_digital"),
+        count(col("shingle")).as("n_shingles"),
       ))
     },
     // §2 row 29 — brute-force cosine top-k: broadcast query set, decimal
