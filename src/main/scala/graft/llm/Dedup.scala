@@ -87,7 +87,18 @@ object Dedup {
         TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .transform(CacheScope.persistTracked)
-    val sigs = keyed.withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    // Signature via explode + per-seed min aggregation: xxhash64 runs as a
+    // codegen'd projection over shingle rows (inside the higher-order
+    // minhashSignature lambda it is interpreted — CodegenFallback), and
+    // since one doc's shingles never span partitions the partial
+    // aggregation collapses map-side to a single row per doc.
+    val exploded = keyed.select(col("__id"), explode(col("__sh")).as("__shingle"))
+    val minCols = (0 until numHashes).map(s =>
+      min(xxhash64(lit(s), col("__shingle"))).as(s"__h$s"))
+    val sigs = exploded.groupBy("__id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
     val buckets = lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand)
       .transform(CacheScope.persistTracked)
     val pairs = candidatePairs(buckets)
@@ -124,10 +135,22 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    // Persisted: the 4-chunk explode would otherwise inline the 64-bit
-    // simhash fold once per chunk, and the self-join doubles it again.
-    val sh = docs.select(col(idCol).as("__id"),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("__sim"))
+    // Simhash via explode + 64 signed-bit sums: one codegen'd xxhash64 per
+    // token row and codegen'd HashAggregate bit sums, instead of the
+    // interpreted 64×tokens higher-order fold in simhash64. Persisted: the
+    // 4-chunk explode + self-join reuse it.
+    val tokRows = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+      .withColumn("__th", xxhash64(col("__tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("__th").bitwiseAND(1L << i) =!= 0, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val sh = tokRows.groupBy("__id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _).as("__sim"))
       .transform(CacheScope.persistTracked)
     val chunked = sh.select(col("__id"), col("__sim"),
       explode(array((0 until 4).map { j =>
