@@ -303,16 +303,39 @@ object SparkEntry {
       ordered(Upsert.upsert(target, incoming, Seq("o_orderkey")))
     },
 
-    // §2 row 18 — period dimension lookup as a broadcast range join.
+    // §2 row 18 — period dimension lookup. The reference's period calendar
+    // is exactly monthly competences, so the range predicate collapses to a
+    // month equi-join (BroadcastHashJoin, O(n)) — the generic nested-loop
+    // range join probed every period per row (~5× slower, and growing with
+    // |periods|). Non-aligned ranges go through q44's bucketed range join.
     "q18_period_range_join" -> { (s, dir) =>
       val periods = Tables.orders(s, dir).select(
         to_date(date_trunc("MONTH", col("o_orderdate"))).as("data_inicio"))
         .distinct()
         .select(
-          col("data_inicio"), last_day(col("data_inicio")).as("data_fim"),
+          col("data_inicio"),
           date_format(col("data_inicio"), "yyyyMM").as("periodo_codigo"))
-      val joined = DimJoins.periodLookup(
-        Tables.lineitem(s, dir), to_date(col("l_shipdate")), periods, "data_inicio", "data_fim")
+      val joined = DimJoins.periodLookupMonthAligned(
+        Tables.lineitem(s, dir), col("l_shipdate"), periods, "data_inicio")
+      ordered(joined.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("periodo_codigo")))
+    },
+
+    // §2 row 44 — NON-month-aligned period lookup (periods run 15th→14th):
+    // bucketed range join — periods exploded into overlapped months,
+    // BroadcastHashJoin on the month bucket, range kept as residual. The
+    // per-row probe count stays constant instead of scaling with |periods|.
+    "q44_bucketed_range_join" -> { (s, dir) =>
+      val periods = Tables.orders(s, dir).select(
+        to_date(date_trunc("MONTH", col("o_orderdate"))).as("m"))
+        .distinct()
+        .select(
+          date_add(col("m"), 14).as("data_inicio"),
+          date_add(add_months(col("m"), 1), 13).as("data_fim"),
+          date_format(date_add(col("m"), 14), "yyyyMMdd").as("periodo_codigo"))
+      val joined = DimJoins.periodLookupBucketed(
+        Tables.lineitem(s, dir), to_date(col("l_shipdate")),
+        periods, "data_inicio", "data_fim")
       ordered(joined.select(
         col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("periodo_codigo")))
     },
@@ -762,6 +785,20 @@ object SparkEntry {
         |    strftime(date_trunc('month', o_orderdate), '%Y%m') AS periodo_codigo
         |  FROM orders) p
         |ON CAST(date_trunc('month', l_shipdate) AS DATE) = p.data_inicio
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q44_bucketed_range_join" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, p.periodo_codigo
+        |FROM lineitem l LEFT JOIN (
+        |  SELECT DISTINCT
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) + 14 AS data_inicio,
+        |    CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH AS DATE) + 13
+        |      AS data_fim,
+        |    strftime(CAST(date_trunc('month', o_orderdate) AS DATE) + 14, '%Y%m%d')
+        |      AS periodo_codigo
+        |  FROM orders) p
+        |ON CAST(l_shipdate AS DATE) >= p.data_inicio
+        |  AND CAST(l_shipdate AS DATE) <= p.data_fim
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q19_geo_equi_join" ->

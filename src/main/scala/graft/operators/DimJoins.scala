@@ -44,6 +44,32 @@ object DimJoins {
       to_date(date_trunc("MONTH", dateExpr)) === periods(startCol),
       "left")
 
+  /** Bucketed range join for periods that are NOT month-aligned: each
+    * period row is exploded into the calendar months it overlaps, the fact
+    * joins on month equality (BroadcastHashJoin) and the original range
+    * predicate remains as a residual condition on the matches. Per-row
+    * probe cost is the handful of periods overlapping one month — constant,
+    * instead of scaling with |periods| like the nested-loop [[periodLookup]].
+    * Periods must not overlap within a month-bucket more than a few deep for
+    * the left-join multiplicity to stay bounded (true for calendar tilings).
+    */
+  def periodLookupBucketed(
+      fact: DataFrame, dateExpr: Column,
+      periods: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val exploded = periods.withColumn(
+      "__graft_month_bucket",
+      explode(sequence(
+        to_date(date_trunc("MONTH", col(startCol))),
+        to_date(date_trunc("MONTH", col(endCol))),
+        expr("INTERVAL 1 MONTH"))))
+    fact.join(
+        broadcast(exploded),
+        to_date(date_trunc("MONTH", dateExpr)) === exploded("__graft_month_bucket") &&
+          dateExpr >= exploded(startCol) && dateExpr <= exploded(endCol),
+        "left")
+      .drop("__graft_month_bucket")
+  }
+
   /** Left-join a geography (or any small) dim on an equality key —
     * BroadcastHashJoin, fact side stays in place.
     */

@@ -38,11 +38,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("q18 period range join broadcasts the period dim") {
+  test("q18 period lookup is a month-aligned BroadcastHashJoin (no nested loop)") {
     val plan = planString(SparkEntry.queries("q18_period_range_join")(spark, sfDir))
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"range join should be broadcast nested loop over a tiny dim:\n$plan")
-    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"month-aligned period lookup must hash-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"per-row period probing would scale with |periods|:\n$plan")
+  }
+
+  test("q44 bucketed range join hash-joins on the month bucket and matches the generic range join") {
+    import graft.operators.DimJoins
+    val q44 = SparkEntry.queries("q44_bucketed_range_join")(spark, sfDir)
+    val plan = planString(q44)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucketed range join must be an equi-join on the month bucket:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketed range join degenerated to per-row probing:\n$plan")
+    // semantics: identical to the generic nested-loop range join
+    val periods = Tables.orders(spark, sfDir).select(
+      to_date(date_trunc("MONTH", col("o_orderdate"))).as("m"))
+      .distinct()
+      .select(
+        date_add(col("m"), 14).as("data_inicio"),
+        date_add(add_months(col("m"), 1), 13).as("data_fim"),
+        date_format(date_add(col("m"), 14), "yyyyMMdd").as("periodo_codigo"))
+    val li = Tables.lineitem(spark, sfDir)
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "periodo_codigo")
+      .collect().map(_.toSeq).toSet
+    val viaRange = proj(DimJoins.periodLookup(
+      li, to_date(col("l_shipdate")), periods, "data_inicio", "data_fim"))
+    val viaBucketed = proj(DimJoins.periodLookupBucketed(
+      li, to_date(col("l_shipdate")), periods, "data_inicio", "data_fim"))
+    assert(viaBucketed == viaRange)
   }
 
   test("month-aligned period lookup equals the range join and hash-joins") {
