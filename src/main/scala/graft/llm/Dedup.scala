@@ -101,13 +101,67 @@ object Dedup {
         array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
     val buckets = lshBuckets(sigs, "__id", "__sig", bands, rowsPerBand)
       .transform(CacheScope.persistTracked)
-    val pairs = candidatePairs(buckets)
+    jaccardVerify(candidatePairs(buckets), keyed, threshold)
+  }
+
+  /** Largest prime below 2^32 — modulus of the portable seeded hash family
+    * `h_s(x) = (h1(x) + s·h2(x)) mod p` where h1/h2 are the first two
+    * 32-bit words of md5(x). One md5 per element covers every seed, all
+    * intermediate values stay below 2^37 (no overflow on engines that
+    * error instead of wrapping), and md5/substr/hex-cast exist in both
+    * Spark and the DuckDB oracle — unlike xxhash64.
+    */
+  private val PortableMod = 4294967291L
+
+  /** (h1, h2) 32-bit md5 words of a string column, as longs. */
+  private def md5Words(c: Column): (Column, Column) = {
+    val m = md5(c.cast("binary"))
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  /** Shared verify tail: exact Jaccard ≥ threshold over candidate pairs. */
+  private def jaccardVerify(
+      pairs: DataFrame, keyed: DataFrame, threshold: Double): DataFrame = {
     val shA = keyed.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val shB = keyed.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** [[minhashNearDups]] with the portable md5 hash family — same banded
+    * LSH structure and exact-Jaccard verify, but every hash is reproducible
+    * in ANSI-ish SQL so a DuckDB oracle checks the full pipeline. One md5
+    * per shingle (vs 20 xxhash64 calls), then 20 cheap `(h1 + s·h2) mod p`
+    * mins collapse map-side; band buckets key on the joined signature
+    * slice itself (a string) instead of a Murmur3 hash.
+    */
+  def minhashNearDupsPortable(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val keyed = docs.select(
+        col(idCol).as("__id"),
+        TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .transform(CacheScope.persistTracked)
+    val (h1, h2) = md5Words(col("__shingle"))
+    val exploded = keyed.select(col("__id"), explode(col("__sh")).as("__shingle"))
+      .select(col("__id"), h1.as("__h1"), h2.as("__h2"))
+    val minCols = (0 until numHashes).map(s =>
+      min((col("__h1") + lit(s.toLong) * col("__h2")) % PortableMod).as(s"__h$s"))
+    val sigs = exploded.groupBy("__id").agg(minCols.head, minCols.tail: _*)
+    val buckets = sigs.select(col("__id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              col(s"__h${b * rowsPerBand + r}")): _*).as("bhash"))
+        }: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+      .transform(CacheScope.persistTracked)
+    jaccardVerify(candidatePairs(buckets), keyed, threshold)
   }
 
   /** 64-bit SimHash over the distinct token set: bit `i` is set when the
@@ -166,6 +220,50 @@ object Dedup {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairs]] with portable hashing: the 64-bit token hash is the
+    * first 16 hex chars of md5(token), handled as 4 × 16-bit chunks — the
+    * chunks are exactly the blocking key, every value stays small and
+    * positive, and the whole pipeline (hash → signed bit sums → chunk
+    * blocking → Hamming verify) is reproducible by the DuckDB oracle.
+    */
+  def simhashPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    val m = md5(col("__tok").cast("binary"))
+    val tokRows = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+      .select(col("__id") +: (0 until 4).map(j =>
+        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+    val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+      sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+    val chunkVals = (0 until 4).map { j =>
+      (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+        .reduce(_ + _).as(s"__v$j")
+    }
+    val sh = tokRows.groupBy("__id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id") +: chunkVals: _*)
+      .transform(CacheScope.persistTracked) // 4-chunk explode + self-join reuse it
+    val vCols = (0 until 4).map(j => col(s"__v$j"))
+    val chunked = sh.select(col("__id") +: vCols :+
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"), col(s"__v$j").as("bhash"))
+        }: _*)).as("bb"): _*)
+      .select(col("__id") +: vCols :+ col("bb.band").as("band") :+ col("bb.bhash").as("bhash"): _*)
+    val a = chunked.select(col("band") +: col("bhash") +: col("__id").as("id_a") +:
+      (0 until 4).map(j => col(s"__v$j").as(s"__va$j")): _*)
+    val b = chunked.select(col("band").as("__b2") +: col("bhash").as("__h2") +:
+      col("__id").as("id_b") +: (0 until 4).map(j => col(s"__v$j").as(s"__vb$j")): _*)
+    val hamming = (0 until 4).map(j =>
+        bit_count(col(s"__va$j").bitwiseXOR(col(s"__vb$j")).cast("long")))
+      .reduce(_ + _).cast("int")
+    a.join(b,
+        col("band") === col("__b2") && col("bhash") === col("__h2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
