@@ -855,6 +855,105 @@ object SparkEntry {
         |JOIN k ON a.text = k.text AND a.doc_id = k.keep
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // Full portable-MinHash pipeline replayed in DuckDB: same md5 hash
+    // family h_s = (h1 + s·h2) mod 4294967291, same 5×4 banding (bhash =
+    // the comma-joined signature slice), same exact-Jaccard verify. Every
+    // intermediate stays < 2^37, so BIGINT arithmetic is exact on both
+    // engines.
+    "q26_minhash_lsh" -> {
+      val mins = (0 until 20).map(s =>
+        s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
+      val bands = (0 until 5).map { b =>
+        val cols = (0 until 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        if (b == 0) s"SELECT id, 0 AS band, concat_ws(',', $cols) AS bhash FROM sigs"
+        else s"UNION ALL SELECT id, $b, concat_ws(',', $cols) FROM sigs"
+      }.mkString("\n|  ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[2:], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+        |             CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT id, md5(unnest(sh)) AS m FROM k)),
+        |sigs AS (
+        |  SELECT id,
+        |    $mins
+        |  FROM shrows GROUP BY id),
+        |buckets AS (
+        |  $bands),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE) /
+        |    (CAST(len(ka.sh) AS DOUBLE) + CAST(len(kb.sh) AS DOUBLE)
+        |     - CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE)) AS jaccard
+        |  FROM pairs p JOIN k ka ON p.id_a = ka.id JOIN k kb ON p.id_b = kb.id)
+        |WHERE jaccard >= 0.5
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+
+    // Portable SimHash replayed in DuckDB: 4×16-bit md5 chunks, 64 signed
+    // bit-sums per doc, chunk values as both signature and blocking key,
+    // Hamming ≤ 3 verify over the 4-way chunk XOR.
+    "q27_simhash" -> {
+      val bitsums = (for (j <- 0 until 4; b <- 0 until 16) yield
+        s"sum(CASE WHEN (c$j & ${1 << b}) != 0 THEN 1 ELSE -1 END) AS s${j}_$b")
+        .mkString(",\n|    ")
+      val chunkVals = (0 until 4).map { j =>
+        (0 until 16).map(b =>
+          s"CASE WHEN s${j}_$b > 0 THEN ${1 << b} ELSE 0 END").mkString("(", " + ", s") AS v$j")
+      }.mkString(",\n|    ")
+      val hamming = (0 until 4).map(j =>
+        s"bit_count(xor(CAST(a.v$j AS BIGINT), CAST(b.v$j AS BIGINT)))").mkString(" +\n|         ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[2:], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tokrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 4)) AS INT) AS c0,
+        |             CAST(('0x' || substring(m, 5, 4)) AS INT) AS c1,
+        |             CAST(('0x' || substring(m, 9, 4)) AS INT) AS c2,
+        |             CAST(('0x' || substring(m, 13, 4)) AS INT) AS c3
+        |  FROM (SELECT doc_id AS id,
+        |          md5(unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))) AS m
+        |        FROM all_docs)),
+        |bitsums AS (
+        |  SELECT id,
+        |    $bitsums
+        |  FROM tokrows GROUP BY id),
+        |sigs AS (
+        |  SELECT id,
+        |    $chunkVals
+        |  FROM bitsums),
+        |chunked AS (
+        |  SELECT id, v0, v1, v2, v3, 0 AS band, v0 AS bhash FROM sigs
+        |  UNION ALL SELECT id, v0, v1, v2, v3, 1, v1 FROM sigs
+        |  UNION ALL SELECT id, v0, v1, v2, v3, 2, v2 FROM sigs
+        |  UNION ALL SELECT id, v0, v1, v2, v3, 3, v3 FROM sigs)
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    CAST($hamming AS INTEGER) AS hamming
+        |  FROM chunked a JOIN chunked b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id)
+        |WHERE hamming <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
+
     "q28_ngram_jaccard" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -1,12 +1,13 @@
 package graft
 object SpotBench {
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
     for (name <- args) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").write.format("noop").mode("overwrite").save()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       llm.CacheScope.releaseAll()
-      println(f"SPOT $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+      println(f"SPOT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

@@ -52,22 +52,28 @@ object DimJoins {
     * instead of scaling with |periods| like the nested-loop [[periodLookup]].
     * Periods must not overlap within a month-bucket more than a few deep for
     * the left-join multiplicity to stay bounded (true for calendar tilings).
+    * Rows with `start > end` are malformed (sequence() would throw at
+    * runtime) and are treated as matching nothing.
     */
   def periodLookupBucketed(
       fact: DataFrame, dateExpr: Column,
       periods: DataFrame, startCol: String, endCol: String): DataFrame = {
-    val exploded = periods.withColumn(
-      "__graft_month_bucket",
-      explode(sequence(
-        to_date(date_trunc("MONTH", col(startCol))),
-        to_date(date_trunc("MONTH", col(endCol))),
-        expr("INTERVAL 1 MONTH"))))
+    val exploded = periods
+      .filter(col(startCol) <= col(endCol))
+      .withColumn(
+        "__graft_month_bucket",
+        explode(sequence(
+          to_date(date_trunc("MONTH", col(startCol))),
+          to_date(date_trunc("MONTH", col(endCol))),
+          expr("INTERVAL 1 MONTH"))))
     fact.join(
         broadcast(exploded),
         to_date(date_trunc("MONTH", dateExpr)) === exploded("__graft_month_bucket") &&
           dateExpr >= exploded(startCol) && dateExpr <= exploded(endCol),
         "left")
-      .drop("__graft_month_bucket")
+      // drop via the dim-side reference: a by-name drop("...") would also
+      // drop a like-named fact column.
+      .drop(exploded("__graft_month_bucket"))
   }
 
   /** Left-join a geography (or any small) dim on an equality key —

@@ -41,6 +41,119 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall over ${planted.size} planted pairs")
   }
 
+  test("portable minhash-LSH recall >= 0.9 on planted near-duplicates") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text",
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 2, 100000)))
+    val planted = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val pairs = Dedup.minhashNearDupsPortable(
+        docs.unionByName(variants), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = planted.count(id => pairs.contains((id, id + 1000000)))
+    val recall = found.toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall over ${planted.size} planted pairs")
+  }
+
+  test("portable and xxhash minhash paths emit the same verified pair set") {
+    // Candidate generation differs by hash family, but both paths verify
+    // with the same exact Jaccard >= 0.5, so any disagreement would mean a
+    // recall gap on fixed data — a determinism regression guard for the
+    // graded q26 path vs the production path.
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text",
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 2, 100000)))
+    val all = docs.unionByName(variants)
+    val portable = Dedup.minhashNearDupsPortable(all, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val prod = Dedup.minhashNearDups(all, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(portable == prod,
+      s"portable-only: ${portable -- prod}; xxhash-only: ${prod -- portable}")
+  }
+
+  test("portable minhash signature matches an independent JVM md5 replay") {
+    // Replays the full hash family (md5 words, (h1 + s*h2) mod p, banding)
+    // in plain Scala and checks the emitted pair+jaccard agrees — the
+    // portable path's arithmetic is verified against something that shares
+    // no code with Catalyst or DuckDB.
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def sig(sh: Set[String]): Seq[Long] = {
+      val words = sh.toSeq.map { s =>
+        val m = md5Hex(s)
+        (java.lang.Long.parseLong(m.substring(0, 8), 16),
+          java.lang.Long.parseLong(m.substring(8, 16), 16))
+      }
+      (0 until 20).map(k =>
+        words.map { case (h1, h2) => (h1 + k * h2) % 4294967291L }.min)
+    }
+    val ta = "spark scans parquet files fast and well today"
+    val tb = "spark scans parquet files fast and well"
+    val (sa, sb) = (shingleSet(ta), shingleSet(tb))
+    val expectJ = (sa & sb).size.toDouble / (sa | sb).size
+    val shareBand = (0 until 5).exists(b =>
+      sig(sa).slice(b * 4, b * 4 + 4) == sig(sb).slice(b * 4, b * 4 + 4))
+    val out = Dedup.minhashNearDupsPortable(
+        Seq((1L, ta), (2L, tb)).toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(shareBand, "planted pair must share a band under the JVM replay")
+    assert(out.length == 1 && out.head._1 == 1L && out.head._2 == 2L)
+    assert(math.abs(out.head._3 - expectJ) < 1e-12)
+  }
+
+  test("portable simhash: identical docs collide at hamming 0; disjoint docs don't pair") {
+    val docs = Seq(
+      (1L, "spark scans parquet files fast and well"),
+      (2L, "spark scans parquet files fast and well"),
+      (3L, "completely different words entirely here now"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("portable simhash chunk values match an independent JVM md5 replay") {
+    // Independent Scala replay of the 4x16-bit chunk construction: for two
+    // identical single-doc corpora the emitted hamming must be 0, and a
+    // one-token change must move only the bits the replay predicts.
+    def chunks(text: String): Seq[Int] = {
+      val toks = text.trim.toLowerCase.split("\\s+").distinct.toSeq
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = toks.map(t =>
+        md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      (0 until 4).map { j =>
+        val cs = hs.map(m => Integer.parseInt(m.substring(j * 4, j * 4 + 4), 16))
+        (0 until 16).map { b =>
+          val s = cs.map(c => if ((c & (1 << b)) != 0) 1 else -1).sum
+          if (s > 0) 1 << b else 0
+        }.sum
+      }
+    }
+    val (ta, tb) = ("alpha beta gamma delta", "alpha beta gamma zeta")
+    val expected = chunks(ta).zip(chunks(tb))
+      .map { case (x, y) => java.lang.Long.bitCount((x ^ y).toLong) }.sum
+    val out = Dedup.simhashPairsPortable(
+        Seq((1L, ta), (2L, tb)).toDF("doc_id", "text"),
+        "doc_id", "text", maxHamming = 64)
+      .as[(Long, Long, Int)].collect()
+    if (chunks(ta).zip(chunks(tb)).exists { case (x, y) => x == y })
+      assert(out.length == 1 && out.head._3 == expected)
+    else assert(out.isEmpty) // no shared chunk: blocked, by design
+  }
+
   test("simhash: identical docs collide at hamming 0; near-dups stay close") {
     val docs = Seq(
       (1L, "spark scans parquet files fast and well"),
