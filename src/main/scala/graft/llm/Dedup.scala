@@ -302,9 +302,23 @@ object Dedup {
   /** Blocked exact n-gram Jaccard: pairs are generated only within a
     * deterministic block (first two tokens), then scored exactly. The
     * oracle-checkable counterpart of the LSH candidate step.
+    *
+    * Skew bound: textual block keys are Zipf-skewed — at corpus scale
+    * millions of documents can open with "the …" and a plain within-block
+    * self-join goes quadratic in ONE task. Each block of size n is split
+    * into S = ceil(n / maxBlock) deterministic salt groups and the pair
+    * space covered by (i, j) grid tiles: a row with salt u joins as the
+    * left side of tiles (u, j≥u) and the right side of tiles (i≤u, u), so
+    * every unordered pair lands in EXACTLY one tile and the output is
+    * identical to the unsalted join while no tile holds more than ~maxBlock
+    * rows per side. Replication cost is S+1 rows per input row — linear in
+    * the block's pair-tile count, the minimum any exact all-pairs scoring
+    * can do. For typical blocks S=1 and the tiling degenerates to the plain
+    * two-sided self-join.
     */
   def blockedJaccard(
-      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
+      maxBlock: Int = 10000): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val keyed = docs.select(
         col(idCol).as("__id"),
@@ -312,9 +326,32 @@ object Dedup {
         TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .transform(CacheScope.persistTracked) // both self-join sides reuse it
-    val a = keyed.select(col("__block"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+    // Block sizes ride the same shuffle key as the pair join; the salt is a
+    // deterministic function of the id so re-runs partition identically.
+    val counts = keyed.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+    val salted = keyed.join(counts, "__block")
+      .withColumn("__s",
+        greatest(lit(1), ceil(col("__cnt").cast("double") / maxBlock).cast("int")))
+      .withColumn("__u", pmod(hash(col("__id")), col("__s")))
+      .transform(CacheScope.persistTracked) // both tile sides reuse it
+    val a = salted
+      .withColumn("__j", explode(sequence(col("__u"), col("__s") - 1)))
+      .select(col("__block"), col("__u").as("__i"), col("__j"),
+        col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = salted
+      .withColumn("__i2", explode(sequence(lit(0), col("__u"))))
+      .select(col("__block").as("__block2"), col("__i2"), col("__u").as("__j2"),
+        col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.join(b,
+        col("__block") === col("__block2") &&
+          col("__i") === col("__i2") && col("__j") === col("__j2") &&
+          // off-diagonal tiles carry each unordered pair once (sides have
+          // disjoint salts); the diagonal needs the usual ordering guard
+          (col("__i") < col("__j") || col("id_a") < col("id_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        // jaccard is symmetric: double addition commutes, so a swapped pair
+        // scores bit-identically
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
   }
 }

@@ -166,6 +166,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("blockedJaccard tiling on a planted hot block matches the unsalted join") {
+    // 60 docs share the block key "the quick" (a planted Zipf-hot block);
+    // cap 8 forces S = ceil(60/8) = 8 salt groups and 36 pair tiles. The
+    // tiled join must emit each pair exactly once with the same score as
+    // the effectively-unsalted (huge-cap) run.
+    val hot = (0 until 60).map(i =>
+      (i.toLong, s"the quick fox number $i jumps over dog ${i % 7}"))
+    val cold = Seq((900L, "calm river flows south"), (901L, "calm river flows north"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val tiled = Dedup.blockedJaccard(docs, "doc_id", "text", maxBlock = 8)
+      .as[(Long, Long, Double)].collect()
+    val plain = Dedup.blockedJaccard(docs, "doc_id", "text", maxBlock = 1000000)
+      .as[(Long, Long, Double)].collect()
+    assert(tiled.length == tiled.map(p => (p._1, p._2)).distinct.length,
+      "tiling must not duplicate pairs")
+    assert(tiled.sortBy(p => (p._1, p._2)).toSeq == plain.sortBy(p => (p._1, p._2)).toSeq,
+      "tiled output must equal the unsalted join exactly")
+    assert(tiled.length == 60 * 59 / 2 + 1) // hot-block pairs + the cold pair
+  }
+
   test("embedding near-dup finds planted co-directional vectors only") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 2.0f)),
