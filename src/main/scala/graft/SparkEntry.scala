@@ -581,6 +581,27 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 100 === 0)
       ordered(llm.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 10))
     },
+
+    // REAL image decode round-trip: solid-color PNGs are encoded from
+    // documents columns (ImageIO.write), then decoded by the pure-JDK
+    // ImageIO kernel through the batched harness. The oracle predicts the
+    // decoded width/height/channels/means from the SAME source columns, so
+    // a decode that lies about dimensions or pixel content hash-mismatches.
+    "q45_image_decode" -> { (s, dir) =>
+      val src = Tables.documents(s, dir).select(
+        col("doc_id"),
+        (pmod(col("doc_id"), lit(16)) + 1).cast("int").as("larg"),
+        (pmod(col("n_chars").cast("long"), lit(16)) + 1).cast("int").as("alt"),
+        pmod(col("doc_id"), lit(256)).cast("int").as("r"),
+        pmod(col("doc_id") * 7, lit(256)).cast("int").as("g"),
+        pmod(col("n_chars").cast("long"), lit(256)).cast("int").as("b"))
+      val blobbed = llm.Multimodal.encodePng(
+        src, "larg", "alt", "r", "g", "b", "payload")
+      val decoded = llm.Multimodal.decodeBatches(
+        blobbed, "payload", kernel = llm.Multimodal.decodeImage)
+      ordered(decoded.select(
+        col("doc_id"), col("alt_px"), col("larg_px"), col("canais"), col("recursos")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1230,5 +1251,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_shipdate', n2, total FROM c
         |  UNION ALL SELECT 'flag_opcional', n3, total FROM c)
         |WHERE nulos > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Predicts the ImageIO encode→decode round-trip from the source
+    // columns: solid-color PNGs must decode to exactly the encoded
+    // dimensions, 3 RGB components, and integer channel means.
+    "q45_image_decode" ->
+      """SELECT doc_id,
+        |  CAST(1 + n_chars % 16 AS INT) AS alt_px,
+        |  CAST(1 + doc_id % 16 AS INT) AS larg_px,
+        |  CAST(3 AS INT) AS canais,
+        |  [CAST(doc_id % 256 AS REAL), CAST((doc_id * 7) % 256 AS REAL),
+        |   CAST(n_chars % 256 AS REAL),
+        |   CAST((doc_id % 256 + (doc_id * 7) % 256 + n_chars % 256) / 3.0 AS REAL)]
+        |    AS recursos
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * Real media decode (image/audio/video) needs native libraries that are
-  * not in this environment, so the decode kernel is STUBBED with a
-  * deterministic fake — but everything Spark-side is real and tested:
-  * the binary column representation, metadata extraction as pure
-  * expressions, the batched `mapPartitions` decode harness (schema,
-  * batching, partition-parallelism), and the feature-vector schema the
-  * decoder emits.
+  * IMAGE decode is REAL: [[decodeImage]] is a pure-JDK `javax.imageio`
+  * kernel (PNG/BMP/GIF/JPEG — whatever the JRE's ImageIO registry reads)
+  * behind the same injectable batched harness, and [[encodePng]] builds
+  * genuine PNG payloads from column data so the encode→decode round-trip
+  * is exercised end-to-end. Audio/video decode needs native libraries that
+  * are not in this environment, so those kernels remain STUBBED with
+  * deterministic fakes — the Spark-side plumbing (binary representation,
+  * batched `mapPartitions` harness, schemas, frame fan-out) is real and
+  * tested either way.
   */
 object Multimodal {
 
@@ -75,6 +77,61 @@ object Multimodal {
         explode(sequence(lit(0), greatest(
           (length(col(blobCol)) / lit(stride)).cast("int") - 1, lit(0)))))
       .withColumn("frame_offset", col("frame_indice") * stride)
+  }
+
+  /** REAL image decode kernel — pure-JDK `javax.imageio.ImageIO`, no native
+    * libraries. Emits actual width/height, the color model's component
+    * count, and a 4-dim feature vector [meanR, meanG, meanB, meanLuma]
+    * (0–255 scale; per-pixel sums are exact longs, so a solid-color image
+    * decodes to exact integer means). Null/unreadable payloads surface as
+    * an error — a corrupt corpus should fail loudly, not silently skew
+    * features.
+    */
+  def decodeImage(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { payload =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val (mr, mg, mb) = (sr / n, sg / n, sb / n)
+    Row(h, w, img.getColorModel.getNumComponents,
+      Array(mr.toFloat, mg.toFloat, mb.toFloat, ((mr + mg + mb) / 3.0).toFloat))
+  }
+
+  /** Encode a solid-color PNG per row from integer (width, height, r, g, b)
+    * columns — real `ImageIO.write` output, used to build genuine image
+    * payloads out of table data so the decode path can be oracle-checked
+    * (the oracle predicts the decoded metadata from the same columns).
+    */
+  def encodePng(
+      df: DataFrame, wCol: String, hCol: String,
+      rCol: String, gCol: String, bCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val idx = Seq(wCol, hCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val Seq(w, h, r, g, b) = idx.map(i => row.getAs[Number](i).intValue())
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }(enc)
   }
 
   /** Batched partition-parallel decode harness: each partition iterates its

@@ -110,6 +110,48 @@ class OperatorSpec extends SparkSpec {
     assert(batchSizes == Seq(2, 2), s"kernel saw $batchSizes")
   }
 
+  test("decodeImage reads hand-built PNG and BMP payloads exactly") {
+    // Hand-built 3x2 image with per-pixel distinct colors: the kernel must
+    // report true dimensions, 3 RGB components, and the exact channel means.
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    val px = Seq(
+      (0, 0, 10, 20, 30), (1, 0, 40, 50, 60), (2, 0, 70, 80, 90),
+      (0, 1, 100, 110, 120), (1, 1, 130, 140, 150), (2, 1, 160, 170, 180))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    def bytes(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val meanR = px.map(_._3).sum / 6.0f
+    val meanG = px.map(_._4).sum / 6.0f
+    val meanB = px.map(_._5).sum / 6.0f
+    for (fmt <- Seq("png", "bmp")) {
+      val row = Multimodal.decodeImage(Seq(bytes(fmt))).head
+      assert(row.getInt(0) == 2 && row.getInt(1) == 3 && row.getInt(2) == 3, s"$fmt: $row")
+      val feats = row.get(3).asInstanceOf[Array[Float]]
+      assert(feats.take(3).toSeq == Seq(meanR, meanG, meanB), s"$fmt: ${feats.toSeq}")
+    }
+    // corrupt payloads fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Seq(Array[Byte](1, 2, 3)))
+    }
+  }
+
+  test("encodePng -> decodeImage round-trips dimensions and solid color through Spark") {
+    val src = Seq((1L, 5, 3, 200, 100, 50), (2L, 1, 1, 0, 255, 7))
+      .toDF("id", "larg", "alt", "r", "g", "b")
+    val out = Multimodal.decodeBatches(
+        Multimodal.encodePng(src, "larg", "alt", "r", "g", "b", "payload"),
+        "payload", kernel = Multimodal.decodeImage)
+      .select("id", "alt_px", "larg_px", "canais", "recursos")
+      .as[(Long, Int, Int, Int, Array[Float])].collect().sortBy(_._1)
+    assert(out(0)._2 == 3 && out(0)._3 == 5 && out(0)._4 == 3)
+    assert(out(0)._5.take(3).toSeq == Seq(200f, 100f, 50f))
+    assert(out(1)._2 == 1 && out(1)._3 == 1 && out(1)._5.take(3).toSeq == Seq(0f, 255f, 7f))
+  }
+
   test("readDelimited ingests the report dialect (ISO-8859-1, semicolons)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-report").toFile
     val f = new java.io.File(dir, "report.csv")
