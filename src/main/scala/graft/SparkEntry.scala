@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Listing, ReportCsv, Staging, Tables}
+import graft.sources.{Listing, ParquetSink, ReportCsv, Staging, Tables}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
@@ -282,25 +282,32 @@ object SparkEntry {
       ))
     },
 
-    // §2 row 5 — chunked COPY-style bulk load (chunk = write partition).
+    // §2 row 5 — chunked COPY-style bulk load through the pluggable Sink
+    // (chunk = write partition; swap ParquetSink for JdbcSink to hit a DB).
     "q05_bulk_load" -> { (s, dir) =>
+      val sink = new ParquetSink(
+        s"${System.getProperty("java.io.tmpdir")}/graft-stage", Some("chunk"))
       val chunked = Tables.orders(s, dir)
         .withColumn("chunk", (col("o_orderkey") % 8).cast("int"))
-      val loaded = Staging.bulkLoadRoundtrip(
-        s, chunked, "chunk", s"${System.getProperty("java.io.tmpdir")}/graft-stage/orders_chunked")
-      ordered(loaded.groupBy("chunk").agg(
+      sink.overwrite(chunked, "orders_chunked")
+      ordered(sink.read(s, "orders_chunked").groupBy("chunk").agg(
         count(lit(1L)).as("registros"),
         sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("valor_total"),
       ))
     },
 
-    // §2 row 6 — delete-conflicts upsert: incoming batch wins on key.
+    // §2 row 6 — delete-conflicts upsert through the pluggable Sink:
+    // incoming batch wins on key (JdbcSink runs the same call as batched
+    // DELETEs + distributed append; exercised in SinkSpec against Derby).
     "q06_upsert" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
       val target = o.filter(col("o_orderkey") % 3 =!= 0)
       val incoming = o.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      ordered(Upsert.upsert(target, incoming, Seq("o_orderkey")))
+      val sink = new ParquetSink(s"${System.getProperty("java.io.tmpdir")}/graft-sink")
+      sink.overwrite(target, "orders_upsert")
+      sink.upsert(s, incoming, "orders_upsert", Seq("o_orderkey"))
+      ordered(sink.read(s, "orders_upsert"))
     },
 
     // §2 row 18 — period dimension lookup. The reference's period calendar

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.operators.Upsert
+
+/** Pluggable load targets for the reference's database-load layer.
+  *
+  * Reference loads with chunked COPY + delete-conflicts + row-wise upsert
+  * against Postgres (`carregar_dataframe`/`postgresql_copiar_dados`/
+  * `deletar_conflitos`, sm_cloud_run/utilitarios/bd_utilitarios.py:85-283).
+  * Spark-first that becomes a [[Sink]]: the TRANSFORM side stays one
+  * declarative plan, and only the final materialization differs by target —
+  * parquet directories ([[ParquetSink]]) or any JDBC database
+  * ([[JdbcSink]]). Upsert semantics match [[Upsert.upsert]]: incoming wins
+  * on key conflict.
+  */
+trait Sink {
+
+  /** Replace the target table with `df`. */
+  def overwrite(df: DataFrame, table: String): Unit
+
+  /** Append `df` to the target table (the COPY-batch analog; distributed —
+    * every write partition loads in parallel).
+    */
+  def append(df: DataFrame, table: String): Unit
+
+  /** Read the target table back as a DataFrame. */
+  def read(spark: SparkSession, table: String): DataFrame
+
+  /** Upsert `incoming` on `keys`: delete conflicting target rows, load the
+    * batch. Incoming wins on conflict, exactly [[Upsert.upsert]].
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit
+}
+
+/** Parquet-directory sink: `root/<table>` per table, optional chunk-column
+  * directory partitioning (the reference's `passo` COPY chunking as write
+  * parallelism). Upsert is an anti-join merge staged to a sibling directory
+  * and swapped in — parquet can't delete rows in place, and overwriting a
+  * directory that is also the scan source would corrupt the read.
+  */
+final class ParquetSink(root: String, chunkCol: Option[String] = None) extends Sink {
+
+  private def path(table: String) = s"$root/$table"
+
+  private def write(df: DataFrame, table: String, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode)
+    chunkCol.filter(df.columns.contains).fold(w)(w.partitionBy(_)).parquet(path(table))
+  }
+
+  def overwrite(df: DataFrame, table: String): Unit = write(df, table, SaveMode.Overwrite)
+
+  def append(df: DataFrame, table: String): Unit = write(df, table, SaveMode.Append)
+
+  def read(spark: SparkSession, table: String): DataFrame = spark.read.parquet(path(table))
+
+  def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
+    val staging = s"${table}__graft_staging"
+    write(Upsert.upsert(read(spark, table), incoming, keys), staging, SaveMode.Overwrite)
+    val (live, tmp) = (new java.io.File(path(table)), new java.io.File(path(staging)))
+    import scala.reflect.io.Directory
+    new Directory(live).deleteRecursively()
+    require(tmp.renameTo(live), s"staging swap failed for ${path(table)}")
+  }
+}
+
+/** JDBC sink for any database Spark has a dialect for (Postgres, Derby,
+  * …). Writes are distributed `df.write.jdbc` batch inserts (`batchsize`
+  * rows per round trip ≈ the reference's `passo`); upsert is the
+  * reference's delete-conflicts + COPY shape — batched DELETEs of the
+  * incoming key set, then a distributed append — which touches only the
+  * incoming rows instead of rewriting the whole target (the right trade at
+  * a 100 TB target table).
+  */
+final class JdbcSink(
+    url: String, properties: java.util.Properties,
+    batchSize: Int = 10000,
+    writerOptions: Map[String, String] = Map.empty) extends Sink {
+
+  private def writer(df: DataFrame) =
+    df.write.option("batchsize", batchSize.toString).options(writerOptions)
+
+  def overwrite(df: DataFrame, table: String): Unit =
+    writer(df).mode(SaveMode.Overwrite).jdbc(url, table, properties)
+
+  def append(df: DataFrame, table: String): Unit =
+    writer(df).mode(SaveMode.Append).jdbc(url, table, properties)
+
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.jdbc(url, table, properties)
+
+  def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
+    val (u, props, bs) = (url, properties, batchSize) // don't close over `this`
+    // Spark's JDBC writer creates columns with dialect-quoted (case-exact)
+    // identifiers — the DELETE must quote the same way or case-folding
+    // databases (Derby, Postgres) won't resolve them.
+    val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(u).quoteIdentifier(_)
+    val delete =
+      s"DELETE FROM $table WHERE ${keys.map(k => s"${quote(k)} = ?").mkString(" AND ")}"
+    val deleteOne: Iterator[org.apache.spark.sql.Row] => Unit = { rows =>
+      val conn = java.sql.DriverManager.getConnection(u, props)
+      try {
+        val st = conn.prepareStatement(delete)
+        var n = 0
+        rows.foreach { r =>
+          (0 until keys.length).foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch()
+          n += 1
+          if (n % bs == 0) st.executeBatch()
+        }
+        st.executeBatch()
+      } finally conn.close()
+    }
+    incoming.select(keys.head, keys.tail: _*).distinct().foreachPartition(deleteOne)
+    append(incoming, table)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.sources.{JdbcSink, ParquetSink, Sink}
+
+/** Sink contract tests: the parquet impl and the JDBC impl (against the
+  * embedded Derby that ships on Spark's classpath) must behave identically
+  * — overwrite, append, and the delete-conflicts upsert where incoming wins
+  * on key.
+  */
+class SinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def derbySink(
+      db: String, writerOptions: Map[String, String] = Map.empty): JdbcSink = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toFile
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    new JdbcSink(s"jdbc:derby:${dir.getAbsolutePath}/$db;create=true", props,
+      batchSize = 2, // tiny batch: exercises the executeBatch flush mid-stream
+      writerOptions = writerOptions)
+  }
+
+  private def parquetSink(): ParquetSink =
+    new ParquetSink(java.nio.file.Files.createTempDirectory("graft-psink").toString)
+
+  private def contractCheck(sink: Sink, table: String): Unit = {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val incoming = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "tag", "v")
+
+    sink.overwrite(target, table)
+    assert(sink.read(spark, table).count() == 3)
+
+    sink.append(Seq((5L, "e", 50.0)).toDF("k", "tag", "v"), table)
+    assert(sink.read(spark, table).count() == 4)
+
+    sink.overwrite(target, table) // reset, then upsert: incoming wins on k
+    sink.upsert(spark, incoming, table, Seq("k"))
+    val got = sink.read(spark, table).as[(Long, String, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("ParquetSink honors the sink contract") {
+    contractCheck(parquetSink(), "t_contract")
+  }
+
+  test("JdbcSink (embedded Derby) honors the sink contract") {
+    contractCheck(derbySink("contract"), "t_contract")
+  }
+
+  test("JdbcSink upsert equals the in-plan Upsert.upsert merge") {
+    val sink = derbySink("merge")
+    val target = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+    val incoming = Seq((2L, 20.0), (4L, 40.0), (9L, 90.0)).toDF("k", "v")
+    sink.overwrite(target, "t_merge")
+    sink.upsert(spark, incoming, "t_merge", Seq("k"))
+    val viaSink = sink.read(spark, "t_merge")
+      .as[(Long, Double)].collect().toSet
+    val viaPlan = Upsert.upsert(target, incoming, Seq("k"))
+      .as[(Long, Double)].collect().toSet
+    assert(viaSink == viaPlan)
+  }
+
+  test("JdbcSink composite-key upsert deletes exactly the conflicting rows") {
+    // Derby's default StringType mapping is CLOB, which is not comparable
+    // in a WHERE clause — createTableColumnTypes is the standard writer
+    // knob for key-typed string columns.
+    val sink = derbySink("composite",
+      Map("createTableColumnTypes" -> "k2 VARCHAR(32)"))
+    val target = Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))
+      .toDF("k1", "k2", "v")
+    val incoming = Seq((1L, "y", 99.0)).toDF("k1", "k2", "v")
+    sink.overwrite(target, "t_comp")
+    sink.upsert(spark, incoming, "t_comp", Seq("k1", "k2"))
+    val got = sink.read(spark, "t_comp").as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "x", 1.0), (1L, "y", 99.0), (2L, "x", 3.0)))
+  }
+}
