@@ -86,7 +86,7 @@ object GraftFunctions {
   )
 
   private[functions] def descriptors = Seq(
-    romanToIntDescriptor, VectorDotDecimal.descriptor)
+    romanToIntDescriptor, VectorDotDecimal.descriptor, MightContain.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

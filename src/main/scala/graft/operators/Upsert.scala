@@ -35,4 +35,41 @@ object Upsert {
     val cond = keys.map(k => target(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
     target.join(incomingKeys, cond, "left_anti").unionByName(incoming)
   }
+
+  /** [[upsert]] with a Bloom pre-filter over the incoming key set: target
+    * rows whose key hash is bloom-NEGATIVE provably have no conflict and
+    * bypass the anti-join entirely — only the bloom-positive sliver (true
+    * conflicts + fpp false positives) reaches the join. When incoming is
+    * too large to broadcast, this cuts the join's target-side shuffle from
+    * |target| to ~|incoming| rows — the difference between reshuffling a
+    * 100 TB table and reshuffling the batch. The probe is Catalyst's own
+    * codegen'd `BloomFilterMightContain` (the runtime-filter expression),
+    * evaluated scan-side before any exchange.
+    *
+    * Same output as [[upsert]] for every fpp: false positives only route a
+    * row through the exact anti-join, never change the result.
+    */
+  def upsertBloomPruned(
+      target: DataFrame, incoming: DataFrame, keys: Seq[String],
+      fpp: Double = 0.01): DataFrame = {
+    val spark = target.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    def keyHash(df: DataFrame) = xxhash64(keys.map(df(_)): _*)
+    val hashed = incoming.select(keyHash(incoming).as("__graft_kh"))
+    val expected = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("__graft_kh", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = call_function("graft_might_contain", lit(bytes), keyHash(target))
+    val incomingKeys = incoming
+      .select(keys.map(k => col(k).as(s"__graft_k_$k")): _*).distinct()
+    val suspect = target.filter(might)
+    val cond = keys.map(k => suspect(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+    target.filter(!might)
+      .unionByName(suspect.join(incomingKeys, cond, "left_anti"))
+      .unionByName(incoming)
+  }
 }

@@ -57,7 +57,10 @@ final class ParquetSink(root: String, chunkCol: Option[String] = None) extends S
 
   def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
     val staging = s"${table}__graft_staging"
-    write(Upsert.upsert(read(spark, table), incoming, keys), staging, SaveMode.Overwrite)
+    // Bloom-pruned merge: bloom-negative target rows stream scan→write
+    // without touching the anti-join (see Upsert.upsertBloomPruned).
+    write(Upsert.upsertBloomPruned(read(spark, table), incoming, keys),
+      staging, SaveMode.Overwrite)
     val (live, tmp) = (new java.io.File(path(table)), new java.io.File(path(staging)))
     import scala.reflect.io.Directory
     new Directory(live).deleteRecursively()

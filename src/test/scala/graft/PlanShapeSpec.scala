@@ -152,6 +152,28 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected fact-side shuffle on $exchanges:\n$plan")
   }
 
+  test("bloom-pruned upsert probes scan-side and matches the plain upsert exactly") {
+    import graft.operators.Upsert
+    val o = Tables.orders(spark, sfDir)
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+    val incoming = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val pruned = Upsert.upsertBloomPruned(target, incoming, Seq("o_orderkey"))
+    val plan = planString(pruned)
+    // the bloom probe must be a Filter ON THE SCAN SIDE (before any join/
+    // exchange), i.e. the expression shows up in the executed plan at all —
+    // and the negated branch must flow to the union with no join beneath it
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+    assert("""(?s)Filter.*might_contain""".r.findFirstIn(plan).isDefined,
+      s"bloom probe not a Filter:\n$plan")
+    // identical output to the exact path: false positives only re-route
+    // rows through the anti-join, never change the result
+    val plain = Upsert.upsert(target, incoming, Seq("o_orderkey"))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("q22 rollup aggregates partially before the shuffle") {
     val plan = planString(SparkEntry.queries("q22_metadata_rollup")(spark, sfDir))
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
