@@ -73,6 +73,46 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds == Set(1L, 3L, 4L))
   }
 
+  test("file-source e2e: dedup and windowed agg over real on-disk micro-batches") {
+    // Closes the MemoryStream-only gap: a genuine file source (directory
+    // listing, offset tracking, schema enforcement) feeding the streaming
+    // operators, with each micro-batch arriving as a new parquet file.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    def writeBatch(rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+      rows.toDF(cols: _*).coalesce(1).write.mode("append").parquet(dir)
+
+    writeBatch(Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L, "view", 1.0),
+      (2L, ts("2026-01-01 10:01:00"), 7L, "view", 2.0)))
+
+    val schema = sample.toDF(cols: _*).schema
+    val src = spark.readStream.schema(schema).parquet(dir)
+    val deduped = Events.ingestDedupStream(src, Seq("user_id", "event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("file_dedup").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(Seq(
+        (3L, ts("2026-01-01 10:02:00"), 7L, "view", 3.0),
+        (4L, ts("2026-01-01 10:02:00"), 7L, "buy", 4.0)))
+      q.processAllAvailable()
+      val ids = spark.table("file_dedup").select("event_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 4L), s"got $ids")
+    } finally q.stop()
+
+    // windowed agg over the same files must equal the batch form on them
+    val agg = Events.tumblingAggStream(spark.readStream.schema(schema).parquet(dir))
+    val q2 = agg.writeStream
+      .format("memory").queryName("file_agg").outputMode("complete").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("file_agg").collect().map(_.toSeq).toSet
+      val batch = Events.tumblingAgg(spark.read.parquet(dir)).collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got\nbatch $batch")
+    } finally q2.stop()
+  }
+
   test("streaming sessionization closes sessions on gap like the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
