@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Listing, ParquetSink, ReportCsv, Staging, Tables}
+import graft.sources.{Dbf, Listing, ParquetSink, ReportCsv, Staging, Tables}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
@@ -608,6 +608,21 @@ object SparkEntry {
         blobbed, "payload", kernel = llm.Multimodal.decodeImage)
       ordered(decoded.select(
         col("doc_id"), col("alt_px"), col("larg_px"), col("canais"), col("recursos")))
+    },
+
+    // REAL binary DBF round-trip (the record layer of DATASUS .dbc files):
+    // genuine dBase III bytes written one file per partition, read back
+    // through the binaryFile-source reader with per-file header parsing.
+    // The oracle predicts every decoded value from the source columns.
+    "q46_dbf_roundtrip" -> { (s, dir) =>
+      val src = Tables.documents(s, dir).select(
+        col("doc_id").cast("string").as("DOC_ID"),
+        col("lang").as("LANG"),
+        col("source").as("SOURCE"),
+        col("n_chars").cast("string").as("N_CHARS"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-dbf/documents"
+      Dbf.writeDbf(src, out)
+      ordered(Dbf.readDbf(s, s"$out/*.dbf"))
     },
   )
 
@@ -1271,6 +1286,11 @@ object SparkEntry {
         |   CAST(n_chars % 256 AS REAL),
         |   CAST((doc_id % 256 + (doc_id * 7) % 256 + n_chars % 256) / 3.0 AS REAL)]
         |    AS recursos
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q46_dbf_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS DOC_ID, lang AS LANG,
+        |  source AS SOURCE, CAST(n_chars AS VARCHAR) AS N_CHARS
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

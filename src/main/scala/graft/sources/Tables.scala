@@ -34,9 +34,15 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // naive (NTZ) parquet timestamps — e.g. files written by engines that
+      // don't adjust to UTC — normalize to the session-zone TIMESTAMP the
+      // event operators expect (session zone is pinned to UTC)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

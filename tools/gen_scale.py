@@ -49,7 +49,13 @@ def main():
         parts = []
         for i in range(copies):
             sel = ", ".join(
-                f"{c} + {i * STRIDE} AS {c}" if c in shifted else c for c in cols)
+                f"{c} + {i * STRIDE} AS {c}" if c in shifted
+                # events.ts is nanosecond-int64 in the driver testdata;
+                # DuckDB would rewrite it as a naive TIMESTAMP — keep the
+                # ns-as-BIGINT encoding so the ingestion path stays identical
+                else f"CAST(epoch_ns({c}) AS BIGINT) AS {c}"
+                if (table, c) == ("events", "ts") else c
+                for c in cols)
             parts.append(f"SELECT {sel} FROM '{src_file}'")
         con.sql(f"COPY ({' UNION ALL '.join(parts)}) TO '{dst}/{table}.parquet'")
         n = con.sql(f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
