@@ -86,7 +86,8 @@ object GraftFunctions {
   )
 
   private[functions] def descriptors = Seq(
-    romanToIntDescriptor, VectorDotDecimal.descriptor, MightContain.descriptor)
+    romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
+    MightContain.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

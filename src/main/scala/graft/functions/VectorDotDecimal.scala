@@ -69,6 +69,26 @@ case class VectorDotDecimal(left: Expression, right: Expression)
 /** Static kernel (separate object so codegen sees a Java static call). */
 object VectorOps {
 
+  /** Plain-double dot product — left-to-right, same order as the
+    * `aggregate` fold it replaces. Boxed so null can signal zip_with's
+    * mismatched-length/null-element semantics.
+    */
+  def dotDouble(
+      a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
   def dotDecimal(
       a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Decimal = {
     val n = a.numElements()

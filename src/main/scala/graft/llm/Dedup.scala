@@ -268,34 +268,78 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Skew-bounded within-block pair generation, shared by the exact
+    * all-pairs scorers ([[blockedJaccard]], [[embeddingNearDups]]).
+    *
+    * `keyed` must carry (__id, __block, payload…). Each block of size n is
+    * split into S = ceil(n / maxBlock) deterministic salt groups and the
+    * pair space covered by (i, j) grid tiles: a row with salt u joins as
+    * the left side of tiles (u, j ≥ u) and the right side of tiles
+    * (i ≤ u, u), so every unordered pair lands in EXACTLY one tile —
+    * off-diagonal tiles have disjoint salts on their two sides; the
+    * diagonal keeps the id ordering guard. Output is identical to the
+    * plain block self-join while no tile holds more than ~maxBlock rows
+    * per side; replication cost is S+1 rows per input row. For typical
+    * blocks S=1 and this degenerates to the plain two-sided self-join.
+    *
+    * Emitted pairs are NOT id-ordered on off-diagonal tiles — callers
+    * emit `least/greatest(id_a, id_b)` (their scores are symmetric).
+    * Payload columns come back suffixed `_a` / `_b`.
+    */
+  private[llm] def tiledPairs(
+      keyed: DataFrame, payload: Seq[String], maxBlock: Int): DataFrame = {
+    // Block sizes ride the same shuffle key as the pair join; the salt is a
+    // deterministic function of the id so re-runs partition identically.
+    val counts = keyed.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+    val salted = keyed.join(counts, "__block")
+      .withColumn("__s",
+        greatest(lit(1), ceil(col("__cnt").cast("double") / maxBlock).cast("int")))
+      .withColumn("__u", pmod(hash(col("__id")), col("__s")))
+      .transform(CacheScope.persistTracked) // both tile sides reuse it
+    val a = salted
+      .withColumn("__j", explode(sequence(col("__u"), col("__s") - 1)))
+      .select(col("__block") +: col("__u").as("__i") +: col("__j") +:
+        col("__id").as("id_a") +: payload.map(c => col(c).as(s"${c}_a")): _*)
+    val b = salted
+      .withColumn("__i2", explode(sequence(lit(0), col("__u"))))
+      .select(col("__block").as("__block2") +: col("__i2") +: col("__u").as("__j2") +:
+        col("__id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b")): _*)
+    a.join(b,
+      col("__block") === col("__block2") &&
+        col("__i") === col("__i2") && col("__j") === col("__j2") &&
+        (col("__i") < col("__j") || col("id_a") < col("id_b")))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a deterministic block
-    * (e.g. a label/cluster/partition column): self-join on the block key —
-    * shuffle linear in rows, pair work quadratic only within a block —
-    * then exact decimal-accumulated cosine ≥ `threshold`. For unblocked
-    * corpora, use [[Similarity.lshBucket]] as the block key (rows-only).
+    * (e.g. a label/cluster/partition column): tiled self-join on the block
+    * key — shuffle linear in rows, per-tile pair work capped at ~maxBlock²
+    * even when a block holds millions of rows (block cardinality does NOT
+    * grow with corpus size, so unbounded blocks both skew and starve
+    * parallelism at scale) — then exact decimal-accumulated cosine ≥
+    * `threshold`. For unblocked corpora, use [[Similarity.lshBucket]] as
+    * the block key (rows-only).
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBlock: Int = 1000): DataFrame = {
     val keyed = df.select(
-        col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
-        Similarity.l2Norm(col(vecCol)).as("__n"))
-      .transform(CacheScope.persistTracked) // both self-join sides reuse it
-    val a = keyed.select(col("__block"), col("__id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = keyed.select(col("__block").as("__block2"), col("__id").as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    // Two-phase scoring: a codegen'd double-precision screen over every
-    // in-block pair (error ≤ ~1e-13 ≪ the 1e-6 margin), then the exact
-    // order-independent decimal cosine only for survivors — decimal
-    // arithmetic never touches the O(block²) pair volume.
-    val screen = Similarity.dotDouble(col("__va"), col("__vb")) /
-      (col("__na") * col("__nb"))
-    a.join(b, col("__block") === col("__block2") && col("id_a") < col("id_b"))
+      col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
+      Similarity.l2Norm(col(vecCol)).as("__n"))
+    // Two-phase scoring: a codegen'd native double-precision screen over
+    // every in-block pair (error ≤ ~1e-13 ≪ the 1e-6 margin), then the
+    // exact order-independent decimal cosine only for survivors — decimal
+    // arithmetic never touches the O(maxBlock²)-per-tile pair volume. Both
+    // scores are symmetric, so the least/greatest id normalization below
+    // cannot change them.
+    val screen = Similarity.dotDouble(col("__v_a"), col("__v_b")) /
+      (col("__n_a") * col("__n_b"))
+    tiledPairs(keyed, Seq("__v", "__n"), maxBlock)
       .filter(screen >= threshold - 1e-6)
-      .select(col("id_a"), col("id_b"), col("__block").as(blockCol),
-        (Similarity.dotDecimal(col("__va"), col("__vb")).cast("double") /
-          (col("__na") * col("__nb"))).as("cosine"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("__block").as(blockCol),
+        (Similarity.dotDecimal(col("__v_a"), col("__v_b")).cast("double") /
+          (col("__n_a") * col("__n_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -325,29 +369,7 @@ object Dedup {
         concat_ws(" ", slice(toks, 1, 2)).as("__block"),
         TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .transform(CacheScope.persistTracked) // both self-join sides reuse it
-    // Block sizes ride the same shuffle key as the pair join; the salt is a
-    // deterministic function of the id so re-runs partition identically.
-    val counts = keyed.groupBy("__block").agg(count(lit(1)).as("__cnt"))
-    val salted = keyed.join(counts, "__block")
-      .withColumn("__s",
-        greatest(lit(1), ceil(col("__cnt").cast("double") / maxBlock).cast("int")))
-      .withColumn("__u", pmod(hash(col("__id")), col("__s")))
-      .transform(CacheScope.persistTracked) // both tile sides reuse it
-    val a = salted
-      .withColumn("__j", explode(sequence(col("__u"), col("__s") - 1)))
-      .select(col("__block"), col("__u").as("__i"), col("__j"),
-        col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = salted
-      .withColumn("__i2", explode(sequence(lit(0), col("__u"))))
-      .select(col("__block").as("__block2"), col("__i2"), col("__u").as("__j2"),
-        col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b,
-        col("__block") === col("__block2") &&
-          col("__i") === col("__i2") && col("__j") === col("__j2") &&
-          // off-diagonal tiles carry each unordered pair once (sides have
-          // disjoint salts); the diagonal needs the usual ordering guard
-          (col("__i") < col("__j") || col("id_a") < col("id_b")))
+    tiledPairs(keyed, Seq("__sh"), maxBlock)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         // jaccard is symmetric: double addition commutes, so a swapped pair

@@ -48,11 +48,23 @@ object Similarity {
       lit(0).cast("decimal(38,18)"),
       (acc, v) => (acc + v).cast("decimal(38,18)"))
 
-  /** Σ aᵢ·bᵢ in plain double — fast codegen'd screen, NOT deterministic
-    * across summation orders; use only as a pre-filter with a safety margin
-    * before [[dotDecimal]] rescoring (64-term FP error ≤ ~1e-13).
+  /** Σ aᵢ·bᵢ in plain double — fast screen, NOT deterministic across
+    * summation orders; use only as a pre-filter with a safety margin before
+    * [[dotDecimal]] rescoring (64-term FP error ≤ ~1e-13). Backed by the
+    * native codegen'd [[graft.functions.VectorDotDouble]]: the higher-order
+    * fold form is CodegenFallback (interpreted), which is catastrophic when
+    * the screen runs per candidate pair inside a join condition.
     */
   def dotDouble(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function("vector_dot_double", a, b)
+      case None => dotDoubleExpr(a, b)
+    }
+
+  /** Pure-expression form of [[dotDouble]] — equivalence baseline. */
+  def dotDoubleExpr(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

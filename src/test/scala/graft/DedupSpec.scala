@@ -186,6 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(tiled.length == 60 * 59 / 2 + 1) // hot-block pairs + the cold pair
   }
 
+  test("embeddingNearDups tiling on a hot label block matches the untiled join") {
+    // one label holds 40 vectors (planted skew); cap 8 forces 5 salt
+    // groups — output must equal the effectively-untiled run exactly
+    val hot = (0 until 40).map { i =>
+      val base = Seq(1.0f + (i % 4), 2.0f, 3.0f + (i % 3))
+      (i.toLong, 0, if (i % 2 == 0) base else base.map(_ * 2.0f))
+    }
+    val df = (hot :+ ((900L, 1, Seq(9.0f, 1.0f, 1.0f)))).toDF("vec_id", "label", "embedding")
+    def run(cap: Int) = Dedup.embeddingNearDups(
+        df, "vec_id", "embedding", "label", 0.999, maxBlock = cap)
+      .as[(Long, Long, Int, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val tiled = run(8)
+    val plain = run(1000000)
+    assert(tiled == plain, s"tiled ${tiled.size} != plain ${plain.size}")
+    assert(tiled.nonEmpty, "planted co-directional pairs must be found")
+  }
+
   test("embedding near-dup finds planted co-directional vectors only") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 2.0f)),

@@ -71,6 +71,35 @@ class FunctionsSpec extends SparkSpec {
     assert(nan.isEmpty, "NaN product must be null, not a crash")
   }
 
+  test("native vector_dot_double is bit-identical to the expression form") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").as("b")))
+    val out = pairs.select(
+      graft.llm.Similarity.dotDouble(col("a"), col("b")).as("nat"),
+      graft.llm.Similarity.dotDoubleExpr(col("a"), col("b")).as("hof"))
+    assert(out.filter(!(col("nat") <=> col("hof"))).isEmpty,
+      "native and expression double dot products diverged")
+    // codegen-path edge semantics via parquet (no local-relation folding)
+    val edgeDir = java.nio.file.Files.createTempDirectory("graft-dotd-edge").toString
+    Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(1.0f)),       // length mismatch -> null
+      (2L, Seq(Float.NaN, 1.0f), Seq(1.0f, 1.0f)), // NaN propagates
+      (3L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)), // plain
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(edgeDir)
+    val rows = spark.read.parquet(edgeDir).select(col("id"),
+      graft.llm.Similarity.dotDouble(col("a"), col("b")).as("nat"),
+      graft.llm.Similarity.dotDoubleExpr(col("a"), col("b")).as("hof"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(rows.map(r => (r._1, r._2.map(_.isNaN))) == rows.map(r => (r._1, r._3.map(_.isNaN))))
+    assert(rows.filterNot(_._2.exists(_.isNaN)).map(r => (r._1, r._2)) ==
+      rows.filterNot(_._3.exists(_.isNaN)).map(r => (r._1, r._3)))
+    assert(rows(0)._2.isEmpty, "length mismatch must be null")
+    assert(rows(1)._2.exists(_.isNaN), "NaN must propagate like the fold")
+    assert(rows(2)._2.contains(11.0))
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)
