@@ -71,6 +71,17 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: shingle → signature → band buckets →
     * within-bucket candidates → exact-Jaccard verify ≥ `threshold`.
     */
+  /** (id, shingle-set) relation: tokenize, Spread (parallelism floor + a
+    * materialization barrier so `split()` is evaluated once per row, not
+    * inlined into the shingle lambda per element), shingle, drop empties.
+    */
+  private def shingled(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    Spread(docs.select(
+        col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks")))
+      .select(col("__id"), TextAnalysis.shingleSet(col("__toks"), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
@@ -82,10 +93,7 @@ object Dedup {
     // doubles it — ~10× recomputation of the most expensive stage. The
     // persisted relations are (id, shingles)/(id, band, bhash) — tiny
     // relative to the corpus, spillable to disk at scale.
-    val keyed = docs.select(
-        col(idCol).as("__id"),
-        TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val keyed = shingled(docs, idCol, textCol, shingleN)
       .transform(CacheScope.persistTracked)
     // Signature via explode + per-seed min aggregation: xxhash64 runs as a
     // codegen'd projection over shingle rows (inside the higher-order
@@ -142,10 +150,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val keyed = docs.select(
-        col(idCol).as("__id"),
-        TextAnalysis.shingleSet(TextAnalysis.tokens(col(textCol)), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val keyed = shingled(docs, idCol, textCol, shingleN)
       .transform(CacheScope.persistTracked)
     val (h1, h2) = md5Words(col("__shingle"))
     val exploded = keyed.select(col("__id"), explode(col("__sh")).as("__shingle"))
@@ -193,7 +198,8 @@ object Dedup {
     // token row and codegen'd HashAggregate bit sums, instead of the
     // interpreted 64×tokens higher-order fold in simhash64. Persisted: the
     // 4-chunk explode + self-join reuse it.
-    val tokRows = docs.select(col(idCol).as("__id"),
+    val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
       .withColumn("__th", xxhash64(col("__tok")))
     val bitSums = (0 until 64).map { i =>
@@ -233,7 +239,8 @@ object Dedup {
   def simhashPairsPortable(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val m = md5(col("__tok").cast("binary"))
-    val tokRows = docs.select(col(idCol).as("__id"),
+    val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
       .select(col("__id") +: (0 until 4).map(j =>
         conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
@@ -322,7 +329,7 @@ object Dedup {
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double, maxBlock: Int = 1000): DataFrame = {
-    val keyed = df.select(
+    val keyed = Spread(df).select(
       col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
       Similarity.l2Norm(col(vecCol)).as("__n"))
     // Two-phase scoring: a codegen'd native double-precision screen over
@@ -363,11 +370,12 @@ object Dedup {
   def blockedJaccard(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
       maxBlock: Int = 10000): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    val keyed = docs.select(
-        col(idCol).as("__id"),
-        concat_ws(" ", slice(toks, 1, 2)).as("__block"),
-        TextAnalysis.shingleSet(toks, shingleN).as("__sh"))
+    val keyed = Spread(docs.select(
+        col(idCol).as("__id"), TextAnalysis.tokens(col(textCol)).as("__toks")))
+      .select(
+        col("__id"),
+        concat_ws(" ", slice(col("__toks"), 1, 2)).as("__block"),
+        TextAnalysis.shingleSet(col("__toks"), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
     tiledPairs(keyed, Seq("__sh"), maxBlock)
       .select(least(col("id_a"), col("id_b")).as("id_a"),

@@ -32,7 +32,7 @@ object Ivf {
       nCells: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feat = corpus.select(
+    val feat = Spread(corpus).select(
         col(idCol), col(vecCol),
         array_to_vector(col(vecCol)).as("__feat"))
       .transform(CacheScope.persistTracked)

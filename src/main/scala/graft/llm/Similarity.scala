@@ -84,11 +84,13 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // Norms are per-vector, so compute them once per side before the
-    // pair join — per-pair work is then a single dot product.
+    // pair join — per-pair work is then a single dot product. Spread keeps
+    // the corpus-side pair scoring parallel even when the corpus parquet is
+    // a single byte-split.
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("__qv"),
       l2Norm(col(vecCol)).as("__qn")))
-    val scored = corpus
+    val scored = Spread(corpus)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
         l2Norm(col(vecCol)).as("__cn"))
       .join(q)
@@ -129,7 +131,7 @@ object Similarity {
   def annTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+    val cb = Spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -154,7 +156,7 @@ object Similarity {
   def annTopKMultiProbe(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+    val cb = Spread(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val bucket = lshBucket(col(vecCol), planes)
