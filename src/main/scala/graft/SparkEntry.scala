@@ -626,6 +626,12 @@ object SparkEntry {
       Dbf.writeDbf(src, out)
       ordered(Dbf.readDbf(s, s"$out/*.dbf"))
     },
+
+    // Native session_window sessionization (the Spark-idiomatic twin of
+    // q37's window/cumsum form; streaming variant in streaming/Events).
+    "q47_session_window" -> { (s, dir) =>
+      ordered(streaming.Events.sessionWindowAgg(Tables.events(s, dir)))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1294,5 +1300,28 @@ object SparkEntry {
       """SELECT CAST(doc_id AS VARCHAR) AS DOC_ID, lang AS LANG,
         |  source AS SOURCE, CAST(n_chars AS VARCHAR) AS N_CHARS
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // session_window boundary semantics match q37's cumsum form: a new
+    // session starts only when the gap EXCEEDS the threshold (verified
+    // empirically — exactly-gap spacing merges).
+    "q47_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS novo
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(novo) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sessao
+        |    , ts
+        |  FROM e)
+        |SELECT user_id, eventos, inicio, fim FROM (
+        |  SELECT user_id, sessao, count(*) AS eventos,
+        |    min(ts) AS inicio, max(ts) AS fim
+        |  FROM s GROUP BY 1, 2)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

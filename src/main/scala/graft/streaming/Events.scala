@@ -69,6 +69,22 @@ object Events {
       .select(cols.map(c => col(s"__graft_r.$c").as(c)): _*)
   }
 
+  /** Gap sessionization via Spark's NATIVE `session_window` operator — the
+    * idiomatic Spark form next to the window/cumsum [[sessionize]]: no
+    * running ordinal, sessions identified by their (user, start) instead.
+    * Boundary semantics match [[sessionize]]: a new session starts only
+    * when the gap EXCEEDS the threshold (exactly-gap spacing merges —
+    * verified empirically in `StreamingSpec`).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
+      .agg(
+        count(lit(1L)).as("eventos"),
+        min(col("ts")).as("inicio"),
+        max(col("ts")).as("fim"))
+      .select(col("user_id"), col("eventos"), col("inicio"), col("fim"))
+
   // ------------------------------------------------------------ streaming
 
   /** Streaming twin of [[ingestDedup]]: state bounded by the watermark;
@@ -95,6 +111,23 @@ object Events {
         col("janela.start").as("janela_inicio"),
         col("janela.end").as("janela_fim"),
         col("event_type"), col("eventos"), col("valor_total"))
+
+  /** Streaming twin of [[sessionWindowAgg]]: watermark-bounded native
+    * session windows — Spark merges and finalizes session state itself, no
+    * custom `flatMapGroupsWithState` needed (compare [[sessionizeStream]]).
+    * Sessions emit once the watermark passes their close (append mode).
+    */
+  def sessionWindowStream(
+      events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
+      .agg(
+        count(lit(1L)).as("eventos"),
+        min(col("ts")).as("inicio"),
+        max(col("ts")).as("fim"))
+      .select(col("user_id"), col("eventos"), col("inicio"), col("fim"))
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(sessao: Long, eventos: Long, inicioUs: Long, fimUs: Long)

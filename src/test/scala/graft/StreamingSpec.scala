@@ -113,6 +113,42 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("native session_window: batch matches cumsum form; stream emits closed sessions") {
+    // the sample includes an EXACTLY-30min spacing (user 7, 10:40 -> 11:10):
+    // both forms merge it, pinning the boundary semantics to strictly->
+    val df = sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val viaNative = Events.sessionWindowAgg(df)
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    val viaCumsum = Events.sessionize(df)
+      .select("user_id", "eventos", "inicio", "fim")
+      .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+    assert(viaNative == viaCumsum, s"native $viaNative\ncumsum $viaCumsum")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = Events.sessionWindowStream(
+        mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("sw_sessions").outputMode("append").start()
+    try {
+      mem.addData(sample)
+      q.processAllAvailable()
+      // watermark hasn't advanced past any session close yet
+      // second batch pushes the watermark (max ts 13:00 - 2h lateness)
+      // far enough to close user 7's morning session
+      mem.addData(Seq((9L, ts("2026-01-01 16:00:00"), 9L, "view", 1.0)))
+      q.processAllAvailable()
+      val closed = spark.table("sw_sessions")
+        .as[(Long, Long, Timestamp, Timestamp)].collect().toSet
+      // user 7: 10:05 alone (35min > gap to 10:40), then 10:40+11:10 merged
+      // (exactly 30min — merges under strictly-> semantics)
+      assert(closed.contains(
+        (7L, 1L, ts("2026-01-01 10:05:00"), ts("2026-01-01 10:05:00"))) &&
+        closed.contains(
+          (7L, 2L, ts("2026-01-01 10:40:00"), ts("2026-01-01 11:10:00"))),
+        s"user 7 sessions must close once the watermark passes: $closed")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap like the batch form") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
