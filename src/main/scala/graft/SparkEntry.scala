@@ -632,6 +632,25 @@ object SparkEntry {
     "q47_session_window" -> { (s, dir) =>
       ordered(streaming.Events.sessionWindowAgg(Tables.events(s, dir)))
     },
+
+    // Sequence packing for pretraining batches: per-language running token
+    // offsets → fixed-budget bin assignment (one window cumsum), plus the
+    // per-bin fill summary.
+    "q48_seq_packing" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        llm.TextAnalysis.estTokenCount(col("text")).as("tokens_est"))
+      val packed = llm.Curation.packSequences(docs, "doc_id", "lang", "tokens_est", 2048L)
+      ordered(llm.Curation.packingStats(packed, "lang", "tokens_est", 2048L))
+    },
+
+    // Deterministic stratified sampling: per-language keep rates via the
+    // portable md5 percent-hash — same doc always in or out, any engine.
+    "q49_stratified_sample" -> { (s, dir) =>
+      ordered(llm.Curation.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 37, "pt" -> 81), defaultRate = 55))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1322,6 +1341,27 @@ object SparkEntry {
         |  SELECT user_id, sessao, count(*) AS eventos,
         |    min(ts) AS inicio, max(ts) AS fim
         |  FROM s GROUP BY 1, 2)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q48_seq_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tokens_est
+        |  FROM documents),
+        |o AS (
+        |  SELECT lang, tokens_est,
+        |    coalesce(sum(tokens_est) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS bin,
+        |  count(*) AS docs, sum(tokens_est) AS tokens,
+        |  round(CAST(sum(tokens_est) AS DOUBLE) / 2048.0, 6) AS preenchimento
+        |FROM o GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q49_stratified_sample" ->
+      """SELECT * FROM documents
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < CASE lang WHEN 'en' THEN 37 WHEN 'pt' THEN 81 ELSE 55 END
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.Curation
+import graft.sources.Tables
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val docs = Tables.documents(spark, sfDir)
+    def run() = Curation.stratifiedSample(
+        docs, "doc_id", "lang", Map("en" -> 30), defaultRate = 70)
+      .select("doc_id").as[Long].collect().toSet
+    val a = run()
+    assert(a == run(), "same doc must always be in or out")
+    val byLang = Curation.stratifiedSample(
+        docs, "doc_id", "lang", Map("en" -> 30), defaultRate = 70)
+      .groupBy("lang").count()
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("total")), "lang")
+      .select(col("lang"), (col("count") * 100.0 / col("total")).as("pct"))
+      .as[(String, Double)].collect().toMap
+    byLang.foreach { case (lang, pct) =>
+      val want = if (lang == "en") 30.0 else 70.0
+      assert(math.abs(pct - want) < 15.0, s"$lang sampled at $pct%, wanted ~$want%")
+    }
+  }
+
+  test("packSequences assigns contiguous id-ordered bins per group") {
+    val docs = Seq(
+      (1L, "g", 1000L), (2L, "g", 1000L), (3L, "g", 1000L), (4L, "g", 1000L),
+      (10L, "h", 5000L), (11L, "h", 100L),
+    ).toDF("doc_id", "grp", "toks")
+    val packed = Curation.packSequences(docs, "doc_id", "grp", "toks", 2048L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // g: offsets 0,1000,2000,3000 -> bins 0,0,0(straddles; starts <2048),1
+    assert(packed(1L) == 0 && packed(2L) == 0 && packed(3L) == 0 && packed(4L) == 1)
+    // h: offsets 0,5000 -> bins 0,2 (big doc spans two whole budgets)
+    assert(packed(10L) == 0 && packed(11L) == 2)
+    // bins are contiguous runs in id order within a group
+    val gBins = Seq(1L, 2L, 3L, 4L).map(packed)
+    assert(gBins == gBins.sorted)
+  }
+
+  test("packingStats sums tokens and fill per bin") {
+    val docs = Seq((1L, "g", 1024L), (2L, "g", 1024L), (3L, "g", 512L))
+      .toDF("doc_id", "grp", "toks")
+    val stats = Curation.packingStats(
+        Curation.packSequences(docs, "doc_id", "grp", "toks", 2048L),
+        "grp", "toks", 2048L)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(stats == Seq(("g", 0L, 2L, 2048L, 1.0), ("g", 1L, 1L, 512L, 0.25)))
+  }
+}
