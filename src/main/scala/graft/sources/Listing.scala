@@ -14,16 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Listing {
 
-  private val LineRe = """(\d{2}-\d{2}-\d{2})\s+(\d{2}:\d{2}[APM]{2})\s+(\d+)\s+(.+)"""
+  private val LineRe = """^(\d{2}-\d{2}-\d{2})\s+(\d{2}:\d{2}[APM]{2})\s+(\d+)\s+(.+)"""
 
-  /** Parse listing lines into (data_modificacao, hora, tamanho, nome). */
+  /** Parse listing lines into (data_modificacao, hora, tamanho, nome).
+    *
+    * One anchored validity regex + one `split(limit=4)` instead of four
+    * `regexp_extract` evaluations of the same pattern per line (regex
+    * extraction reruns the whole match once per requested group — the
+    * grammar is whitespace-delimited with the name as trailing remainder,
+    * so a limited split recovers the groups in a single pass). Lines that
+    * don't match keep the reference regex semantics: empty strings, null
+    * size.
+    */
   def parseLines(df: DataFrame, lineCol: String): DataFrame = {
     val l = col(lineCol)
+    val valid = l.rlike(LineRe)
+    val parts = split(l, "\\s+", 4)
     df.withColumns(Map(
-      "data_modificacao" -> regexp_extract(l, LineRe, 1),
-      "hora" -> regexp_extract(l, LineRe, 2),
-      "tamanho" -> regexp_extract(l, LineRe, 3).cast("long"),
-      "nome_completo" -> regexp_extract(l, LineRe, 4),
+      "data_modificacao" -> when(valid, element_at(parts, 1)).otherwise(""),
+      "hora" -> when(valid, element_at(parts, 2)).otherwise(""),
+      "tamanho" -> when(valid, element_at(parts, 3)).otherwise(lit(null)).cast("long"),
+      "nome_completo" -> when(valid, element_at(parts, 4)).otherwise(""),
     ))
   }
 

@@ -110,6 +110,21 @@ class OperatorSpec extends SparkSpec {
     assert(batchSizes == Seq(2, 2), s"kernel saw $batchSizes")
   }
 
+  test("listing parse extracts fields from LIST lines; malformed lines go empty") {
+    val df = Seq(
+      "03-17-24 09:15AM 123456 PASP2403.dbc",
+      "03-17-24  09:15AM    77 name with spaces.dbc",
+      "total 42",          // malformed: no date
+      "",                  // malformed: empty
+    ).toDF("linha")
+    val out = graft.sources.Listing.parseLines(df, "linha")
+      .select("data_modificacao", "hora", "tamanho", "nome_completo")
+      .as[(String, String, Option[Long], String)].collect().toSeq
+    assert(out(0) == (("03-17-24", "09:15AM", Some(123456L), "PASP2403.dbc")))
+    assert(out(1) == (("03-17-24", "09:15AM", Some(77L), "name with spaces.dbc")))
+    assert(out(2) == (("", "", None, "")) && out(3) == (("", "", None, "")))
+  }
+
   test("decodeImage reads hand-built PNG and BMP payloads exactly") {
     // Hand-built 3x2 image with per-pixel distinct colors: the kernel must
     // report true dimensions, 3 RGB components, and the exact channel means.
