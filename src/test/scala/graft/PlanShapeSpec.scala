@@ -174,6 +174,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.collect().map(_.toSeq).toSet == plain)
   }
 
+  test("Spread floors partitioning for narrow scans and no-ops on wide inputs") {
+    val docs = graft.sources.Tables.documents(spark, sfDir) // 1 file, 1 split
+    val spreadPartitions = graft.llm.Spread(docs).rdd.getNumPartitions
+    assert(spreadPartitions == spark.sparkContext.defaultParallelism,
+      s"narrow scan must be repartitioned, got $spreadPartitions")
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(graft.llm.Spread(wide).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism * 2,
+      "already-wide inputs must not be narrowed")
+    // the q26 map side must carry the exchange (the scale fix this pins)
+    val plan = planString(SparkEntry.queries("q26_minhash_lsh")(spark, sfDir))
+    assert(plan.contains("Exchange RoundRobinPartitioning") ||
+      plan.contains("Exchange roundrobin"),
+      s"Spread exchange missing from q26's plan:\n$plan")
+  }
+
   test("q22 rollup aggregates partially before the shuffle") {
     val plan = planString(SparkEntry.queries("q22_metadata_rollup")(spark, sfDir))
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
