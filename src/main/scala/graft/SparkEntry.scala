@@ -473,12 +473,12 @@ object SparkEntry {
     // CodegenFallback); the groupBy collapses map-side to one row per doc
     // since each doc's shingles never span partitions.
     "q34_fingerprint" -> { (s, dir) =>
-      // Spread: parallelism floor for the CPU-bound shingle/md5 map side,
-      // plus an Exchange so tokenization isn't re-inlined per shingle index.
-      val exploded = llm.Spread(Tables.documents(s, dir)
-          .select(col("doc_id"), llm.TextAnalysis.tokens(col("text")).as("__toks")))
+      // Spread: parallelism floor for the CPU-bound shingle/md5 map side;
+      // native word_shingles keeps the whole projection codegen'd.
+      val exploded = llm.Spread(Tables.documents(s, dir).select("doc_id", "text"))
         .select(col("doc_id"),
-          explode_outer(llm.TextAnalysis.shingleSet(col("__toks"), 3)).as("shingle"))
+          explode_outer(llm.TextAnalysis.shingleSetSorted(
+            llm.TextAnalysis.tokens(col("text")), 3)).as("shingle"))
       ordered(exploded.groupBy("doc_id").agg(
         min(md5(col("shingle").cast("binary"))).as("impressao_digital"),
         count(col("shingle")).as("n_shingles"),

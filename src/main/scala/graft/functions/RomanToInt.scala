@@ -87,7 +87,7 @@ object GraftFunctions {
 
   private[functions] def descriptors = Seq(
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
-    MightContain.descriptor)
+    MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

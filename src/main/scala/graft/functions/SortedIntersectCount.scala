@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** |A ∩ B| for two SORTED-ascending, distinct, null-free string arrays —
+  * a single merge walk per pair instead of `size(array_intersect(a, b))`'s
+  * per-call hash-set build. This is the inner loop of exact Jaccard
+  * verification over candidate pairs (q26/q28): the pair volume is the
+  * O(n²)-within-block term, so per-pair constant factors dominate the
+  * whole stage at scale.
+  *
+  * PRECONDITION (caller-enforced, see `Dedup.shingled`): both arrays
+  * sorted ascending with distinct non-null elements. Unsorted input
+  * silently undercounts — this function is deliberately not registered
+  * for general SQL use beyond the graft registry.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernel (separate object so codegen sees a Java static call). */
+object ArrayOps {
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
+object SortedIntersectCount {
+  private[functions] val descriptor = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+    (children: Seq[Expression]) =>
+      SortedIntersectCount(children.head, children(1)): Expression,
+  )
+}

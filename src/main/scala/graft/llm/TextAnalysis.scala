@@ -89,6 +89,21 @@ object TextAnalysis {
   /** Distinct-shingle set (dedup/Jaccard building block). */
   def shingleSet(toks: Column, n: Int): Column = array_distinct(shingles(toks, n))
 
+  /** Distinct SORTED shingle set via the native codegen'd
+    * [[graft.functions.WordShingles]] — one static call per doc; the
+    * higher-order form is CodegenFallback and re-evaluates the token
+    * expression per shingle index once projections collapse (O(tokens²)
+    * interpreted). Equals `sort_array(shingleSet(toks, n))`; sorted output
+    * feeds the merge-walk Jaccard.
+    */
+  def shingleSetSorted(toks: Column, n: Int): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.GraftFunctions.register(s)
+        call_function("word_shingles", toks, lit(n))
+      case None => sort_array(shingleSet(toks, n))
+    }
+
   /** Document fingerprint: the minimum md5 over word 3-shingles — a
     * winnowing-style content signature that is stable under reordering of
     * document chunks and reproducible cross-engine (md5 is standard).

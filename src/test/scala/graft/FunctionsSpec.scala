@@ -100,6 +100,45 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(2)._2.contains(11.0))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(200) { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}")
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-sic").toString
+    rows.toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    GraftFunctions.register(spark)
+    val out = spark.read.parquet(dir).select(
+        call_function("sorted_intersect_count", col("a"), col("b")).as("nat"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(out.isEmpty, s"diverged: ${out.collect().toSeq}")
+    // empty arrays
+    val e = Seq((Seq.empty[String], Seq("x"))).toDF("a", "b")
+      .select(call_function("sorted_intersect_count", col("a"), col("b")))
+      .as[Long].head()
+    assert(e == 0L)
+  }
+
+  test("native word_shingles equals sort_array(array_distinct(transform-shingles))") {
+    val rnd = new scala.util.Random(7)
+    val texts = Seq("", "one", "one two", "a a a a a", "x y z x y z x y") ++
+      Seq.tabulate(100)(_ =>
+        Seq.fill(rnd.nextInt(25))(s"w${rnd.nextInt(8)}").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shingle").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").write.mode("overwrite").parquet(dir)
+    GraftFunctions.register(spark)
+    val toks = graft.llm.TextAnalysis.tokens(col("text"))
+    val out = spark.read.parquet(dir).select(
+        graft.llm.TextAnalysis.shingleSetSorted(toks, 3).as("nat"),
+        sort_array(graft.llm.TextAnalysis.shingleSet(toks, 3)).as("ref"))
+      .filter(!(col("nat") <=> col("ref")))
+    assert(out.isEmpty, s"diverged: ${out.collect().toSeq.take(3)}")
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)
