@@ -444,7 +444,9 @@ object SparkEntry {
     "q31_lang_id" -> { (s, dir) =>
       val toks = llm.TextAnalysis.tokens(col("text"))
       val (scores, pred) = llm.TextAnalysis.langId(toks)
-      ordered(Tables.documents(s, dir).select(
+      // Spread: the marker-score lambdas are interpreted (higher-order) —
+      // keep them parallel on narrow scans.
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
         col("doc_id") +:
           scores.map { case (lang, sc) => sc.cast("long").as(s"score_$lang") } :+
           pred.as("lang_pred"): _*))
@@ -452,14 +454,14 @@ object SparkEntry {
 
     // §2 row 32 — quality scoring from length/punct/digit/stopword ratios.
     "q32_quality_score" -> { (s, dir) =>
-      ordered(Tables.documents(s, dir).select(
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
         col("doc_id"),
         llm.TextAnalysis.qualityScore(col("text")).as("qualidade")))
     },
 
     // §2 row 33 — token counting: whitespace, BPE-ish regex, chars/4.
     "q33_token_count" -> { (s, dir) =>
-      ordered(Tables.documents(s, dir).select(
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
         col("doc_id"),
         llm.TextAnalysis.wsTokenCount(col("text")).as("tokens_ws"),
         llm.TextAnalysis.bpeTokenCount(col("text")).as("tokens_bpe"),
@@ -597,7 +599,9 @@ object SparkEntry {
     // decoded width/height/channels/means from the SAME source columns, so
     // a decode that lies about dimensions or pixel content hash-mismatches.
     "q45_image_decode" -> { (s, dir) =>
-      val src = Tables.documents(s, dir).select(
+      // Spread: the encode/decode kernels are pure CPU per row — a single
+      // byte-split input would serialize them.
+      val src = llm.Spread(Tables.documents(s, dir)).select(
         col("doc_id"),
         (pmod(col("doc_id"), lit(16)) + 1).cast("int").as("larg"),
         (pmod(col("n_chars").cast("long"), lit(16)) + 1).cast("int").as("alt"),
