@@ -245,8 +245,11 @@ object Dedup {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair, so
+      // duplicates agree on it — and most candidates fail the cut, so the
+      // dedup shuffle carries survivors only
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** [[simhashPairs]] with portable hashing: the 64-bit token hash is the
@@ -290,8 +293,9 @@ object Dedup {
         col("band") === col("__b2") && col("bhash") === col("__h2") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
-      .distinct()
+      // filter before distinct — see simhashPairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Skew-bounded within-block pair generation, shared by the exact
