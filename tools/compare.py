@@ -21,7 +21,13 @@ def norm(v):
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
-        return "[" + ",".join(norm(x) for x in v) + "]"
+        # The DRIVER's harness sorts rows via pandas, which cannot hash
+        # list/array cells (q45 failed there in round 4 while passing here
+        # because this function stringified lists). Mirror the driver: an
+        # array-typed output column is a contract violation, fail loudly.
+        raise TypeError(
+            "array-typed output column — the driver's pandas compare cannot "
+            "hash arrays; flatten to scalar columns")
     return str(v)
 
 
