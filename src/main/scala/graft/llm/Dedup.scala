@@ -210,13 +210,25 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit chunks (any shared chunk →
     * candidate; Hamming ≤ 3 over 4 chunks guarantees one equal chunk by
     * pigeonhole), verify `bit_count(xor) <= maxHamming`.
+    *
+    * Skew bound: the blocking keyspace is only 4 bands × 65,536 chunk
+    * values, and chunk values are NOT uniform (bit sums are majority votes
+    * over token hashes — topically similar corpora pile into few values).
+    * Past a few million docs the hottest buckets hold thousands of rows and
+    * a plain within-bucket self-join goes quadratic in single tasks, so
+    * oversized buckets are routed through the exact pair-space tiling
+    * ([[tiledPairs]]) — identical output, per-tile work capped at
+    * ~maxBlock².
     */
   def simhashPairs(
-      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      maxBlock: Int = 10000): DataFrame = {
     // Simhash via explode + 64 signed-bit sums: one codegen'd xxhash64 per
     // token row and codegen'd HashAggregate bit sums, instead of the
     // interpreted 64×tokens higher-order fold in simhash64. Persisted: the
-    // 4-chunk explode + self-join reuse it.
+    // block counts and both tile sides re-derive the banded explode from
+    // this compact per-doc signature (cheaper to cache than the 4x-banded
+    // rows — tiledPairs runs with cache=false).
     val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(col("__id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
@@ -231,19 +243,16 @@ object Dedup {
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("__sim"))
       .transform(CacheScope.persistTracked)
-    val chunked = sh.select(col("__id"), col("__sim"),
+    // Band j's 16-bit chunk, offset into a per-band-disjoint block keyspace.
+    val keyed = sh.select(col("__id"), col("__sim"),
       explode(array((0 until 4).map { j =>
-        struct(lit(j).as("band"),
-          shiftright(col("__sim"), j * 16).bitwiseAND(0xFFFFL).as("bhash"))
-      }: _*)).as("bb"))
-      .select(col("__id"), col("__sim"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val a = chunked.select(col("band"), col("bhash"), col("__id").as("id_a"), col("__sim").as("__sim_a"))
-    val b = chunked.select(col("band").as("__b2"), col("bhash").as("__h2"),
-      col("__id").as("id_b"), col("__sim").as("__sim_b"))
-    a.join(b,
-        col("band") === col("__b2") && col("bhash") === col("__h2") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+        lit(j.toLong * 65536L) +
+          shiftright(col("__sim"), j * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as("__block"))
+    tiledPairs(keyed, Seq("__sim"), maxBlock, cache = false)
+      // hamming is symmetric, so the id normalization cannot change it
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
       // filter BEFORE distinct: hamming is a pure function of the pair, so
       // duplicates agree on it — and most candidates fail the cut, so the
@@ -259,7 +268,8 @@ object Dedup {
     * blocking → Hamming verify) is reproducible by the DuckDB oracle.
     */
   def simhashPairsPortable(
-      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      maxBlock: Int = 10000): DataFrame = {
     val m = md5(col("__tok").cast("binary"))
     val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(col("__id"),
@@ -275,24 +285,24 @@ object Dedup {
     val sh = tokRows.groupBy("__id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("__id") +: chunkVals: _*)
-      .transform(CacheScope.persistTracked) // 4-chunk explode + self-join reuse it
+      // counts + both tile sides re-derive the banded explode from this
+      // compact signature (tiledPairs runs with cache=false)
+      .transform(CacheScope.persistTracked)
     val vCols = (0 until 4).map(j => col(s"__v$j"))
-    val chunked = sh.select(col("__id") +: vCols :+
-        explode(array((0 until 4).map { j =>
-          struct(lit(j).as("band"), col(s"__v$j").as("bhash"))
-        }: _*)).as("bb"): _*)
-      .select(col("__id") +: vCols :+ col("bb.band").as("band") :+ col("bb.bhash").as("bhash"): _*)
-    val a = chunked.select(col("band") +: col("bhash") +: col("__id").as("id_a") +:
-      (0 until 4).map(j => col(s"__v$j").as(s"__va$j")): _*)
-    val b = chunked.select(col("band").as("__b2") +: col("bhash").as("__h2") +:
-      col("__id").as("id_b") +: (0 until 4).map(j => col(s"__v$j").as(s"__vb$j")): _*)
+    // Band j's chunk value, offset into a per-band-disjoint block keyspace;
+    // oversized buckets route through the exact tiling (see simhashPairs).
+    val keyed = sh.select(col("__id") +: vCols :+
+      explode(array((0 until 4).map { j =>
+        lit(j.toLong * 65536L) + col(s"__v$j")
+      }: _*)).as("__block"): _*)
     val hamming = (0 until 4).map(j =>
-        bit_count(col(s"__va$j").bitwiseXOR(col(s"__vb$j")).cast("long")))
+        bit_count(col(s"__v${j}_a").bitwiseXOR(col(s"__v${j}_b")).cast("long")))
       .reduce(_ + _).cast("int")
-    a.join(b,
-        col("band") === col("__b2") && col("bhash") === col("__h2") &&
-          col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    tiledPairs(keyed, (0 until 4).map(j => s"__v$j"), maxBlock, cache = false)
+      // hamming is symmetric — unaffected by the id normalization
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        hamming.as("hamming"))
       // filter before distinct — see simhashPairs
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -315,17 +325,34 @@ object Dedup {
     * Emitted pairs are NOT id-ordered on off-diagonal tiles — callers
     * emit `least/greatest(id_a, id_b)` (their scores are symmetric).
     * Payload columns come back suffixed `_a` / `_b`.
+    *
+    * `cache=false` skips persisting `keyed` — for callers whose `keyed` is
+    * a cheap projection/explode over an input THEY already persist
+    * (simhash: caching the compact per-doc signature beats caching its
+    * 4x-banded explode). Callers with expensive uncached upstreams
+    * (tokenize/shingle) keep the default: counts and both tile sides read
+    * `keyed`, and its upstream must run once, not three times.
     */
   private[llm] def tiledPairs(
-      keyed: DataFrame, payload: Seq[String], maxBlock: Int): DataFrame = {
-    // Block sizes ride the same shuffle key as the pair join; the salt is a
-    // deterministic function of the id so re-runs partition identically.
-    val counts = keyed.groupBy("__block").agg(count(lit(1)).as("__cnt"))
-    val salted = keyed.join(counts, "__block")
-      .withColumn("__s",
-        greatest(lit(1), ceil(col("__cnt").cast("double") / maxBlock).cast("int")))
+      keyed: DataFrame, payload: Seq[String], maxBlock: Int,
+      cache: Boolean = true): DataFrame = {
+    val cached = if (cache) CacheScope.persistTracked(keyed) else keyed
+    // Only OVERSIZED blocks need a salt factor, and there are at most
+    // rows/maxBlock of them — broadcast that tiny table instead of
+    // shuffle-joining every row against every block's count. Cold rows
+    // (S=1, the overwhelming majority) then pay exactly the plain
+    // self-join's shuffle volume: an earlier all-blocks count join tripled
+    // shuffled bytes and made the no-skew case ~2.5x slower at sf1. The
+    // count aggregation itself is map-side-combined per block key — cheap.
+    val hot = cached.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > maxBlock)
+      .select(col("__block"),
+        ceil(col("__cnt").cast("double") / maxBlock).cast("int").as("__hs"))
+    // The salt is a deterministic function of the id so re-runs partition
+    // identically.
+    val salted = cached.join(broadcast(hot), Seq("__block"), "left_outer")
+      .withColumn("__s", coalesce(col("__hs"), lit(1)))
       .withColumn("__u", pmod(hash(col("__id")), col("__s")))
-      .transform(CacheScope.persistTracked) // both tile sides reuse it
     val a = salted
       .withColumn("__j", explode(sequence(col("__u"), col("__s") - 1)))
       .select(col("__block") +: col("__u").as("__i") +: col("__j") +:

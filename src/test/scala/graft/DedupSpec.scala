@@ -166,6 +166,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("simhash tiling on a planted hot bucket matches the unsalted join") {
+    // 40 identical docs collapse into ONE bucket in all 4 bands (planted
+    // saturation of the 16-bit chunk keyspace); cap 8 forces 5 salt groups
+    // per band. Both variants' tiled output must equal the huge-cap
+    // (effectively unsalted) run pair-for-pair.
+    val hot = (0 until 40).map(i => (i.toLong, "spark scans parquet files fast"))
+    val cold = Seq(
+      (900L, "totally different content entirely"),
+      (901L, "another unrelated text corpus now"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    def runPortable(cap: Int) = Dedup.simhashPairsPortable(
+        docs, "doc_id", "text", maxHamming = 3, maxBlock = cap)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    def runXx(cap: Int) = Dedup.simhashPairs(
+        docs, "doc_id", "text", maxHamming = 3, maxBlock = cap)
+      .as[(Long, Long, Int)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val tiledP = runPortable(8)
+    assert(tiledP == runPortable(1000000),
+      "portable tiled output must equal the unsalted join exactly")
+    assert(tiledP.count(p => p._1 < 40L && p._2 < 40L) == 40 * 39 / 2,
+      "every planted identical pair emitted exactly once at hamming 0")
+    assert(tiledP.map(p => (p._1, p._2)).distinct.length == tiledP.length,
+      "tiling must not duplicate pairs")
+    assert(runXx(8) == runXx(1000000),
+      "xxhash tiled output must equal the unsalted join exactly")
+  }
+
   test("blockedJaccard tiling on a planted hot block matches the unsalted join") {
     // 60 docs share the block key "the quick" (a planted Zipf-hot block);
     // cap 8 forces S = ceil(60/8) = 8 salt groups and 36 pair tiles. The
