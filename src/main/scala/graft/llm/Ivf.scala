@@ -10,40 +10,60 @@ import org.apache.spark.sql.functions._
   * centroid-partitioned scale path next to the hyperplane-LSH variant in
   * [[Similarity]].
   *
-  * Index: k-means centroids over the corpus; every corpus vector lives in
-  * exactly one centroid cell. Query: score the `nProbe` nearest centroids
+  * Index: k-means centroids trained on a deterministic SAMPLE of the
+  * corpus; every corpus vector is then assigned to exactly one centroid
+  * cell (one map-side pass). Query: score the `nProbe` nearest centroids
   * per query (tiny broadcast cross — |centroids| rows), then score corpus
   * vectors only inside the probed cells (equi-join on cell id — shuffle
   * linear in rows, never an all-pairs product) and take the exact-cosine
   * top-k. Recall grows with `nProbe` at proportional candidate cost; the
   * scalatest suite measures it against [[Similarity.bruteForceTopK]].
   *
-  * At 100 TB the index is trained once on a sample, cells are written
-  * bucketed by cell id, and probes prune whole cells at the source.
+  * At 100 TB the index is built ONCE ([[index]] → [[IvfIndex]]) and reused
+  * across query batches; cells are written bucketed by cell id and probes
+  * prune whole cells at the source.
   */
 object Ivf {
 
-  /** Centroid cells for the corpus: (cell DataFrame tagged per row,
-    * centroid table (cell_id, centroid array<double>)). Deterministic for a
-    * fixed seed.
+  /** Reusable IVF index: the cell-tagged corpus and the centroid table.
+    * Build once with [[index]], route any number of query batches through
+    * [[ivfTopK]] — re-fitting k-means per query batch would dominate every
+    * other cost at scale.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Build the index. K-means TRAINS on a deterministic `samplePct`-percent
+    * sample of the corpus (md5 percent-hash of the id — reproducible, no
+    * executor RNG state): the fit is a 20-iteration driver-coordinated job,
+    * and running it over the full corpus is the dominant cost at scale
+    * while adding nothing — sample-estimated centroids converge to the same
+    * cells. ASSIGNMENT stays full-corpus. Tiny corpora, where the sample
+    * couldn't support `nCells` clusters, fall back to fitting on everything
+    * (fit cost is irrelevant there).
     */
   def index(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L): (DataFrame, DataFrame) = {
+      nCells: Int, seed: Long = 42L, samplePct: Int = 10): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val feat = Spread(corpus).select(
-        col(idCol), col(vecCol),
-        array_to_vector(col(vecCol)).as("__feat"))
+      col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("__feat"))
+    // k-means iterates over its training set — persist the (small) sample,
+    // never the full corpus
+    val sampled = feat.filter(Curation.pctHash(col(idCol)) < samplePct)
       .transform(CacheScope.persistTracked)
+    val trainSet =
+      if (sampled.count() >= nCells.toLong * 4L) sampled
+      else feat.transform(CacheScope.persistTracked)
     val model = new KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(feat)
+      .fit(trainSet)
     val assigned = model.transform(feat).drop("__feat")
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i, v.toArray) }
       .toDF("__cell", "__centroid")
-    (assigned, centroids)
+    IvfIndex(assigned, centroids)
   }
 
   /** Squared euclidean distance between a float vector and a double
@@ -58,12 +78,11 @@ object Ivf {
       }),
       lit(0.0), (acc, x) => acc + x)
 
-  /** ANN top-k through the IVF index. */
+  /** ANN top-k through a prebuilt (reusable) index. */
   def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val (assigned, centroids) = index(corpus, idCol, vecCol, nCells, seed)
-    val cells = assigned.select(
+      idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cells = idx.assigned.select(
       col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"), col("__cell"))
 
@@ -71,7 +90,7 @@ object Ivf {
     // over a broadcast centroid table — negligible)
     val qd = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         Similarity.l2Norm(col(vecCol)).as("__qn"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(idx.centroids))
       .withColumn("__dist", sqDist(col("__qv"), col("__centroid")))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("__dist").asc, col("__cell").asc)
@@ -88,4 +107,14 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Convenience: build the (sampled-fit) index and query it in one call.
+    * Long-lived users should build the index once and reuse it.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      samplePct: Int = 10): DataFrame =
+    ivfTopK(index(corpus, idCol, vecCol, nCells, seed, samplePct),
+      queries, idCol, vecCol, k, nProbe)
 }

@@ -72,6 +72,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@$k = $recall")
   }
 
+  test("IVF index: sampled fit assigns EVERY corpus row and the handle is reusable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.llm.Ivf.index(emb, "vec_id", "embedding", nCells = 8)
+    assert(idx.assigned.count() == emb.count(), "every corpus vector gets a cell")
+    val cells = idx.assigned.select("__cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+    // Reuse: a query batch through the prebuilt index must match the
+    // one-shot convenience path with identical parameters (fixed seed +
+    // deterministic sample → bit-identical centroids, no re-fit needed).
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val viaIndex = graft.llm.Ivf.ivfTopK(idx, q, "vec_id", "embedding", 5, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = graft.llm.Ivf.ivfTopK(emb, q, "vec_id", "embedding", 5, nCells = 8, nProbe = 4)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaIndex == oneShot, "prebuilt-index results equal the one-shot path")
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
