@@ -16,6 +16,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Per-JVM-unique scratch root for every directory the engine writes
+    * outside the caller's control (warehouse, staged swaps, DBF dumps).
+    * Concurrent graft JVMs — a verify dump overlapping a bench retry — must
+    * not race on a shared fixed path: q06's staged-swap `renameTo` fails if
+    * another process re-creates the live dir mid-swap. Removed on JVM exit.
+    */
+  lazy val scratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively(): Unit
+    }))
+    dir.toString
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
@@ -24,8 +39,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      .config("spark.sql.warehouse.dir", s"$scratchRoot/warehouse")
       .config("spark.ui.enabled", "false")
 
   def create(cores: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

@@ -274,7 +274,7 @@ object SparkEntry {
     "q04_stage_roundtrip" -> { (s, dir) =>
       val staged = Staging.stageRoundtrip(
         s, Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
-        s"${System.getProperty("java.io.tmpdir")}/graft-stage/orders")
+        s"${GraftSession.scratchRoot}/graft-stage/orders")
       ordered(staged.groupBy("o_orderstatus").agg(
         count(lit(1L)).as("pedidos"),
         sum(col("o_totalprice").cast("decimal(28,2)")).cast("double").as("valor_total"),
@@ -286,7 +286,7 @@ object SparkEntry {
     // (chunk = write partition; swap ParquetSink for JdbcSink to hit a DB).
     "q05_bulk_load" -> { (s, dir) =>
       val sink = new ParquetSink(
-        s"${System.getProperty("java.io.tmpdir")}/graft-stage", Some("chunk"))
+        s"${GraftSession.scratchRoot}/graft-stage", Some("chunk"))
       val chunked = Tables.orders(s, dir)
         .withColumn("chunk", (col("o_orderkey") % 8).cast("int"))
       sink.overwrite(chunked, "orders_chunked")
@@ -304,7 +304,7 @@ object SparkEntry {
       val target = o.filter(col("o_orderkey") % 3 =!= 0)
       val incoming = o.filter(col("o_orderkey") % 2 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
-      val sink = new ParquetSink(s"${System.getProperty("java.io.tmpdir")}/graft-sink")
+      val sink = new ParquetSink(s"${GraftSession.scratchRoot}/graft-sink")
       sink.overwrite(target, "orders_upsert")
       sink.upsert(s, incoming, "orders_upsert", Seq("o_orderkey"))
       ordered(sink.read(s, "orders_upsert"))
@@ -633,7 +633,7 @@ object SparkEntry {
         col("lang").as("LANG"),
         col("source").as("SOURCE"),
         col("n_chars").cast("string").as("N_CHARS"))
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft-dbf/documents"
+      val out = s"${GraftSession.scratchRoot}/graft-dbf/documents"
       Dbf.writeDbf(src, out)
       ordered(Dbf.readDbf(s, s"$out/*.dbf"))
     },

@@ -11,11 +11,11 @@ import org.apache.spark.sql.DataFrame
   * Repartitioning to the default parallelism costs one shuffle of the raw
   * rows — trivial next to the per-row compute it unlocks.
   *
-  * The introduced Exchange has a second, equally important effect: it is an
-  * optimizer barrier, so an expensive projection below it (tokenization) is
-  * MATERIALIZED once per row instead of being inlined by CollapseProject
-  * into every reference in downstream lambda bodies (a shingle `transform`
-  * that re-ran `split()` per element turned O(tokens) docs into O(tokens²)).
+  * Note the Exchange is NOT an optimizer barrier: CollapseProject collapses
+  * projections straight through Repartition (measured — see SURVEY §4), so
+  * an expensive expression below the shuffle still re-inlines into every
+  * downstream reference. Stopping recomputation takes `persist()` or a
+  * native expression; Spread only fixes parallelism.
   *
   * No-op when the input is already wider — a 100 TB scan arrives with
   * thousands of splits and must not be narrowed.

@@ -64,6 +64,10 @@ final class ParquetSink(root: String, chunkCol: Option[String] = None) extends S
     val (live, tmp) = (new java.io.File(path(table)), new java.io.File(path(staging)))
     import scala.reflect.io.Directory
     new Directory(live).deleteRecursively()
+    // Distinguish "couldn't clear the live dir" (a lingering handle or a
+    // concurrent writer) from a failed rename — a bare renameTo=false hides
+    // which side broke.
+    require(!live.exists(), s"could not clear live dir ${path(table)} for swap")
     require(tmp.renameTo(live), s"staging swap failed for ${path(table)}")
   }
 }
@@ -93,6 +97,16 @@ final class JdbcSink(
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.jdbc(url, table, properties)
 
+  /** NOT atomic across the two phases: the batched DELETEs and the
+    * distributed append run on separate connections (one per executor
+    * task), so a reader can observe the keys-deleted-not-yet-reinserted
+    * window — unlike the reference, whose single-connection
+    * DELETE+COPY shares one transaction. A distributed write cannot share
+    * one DB transaction; the operation IS idempotent (re-running the same
+    * upsert converges), and exactly-once visibility, where required, comes
+    * from loading into a staging table and swapping with one
+    * `ALTER/RENAME` on the target DB.
+    */
   def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
     val (u, props, bs) = (url, properties, batchSize) // don't close over `this`
     // Spark's JDBC writer creates columns with dialect-quoted (case-exact)
