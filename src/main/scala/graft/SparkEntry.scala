@@ -623,10 +623,11 @@ object SparkEntry {
         element_at(col("recursos"), 4).as("media_luma")))
     },
 
-    // REAL binary DBF round-trip (the record layer of DATASUS .dbc files):
-    // genuine dBase III bytes written one file per partition, read back
-    // through the binaryFile-source reader with per-file header parsing.
-    // The oracle predicts every decoded value from the source columns.
+    // REAL binary .dbc round-trip (the full DATASUS container): genuine
+    // dBase III bytes PKWare-imploded one file per partition, read back
+    // through the binaryFile-source reader with per-file header parse +
+    // implode decompression (sources/PkImplode). The oracle predicts every
+    // decoded value from the source columns.
     "q46_dbf_roundtrip" -> { (s, dir) =>
       val src = Tables.documents(s, dir).select(
         col("doc_id").cast("string").as("DOC_ID"),
@@ -634,8 +635,8 @@ object SparkEntry {
         col("source").as("SOURCE"),
         col("n_chars").cast("string").as("N_CHARS"))
       val out = s"${GraftSession.scratchRoot}/graft-dbf/documents"
-      Dbf.writeDbf(src, out)
-      ordered(Dbf.readDbf(s, s"$out/*.dbf"))
+      Dbf.writeDbc(src, out)
+      ordered(Dbf.readDbc(s, s"$out/*.dbc"))
     },
 
     // Native session_window sessionization (the Spark-idiomatic twin of

@@ -9,12 +9,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Reference ingests DATASUS `.dbc` files — a DBF table whose record block
   * is PKWare-DCL-compressed — in record batches (`extrair_dbc_lotes`,
-  * utilitarios/datasus_ftp.py:142). The DBF layer here is REAL: binary
-  * header + field-descriptor parsing, fixed-width record decode, deleted-
-  * row flags, ISO-8859-1 text (DATASUS codepage). The `.dbc`
-  * DECOMPRESSION step (PKWare Data Compression Library "implode") is NOT
-  * implemented — files must be decompressed upstream; [[readDbf]] then
-  * scales out over the resulting `.dbf` files, one partition per file.
+  * utilitarios/datasus_ftp.py:142). Both layers are REAL: binary header +
+  * field-descriptor parsing, fixed-width record decode, deleted-row flags,
+  * ISO-8859-1 text (DATASUS codepage), and the `.dbc` container via
+  * [[PkImplode]] ([[readDbc]]/[[writeDbc]]). A `.dbc` file is the raw DBF
+  * header (its size at bytes 8–9), a 4-byte CRC32 of the record block,
+  * then the imploded record block; decompression is per FILE inside the
+  * distributed decode, one partition per file.
   *
   * Scale shape: header parse happens once per FILE (driver reads only the
   * first header to fix the schema); record decode runs distributed via the
@@ -87,13 +88,56 @@ object Dbf {
     out.result()
   }
 
+  /** Expand a `.dbc` byte image into the equivalent `.dbf` image: raw
+    * header (size at bytes 8–9), skip the 4-byte record-block CRC32, then
+    * explode the imploded record block.
+    */
+  def dbcToDbf(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 32, "truncated .dbc: no header")
+    val headerSize = u16le(bytes, 8)
+    require(bytes.length >= headerSize + 4, "truncated .dbc: no record block")
+    val records = PkImplode.explode(
+      java.util.Arrays.copyOfRange(bytes, headerSize + 4, bytes.length))
+    val out = java.util.Arrays.copyOf(bytes, headerSize + records.length)
+    System.arraycopy(records, 0, out, headerSize, records.length)
+    out
+  }
+
+  /** Pack a `.dbf` byte image into `.dbc`: header + record-block CRC32 +
+    * imploded record block.
+    */
+  def dbfToDbc(bytes: Array[Byte]): Array[Byte] = {
+    val headerSize = u16le(bytes, 8)
+    val records = java.util.Arrays.copyOfRange(bytes, headerSize, bytes.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(records)
+    val packed = PkImplode.implode(records)
+    val out = new ByteArrayOutputStream(headerSize + 4 + packed.length)
+    out.write(bytes, 0, headerSize)
+    val c = crc.getValue
+    out.write((c & 0xFF).toInt); out.write(((c >> 8) & 0xFF).toInt)
+    out.write(((c >> 16) & 0xFF).toInt); out.write(((c >> 24) & 0xFF).toInt)
+    out.write(packed, 0, packed.length)
+    out.toByteArray
+  }
+
   /** Read a directory/glob of `.dbf` files as a DataFrame — schema fixed by
     * the first file's header (read once, driver-side), records decoded
     * distributed with one partition per file via the `binaryFile` source.
     * Files may disagree on field WIDTHS (per-file headers are re-parsed)
     * but must agree on field names/order.
     */
-  def readDbf(spark: SparkSession, path: String): DataFrame = {
+  def readDbf(spark: SparkSession, path: String): DataFrame =
+    readBinary(spark, path, ".dbf", compressed = false)
+
+  /** [[readDbf]] for compressed `.dbc` files: per-file PKWare-implode
+    * decompression inside the distributed decode.
+    */
+  def readDbc(spark: SparkSession, path: String): DataFrame =
+    readBinary(spark, path, ".dbc", compressed = true)
+
+  private def readBinary(
+      spark: SparkSession, path: String, ext: String, compressed: Boolean): DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -102,9 +146,10 @@ object Dbf {
         case null | Array() => fs.listStatus(p)
         case g => g
       }
-      val f = files.filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".dbf"))
+      val f = files.filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(ext))
         .sortBy(_.getPath.getName)
-        .headOption.getOrElse(throw new IllegalArgumentException(s"no .dbf under $path"))
+        .headOption.getOrElse(throw new IllegalArgumentException(s"no $ext under $path"))
+      // header + field descriptors are stored raw in both formats
       val in = fs.open(f.getPath)
       try {
         val buf = new Array[Byte](math.min(f.getLen, 32 + 32 * 2048L).toInt)
@@ -117,11 +162,12 @@ object Dbf {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val files = spark.read.format("binaryFile").load(path)
       .filter(org.apache.spark.sql.functions.lower(
-        org.apache.spark.sql.functions.col("path")).endsWith(".dbf"))
+        org.apache.spark.sql.functions.col("path")).endsWith(ext))
       .select("content")
     files.mapPartitions { rows =>
       rows.flatMap { r =>
-        parseRecords(r.getAs[Array[Byte]](0)).map(vs => Row.fromSeq(vs))
+        val raw = r.getAs[Array[Byte]](0)
+        parseRecords(if (compressed) dbcToDbf(raw) else raw).map(vs => Row.fromSeq(vs))
       }
     }(enc)
   }
@@ -168,7 +214,17 @@ object Dbf {
     * `dir` — the DATASUS many-modest-files layout, produced distributed
     * (executor-local writes, no driver collect).
     */
-  def writeDbf(df: DataFrame, dir: String): Unit = {
+  def writeDbf(df: DataFrame, dir: String): Unit =
+    writeBinary(df, dir, ".dbf", compress = false)
+
+  /** [[writeDbf]] with PKWare-imploded record blocks — one `.dbc` per
+    * partition.
+    */
+  def writeDbc(df: DataFrame, dir: String): Unit =
+    writeBinary(df, dir, ".dbc", compress = true)
+
+  private def writeBinary(
+      df: DataFrame, dir: String, ext: String, compress: Boolean): Unit = {
     val names = df.columns.toSeq
     val root = new java.io.File(dir)
     if (root.exists()) { // stale files from a previous run would double rows
@@ -182,9 +238,10 @@ object Dbf {
       if (batch.nonEmpty) {
         val id = java.util.UUID.nameUUIDFromBytes(
           batch.head.mkString("|").getBytes("UTF-8")).toString.take(8)
+        val dbf = toDbfBytes(names, batch)
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, s"part-$id.dbf"),
-          toDbfBytes(names, batch))
+          java.nio.file.Paths.get(dir, s"part-$id$ext"),
+          if (compress) dbfToDbc(dbf) else dbf)
       }
     }
     df.foreachPartition(writeOne)

@@ -77,4 +77,36 @@ class DbfSpec extends SparkSpec {
     Dbf.writeDbf(src, dir)
     assert(Dbf.readDbf(spark, s"$dir/*.dbf").count() == 3)
   }
+
+  test("hand-built .dbc (header + CRC + imploded records) reads as the .dbf") {
+    // Assemble the .dbc container from the hand-built DBF image manually —
+    // independent of dbfToDbc — so the READER is tested against the format.
+    val dbf = handBuiltDbf()
+    val headerSize = 32 + 32 * 2 + 1
+    val records = java.util.Arrays.copyOfRange(dbf, headerSize, dbf.length)
+    val out = new ByteArrayOutputStream()
+    out.write(dbf, 0, headerSize)
+    val crc = new java.util.zip.CRC32
+    crc.update(records)
+    (0 until 4).foreach(i => out.write(((crc.getValue >> (8 * i)) & 0xFF).toInt))
+    val packed = graft.sources.PkImplode.implode(records)
+    out.write(packed, 0, packed.length)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dbc-read")
+    java.nio.file.Files.write(dir.resolve("a.dbc"), out.toByteArray)
+    val got = Dbf.readDbc(spark, s"$dir/*.dbc")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("AB", "12"), ("CDEF", "7")))
+  }
+
+  test("distributed writeDbc -> readDbc round-trips through real compression") {
+    val src = (0 until 300).map(i => (i.toString, s"val_${i % 7}", "PT"))
+      .toDF("ID", "VAL", "UF").repartition(3)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-dbf-test/dbc"
+    Dbf.writeDbc(src, dir)
+    val files = new java.io.File(dir).listFiles()
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".dbc")))
+    val got = Dbf.readDbc(spark, s"$dir/*.dbc")
+      .as[(String, String, String)].collect().toSet
+    assert(got == (0 until 300).map(i => (i.toString, s"val_${i % 7}", "PT")).toSet)
+  }
 }
