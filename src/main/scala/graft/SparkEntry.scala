@@ -636,7 +636,10 @@ object SparkEntry {
         col("n_chars").cast("string").as("N_CHARS"))
       val out = s"${GraftSession.scratchRoot}/graft-dbf/documents"
       Dbf.writeDbc(src, out)
-      ordered(Dbf.readDbc(s, s"$out/*.dbc"))
+      // directory, not a glob: readDbc filters by extension itself, and a
+      // glob path makes Spark's FileStreamSink metadata probe log a benign
+      // but alarming FileNotFoundException trace on every run
+      ordered(Dbf.readDbc(s, out))
     },
 
     // Native session_window sessionization (the Spark-idiomatic twin of
@@ -662,6 +665,32 @@ object SparkEntry {
       ordered(llm.Curation.stratifiedSample(
         Tables.documents(s, dir), "doc_id", "lang",
         Map("en" -> 37, "pt" -> 81), defaultRate = 55))
+    },
+
+    // REAL audio decode round-trip: square-wave PCM WAVs are encoded from
+    // documents columns (genuine RIFF containers, real 16-bit samples),
+    // then decoded by the zero-dependency RIFF/PCM parser through the
+    // batched harness. Every |sample| equals the amplitude, so the oracle
+    // predicts the full decode — rate/channels/frames/peak/mean — from the
+    // SAME source columns; a parser that mis-reads the container or the
+    // sample bytes hash-mismatches.
+    "q50_audio_decode" -> { (s, dir) =>
+      // Spread: encode/decode are pure CPU per row (see q45)
+      val src = llm.Spread(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 8000).cast("int").as("taxa"),
+        (pmod(col("n_chars").cast("long"), lit(100)) + 50).cast("int").as("quadros"),
+        (pmod(col("doc_id"), lit(2)) + 1).cast("int").as("can"),
+        (pmod(col("doc_id") * 13, lit(30000)) + 100).cast("int").as("amp"),
+        (pmod(col("n_chars").cast("long"), lit(7)) + 1).cast("int").as("meio_periodo"))
+      val blobbed = llm.Multimodal.encodeWav(
+        src, "taxa", "quadros", "can", "amp", "meio_periodo", "payload")
+      val decoded = llm.Multimodal.decodeBatches(
+        blobbed, "payload", kernel = llm.Multimodal.decodeWav,
+        decodedSchema = llm.Multimodal.DecodedAudioSchema)
+      ordered(decoded.select(
+        col("doc_id"), col("taxa_hz"), col("canais"), col("bits"),
+        col("n_amostras"), col("pico"), col("media_abs")))
     },
   )
 
@@ -1376,5 +1405,19 @@ object SparkEntry {
         |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
         |  < CASE lang WHEN 'en' THEN 37 WHEN 'pt' THEN 81 ELSE 55 END
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Predicts the WAV encode→decode round-trip from the source columns: a
+    // square wave at amplitude A has every |sample| = A, so peak and mean
+    // absolute sample must both decode to exactly A, and the container
+    // must yield exactly the encoded rate/channels/frame count.
+    "q50_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 3 + 1) * 8000 AS INT) AS taxa_hz,
+        |  CAST(doc_id % 2 + 1 AS INT) AS canais,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(n_chars % 100 + 50 AS BIGINT) AS n_amostras,
+        |  CAST((doc_id * 13) % 30000 + 100 AS INT) AS pico,
+        |  CAST((doc_id * 13) % 30000 + 100 AS DOUBLE) AS media_abs
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

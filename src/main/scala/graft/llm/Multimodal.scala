@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * kernel (PNG/BMP/GIF/JPEG — whatever the JRE's ImageIO registry reads)
   * behind the same injectable batched harness, and [[encodePng]] builds
   * genuine PNG payloads from column data so the encode→decode round-trip
-  * is exercised end-to-end. Audio/video decode needs native libraries that
-  * are not in this environment, so those kernels remain STUBBED with
-  * deterministic fakes — the Spark-side plumbing (binary representation,
-  * batched `mapPartitions` harness, schemas, frame fan-out) is real and
-  * tested either way.
+  * is exercised end-to-end. AUDIO decode is REAL too: [[decodeWav]] parses
+  * the RIFF/WAVE container and PCM sample data directly from bytes (no
+  * libraries at all), with [[encodeWav]] building genuine WAV payloads
+  * from column data for the oracle-checked round-trip. Only VIDEO decode
+  * still needs codecs absent from this environment, so the frame kernel
+  * remains a STUBBED deterministic fake — its Spark-side plumbing (binary
+  * representation, batched `mapPartitions` harness, schemas, frame
+  * fan-out) is real and tested either way.
   */
 object Multimodal {
 
@@ -134,6 +137,105 @@ object Multimodal {
     }(enc)
   }
 
+  /** Schema of the audio decoder output ([[decodeWav]]). */
+  val DecodedAudioSchema: StructType = StructType(Seq(
+    StructField("taxa_hz", IntegerType),
+    StructField("canais", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_amostras", LongType), // frames (samples per channel)
+    StructField("pico", IntegerType), // max |sample|
+    StructField("media_abs", DoubleType), // mean |sample|, exact long sums
+  ))
+
+  /** REAL audio decode kernel — parses the RIFF/WAVE container and PCM
+    * sample data directly from bytes, zero libraries. Handles 16-bit
+    * signed and 8-bit unsigned PCM (format tag 1), any channel count,
+    * and skips unknown chunks per the RIFF spec (word-aligned). Emits
+    * sample stats from exact integer sums, so payloads built by
+    * [[encodeWav]] decode to exactly-predictable values. Malformed
+    * payloads fail loudly, like [[decodeImage]].
+    */
+  def decodeWav(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { p =>
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF/WAVE file")
+    var (rate, channels, bits) = (0, 0, 0)
+    var (dataOff, dataLen) = (-1, 0)
+    var off = 12
+    while (off + 8 <= p.length) {
+      val (id, sz) = (tag(off), u32(off + 4).toInt)
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1, "only PCM (format tag 1) is supported")
+        channels = u16(off + 10)
+        rate = u32(off + 12).toInt
+        bits = u16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, p.length - dataOff)
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    require(rate > 0 && channels > 0 && dataOff >= 0, "missing fmt /data chunk")
+    require(bits == 16 || bits == 8, s"unsupported bit depth $bits")
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    var (sumAbs, peak) = (0L, 0)
+    var i = 0
+    while (i < n) {
+      val v =
+        if (bits == 16) u16(dataOff + i * 2).toShort.toInt
+        else (p(dataOff + i) & 0xFF) - 128 // 8-bit PCM is unsigned
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    Row(rate, channels, bits, n.toLong / channels, peak,
+      if (n == 0) 0.0 else sumAbs.toDouble / n)
+  }
+
+  /** Encode a square-wave 16-bit PCM WAV per row from integer (sampleRate,
+    * nFrames, channels, amplitude, halfPeriod) columns — a genuine RIFF
+    * container around real sample data. Every |sample| equals `amplitude`,
+    * so the decoded `pico`/`media_abs` are exactly the amplitude and the
+    * oracle can predict the whole decode from the same columns ([[encodePng]]
+    * gets the same treatment via solid color).
+    */
+  def encodeWav(
+      df: DataFrame, rateCol: String, framesCol: String, chCol: String,
+      ampCol: String, halfPeriodCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val idx = Seq(rateCol, framesCol, chCol, ampCol, halfPeriodCol)
+      .map(df.schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val Seq(rate, frames, channels, amp, halfPeriod) =
+          idx.map(i => row.getAs[Number](i).intValue())
+        require(amp >= 0 && amp <= 32767 && halfPeriod > 0, "bad wave params")
+        val dataLen = frames * channels * 2
+        val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(channels.toShort).putInt(rate)
+          .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var f = 0
+        while (f < frames) {
+          val v = (if ((f / halfPeriod) % 2 == 0) amp else -amp).toShort
+          var c = 0
+          while (c < channels) { out.putShort(v); c += 1 }
+          f += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(enc)
+  }
+
   /** Batched partition-parallel decode harness: each partition iterates its
     * payloads in `batchSize` groups (the shape a vectorized/pandas-style
     * decode kernel wants), appending [[DecodedSchema]] columns. The kernel
@@ -141,8 +243,9 @@ object Multimodal {
     */
   def decodeBatches(
       df: DataFrame, blobCol: String, batchSize: Int = 64,
-      kernel: Seq[Array[Byte]] => Seq[Row] = decodeStub): DataFrame = {
-    val outSchema = StructType(df.schema.fields ++ DecodedSchema.fields)
+      kernel: Seq[Array[Byte]] => Seq[Row] = decodeStub,
+      decodedSchema: StructType = DecodedSchema): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ decodedSchema.fields)
     val blobIdx = df.schema.fieldIndex(blobCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>

@@ -142,10 +142,13 @@ object Dbf {
     val p = new Path(path)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
     val first = {
-      val files = fs.globStatus(p) match {
+      val matched = fs.globStatus(p) match {
         case null | Array() => fs.listStatus(p)
         case g => g
       }
+      // a bare directory path (the common, warn-free form) matches itself —
+      // expand it to its children like the binaryFile source does
+      val files = matched.flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
       val f = files.filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(ext))
         .sortBy(_.getPath.getName)
         .headOption.getOrElse(throw new IllegalArgumentException(s"no $ext under $path"))

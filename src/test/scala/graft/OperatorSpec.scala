@@ -167,6 +167,53 @@ class OperatorSpec extends SparkSpec {
     assert(out(1)._2 == 1 && out(1)._3 == 1 && out(1)._5.take(3).toSeq == Seq(0f, 255f, 7f))
   }
 
+  test("decodeWav reads a hand-built RIFF/PCM payload exactly") {
+    // Assembled byte-by-byte (with a junk chunk before fmt , odd-sized to
+    // exercise word-aligned skipping) so the PARSER is tested against the
+    // format, not against our own encoder.
+    val bb = java.nio.ByteBuffer.allocate(200).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("junk".getBytes("US-ASCII")).putInt(3).put(Array[Byte](9, 9, 9, 0)) // pad
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(12) // 6 samples = 3 stereo frames
+    Seq(1000, -1000, 32767, -32768, 0, 5).foreach(v => bb.putShort(v.toShort))
+    val row = Multimodal.decodeWav(Seq(java.util.Arrays.copyOf(bb.array(), bb.position()))).head
+    assert(row.getInt(0) == 44100 && row.getInt(1) == 2 && row.getInt(2) == 16)
+    assert(row.getLong(3) == 3) // frames, not samples
+    assert(row.getInt(4) == 32768) // |−32768|
+    assert(row.getDouble(5) == (1000 + 1000 + 32767 + 32768 + 0 + 5) / 6.0)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Seq("notaRIFFfileatall_padding_padding_padding_pad".getBytes))
+    }
+  }
+
+  test("decodeWav handles 8-bit unsigned PCM") {
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(0).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("data".getBytes("US-ASCII")).putInt(4)
+    Seq(128, 0, 255, 178).foreach(v => bb.put(v.toByte)) // centered at 128
+    val row = Multimodal.decodeWav(Seq(java.util.Arrays.copyOf(bb.array(), bb.position()))).head
+    assert(row.getInt(0) == 8000 && row.getInt(1) == 1 && row.getInt(2) == 8)
+    assert(row.getLong(3) == 4 && row.getInt(4) == 128)
+    assert(row.getDouble(5) == (0 + 128 + 127 + 50) / 4.0)
+  }
+
+  test("encodeWav -> decodeWav round-trips the square wave through Spark") {
+    val src = Seq((1L, 16000, 120, 1, 9000, 3), (2L, 8000, 75, 2, 1, 1))
+      .toDF("id", "taxa", "quadros", "can", "amp", "meio")
+    val out = Multimodal.decodeBatches(
+        Multimodal.encodeWav(src, "taxa", "quadros", "can", "amp", "meio", "payload"),
+        "payload", kernel = Multimodal.decodeWav,
+        decodedSchema = Multimodal.DecodedAudioSchema)
+      .select("id", "taxa_hz", "canais", "bits", "n_amostras", "pico", "media_abs")
+      .as[(Long, Int, Int, Int, Long, Int, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 16000, 1, 16, 120L, 9000, 9000.0)))
+    assert(out(1) == ((2L, 8000, 2, 16, 75L, 1, 1.0)))
+  }
+
   test("readDelimited ingests the report dialect (ISO-8859-1, semicolons)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-report").toFile
     val f = new java.io.File(dir, "report.csv")
