@@ -692,6 +692,30 @@ object SparkEntry {
         col("doc_id"), col("taxa_hz"), col("canais"), col("bits"),
         col("n_amostras"), col("pico"), col("media_abs")))
     },
+
+    // REAL video frame sampling round-trip: uncompressed RIFF-AVI
+    // containers are encoded from documents columns (one solid-color DIB
+    // frame per index, color shifted by frame number), then every 2nd
+    // frame is extracted by the zero-dependency chunk-tree walker and its
+    // pixel rows decoded to exact channel means. The frame-shifted colors
+    // prove the right frame BYTES were extracted, not just counted; the
+    // oracle reproduces the fan-out with a lateral generate_series.
+    "q51_video_frames" -> { (s, dir) =>
+      // Spread: encode/decode are pure CPU per row (see q45)
+      val src = llm.Spread(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int").as("larg"),
+        (pmod(col("n_chars").cast("long"), lit(8)) + 1).cast("int").as("alt"),
+        (pmod(col("doc_id"), lit(10)) + 1).cast("int").as("quadros"),
+        pmod(col("doc_id"), lit(256)).cast("int").as("r"),
+        pmod(col("doc_id") * 7, lit(256)).cast("int").as("g"),
+        pmod(col("n_chars").cast("long"), lit(256)).cast("int").as("b"))
+      val blobbed = llm.Multimodal.encodeAvi(
+        src, "larg", "alt", "quadros", "r", "g", "b", "payload")
+      ordered(llm.Multimodal.sampleFramesAvi(blobbed, "payload", stride = 2)
+        .select(col("doc_id"), col("frame_indice"), col("alt_px"), col("larg_px"),
+          col("media_r"), col("media_g"), col("media_b")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1419,5 +1443,19 @@ object SparkEntry {
         |  CAST((doc_id * 13) % 30000 + 100 AS INT) AS pico,
         |  CAST((doc_id * 13) % 30000 + 100 AS DOUBLE) AS media_abs
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Predicts the AVI encode→sample round-trip: sampled frame indices are
+    // 0,2,… below the frame count, dimensions echo the encode columns, and
+    // frame f's solid color means are the base color shifted by f mod 256.
+    "q51_video_frames" ->
+      """SELECT d.doc_id,
+        |  CAST(u.f AS INT) AS frame_indice,
+        |  CAST(1 + n_chars % 8 AS INT) AS alt_px,
+        |  CAST(1 + doc_id % 8 AS INT) AS larg_px,
+        |  CAST((doc_id % 256 + u.f) % 256 AS DOUBLE) AS media_r,
+        |  CAST(((doc_id * 7) % 256 + u.f) % 256 AS DOUBLE) AS media_g,
+        |  CAST((n_chars % 256 + u.f) % 256 AS DOUBLE) AS media_b
+        |FROM documents d, LATERAL unnest(generate_series(0, CAST(doc_id % 10 AS INT), 2)) u(f)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

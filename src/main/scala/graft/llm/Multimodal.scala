@@ -14,11 +14,15 @@ import org.apache.spark.sql.types._
   * is exercised end-to-end. AUDIO decode is REAL too: [[decodeWav]] parses
   * the RIFF/WAVE container and PCM sample data directly from bytes (no
   * libraries at all), with [[encodeWav]] building genuine WAV payloads
-  * from column data for the oracle-checked round-trip. Only VIDEO decode
-  * still needs codecs absent from this environment, so the frame kernel
-  * remains a STUBBED deterministic fake — its Spark-side plumbing (binary
-  * representation, batched `mapPartitions` harness, schemas, frame
-  * fan-out) is real and tested either way.
+  * from column data for the oracle-checked round-trip. VIDEO frame
+  * sampling is REAL for uncompressed RIFF-AVI: [[sampleFramesAvi]] walks
+  * the container's chunk tree and decodes every `stride`-th DIB frame's
+  * pixel data ([[encodeAvi]] builds genuine AVI payloads for the
+  * oracle-checked round-trip). Compressed-codec video (H.264 etc.) needs
+  * native decoders absent from this environment, so [[sampleFrames]]
+  * remains as the documented stub for that case — its Spark-side plumbing
+  * (binary representation, batched `mapPartitions` harness, schemas,
+  * frame fan-out) is real and tested either way.
   */
 object Multimodal {
 
@@ -68,10 +72,12 @@ object Multimodal {
       Row((h * r).toInt.max(1), (w * r).toInt.max(1), d.getInt(2), d.get(3))
     }
 
-  /** STUB frame-sample kernel — `??? : real frame extraction requires a
-    * video library`. Deterministic fake: every `stride`-th pseudo-frame
-    * offset derived from the payload length (the batch plumbing — one input
-    * row fanning out to N frame rows — is the real part).
+  /** STUB frame-sample kernel for COMPRESSED video — `??? : real codec
+    * decode requires native libraries`; uncompressed RIFF-AVI has the real
+    * path ([[sampleFramesAvi]]). Deterministic fake: every `stride`-th
+    * pseudo-frame offset derived from the payload length (the batch
+    * plumbing — one input row fanning out to N frame rows — is the real
+    * part).
     */
   def sampleFrames(
       df: DataFrame, blobCol: String, stride: Int): DataFrame = {
@@ -229,6 +235,140 @@ object Multimodal {
           val v = (if ((f / halfPeriod) % 2 == 0) amp else -amp).toShort
           var c = 0
           while (c < channels) { out.putShort(v); c += 1 }
+          f += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(enc)
+  }
+
+  /** Schema of the sampled-frame fan-out appended by [[sampleFramesAvi]]. */
+  val SampledFrameSchema: StructType = StructType(Seq(
+    StructField("frame_indice", IntegerType),
+    StructField("alt_px", IntegerType),
+    StructField("larg_px", IntegerType),
+    StructField("media_r", DoubleType),
+    StructField("media_g", DoubleType),
+    StructField("media_b", DoubleType),
+  ))
+
+  /** REAL video frame extraction for uncompressed RIFF-AVI — walks the
+    * container's chunk tree (LIST recursion, word-aligned skipping) for
+    * the `avih` main header and the `movi` list's `00db` DIB frames, then
+    * decodes every `stride`-th frame's bottom-up padded BGR rows into
+    * exact per-channel means. Zero libraries; compressed codecs are out of
+    * scope (see [[sampleFrames]] stub). Malformed payloads fail loudly.
+    */
+  def decodeAviFrames(stride: Int)(p: Array[Byte]): Seq[Row] = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not a RIFF/AVI file")
+    var (w, h) = (0, 0)
+    val frames = Seq.newBuilder[(Int, Int)] // (dataOff, size)
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val (id, sz) = (tag(off), u32(off + 4))
+        if (id == "LIST") walk(off + 12, off + 8 + sz)
+        else if (id == "avih") { w = u32(off + 8 + 32); h = u32(off + 8 + 36) }
+        else if (id == "00db" || id == "00dc") frames += ((off + 8, sz))
+        off += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, p.length)
+    require(w > 0 && h > 0, "missing avih main header")
+    val rowBytes = (3 * w + 3) & ~3 // DIB rows pad to 4 bytes
+    frames.result().zipWithIndex.collect {
+      case ((dataOff, sz), idx) if idx % stride == 0 =>
+        require(sz >= rowBytes * h, s"frame $idx truncated: $sz < ${rowBytes * h}")
+        var (sb, sg, sr) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = dataOff + y * rowBytes + 3 * x
+            sb += p(o) & 0xFF; sg += p(o + 1) & 0xFF; sr += p(o + 2) & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Row(idx, h, w, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** Fan-out harness for frame kernels: one input row expands to one row
+    * per sampled frame, appending [[SampledFrameSchema]] columns.
+    */
+  def sampleFramesAvi(df: DataFrame, blobCol: String, stride: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ SampledFrameSchema.fields)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val kernel = decodeAviFrames(stride) _
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        kernel(r.getAs[Array[Byte]](blobIdx)).map(d => Row.fromSeq(r.toSeq ++ d.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Encode an uncompressed 24-bit AVI per row from integer (width, height,
+    * nFrames, r, g, b) columns — a genuine RIFF-AVI container (hdrl with
+    * avih + vids strl, movi with one DIB `00db` chunk per frame). Frame f
+    * is solid color ((r+f)%256, (g+f)%256, (b+f)%256), so every sampled
+    * frame's decoded means are exactly predictable from the columns AND
+    * prove the right frame bytes were extracted.
+    */
+  def encodeAvi(
+      df: DataFrame, wCol: String, hCol: String, framesCol: String,
+      rCol: String, gCol: String, bCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val idx = Seq(wCol, hCol, framesCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val Seq(w, h, nFrames, r, g, b) = idx.map(i => row.getAs[Number](i).intValue())
+        require(w > 0 && h > 0 && nFrames > 0, "bad AVI dimensions")
+        val rowBytes = (3 * w + 3) & ~3
+        val frameSize = rowBytes * h
+        val moviSize = 4 + nFrames * (8 + frameSize)
+        val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+        val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(s: String): Unit = { out.put(s.getBytes("US-ASCII")); () }
+        fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+        fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+        fourcc("avih"); out.putInt(56)
+        out.putInt(40000) // µs per frame (25 fps)
+          .putInt(frameSize * 25).putInt(0).putInt(0)
+          .putInt(nFrames).putInt(0).putInt(1).putInt(frameSize)
+          .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(4 + 64 + 48); fourcc("strl")
+        fourcc("strh"); out.putInt(56)
+        fourcc("vids"); fourcc("DIB ")
+        out.putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(25).putInt(0).putInt(nFrames)
+          .putInt(frameSize).putInt(0).putInt(0)
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+        fourcc("strf"); out.putInt(40)
+        out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+        var f = 0
+        while (f < nFrames) {
+          fourcc("00db"); out.putInt(frameSize)
+          val (fb, fg, fr) = (((b + f) % 256).toByte, ((g + f) % 256).toByte, ((r + f) % 256).toByte)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out.put(fb).put(fg).put(fr); x += 1 }
+            var pad = rowBytes - 3 * w
+            while (pad > 0) { out.put(0.toByte); pad -= 1 }
+            y += 1
+          }
           f += 1
         }
         Row.fromSeq(row.toSeq :+ out.array())

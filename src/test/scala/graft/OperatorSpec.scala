@@ -201,6 +201,55 @@ class OperatorSpec extends SparkSpec {
     assert(row.getDouble(5) == (0 + 128 + 127 + 50) / 4.0)
   }
 
+  test("decodeAviFrames walks a hand-built RIFF-AVI and decodes sampled frames") {
+    // Assembled byte-by-byte — 2x1 px, 3 frames, row padding (3*2=6 -> 8
+    // bytes/row), an extra junk chunk inside movi — so the PARSER is
+    // tested against the format, not against our own encoder.
+    val bb = java.nio.ByteBuffer.allocate(512).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); bb.putInt(0); cc("AVI ")
+    cc("LIST"); bb.putInt(4 + 8 + 56); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0).putInt(3).putInt(0)
+      .putInt(1).putInt(0).putInt(2).putInt(1) // width=2 height=1
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val frameSize = 8 // one padded row
+    cc("LIST"); bb.putInt(4 + 8 + 3 + 1 + 3 * (8 + frameSize)); cc("movi")
+    cc("junk"); bb.putInt(3); bb.put(Array[Byte](1, 2, 3, 0)) // odd size + pad
+    // frames: BGR px0, BGR px1, 2 pad bytes
+    Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)).foreach { case (b, g, r) =>
+      cc("00db"); bb.putInt(frameSize)
+      bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      bb.put((b + 2).toByte).put((g + 2).toByte).put((r + 2).toByte)
+      bb.put(0.toByte).put(0.toByte)
+    }
+    val payload = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val got = Multimodal.decodeAviFrames(2)(payload)
+    assert(got.map(_.getInt(0)) == Seq(0, 2)) // stride 2 of 3 frames
+    val f0 = got.head
+    assert(f0.getInt(1) == 1 && f0.getInt(2) == 2) // h, w
+    assert(f0.getDouble(3) == 31.0 && f0.getDouble(4) == 21.0 && f0.getDouble(5) == 11.0)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(1)("RIFFxxxxWAVEnot_an_avi_container".getBytes)
+    }
+  }
+
+  test("encodeAvi -> sampleFramesAvi round-trips frame-shifted colors through Spark") {
+    val src = Seq((1L, 3, 2, 5, 250, 10, 100)) // 5 frames: sampled 0,2,4
+      .toDF("id", "larg", "alt", "quadros", "r", "g", "b")
+    val out = Multimodal.sampleFramesAvi(
+        Multimodal.encodeAvi(src, "larg", "alt", "quadros", "r", "g", "b", "payload"),
+        "payload", stride = 2)
+      .select("id", "frame_indice", "alt_px", "larg_px", "media_r", "media_g", "media_b")
+      .as[(Long, Int, Int, Int, Double, Double, Double)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 2, 4))
+    assert(out.forall(r => r._3 == 2 && r._4 == 3))
+    // color shifts by frame index, mod 256 (250 + 4 wraps to 254... not yet;
+    // wraps only past 255 — fourth sampled value 250+6 would)
+    assert(out.map(r => (r._5, r._6, r._7)).toSeq ==
+      Seq((250.0, 10.0, 100.0), (252.0, 12.0, 102.0), (254.0, 14.0, 104.0)))
+  }
+
   test("encodeWav -> decodeWav round-trips the square wave through Spark") {
     val src = Seq((1L, 16000, 120, 1, 9000, 3), (2L, 8000, 75, 2, 1, 1))
       .toDF("id", "taxa", "quadros", "can", "amp", "meio")
