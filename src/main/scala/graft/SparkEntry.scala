@@ -716,6 +716,26 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_indice"), col("alt_px"), col("larg_px"),
           col("media_r"), col("media_g"), col("media_b")))
     },
+
+    // Near-dup pairs → duplicate CLUSTERS: distributed connected
+    // components (alternating large/small-star, aggregate-join form — see
+    // llm/Components) over a deterministic edge graph with real transitive
+    // structure (overlapping chains + in-run cycle bridges + cross-run
+    // bridges), singletons unioned back in. The oracle recomputes the
+    // same components by recursive-CTE transitive closure.
+    "q52_dup_clusters" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val edges = o.filter(col("k") % 25 < 10)
+        .select(col("k").as("a"), (col("k") + 1).as("b"))
+        .unionAll(o.filter(col("k") % 25 === 3)
+          .select(col("k").as("a"), (col("k") + 7).as("b")))
+        .unionAll(o.filter(col("k") % 100 === 50)
+          .select(col("k").as("a"), (col("k") + 25).as("b")))
+      val labels = llm.Components.connectedComponents(edges, "a", "b")
+      val singles = o.join(labels, o("k") === labels("doc_id"), "left_anti")
+        .select(col("k").as("doc_id"), col("k").as("cluster_id"))
+      ordered(labels.unionByName(singles))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1456,6 +1476,27 @@ object SparkEntry {
         |  CAST(((doc_id * 7) % 256 + u.f) % 256 AS DOUBLE) AS media_g,
         |  CAST((n_chars % 256 + u.f) % 256 AS DOUBLE) AS media_b
         |FROM documents d, LATERAL unnest(generate_series(0, CAST(doc_id % 10 AS INT), 2)) u(f)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Recomputes the duplicate clusters by brute-force transitive closure
+    // (recursive CTE): cluster = min id reachable over the symmetric edge
+    // set; edge-less order keys are their own singleton clusters.
+    "q52_dup_clusters" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT o_orderkey AS a, o_orderkey + 1 AS b FROM orders WHERE o_orderkey % 25 < 10
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey + 7 FROM orders WHERE o_orderkey % 25 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey + 25 FROM orders WHERE o_orderkey % 100 = 50),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(n, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        |SELECT n AS doc_id, LEAST(n, MIN(r)) AS cluster_id FROM reach GROUP BY n
+        |UNION ALL
+        |SELECT o_orderkey, o_orderkey FROM orders
+        |WHERE o_orderkey NOT IN (SELECT a FROM sym)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

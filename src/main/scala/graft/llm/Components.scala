@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a near-duplicate PAIR list — the step that
+  * turns pairwise dedup output ([[Dedup.simhashPairs]],
+  * [[Dedup.minhashNearDups]], …) into duplicate CLUSTERS so a pipeline can
+  * keep one canonical document per group. The reference deduplicates by
+  * exact conflict keys only (load upserts); transitive near-dup grouping
+  * is the corpus-curation generalization.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", 2014) — converges to
+  * every node directly attached to its component minimum in
+  * O(log n) rounds on pathological chains, O(1) on the shallow families
+  * near-dup graphs actually produce. Implemented in pure aggregate-join
+  * form: the per-node neighborhood minimum is a `groupBy(min)` joined back
+  * to the edge list, NEVER a `collect_list` — a converging component
+  * funnels its whole membership into one hub node, and materializing that
+  * neighborhood as an array would put an O(|component|) row in one task
+  * (the all-docs-identical corpus would OOM). Aggregate + join keeps every
+  * step map-side-combinable and shuffle-bounded by the edge count.
+  *
+  * Each iteration `localCheckpoint`s its (deduplicated, normalized) edge
+  * set: one star round references its input FOUR times (symmetrize ×2,
+  * neighborhood min, re-attach join), so without lineage truncation the
+  * logical plan grows ~16× per round and analysis alone OOMs the driver
+  * by iteration ~6 — persist caches data but does NOT truncate the plan.
+  * Old checkpoint blocks are reclaimed by Spark's ContextCleaner as the
+  * previous iteration's reference drops. (On a real cluster with
+  * executor-loss tolerance requirements, swap in reliable `checkpoint()`
+  * with a checkpoint dir — same shape.) Convergence is checked EXACTLY
+  * (anti-join emptiness, not a count/fingerprint heuristic), one cheap
+  * driver action per round — this is an iterative fixpoint algorithm; the
+  * loop is the semantics, not a driver-side crutch.
+  */
+object Components {
+
+  /** (doc, cluster) for every doc appearing in `pairs`: `cluster` is the
+    * smallest doc id transitively connected to `doc`. Docs absent from
+    * `pairs` are their own singleton clusters — union them in from the
+    * corpus table (see q52) since the pair list cannot know about them.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 50): DataFrame = {
+    val init = pairs
+      .select(
+        least(col(aCol), col(bCol)).cast("long").as("__lo"),
+        greatest(col(aCol), col(bCol)).cast("long").as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
+      .distinct()
+
+    // One star round: group the SYMMETRIC neighbor list by node, take the
+    // neighborhood min, and re-attach the kept neighbors to it.
+    //   large star keeps v > u (far side collapses onto the min)
+    //   small star keeps v < u AND u itself (near side + self collapse)
+    def star(und: DataFrame, large: Boolean): DataFrame = {
+      val sym = und.select(col("__lo").as("__u"), col("__hi").as("__v"))
+        .unionAll(und.select(col("__hi").as("__u"), col("__lo").as("__v")))
+      val m = sym.groupBy("__u")
+        .agg(least(min(col("__v")), col("__u")).as("__m"))
+      val kept = sym.join(m, "__u")
+        .filter(if (large) col("__v") > col("__u") else col("__v") < col("__u"))
+        .select(col("__v"), col("__m"))
+      val edges = if (large) kept else kept.unionAll(m.select(col("__u").as("__v"), col("__m")))
+      edges
+        .filter(col("__v") =!= col("__m")) // __m <= __v by construction
+        .select(col("__m").as("__lo"), col("__v").as("__hi"))
+        .distinct()
+    }
+
+    var und = init.localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = star(star(und, large = true), large = false).localCheckpoint(true)
+      // exact fixpoint test: identical edge SETS (both are distinct)
+      converged = next.count() == und.count() &&
+        next.join(und, Seq("__lo", "__hi"), "left_anti").isEmpty
+      und = next
+      iter += 1
+    }
+
+    // At the fixpoint every component is a star around its min, so the
+    // label is one neighborhood min away for every member (and the hub
+    // itself labels with its own id).
+    val sym = und.select(col("__lo").as("__u"), col("__hi").as("__v"))
+      .unionAll(und.select(col("__hi").as("__u"), col("__lo").as("__v")))
+    sym.groupBy("__u")
+      .agg(least(min(col("__v")), col("__u")).as("cluster_id"))
+      .select(col("__u").as("doc_id"), col("cluster_id"))
+  }
+}

@@ -107,6 +107,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("tiledPairs joins the hot-block table by broadcast, not shuffle") {
+    // The salt-factor lookup must be a BroadcastHashJoin against the tiny
+    // oversized-blocks table: an earlier all-blocks shuffle join tripled
+    // shuffled bytes and made the no-skew case ~2.5x slower at sf1. The
+    // pair join itself stays a shuffled equi-join on (block, tile).
+    val plan = planString(SparkEntry.queries("q27_simhash")(spark, sfDir))
+    val outer = "(?s)BroadcastHashJoin.*LeftOuter.*BuildRight".r
+    assert(outer.findFirstIn(plan).isDefined,
+      s"hot-block salt lookup must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin LeftOuter") &&
+      !plan.contains("ShuffledHashJoin LeftOuter"),
+      s"hot-block salt lookup degenerated to a shuffle join:\n$plan")
+  }
+
   test("co-bucketed tables join without any shuffle") {
     import graft.sources.Staging
     // a previous JVM's warehouse dir survives while the in-memory catalog
