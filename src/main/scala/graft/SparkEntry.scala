@@ -736,6 +736,17 @@ object SparkEntry {
         .select(col("k").as("doc_id"), col("k").as("cluster_id"))
       ordered(labels.unionByName(singles))
     },
+
+    // Overlapping token-window chunking (context-length shaping for
+    // retrieval corpora / fixed-context pretraining): 40-token windows
+    // advancing by 30 — a scan-level explode of deterministic array
+    // slices, no shuffle, short tail chunks kept.
+    "q53_text_chunking" -> { (s, dir) =>
+      ordered(llm.Curation.chunkTokens(
+        Tables.documents(s, dir).select("doc_id", "text"), "text",
+        window = 40, overlap = 10)
+        .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1497,6 +1508,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_orderkey FROM orders
         |WHERE o_orderkey NOT IN (SELECT a FROM sym)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Reproduces the token-window fan-out: same whitespace tokenization,
+    // 1-based inclusive list slices of 40 tokens every 30, short tail kept.
+    "q53_text_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    1 + CAST(ceil(greatest(len(tk) - 40, 0) / 30.0) AS INT) AS nch
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(u.i AS INT) AS chunk_idx,
+        |  array_to_string(tk[u.i * 30 + 1 : u.i * 30 + 40], ' ') AS chunk_text,
+        |  CAST(least(n - u.i * 30, 40) AS INT) AS chunk_tokens
+        |FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

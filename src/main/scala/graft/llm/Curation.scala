@@ -64,4 +64,39 @@ object Curation {
         sum(col(tokensCol)).as("tokens"))
       .withColumn("preenchimento",
         round(col("tokens").cast("double") / budget.toDouble, 6))
+
+  /** Overlapping token-window chunking: split each document into windows
+    * of `window` tokens advancing by `window - overlap` — the
+    * context-length shaping step between curation and the tokenizer
+    * (retrieval corpora, fixed-context pretraining). Emits one row per
+    * chunk: `chunk_idx`, the whitespace-rejoined `chunk_text`, and its
+    * token count (the last chunk may be short; a document shorter than
+    * one window is exactly one chunk). Pure explode over a scan-level
+    * sequence — no shuffle, parallel in the documents, and every window
+    * is a deterministic `slice` of the token array (no per-row state), so
+    * the whole fan-out is SQL-reproducible.
+    */
+  def chunkTokens(
+      df: DataFrame, textCol: String, window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    // tokenization materializes in ONE projected column; everything below
+    // references the attribute (chunk count in the generator, window slice
+    // per chunk) so split() runs once per document, not once per chunk
+    val n = size(col("__toks"))
+    // number of chunks: 1 + ceil(max(0, n - window) / stride), at least 1
+    val chunks = lit(1) + ceil(greatest(n - window, lit(0)).cast("double") / stride)
+      .cast("int")
+    df.withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn("chunk_idx", explode(sequence(lit(0), chunks - 1)))
+      .select(
+        df.columns.map(col) :+
+          col("chunk_idx") :+
+          concat_ws(" ",
+            slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+            .as("chunk_text") :+
+          least(size(col("__toks")) - col("chunk_idx") * stride, lit(window))
+            .cast("int").as("chunk_tokens"): _*)
+  }
 }

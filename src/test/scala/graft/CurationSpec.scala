@@ -44,6 +44,27 @@ class CurationSpec extends SparkSpec {
     assert(gBins == gBins.sorted)
   }
 
+  test("chunkTokens covers every token with the right overlap and tail") {
+    // 10 tokens, window 4, overlap 1 -> stride 3 -> starts at 0,3,6: the
+    // last window [g h i j] already reaches the end, so exactly 3 chunks —
+    // every token covered, boundary tokens repeated by the overlap.
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "x")).toDF("id", "text")
+    val got = Curation.chunkTokens(df, "text", window = 4, overlap = 1)
+      .select("id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g h i j", 4),
+      (2L, 0, "x", 1)))
+    // short tail: 9 tokens -> starts 0,3,6 with the last chunk 3 long
+    val tail = Curation.chunkTokens(
+        Seq((3L, "a b c d e f g h i")).toDF("id", "text"), "text", 4, 1)
+      .select("chunk_idx", "chunk_tokens").as[(Int, Int)].collect().sortBy(_._1).toSeq
+    assert(tail == Seq((0, 4), (1, 4), (2, 3)))
+    intercept[IllegalArgumentException] {
+      Curation.chunkTokens(df, "text", window = 4, overlap = 4)
+    }
+  }
+
   test("packingStats sums tokens and fill per bin") {
     val docs = Seq((1L, "g", 1024L), (2L, "g", 1024L), (3L, "g", 512L))
       .toDF("doc_id", "grp", "toks")
