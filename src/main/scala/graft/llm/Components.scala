@@ -70,15 +70,22 @@ object Components {
         .distinct()
     }
 
-    var und = init.localCheckpoint(true)
+    // Lazy checkpoints: the convergence count() is the materializing
+    // action, so each round runs ONE job for compute+checkpoint+count
+    // (plus the anti-join equality probe only when the counts tie —
+    // usually just the final round; && short-circuits it otherwise).
+    var und = init.localCheckpoint(false)
+    var undCount = und.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = star(star(und, large = true), large = false).localCheckpoint(true)
+      val next = star(star(und, large = true), large = false).localCheckpoint(false)
+      val nextCount = next.count()
       // exact fixpoint test: identical edge SETS (both are distinct)
-      converged = next.count() == und.count() &&
+      converged = nextCount == undCount &&
         next.join(und, Seq("__lo", "__hi"), "left_anti").isEmpty
       und = next
+      undCount = nextCount
       iter += 1
     }
 
