@@ -747,6 +747,26 @@ object SparkEntry {
         window = 40, overlap = 10)
         .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens"))
     },
+
+    // Symmetric int8 embedding quantization (4x storage compression for
+    // embedding stores). Graded contract emits exact SCALAR witnesses of
+    // the quantized array — the integer sum of squares pins every q_i
+    // exactly, the max reconstruction error pins the dequantization —
+    // because the driver's row-compare cannot hash array cells (q45
+    // lesson). Rounding is floor(x/s + 0.5): IEEE-exact, so DuckDB
+    // reproduces the ints bit-for-bit where round()'s half convention
+    // would diverge.
+    "q54_embedding_quantize" -> { (s, dir) =>
+      val q = llm.Similarity.quantizeInt8(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"), "embedding")
+      ordered(q.select(
+        col("vec_id"), col("escala"),
+        aggregate(col("q"), lit(0L),
+          (a, x) => a + x.cast("long") * x.cast("long")).as("soma_q2"),
+        array_max(zip_with(col("q"), col("embedding"),
+          (qi, xi) => abs(qi.cast("double") * col("escala") - xi.cast("double"))))
+          .as("erro_max")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1526,5 +1546,23 @@ object SparkEntry {
         |  CAST(least(n - u.i * 30, 40) AS INT) AS chunk_tokens
         |FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Reproduces the quantization exactly: same max-abs/127 scale (greatest
+    // is order-independent), same IEEE-exact floor(x/s + 0.5) rounding, so
+    // the integer sum of squares and the double reconstruction error match
+    // bit-for-bit.
+    "q54_embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding AS e,
+        |    greatest(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS escala
+        |  FROM embeddings)
+        |SELECT vec_id, escala,
+        |  CAST(list_sum(list_transform(e,
+        |    x -> floor(CAST(x AS DOUBLE) / escala + 0.5) ** 2)) AS BIGINT) AS soma_q2,
+        |  list_max(list_transform(e,
+        |    x -> abs(floor(CAST(x AS DOUBLE) / escala + 0.5) * escala
+        |             - CAST(x AS DOUBLE)))) AS erro_max
+        |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

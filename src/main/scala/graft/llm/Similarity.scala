@@ -153,6 +153,34 @@ object Similarity {
     * (each corpus row still lives in exactly one bucket, so no duplicate
     * candidates are generated).
     */
+  /** Symmetric per-vector int8 quantization — the storage-scale compression
+    * step for large embedding stores (4× smaller than float32, exact
+    * reconstruction bound |error| ≤ scale/2 per component). Appends
+    * `escala` = max|vᵢ|/127 (floored at 1e-12 so zero vectors quantize to
+    * zeros instead of dividing by zero) and `q` = round-half-up quantized
+    * ints in [−127, 127] (the max-element formula cannot exceed 127, so no
+    * clamp). Rounding is `floor(x/escala + 0.5)` — floor is exact in IEEE
+    * doubles, so any engine reproduces the same ints bit-for-bit, unlike
+    * `round()` whose half-even/half-up convention varies.
+    *
+    * Pure array expressions (one linear pass) — fine for an export/ingest
+    * path; the hot ANN scoring paths stay on the native codegen'd dot
+    * products, not on quantized values.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val x2d = (x: Column) => x.cast("double")
+    val escala = greatest(
+      aggregate(col(vecCol), lit(0.0d), (acc, x) => greatest(acc, abs(x2d(x)))),
+      lit(1e-12)) / 127.0
+    // The scale column MUST be a persisted branch point: the quantization
+    // lambda references it per ELEMENT, and CollapseProject would inline
+    // the max-abs aggregate into that reference (SURVEY §4) — turning the
+    // linear pass into O(dim²) per row.
+    val withScale = CacheScope.persistTracked(df.withColumn("escala", escala))
+    withScale.withColumn("q",
+      transform(col(vecCol), x => floor(x2d(x) / col("escala") + 0.5).cast("int")))
+  }
+
   def annTopKMultiProbe(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {

@@ -89,6 +89,27 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == oneShot, "prebuilt-index results equal the one-shot path")
   }
 
+  test("quantizeInt8: values in [-127,127], error bounded by escala/2, zero vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.5f, 0.1f, 127.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // degenerate: must not divide by 0
+      (3L, Array(-1e-3f, 1e-3f, 5e-4f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.quantizeInt8(df, "embedding")
+      .select("vec_id", "escala", "q", "embedding")
+      .as[(Long, Double, Array[Int], Array[Float])].collect().sortBy(_._1)
+    graft.llm.CacheScope.releaseAll()
+    out.foreach { case (_, escala, q, e) =>
+      assert(q.forall(v => v >= -127 && v <= 127))
+      q.lazyZip(e).foreach { (qi, xi) =>
+        assert(math.abs(qi * escala - xi) <= escala / 2 + 1e-12,
+          s"reconstruction error above escala/2 for $xi at scale $escala")
+      }
+    }
+    assert(out(1)._3.toSeq == Seq(0, 0, 0, 0)) // zero vector -> zero codes
+    assert(out(0)._3(3) == 127) // max element hits the top code exactly
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
