@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{Dbf, Listing, ParquetSink, ReportCsv, Staging, Tables}
+import graft.sources.{Dbf, HtmlForm, Listing, ParquetSink, ReportCsv, Staging, Tables}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔ query map. */
@@ -766,6 +766,40 @@ object SparkEntry {
         array_max(zip_with(col("q"), col("embedding"),
           (qi, xi) => abs(qi.cast("double") * col("escala") - xi.cast("double"))))
           .as("erro_max")))
+    },
+
+    // Corpus-relative token frequency scoring: two passes (vocabulary
+    // aggregation, then the instance join back through it) — the
+    // rare-token quality signal. Exact end-to-end: counts are longs, the
+    // mean is one IEEE division of two exact longs.
+    "q55_token_frequency" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.tokenFrequencyScore(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // JSF form-state parse (the parse half of the reference's SISAB report
+    // flow): synthetic pages are assembled from order columns — hidden
+    // ViewState input + a select box with 3 options — then the scan-level
+    // regex extraction recovers the state token and explodes the options.
+    // The oracle predicts every extracted value from the same columns.
+    "q56_form_parse" -> { (s, dir) =>
+      val vs = concat(lit("vs-"), md5(col("o_orderkey").cast("string")))
+      val options = concat_ws("", (1 to 3).map(i =>
+        concat(lit(s"""<option value="co-"""),
+          ((col("o_orderkey") + i) % 997).cast("string"),
+          lit(s"""">Opcao $i </option>"""))): _*)
+      val page = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(
+          lit("""<html><body><form id="f"><input type="hidden" """),
+          lit("""id="javax.faces.ViewState" value=""""), vs,
+          lit(""""/><select id="unidade">"""), options,
+          lit("""</select></form></body></html>""")).as("html"))
+      val parsed = HtmlForm.selectOptions(page, "html", "unidade")
+        .withColumn("view_state", HtmlForm.viewState(col("html")))
+      ordered(parsed.select(
+        col("o_orderkey"), col("view_state"),
+        col("opcao_codigo"), col("opcao_descricao")))
     },
   )
 
@@ -1564,5 +1598,32 @@ object SparkEntry {
         |    x -> abs(floor(CAST(x AS DOUBLE) / escala + 0.5) * escala
         |             - CAST(x AS DOUBLE)))) AS erro_max
         |FROM s ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same two passes: vocabulary counts, instance join, per-doc fold.
+    // sum() goes through CAST AS BIGINT (DuckDB HUGEINT -> float64
+    // otherwise — the q48 lesson); the mean divides the same exact longs.
+    "q55_token_frequency" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t, count(*) AS freq FROM tok GROUP BY t)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(min(freq) AS BIGINT) AS freq_min,
+        |  CAST(sum(freq) AS BIGINT) AS freq_soma,
+        |  CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS freq_media
+        |FROM tok JOIN vocab USING (t)
+        |GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Predicts the form-state round-trip from the same columns: the
+    // ViewState token and the three option code/description pairs per
+    // order, fanned out with a lateral generate_series.
+    "q56_form_parse" ->
+      """SELECT o_orderkey,
+        |  'vs-' || md5(CAST(o_orderkey AS VARCHAR)) AS view_state,
+        |  'co-' || CAST((o_orderkey + u.i) % 997 AS VARCHAR) AS opcao_codigo,
+        |  'Opcao ' || CAST(u.i AS VARCHAR) || ' ' AS opcao_descricao
+        |FROM orders, LATERAL unnest(generate_series(1, 3)) u(i)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

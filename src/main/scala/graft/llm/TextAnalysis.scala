@@ -1,14 +1,16 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
   *
   * Everything here is pure Catalyst expressions (higher-order array
-  * functions, regexes) — no UDFs — so the whole per-document analysis fuses
+  * functions, regexes) — no UDFs — so the per-document analysis fuses
   * into one whole-stage-codegen pass over the scan and runs embarrassingly
-  * parallel at 100 TB: no shuffle, no state, no driver involvement.
+  * parallel at 100 TB: no shuffle, no state, no driver involvement. The
+  * one exception is [[tokenFrequencyScore]], which is corpus-RELATIVE by
+  * definition and pays exactly one aggregation + one join.
   */
 object TextAnalysis {
 
@@ -108,6 +110,34 @@ object TextAnalysis {
     * winnowing-style content signature that is stable under reordering of
     * document chunks and reproducible cross-engine (md5 is standard).
     */
+  /** Corpus-relative token frequency scoring — the two-pass quality
+    * signal heuristic stacks use before model-based filters: documents
+    * dominated by corpus-rare tokens (OCR noise, boilerplate IDs, foreign
+    * scripts) surface with low min/mean frequencies. Pass 1 aggregates the
+    * corpus vocabulary (map-side-combined count per token — Zipf skew
+    * collapses in the combiner); pass 2 joins the token instances back
+    * through it (shuffle on the token key; hot tokens stream through a
+    * single-row build side, so skew costs one task's worth of LINEAR work,
+    * not quadratic) and folds per document. All outputs are exact: counts
+    * are longs, the mean is one IEEE double division of two exact longs —
+    * reproducible bit-for-bit in any engine.
+    */
+  def tokenFrequencyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), explode(tokens(col(textCol))).as("__tok"))
+    val vocab = tok.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+    tok.join(vocab, "__tok")
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        min(col("__freq")).as("freq_min"),
+        sum(col("__freq")).as("freq_soma"))
+      .select(
+        col("__id").as(idCol), col("n_tokens"), col("freq_min"), col("freq_soma"),
+        (col("freq_soma").cast("double") / col("n_tokens").cast("double"))
+          .as("freq_media"))
+  }
+
   def fingerprint(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(tokens(text), n), sh => md5(sh.cast("binary"))))
 }

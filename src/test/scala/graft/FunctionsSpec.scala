@@ -139,6 +139,18 @@ class FunctionsSpec extends SparkSpec {
     assert(out.isEmpty, s"diverged: ${out.collect().toSeq.take(3)}")
   }
 
+  test("tokenFrequencyScore computes corpus-relative frequencies exactly") {
+    import spark.implicits._
+    // corpus: "a" appears 4 times, "b" 2, "c" 1
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b a")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.tokenFrequencyScore(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 10L, 10.0 / 3), // a(4) b(2) a(4)
+      (2L, 2L, 1L, 5L, 2.5), // a(4) c(1)
+      (3L, 2L, 2L, 6L, 3.0))) // b(2) a(4)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)

@@ -263,6 +263,25 @@ class OperatorSpec extends SparkSpec {
     assert(out(1) == ((2L, 8000, 2, 16, 75L, 1, 1.0)))
   }
 
+  test("HtmlForm extracts ViewState in either attribute order and explodes options") {
+    import graft.sources.HtmlForm
+    val pages = Seq(
+      (1L, """<form><input id="javax.faces.ViewState" value="abc"/>""" +
+        """<select id="uf"><option value="12">AC</option>""" +
+        """<option value="27">AL</option></select></form>"""),
+      (2L, """<form><input value="xyz" id="javax.faces.ViewState"/>""" + // value first
+        """<select id="uf"></select></form>"""), // empty select -> no rows
+      (3L, """<form>no state, no select</form>"""))
+      .toDF("id", "html")
+    val vs = pages.withColumn("vs", HtmlForm.viewState(col("html")))
+      .select("id", "vs").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(vs == Seq((1L, "abc"), (2L, "xyz"), (3L, "")))
+    val opts = HtmlForm.selectOptions(pages, "html", "uf")
+      .select("id", "opcao_codigo", "opcao_descricao")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(opts == Seq((1L, "12", "AC"), (1L, "27", "AL")))
+  }
+
   test("readDelimited ingests the report dialect (ISO-8859-1, semicolons)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-report").toFile
     val f = new java.io.File(dir, "report.csv")
