@@ -117,4 +117,26 @@ object Ivf {
       samplePct: Int = 10): DataFrame =
     ivfTopK(index(corpus, idCol, vecCol, nCells, seed, samplePct),
       queries, idCol, vecCol, k, nProbe)
+
+  /** Persist the index with the cell-tagged corpus PARTITIONED BY cell id:
+    * a probe filters on `__cell`, and against the loaded index that filter
+    * is a partition filter — Spark prunes every unprobed cell's files at
+    * the SCAN (statically, or via dynamic partition pruning when the probe
+    * set is a runtime join), so query cost is proportional to the probed
+    * fraction of the corpus, not the corpus. This is the on-disk shape a
+    * 100 TB embedding store needs; the in-memory [[IvfIndex]] is for
+    * batch-session reuse.
+    */
+  def writeIndex(idx: IvfIndex, path: String): Unit = {
+    idx.assigned.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/cells")
+    idx.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index; `ivfTopK` over it prunes unprobed cells at
+    * the parquet scan.
+    */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/cells"),
+      spark.read.parquet(s"$path/centroids"))
 }

@@ -209,4 +209,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
       s"expected hash aggregation with map-side partials:\n$plan")
   }
+
+  test("chunkTokens is a scan-level explode — zero shuffles") {
+    val plan = planString(graft.llm.Curation.chunkTokens(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), "text", 40, 10))
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle — it is per-document work:\n$plan")
+    assert(plan.contains("Generate"), s"expected an explode:\n$plan")
+  }
+
+  test("token frequency scoring never goes cartesian and combines map-side") {
+    val plan = planString(graft.llm.TextAnalysis.tokenFrequencyScore(
+      Tables.documents(spark, sfDir), "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"vocabulary join must be an equi-join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"vocabulary counts need map-side partial aggregation:\n$plan")
+  }
 }

@@ -110,6 +110,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0)._3(3) == 127) // max element hits the top code exactly
   }
 
+  test("IVF index round-trips through cell-partitioned parquet with identical results") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.llm.Ivf.index(emb, "vec_id", "embedding", nCells = 8)
+    val dir = s"${graft.GraftSession.scratchRoot}/ivf-index"
+    graft.llm.Ivf.writeIndex(idx, dir)
+    val loaded = graft.llm.Ivf.readIndex(spark, dir)
+    // cell id must be a PARTITION column of the stored cells — that is
+    // what lets a probe prune unprobed cells' files at the scan
+    assert(new java.io.File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("__cell=")))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def topk(i: graft.llm.Ivf.IvfIndex) =
+      graft.llm.Ivf.ivfTopK(i, q, "vec_id", "embedding", 5, nProbe = 4)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(topk(loaded) == topk(idx), "loaded-index results equal in-memory index")
+    // a static single-cell probe must reach the scan as a partition filter
+    val pruned = loaded.assigned.filter(col("__cell") === 3)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__cell"),
+      s"cell filter did not prune partitions:\n$scan")
+    graft.llm.CacheScope.releaseAll()
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
