@@ -782,6 +782,31 @@ object SparkEntry {
     // ViewState input + a select box with 3 options — then the scan-level
     // regex extraction recovers the state token and explodes the options.
     // The oracle predicts every extracted value from the same columns.
+    // REAL compressed-video (MJPEG) frame sampling: AVI containers whose
+    // frames are genuine JPEG images (ImageIO.write) assembled from
+    // documents columns, decoded back by the same chunk walker + ImageIO.
+    // JPEG is lossy, so the graded contract checks the EXACT parts of the
+    // decode — the frame fan-out and the per-frame dimensions, which
+    // survive compression bit-for-bit; color accuracy is bounded in
+    // scalatest (OperatorSpec) where tolerance assertions are possible.
+    "q57_video_mjpeg" -> { (s, dir) =>
+      // Spread: JPEG encode/decode is pure CPU per row (see q45)
+      val src = llm.Spread(Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 === 0)) // CPU-heavy: sample the corpus
+        .select(
+          col("doc_id"),
+          (pmod(col("doc_id"), lit(6)) + 1).cast("int").as("larg"),
+          (pmod(col("n_chars").cast("long"), lit(6)) + 1).cast("int").as("alt"),
+          (pmod(col("doc_id"), lit(6)) + 1).cast("int").as("quadros"),
+          pmod(col("doc_id"), lit(200)).cast("int").as("r"),
+          pmod(col("doc_id") * 7, lit(200)).cast("int").as("g"),
+          pmod(col("n_chars").cast("long"), lit(200)).cast("int").as("b"))
+      val blobbed = llm.Multimodal.encodeAviMjpeg(
+        src, "larg", "alt", "quadros", "r", "g", "b", "payload")
+      ordered(llm.Multimodal.sampleFramesAvi(blobbed, "payload", stride = 2)
+        .select(col("doc_id"), col("frame_indice"), col("alt_px"), col("larg_px")))
+    },
+
     "q56_form_parse" -> { (s, dir) =>
       val vs = concat(lit("vs-"), md5(col("o_orderkey").cast("string")))
       val options = concat_ws("", (1 to 3).map(i =>
@@ -1618,6 +1643,17 @@ object SparkEntry {
     // Predicts the form-state round-trip from the same columns: the
     // ViewState token and the three option code/description pairs per
     // order, fanned out with a lateral generate_series.
+    // The lossless half of the MJPEG round-trip: sampled frame indices and
+    // per-frame dimensions survive JPEG compression exactly.
+    "q57_video_mjpeg" ->
+      """SELECT doc_id,
+        |  CAST(u.f AS INT) AS frame_indice,
+        |  CAST(1 + n_chars % 6 AS INT) AS alt_px,
+        |  CAST(1 + doc_id % 6 AS INT) AS larg_px
+        |FROM documents d, LATERAL unnest(generate_series(0, CAST(doc_id % 6 AS INT), 2)) u(f)
+        |WHERE doc_id % 5 = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     "q56_form_parse" ->
       """SELECT o_orderkey,
         |  'vs-' || md5(CAST(o_orderkey AS VARCHAR)) AS view_state,

@@ -15,14 +15,15 @@ import org.apache.spark.sql.types._
   * the RIFF/WAVE container and PCM sample data directly from bytes (no
   * libraries at all), with [[encodeWav]] building genuine WAV payloads
   * from column data for the oracle-checked round-trip. VIDEO frame
-  * sampling is REAL for uncompressed RIFF-AVI: [[sampleFramesAvi]] walks
-  * the container's chunk tree and decodes every `stride`-th DIB frame's
-  * pixel data ([[encodeAvi]] builds genuine AVI payloads for the
-  * oracle-checked round-trip). Compressed-codec video (H.264 etc.) needs
-  * native decoders absent from this environment, so [[sampleFrames]]
-  * remains as the documented stub for that case — its Spark-side plumbing
-  * (binary representation, batched `mapPartitions` harness, schemas,
-  * frame fan-out) is real and tested either way.
+  * sampling is REAL for RIFF-AVI in two codecs: [[sampleFramesAvi]] walks
+  * the container's chunk tree and decodes every `stride`-th frame —
+  * uncompressed DIB (`00db`) pixel rows directly, MJPEG (`00dc`) through
+  * pure-JDK ImageIO ([[encodeAvi]]/[[encodeAviMjpeg]] build genuine AVI
+  * payloads for the oracle-checked round-trips). Only inter-frame codecs
+  * (H.264 class) need native decoders absent from this environment, so
+  * [[sampleFrames]] remains as the documented stub for that case — its
+  * Spark-side plumbing (binary representation, batched `mapPartitions`
+  * harness, schemas, frame fan-out) is real and tested either way.
   */
 object Multimodal {
 
@@ -72,12 +73,12 @@ object Multimodal {
       Row((h * r).toInt.max(1), (w * r).toInt.max(1), d.getInt(2), d.get(3))
     }
 
-  /** STUB frame-sample kernel for COMPRESSED video — `??? : real codec
-    * decode requires native libraries`; uncompressed RIFF-AVI has the real
-    * path ([[sampleFramesAvi]]). Deterministic fake: every `stride`-th
-    * pseudo-frame offset derived from the payload length (the batch
-    * plumbing — one input row fanning out to N frame rows — is the real
-    * part).
+  /** STUB frame-sample kernel for INTER-FRAME video codecs (H.264 class) —
+    * `??? : real codec decode requires native libraries`; RIFF-AVI with
+    * DIB or MJPEG frames has the real path ([[sampleFramesAvi]]).
+    * Deterministic fake: every `stride`-th pseudo-frame offset derived
+    * from the payload length (the batch plumbing — one input row fanning
+    * out to N frame rows — is the real part).
     */
   def sampleFrames(
       df: DataFrame, blobCol: String, stride: Int): DataFrame = {
@@ -252,12 +253,16 @@ object Multimodal {
     StructField("media_b", DoubleType),
   ))
 
-  /** REAL video frame extraction for uncompressed RIFF-AVI — walks the
-    * container's chunk tree (LIST recursion, word-aligned skipping) for
-    * the `avih` main header and the `movi` list's `00db` DIB frames, then
-    * decodes every `stride`-th frame's bottom-up padded BGR rows into
-    * exact per-channel means. Zero libraries; compressed codecs are out of
-    * scope (see [[sampleFrames]] stub). Malformed payloads fail loudly.
+  /** REAL video frame extraction for RIFF-AVI — walks the container's
+    * chunk tree (LIST recursion, word-aligned skipping) for the `avih`
+    * main header and the `movi` list's frame chunks, then decodes every
+    * `stride`-th frame to per-channel means. Two codecs, both genuinely
+    * decoded: `00db` uncompressed DIB (bottom-up padded BGR rows, exact
+    * integer means, zero libraries) and `00dc` MJPEG (each frame is a
+    * complete JPEG image, decoded by pure-JDK ImageIO like
+    * [[decodeImage]]). Only inter-frame codecs (H.264 class) remain out
+    * of scope (see [[sampleFrames]] stub). Malformed payloads fail
+    * loudly.
     */
   def decodeAviFrames(stride: Int)(p: Array[Byte]): Seq[Row] = {
     def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
@@ -266,14 +271,15 @@ object Multimodal {
     require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
       "payload is not a RIFF/AVI file")
     var (w, h) = (0, 0)
-    val frames = Seq.newBuilder[(Int, Int)] // (dataOff, size)
+    val frames = Seq.newBuilder[(Int, Int, Boolean)] // (dataOff, size, isJpeg)
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
         val (id, sz) = (tag(off), u32(off + 4))
         if (id == "LIST") walk(off + 12, off + 8 + sz)
         else if (id == "avih") { w = u32(off + 8 + 32); h = u32(off + 8 + 36) }
-        else if (id == "00db" || id == "00dc") frames += ((off + 8, sz))
+        else if (id == "00db") frames += ((off + 8, sz, false))
+        else if (id == "00dc") frames += ((off + 8, sz, true))
         off += 8 + sz + (sz & 1)
       }
     }
@@ -281,21 +287,40 @@ object Multimodal {
     require(w > 0 && h > 0, "missing avih main header")
     val rowBytes = (3 * w + 3) & ~3 // DIB rows pad to 4 bytes
     frames.result().zipWithIndex.collect {
-      case ((dataOff, sz), idx) if idx % stride == 0 =>
-        require(sz >= rowBytes * h, s"frame $idx truncated: $sz < ${rowBytes * h}")
-        var (sb, sg, sr) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val o = dataOff + y * rowBytes + 3 * x
-            sb += p(o) & 0xFF; sg += p(o + 1) & 0xFF; sr += p(o + 2) & 0xFF
-            x += 1
+      case ((dataOff, sz, isJpeg), idx) if idx % stride == 0 =>
+        if (isJpeg) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p, dataOff, sz))
+          require(img != null, s"frame $idx is not a decodable JPEG")
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
           }
-          y += 1
+          val n = (img.getWidth.toLong * img.getHeight).toDouble
+          Row(idx, img.getHeight, img.getWidth, sr / n, sg / n, sb / n)
+        } else {
+          require(sz >= rowBytes * h, s"frame $idx truncated: $sz < ${rowBytes * h}")
+          var (sb, sg, sr) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = dataOff + y * rowBytes + 3 * x
+              sb += p(o) & 0xFF; sg += p(o + 1) & 0xFF; sr += p(o + 2) & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Row(idx, h, w, sr / n, sg / n, sb / n)
         }
-        val n = (w.toLong * h).toDouble
-        Row(idx, h, w, sr / n, sg / n, sb / n)
     }
   }
 
@@ -370,6 +395,66 @@ object Multimodal {
             y += 1
           }
           f += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(enc)
+  }
+
+  /** Encode an MJPEG AVI per row — same container as [[encodeAvi]] but
+    * every frame is a REAL JPEG image (`ImageIO.write`) in a `00dc`
+    * chunk, solid color shifted by frame index. JPEG is lossy, so decoded
+    * means are near (not exactly) the encoded color — the oracle checks
+    * the exact parts (frame fan-out, dimensions) and the scalatest spec
+    * bounds the color error.
+    */
+  def encodeAviMjpeg(
+      df: DataFrame, wCol: String, hCol: String, framesCol: String,
+      rCol: String, gCol: String, bCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val idx = Seq(wCol, hCol, framesCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val Seq(w, h, nFrames, r, g, b) = idx.map(i => row.getAs[Number](i).intValue())
+        require(w > 0 && h > 0 && nFrames > 0, "bad AVI dimensions")
+        val jpegs = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (((r + f) % 256) << 16) | (((g + f) % 256) << 8) | ((b + f) % 256)
+          var y = 0
+          while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        val moviSize = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+        val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+        val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(s: String): Unit = { out.put(s.getBytes("US-ASCII")); () }
+        fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+        fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+        fourcc("avih"); out.putInt(56)
+        out.putInt(40000).putInt(0).putInt(0).putInt(0)
+          .putInt(nFrames).putInt(0).putInt(1).putInt(jpegs.map(_.length).max)
+          .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(4 + 64 + 48); fourcc("strl")
+        fourcc("strh"); out.putInt(56)
+        fourcc("vids"); fourcc("MJPG")
+        out.putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(25).putInt(0).putInt(nFrames)
+          .putInt(jpegs.map(_.length).max).putInt(0).putInt(0)
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+        fourcc("strf"); out.putInt(40)
+        out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        fourcc("MJPG") // biCompression carries the codec fourcc
+        out.putInt(jpegs.map(_.length).max).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+        jpegs.foreach { j =>
+          fourcc("00dc"); out.putInt(j.length); out.put(j)
+          if ((j.length & 1) == 1) out.put(0.toByte) // word alignment
         }
         Row.fromSeq(row.toSeq :+ out.array())
       }

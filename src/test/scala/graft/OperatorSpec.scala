@@ -250,6 +250,26 @@ class OperatorSpec extends SparkSpec {
       Seq((250.0, 10.0, 100.0), (252.0, 12.0, 102.0), (254.0, 14.0, 104.0)))
   }
 
+  test("encodeAviMjpeg -> sampleFramesAvi really decodes JPEG frames") {
+    // dimensions are exact through JPEG; solid-color means are near the
+    // encoded color (DC-only blocks — small quantization shift allowed)
+    val src = Seq((1L, 4, 3, 5, 180, 60, 200))
+      .toDF("id", "larg", "alt", "quadros", "r", "g", "b")
+    val out = Multimodal.sampleFramesAvi(
+        Multimodal.encodeAviMjpeg(src, "larg", "alt", "quadros", "r", "g", "b", "payload"),
+        "payload", stride = 2)
+      .select("id", "frame_indice", "alt_px", "larg_px", "media_r", "media_g", "media_b")
+      .as[(Long, Int, Int, Int, Double, Double, Double)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 2, 4))
+    assert(out.forall(r => r._3 == 3 && r._4 == 4))
+    out.foreach { r =>
+      val f = r._2
+      assert(math.abs(r._5 - (180 + f)) <= 8, s"media_r off for frame $f: ${r._5}")
+      assert(math.abs(r._6 - (60 + f)) <= 8, s"media_g off for frame $f: ${r._6}")
+      assert(math.abs(r._7 - (200 + f)) <= 8, s"media_b off for frame $f: ${r._7}")
+    }
+  }
+
   test("encodeWav -> decodeWav round-trips the square wave through Spark") {
     val src = Seq((1L, 16000, 120, 1, 9000, 3), (2L, 8000, 75, 2, 1, 1))
       .toDF("id", "taxa", "quadros", "can", "amp", "meio")
