@@ -782,6 +782,29 @@ object SparkEntry {
     // ViewState input + a select box with 3 options — then the scan-level
     // regex extraction recovers the state token and explodes the options.
     // The oracle predicts every extracted value from the same columns.
+    "q56_form_parse" -> { (s, dir) =>
+      val vs = concat(lit("vs-"), md5(col("o_orderkey").cast("string")))
+      val options = concat_ws("", (1 to 3).map(i =>
+        concat(lit(s"""<option value="co-"""),
+          ((col("o_orderkey") + i) % 997).cast("string"),
+          lit(s"""">Opcao $i </option>"""))): _*)
+      val page = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(
+          lit("""<html><body><form id="f"><input type="hidden" """),
+          lit("""id="javax.faces.ViewState" value=""""), vs,
+          lit(""""/><select id="unidade">"""), options,
+          lit("""</select></form></body></html>""")).as("html"))
+      // view_state extracted BEFORE the option explode: below the Generate
+      // it runs once per page; above it, once per option row (3x the regex
+      // work — measured ~30% of the query at sf1)
+      val withState = page.withColumn("view_state", HtmlForm.viewState(col("html")))
+      val parsed = HtmlForm.selectOptions(withState, "html", "unidade")
+      ordered(parsed.select(
+        col("o_orderkey"), col("view_state"),
+        col("opcao_codigo"), col("opcao_descricao")))
+    },
+
     // REAL compressed-video (MJPEG) frame sampling: AVI containers whose
     // frames are genuine JPEG images (ImageIO.write) assembled from
     // documents columns, decoded back by the same chunk walker + ImageIO.
@@ -805,29 +828,6 @@ object SparkEntry {
         src, "larg", "alt", "quadros", "r", "g", "b", "payload")
       ordered(llm.Multimodal.sampleFramesAvi(blobbed, "payload", stride = 2)
         .select(col("doc_id"), col("frame_indice"), col("alt_px"), col("larg_px")))
-    },
-
-    "q56_form_parse" -> { (s, dir) =>
-      val vs = concat(lit("vs-"), md5(col("o_orderkey").cast("string")))
-      val options = concat_ws("", (1 to 3).map(i =>
-        concat(lit(s"""<option value="co-"""),
-          ((col("o_orderkey") + i) % 997).cast("string"),
-          lit(s"""">Opcao $i </option>"""))): _*)
-      val page = Tables.orders(s, dir).select(
-        col("o_orderkey"),
-        concat(
-          lit("""<html><body><form id="f"><input type="hidden" """),
-          lit("""id="javax.faces.ViewState" value=""""), vs,
-          lit(""""/><select id="unidade">"""), options,
-          lit("""</select></form></body></html>""")).as("html"))
-      // view_state extracted BEFORE the option explode: below the Generate
-      // it runs once per page; above it, once per option row (3x the regex
-      // work — measured ~30% of the query at sf1)
-      val withState = page.withColumn("view_state", HtmlForm.viewState(col("html")))
-      val parsed = HtmlForm.selectOptions(withState, "html", "unidade")
-      ordered(parsed.select(
-        col("o_orderkey"), col("view_state"),
-        col("opcao_codigo"), col("opcao_descricao")))
     },
   )
 
@@ -1646,6 +1646,14 @@ object SparkEntry {
     // Predicts the form-state round-trip from the same columns: the
     // ViewState token and the three option code/description pairs per
     // order, fanned out with a lateral generate_series.
+    "q56_form_parse" ->
+      """SELECT o_orderkey,
+        |  'vs-' || md5(CAST(o_orderkey AS VARCHAR)) AS view_state,
+        |  'co-' || CAST((o_orderkey + u.i) % 997 AS VARCHAR) AS opcao_codigo,
+        |  'Opcao ' || CAST(u.i AS VARCHAR) || ' ' AS opcao_descricao
+        |FROM orders, LATERAL unnest(generate_series(1, 3)) u(i)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // The lossless half of the MJPEG round-trip: sampled frame indices and
     // per-frame dimensions survive JPEG compression exactly.
     "q57_video_mjpeg" ->
@@ -1655,14 +1663,6 @@ object SparkEntry {
         |  CAST(1 + doc_id % 6 AS INT) AS larg_px
         |FROM documents d, LATERAL unnest(generate_series(0, CAST(doc_id % 6 AS INT), 2)) u(f)
         |WHERE doc_id % 5 = 0
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
-
-    "q56_form_parse" ->
-      """SELECT o_orderkey,
-        |  'vs-' || md5(CAST(o_orderkey AS VARCHAR)) AS view_state,
-        |  'co-' || CAST((o_orderkey + u.i) % 997 AS VARCHAR) AS opcao_codigo,
-        |  'Opcao ' || CAST(u.i AS VARCHAR) || ' ' AS opcao_descricao
-        |FROM orders, LATERAL unnest(generate_series(1, 3)) u(i)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -88,6 +88,11 @@ object Components {
       undCount = nextCount
       iter += 1
     }
+    // The final labeling below assumes the star fixpoint was reached —
+    // on a non-converged edge set it would silently return wrong cluster
+    // ids, so an exhausted iteration budget must fail loudly.
+    require(converged,
+      s"connected components did not converge in $maxIter star rounds")
 
     // At the fixpoint every component is a star around its min, so the
     // label is one neighborhood min away for every member (and the hub

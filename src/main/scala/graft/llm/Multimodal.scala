@@ -173,6 +173,9 @@ object Multimodal {
     var off = 12
     while (off + 8 <= p.length) {
       val (id, sz) = (tag(off), u32(off + 4).toInt)
+      // a corrupt size with the high bit set is a negative Int and would
+      // stop the walk advancing — fail loudly instead of looping forever
+      require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
       if (id == "fmt ") {
         require(u16(off + 8) == 1, "only PCM (format tag 1) is supported")
         channels = u16(off + 10)
@@ -276,6 +279,10 @@ object Multimodal {
       var off = from
       while (off + 8 <= to) {
         val (id, sz) = (tag(off), u32(off + 4))
+        // negative (high-bit) or overflowing sizes would stall or overrun
+        // the walk — fail loudly, like every other malformed payload
+        require(sz >= 0 && off + 8 + sz <= to,
+          s"corrupt RIFF chunk size at offset $off")
         if (id == "LIST") walk(off + 12, off + 8 + sz)
         else if (id == "avih") { w = u32(off + 8 + 32); h = u32(off + 8 + 36) }
         else if (id == "00db") frames += ((off + 8, sz, false))

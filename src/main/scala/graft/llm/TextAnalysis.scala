@@ -110,6 +110,9 @@ object TextAnalysis {
     * winnowing-style content signature that is stable under reordering of
     * document chunks and reproducible cross-engine (md5 is standard).
     */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(tokens(text), n), sh => md5(sh.cast("binary"))))
+
   /** Corpus-relative token frequency scoring — the two-pass quality
     * signal heuristic stacks use before model-based filters: documents
     * dominated by corpus-rare tokens (OCR noise, boilerplate IDs, foreign
@@ -137,7 +140,4 @@ object TextAnalysis {
         (col("freq_soma").cast("double") / col("n_tokens").cast("double"))
           .as("freq_media"))
   }
-
-  def fingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(tokens(text), n), sh => md5(sh.cast("binary"))))
 }

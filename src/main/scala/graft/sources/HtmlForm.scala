@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
 object HtmlForm {
 
   /** The `javax.faces.ViewState` hidden-input value ('' when absent),
-    * attribute order tolerant (id before or after value).
+    * attribute order tolerant (id before or after value). `(?s)` so a tag
+    * whose attributes span lines (real pretty-printed SISAB HTML) still
+    * matches; `[^>]*` keeps each pattern inside one tag.
     */
   def viewState(html: Column): Column = {
     val idFirst = regexp_extract(html,
-      """id="javax\.faces\.ViewState"[^>]*value="([^"]*)"""", 1)
+      """(?s)id="javax\.faces\.ViewState"[^>]*value="([^"]*)"""", 1)
     val valueFirst = regexp_extract(html,
-      """value="([^"]*)"[^>]*id="javax\.faces\.ViewState"""", 1)
+      """(?s)value="([^"]*)"[^>]*id="javax\.faces\.ViewState"""", 1)
     when(idFirst =!= "", idFirst).otherwise(valueFirst)
   }
 
@@ -32,9 +34,14 @@ object HtmlForm {
     * reference's scrape.
     */
   def selectOptions(df: DataFrame, htmlCol: String, selectId: String): DataFrame = {
+    // (?s) lets the box body span lines; the open tag is matched tolerantly
+    // (other attributes before/after id, any order) and the id itself is
+    // regex-quoted — real multi-line SISAB pages parse, not just the
+    // single-line synthetic ones.
+    val quotedId = java.util.regex.Pattern.quote(selectId)
     val body = regexp_extract(col(htmlCol),
-      s"""<select id="$selectId">(.*?)</select>""", 1)
-    val opt = """<option value="([^"]*)">([^<]*)</option>"""
+      s"""(?s)<select[^>]*\\bid="$quotedId"[^>]*>(.*?)</select>""", 1)
+    val opt = """(?s)<option[^>]*\bvalue="([^"]*)"[^>]*>([^<]*)</option>"""
     val zipped = arrays_zip(
       regexp_extract_all(body, lit(opt), lit(1)),
       regexp_extract_all(body, lit(opt), lit(2)))

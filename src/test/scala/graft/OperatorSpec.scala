@@ -283,6 +283,27 @@ class OperatorSpec extends SparkSpec {
     assert(out(1) == ((2L, 8000, 2, 16, 75L, 1, 1.0)))
   }
 
+  test("RIFF walkers fail loudly on corrupt (high-bit) chunk sizes instead of looping") {
+    // hand-build a RIFF/WAVE whose first chunk declares size 0xFFFFFFF0:
+    // as a signed Int that is negative and, unguarded, stops the chunk
+    // walk advancing — the decoder must throw, not hang
+    val p = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    p.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+    p.put("fmt ".getBytes("US-ASCII")).putInt(0xFFFFFFF0)
+    val wav = p.array()
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.decodeWav(Seq(wav))
+    }
+    assert(e.getMessage.contains("corrupt RIFF chunk size"))
+    val avi = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avi.put("RIFF".getBytes("US-ASCII")).putInt(56).put("AVI ".getBytes("US-ASCII"))
+    avi.put("avih".getBytes("US-ASCII")).putInt(0xFFFFFFF0)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.llm.Multimodal.decodeAviFrames(1)(avi.array())
+    }
+    assert(e2.getMessage.contains("corrupt RIFF chunk size"))
+  }
+
   test("HtmlForm extracts ViewState in either attribute order and explodes options") {
     import graft.sources.HtmlForm
     val pages = Seq(
@@ -291,15 +312,20 @@ class OperatorSpec extends SparkSpec {
         """<option value="27">AL</option></select></form>"""),
       (2L, """<form><input value="xyz" id="javax.faces.ViewState"/>""" + // value first
         """<select id="uf"></select></form>"""), // empty select -> no rows
-      (3L, """<form>no state, no select</form>"""))
+      (3L, """<form>no state, no select</form>"""),
+      // real pretty-printed pages: multi-line tags, extra attributes, id
+      // not the first attribute — the regexes must stay tolerant
+      (4L, "<form>\n  <input type=\"hidden\"\n    id=\"javax.faces.ViewState\"\n" +
+        "    value=\"mlv\"/>\n  <select class=\"s\" id=\"uf\" size=\"1\">\n" +
+        "    <option class=\"o\" value=\"35\">SP</option>\n  </select>\n</form>"))
       .toDF("id", "html")
     val vs = pages.withColumn("vs", HtmlForm.viewState(col("html")))
       .select("id", "vs").as[(Long, String)].collect().sortBy(_._1).toSeq
-    assert(vs == Seq((1L, "abc"), (2L, "xyz"), (3L, "")))
+    assert(vs == Seq((1L, "abc"), (2L, "xyz"), (3L, ""), (4L, "mlv")))
     val opts = HtmlForm.selectOptions(pages, "html", "uf")
       .select("id", "opcao_codigo", "opcao_descricao")
       .as[(Long, String, String)].collect().sortBy(r => (r._1, r._2)).toSeq
-    assert(opts == Seq((1L, "12", "AC"), (1L, "27", "AL")))
+    assert(opts == Seq((1L, "12", "AC"), (1L, "27", "AL"), (4L, "35", "SP")))
   }
 
   test("readDelimited ingests the report dialect (ISO-8859-1, semicolons)") {
