@@ -829,6 +829,105 @@ object SparkEntry {
       ordered(llm.Multimodal.sampleFramesAvi(blobbed, "payload", stride = 2)
         .select(col("doc_id"), col("frame_indice"), col("alt_px"), col("larg_px")))
     },
+
+    // PII redaction: emails / BR phones / IPv4 masked with typed
+    // placeholders, per-kind counts from the source text. The corpus has
+    // no PII, so it is INJECTED deterministically from document columns —
+    // the oracle rebuilds the same dirty text and replays the same
+    // RE2/Java-compatible rewrites byte-for-byte.
+    "q58_pii_redact" -> { (s, dir) =>
+      val d4 = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+      val dirty = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contato: user"), col("doc_id").cast("string"),
+            lit("@ex"), pmod(col("doc_id"), lit(10)).cast("string"),
+            lit(".com.br"))).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" cc admin@site.org")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" tel ("),
+            lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+            lit(") 9"), d4, lit("-"), d4)).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ip "), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0."), pmod(col("doc_id"), lit(100)).cast("string"),
+            lit(".1"))).otherwise(lit("")))
+      val base = Tables.documents(s, dir).select(col("doc_id"), dirty.as("texto"))
+      ordered(llm.Privacy.redactPii(base, "texto")
+        .select("doc_id", "texto_limpo", "n_emails", "n_telefones", "n_ips"))
+    },
+
+    // Gopher-style n-gram repetition quality signals: top token / top
+    // bigram / duplicated-trigram coverage per document.
+    "q59_repetition" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.ngramRepetition(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // Benchmark decontamination: corpus docs sharing any word trigram with
+    // the benchmark set (docs with id % 97 == 0 stand in for an eval
+    // suite) are flagged with their shared-shingle count.
+    "q60_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ordered(llm.Curation.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3))
+    },
+
+    // Event-time as-of join: every non-error event picks up the ts/value
+    // of the SAME user's latest error at-or-before it (config-at-event
+    // lookup). DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q61_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dim = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      val fact = ev.filter(col("event_type") =!= "error")
+      ordered(AsOf.asOfJoin(fact, dim, "user_id", "ts", Seq("value"), "cfg_"))
+    },
+
+    // Canonical text normalization: NFC (native codegen'd kernel) +
+    // control-char strip + whitespace collapse. Decomposed accents, tabs,
+    // double spaces and a BEL are injected so the pass has real work;
+    // DuckDB's nfc_normalize + the same rewrites predict the output.
+    "q62_normalize" -> { (s, dir) =>
+      val mess = concat(substring(col("text"), 1, 40),
+        lit(" é  tab\there "), lit(""), lit(" fim"))
+      val base = Tables.documents(s, dir).select(col("doc_id"), mess.as("texto"))
+      ordered(base.select(
+          col("doc_id"),
+          length(col("texto")).cast("long").as("n_antes"),
+          llm.Privacy.normalizeText(col("texto")).as("texto_norm"))
+        .withColumn("n_depois", length(col("texto_norm")).cast("long")))
+    },
+
+    // Deterministic training-shard packing: md5-hash shard assignment
+    // (stable under re-runs/partitioning) + the per-shard manifest.
+    "q63_shard_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"),
+        llm.TextAnalysis.estTokenCount(col("text")).as("tokens_est"))
+      ordered(llm.Curation.shardStats(docs, "doc_id", "tokens_est", nShards = 32))
+    },
+
+    // Source-level domain blocklist: URLs synthesized from document
+    // columns (two planted spam domains), domain extracted at scan level,
+    // blocklist applied as a broadcast anti-join DATASET (web-scale
+    // blocklists are tables, not literals).
+    "q64_domain_filter" -> { (s, dir) =>
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 13 === 0, lit("spam-mill.example"))
+          .when(col("doc_id") % 13 === 1, lit("seo-farm.example"))
+          .otherwise(concat(col("source"), lit("-site.example"))),
+        lit("/art/"), col("doc_id").cast("string"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      val bl = {
+        import s.implicits._
+        Seq("spam-mill.example", "seo-farm.example", "unused.example").toDF("dominio")
+      }
+      ordered(llm.Curation.dropBlockedDomains(docs, "url", bl))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1663,6 +1762,162 @@ object SparkEntry {
         |  CAST(1 + doc_id % 6 AS INT) AS larg_px
         |FROM documents d, LATERAL unnest(generate_series(0, CAST(doc_id % 6 AS INT), 2)) u(f)
         |WHERE doc_id % 5 = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Rebuilds the same PII-injected text, replays the same three rewrites
+    // (email → phone → IP) and counts matches on the source text. The
+    // patterns are restricted to syntax with identical Java-regex/RE2
+    // semantics.
+    "q58_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contato: user' || CAST(doc_id AS VARCHAR)
+        |         || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com.br' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' cc admin@site.org' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' tel ('
+        |         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ') 9'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' ip ' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.0.' || CAST(doc_id % 100 AS VARCHAR) || '.1' ELSE '' END
+        |    AS texto
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(texto,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\(\d{2}\)\s?\d{4,5}-\d{4}', '<TELEFONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS texto_limpo,
+        |  CAST(len(regexp_extract_all(texto,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(texto,
+        |    '\(\d{2}\)\s?\d{4,5}-\d{4}')) AS BIGINT) AS n_telefones,
+        |  CAST(len(regexp_extract_all(texto,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM d ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Unigram/bigram/trigram counts per doc via list comprehensions (the
+    // q28 shingle idiom, multiplicity KEPT), folded to the same max /
+    // dup-sum signals; fractions are the same single exact-long divisions.
+    "q59_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |      ELSE [] END AS bi,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |      ELSE [] END AS tri
+        |  FROM t),
+        |uc AS (SELECT doc_id, max(c) AS top_token FROM (
+        |  SELECT doc_id, u, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS u FROM g) GROUP BY 1, 2) GROUP BY 1),
+        |bc AS (SELECT doc_id, max(c) AS top_bigrama FROM (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bi) AS b FROM g) GROUP BY 1, 2) GROUP BY 1),
+        |tc AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigramas
+        |  FROM (SELECT doc_id, tr, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tri) AS tr FROM g) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT g.doc_id, g.n_tokens,
+        |  CAST(coalesce(uc.top_token, 0) AS BIGINT) AS top_token,
+        |  CAST(coalesce(bc.top_bigrama, 0) AS BIGINT) AS top_bigrama,
+        |  CAST(coalesce(tc.dup_trigramas, 0) AS BIGINT) AS dup_trigramas,
+        |  CASE WHEN g.n_tokens >= 1 THEN CAST(coalesce(uc.top_token, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens AS DOUBLE) ELSE 0.0 END AS frac_top_token,
+        |  CASE WHEN g.n_tokens >= 2 THEN CAST(coalesce(bc.top_bigrama, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens - 1 AS DOUBLE) ELSE 0.0 END AS frac_top_bigrama,
+        |  CASE WHEN g.n_tokens >= 3 THEN CAST(coalesce(tc.dup_trigramas, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens - 2 AS DOUBLE) ELSE 0.0 END AS frac_dup_trigramas
+        |FROM g LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |  LEFT JOIN tc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Distinct-trigram overlap of each corpus doc against the benchmark
+    // slice's union of trigrams — the count of a doc's own distinct
+    // shingles that appear anywhere in the benchmark.
+    "q60_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |    ELSE [] END) AS sh
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM k WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, count(*) AS n FROM
+        |  (SELECT doc_id, unnest(sh) AS s FROM k WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (s) GROUP BY 1)
+        |SELECT k.doc_id,
+        |  CAST(coalesce(hits.n, 0) AS BIGINT) AS n_compartilhados,
+        |  coalesce(hits.n, 0) > 0 AS contaminado
+        |FROM k LEFT JOIN hits USING (doc_id)
+        |WHERE k.doc_id % 97 <> 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union-merge
+    // as-of implementation (same at-or-before, latest-dim-row semantics).
+    "q61_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |dim AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'error'),
+        |fact AS (SELECT * FROM ev WHERE event_type <> 'error')
+        |SELECT f.event_id, f.ts, f.user_id, f.event_type, f.value,
+        |  d.ts AS cfg_ts, d.value AS cfg_value
+        |FROM fact f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.ts
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same dirty text (decomposed accent via chr(769), tab, double spaces,
+    // BEL), normalized by DuckDB's own nfc_normalize + the same two
+    // rewrites; lengths count Unicode code points in both engines.
+    "q62_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' e' || chr(769) || '  tab' || chr(9)
+        |      || 'here ' || chr(7) || ' fim' AS texto
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, length(texto) AS n_antes,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(texto),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS texto_norm
+        |  FROM d)
+        |SELECT doc_id, CAST(n_antes AS BIGINT) AS n_antes, texto_norm,
+        |  CAST(length(texto_norm) AS BIGINT) AS n_depois
+        |FROM n ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same md5 shard hash (first 32 bits mod 32) and manifest aggregates.
+    "q63_shard_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS tokens_est
+        |  FROM documents)
+        |SELECT
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 32
+        |    AS shard,
+        |  count(*) AS docs, CAST(sum(tokens_est) AS BIGINT) AS tokens,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM d GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same synthesized URLs; domain via the same regex; blocklist as a
+    // NOT IN over the same three domains.
+    "q64_domain_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 13 = 0 THEN 'spam-mill.example'
+        |                       WHEN doc_id % 13 = 1 THEN 'seo-farm.example'
+        |                       ELSE source || '-site.example' END
+        |      || '/art/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1) AS dominio
+        |  FROM d)
+        |SELECT * FROM x
+        |WHERE dominio NOT IN ('spam-mill.example', 'seo-farm.example', 'unused.example')
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

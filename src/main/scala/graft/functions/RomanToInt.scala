@@ -87,7 +87,8 @@ object GraftFunctions {
 
   private[functions] def descriptors = Seq(
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
-    MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor)
+    MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
+    WordShinglesAll.descriptor, NfcNormalize.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

@@ -73,6 +73,67 @@ object ShingleOps {
     }
     new GenericArrayData(set.toArray[AnyRef](new Array[AnyRef](set.size)))
   }
+
+  /** Every shingle INSTANCE in document order (multiplicity preserved) —
+    * the repetition-metric variant: n-gram frequency counting needs the
+    * duplicated instances that [[shingles]]'s distinct set throws away.
+    */
+  def shinglesAll(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](size - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= size) {
+      var j = 0
+      while (j < n) {
+        window(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(Space, window: _*) // concat_ws skips nulls
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All shingle instances (document order, duplicates kept) — same kernel
+  * family as [[WordShingles]], minus the dedup/sort; feeds n-gram
+  * repetition counting where multiplicity IS the signal.
+  */
+case class WordShinglesAll(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, int literal), got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles_all"
+
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    ShingleOps.shinglesAll(toks.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) => s"graft.functions.ShingleOps.shinglesAll($t, $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShinglesAll =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShinglesAll {
+  private[functions] val descriptor = (
+    FunctionIdentifier("word_shingles_all"),
+    new ExpressionInfo(classOf[WordShinglesAll].getName, "word_shingles_all"),
+    (children: Seq[Expression]) =>
+      WordShinglesAll(children.head, children(1)): Expression,
+  )
 }
 
 object WordShingles {

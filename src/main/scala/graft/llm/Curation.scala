@@ -99,4 +99,80 @@ object Curation {
           least(size(col("__toks")) - col("chunk_idx") * stride, lit(window))
             .cast("int").as("chunk_tokens"): _*)
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM appendix-style n-gram
+    * overlap check): for every corpus document, how many of its distinct
+    * word `n`-grams appear anywhere in the benchmark set — a nonzero count
+    * means eval data leaked into training data and the doc must be
+    * dropped or scrubbed. Appends `n_compartilhados` (0 for clean docs)
+    * and `contaminado`.
+    *
+    * Shape: the benchmark's distinct shingles BROADCAST (eval suites are
+    * thousands of docs against a 100 TB corpus — the small side by many
+    * orders of magnitude); the corpus side is a scan-level shingle
+    * explode → broadcast hash semi-count → map-side-combinable groupBy on
+    * the doc id. No corpus shuffle except the final per-doc count; per-doc
+    * shingle sets are distinct already, so the count needs no dedup.
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def shingleRows(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(TextAnalysis.shingleSetSorted(
+        TextAnalysis.tokens(col(textCol)), n)).as("__sh"): _*)
+    val benchShingles = shingleRows(benchmark).distinct()
+    val hits = shingleRows(corpus, col(idCol))
+      .join(broadcast(benchShingles), "__sh")
+      .groupBy(idCol).agg(count(lit(1)).as("n_compartilhados"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_compartilhados"), lit(0L)).as("n_compartilhados"))
+      .withColumn("contaminado", col("n_compartilhados") > 0)
+  }
+
+  /** Deterministic training-shard assignment: first 32 md5 bits of the id
+    * mod `nShards` — the output-layout step that fixes which file a
+    * document lands in REGARDLESS of partitioning, executor count, or
+    * re-runs (a rerun of a 100 TB export must overwrite shards
+    * idempotently, which `rand()`- or partition-index-based assignment
+    * cannot). Scan-level expression; the physical write is
+    * `df.repartition(col("shard")).write.partitionBy("shard")`.
+    */
+  def hashShard(key: Column, nShards: Int): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nShards
+
+  /** Per-shard packing audit: doc count, token sum, id range — the
+    * manifest a training job reads to plan epoch schedules. One map-side
+    * combinable aggregation over the shard key.
+    */
+  def shardStats(
+      df: DataFrame, idCol: String, tokensCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard", hashShard(col(idCol), nShards))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col(tokensCol)).as("tokens"),
+        min(col(idCol)).as("id_min"),
+        max(col(idCol)).as("id_max"))
+
+  /** The host part of a URL (scheme-tolerant, '' when unparseable). */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Drop documents whose URL domain appears in the blocklist — the
+    * source-level filter every web-scale corpus applies first (spam/SEO
+    * domain lists run to millions of entries, so the blocklist is a
+    * DATASET, not an `isin` literal). Appends `dominio`, then a BROADCAST
+    * left-anti join against the blocklist's single column: scan-level on
+    * the corpus, no corpus shuffle, blocklist hashed once per executor.
+    */
+  def dropBlockedDomains(
+      df: DataFrame, urlCol: String, blocklist: DataFrame): DataFrame = {
+    val bl = blocklist.toDF("dominio").distinct()
+    df.withColumn("dominio", urlDomain(col(urlCol)))
+      .join(broadcast(bl), Seq("dominio"), "left_anti")
+  }
 }

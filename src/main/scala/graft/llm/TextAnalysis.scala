@@ -140,4 +140,58 @@ object TextAnalysis {
         (col("freq_soma").cast("double") / col("n_tokens").cast("double"))
           .as("freq_media"))
   }
+
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1, the
+    * repetition family of quality filters): per document, the count and
+    * fraction of tokens covered by the most frequent token and bigram, and
+    * by duplicated trigrams — boilerplate/spam detectors that fire on
+    * machine-generated or template text well before model-based filters.
+    *
+    * Shape: one persisted tokenization (four consumers — the count plus
+    * three gram fan-outs — would otherwise each re-derive `split()`
+    * through CollapseProject), then per gram size an
+    * explode → codegen'd count. Gram instances come from the native
+    * [[graft.functions.WordShinglesAll]] kernel (multiplicity preserved —
+    * the distinct [[shingleSetSorted]] would erase the signal). All
+    * shuffles are map-side combinable on (doc, gram); fractions are one
+    * exact-long IEEE division each, so the whole operator is
+    * SQL-reproducible bit-for-bit.
+    */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), tokens(col(textCol)).as("__tk")))
+    def gramCounts(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) col("__tk")
+        else call_function("word_shingles_all", col("__tk"), lit(n))
+      tk.select(col("__id"), explode(grams).as("__g"))
+        .groupBy("__id", "__g").agg(count(lit(1)).as("__c"))
+    }
+    val nTok = tk.select(col("__id"), size(col("__tk")).cast("long").as("n_tokens"))
+    val uni = gramCounts(1).groupBy("__id").agg(max(col("__c")).as("top_token"))
+    val bi = gramCounts(2).groupBy("__id").agg(max(col("__c")).as("top_bigrama"))
+    val tri = gramCounts(3).groupBy("__id")
+      .agg(sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("dup_trigramas"))
+    def frac(num: Column, den: Column, minTokens: Int): Column =
+      when(col("n_tokens") >= minTokens, num.cast("double") / den.cast("double"))
+        .otherwise(0.0)
+    nTok
+      .join(uni, Seq("__id"), "left")
+      .join(bi, Seq("__id"), "left")
+      .join(tri, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("n_tokens"),
+        coalesce(col("top_token"), lit(0L)).as("top_token"),
+        coalesce(col("top_bigrama"), lit(0L)).as("top_bigrama"),
+        coalesce(col("dup_trigramas"), lit(0L)).as("dup_trigramas"))
+      .withColumn("frac_top_token", frac(col("top_token"), col("n_tokens"), 1))
+      .withColumn("frac_top_bigrama",
+        frac(col("top_bigrama"), col("n_tokens") - 1, 2))
+      .withColumn("frac_dup_trigramas",
+        frac(col("dup_trigramas"), col("n_tokens") - 2, 3))
+  }
 }

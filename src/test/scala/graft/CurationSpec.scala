@@ -74,4 +74,70 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
     assert(stats == Seq(("g", 0L, 2L, 2048L, 1.0), ("g", 1L, 1L, 512L, 0.25)))
   }
+
+  test("decontaminate counts shared shingles against the benchmark only") {
+    // benchmark doc: trigrams {a b c, b c d}; corpus doc 1 shares "a b c"
+    // (once, though it contains the window twice -> distinct per doc);
+    // doc 2 shares both; doc 3 shares none
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c x a b c"), // "a b c" twice but distinct-per-doc
+      (2L, "z a b c d"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val got = Curation.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 2L, true), (3L, 0L, false)))
+  }
+
+  test("shard assignment is deterministic, in range, and partitions the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", lit(10L))
+    val stats = Curation.shardStats(docs, "doc_id", "toks", nShards = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats.map(_._1).toSet.subsetOf((0L until 16L).toSet))
+    assert(stats.map(_._2).sum == docs.count(), "every doc in exactly one shard")
+    // same hash on a rerun (the whole point vs rand()/partition-id)
+    val again = Curation.shardStats(docs, "doc_id", "toks", nShards = 16)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(stats.sortBy(_._1) == again.sortBy(_._1))
+  }
+
+  test("dropBlockedDomains extracts domains and anti-joins the blocklist") {
+    val docs = Seq(
+      (1L, "https://spam.example/a"),
+      (2L, "http://ok.example/b?q=1"),
+      (3L, "https://ok.example/c"),
+      (4L, "not a url")).toDF("doc_id", "url")
+    val bl = Seq("spam.example").toDF("dominio")
+    val got = Curation.dropBlockedDomains(docs, "url", bl)
+      .select("doc_id", "dominio")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // the unparseable row extracts '' which is not blocked -> kept
+    assert(got == Seq((2L, "ok.example"), (3L, "ok.example"), (4L, "")))
+  }
+
+  test("redactPii masks all three kinds globally and counts from the source") {
+    import graft.llm.Privacy
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+x@e.org end"),
+      (2L, "tel (11) 98765-4321 e (21) 1234-5678"),
+      (3L, "ip 10.0.3.1 e 192.168.0.255"),
+      (4L, "limpo")).toDF("id", "texto")
+    val got = Privacy.redactPii(df, "texto")
+      .select("id", "texto_limpo", "n_emails", "n_telefones", "n_ips")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "mail <EMAIL> and <EMAIL> end", 2L, 0L, 0L),
+      (2L, "tel <TELEFONE> e <TELEFONE>", 0L, 2L, 0L),
+      (3L, "ip <IP> e <IP>", 0L, 0L, 2L),
+      (4L, "limpo", 0L, 0L, 0L)))
+  }
+
+  test("normalizeText composes NFC, strips controls, collapses whitespace") {
+    import graft.llm.Privacy
+    val decomposed = "cafe" + "́"
+    val df = Seq((1L, s"  $decomposed  x\t\ty  ")).toDF("id", "texto")
+    val got = df.select(Privacy.normalizeText(col("texto"))).as[String].head()
+    assert(got == "café x y")
+  }
 }

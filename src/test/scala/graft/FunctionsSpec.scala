@@ -139,6 +139,44 @@ class FunctionsSpec extends SparkSpec {
     assert(out.isEmpty, s"diverged: ${out.collect().toSeq.take(3)}")
   }
 
+  test("native word_shingles_all keeps multiplicity in document order") {
+    GraftFunctions.register(spark)
+    val toks = graft.llm.TextAnalysis.tokens(col("text"))
+    val got = Seq((1L, "a b a b a"), (2L, "x"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), call_function("word_shingles_all", toks, lit(2)).as("sh"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Seq("a b", "b a", "a b", "b a")), // duplicates kept, in order
+      (2L, Seq.empty),
+      (3L, Seq.empty)))
+  }
+
+  test("native nfc_normalize composes decomposed sequences; no-op stays identical") {
+    GraftFunctions.register(spark)
+    val got = Seq((1L, "café"), (2L, "plain"), (3L, null))
+      .toDF("id", "s")
+      .select(col("id"), call_function("nfc_normalize", col("s")).as("n"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "café"), (2L, "plain"), (3L, null)))
+  }
+
+  test("ngramRepetition counts top/dup grams exactly") {
+    import spark.implicits._
+    // doc 1: "a a a b" -> top token a=3/4, top bigram "a a"=2/3, no dup tri
+    // doc 2: "x y x y x y" -> trigrams: "x y x"x2, "y x y"x2 -> dup 4/4
+    // doc 3: one token -> bigram/trigram fractions guard to 0
+    val docs = Seq((1L, "a a a b"), (2L, "x y x y x y"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.ngramRepetition(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, 2L, 0L, 0.75, 2.0 / 3, 0.0),
+      (2L, 6L, 3L, 3L, 4L, 0.5, 0.6, 1.0),
+      (3L, 1L, 1L, 0L, 0L, 1.0, 0.0, 0.0)))
+  }
+
   test("tokenFrequencyScore computes corpus-relative frequencies exactly") {
     import spark.implicits._
     // corpus: "a" appears 4 times, "b" 2, "c" 1

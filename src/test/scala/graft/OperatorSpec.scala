@@ -283,6 +283,31 @@ class OperatorSpec extends SparkSpec {
     assert(out(1) == ((2L, 8000, 2, 16, 75L, 1, 1.0)))
   }
 
+  test("asOfJoin attaches the latest at-or-before dim row per key") {
+    import graft.operators.AsOf
+    val dim = Seq(
+      (1L, 10L, "v10"), (1L, 20L, "v20"),
+      (2L, 15L, "w15")).toDF("k", "t", "payload")
+    val fact = Seq(
+      (100L, 1L, 5L),   // before any dim row -> null
+      (101L, 1L, 10L),  // exactly at a dim ts -> inclusive match
+      (102L, 1L, 19L),  // between -> earlier row
+      (103L, 1L, 25L),  // after both -> latest
+      (104L, 2L, 99L),  // other key sees only its own dim
+      (105L, 3L, 50L))  // key with no dim rows at all
+      .toDF("id", "k", "t")
+    val got = AsOf.asOfJoin(fact, dim, "k", "t", Seq("payload"))
+      .select("id", "asof_t", "asof_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, None, None),
+      (101L, Some(10L), Some("v10")),
+      (102L, Some(10L), Some("v10")),
+      (103L, Some(20L), Some("v20")),
+      (104L, Some(15L), Some("w15")),
+      (105L, None, None)))
+  }
+
   test("RIFF walkers fail loudly on corrupt (high-bit) chunk sizes instead of looping") {
     // hand-build a RIFF/WAVE whose first chunk declares size 0xFFFFFFF0:
     // as a signed Int that is negative and, unguarded, stops the chunk
