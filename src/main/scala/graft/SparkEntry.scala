@@ -928,6 +928,95 @@ object SparkEntry {
       }
       ordered(llm.Curation.dropBlockedDomains(docs, "url", bl))
     },
+
+    // Bigram language-model quality scoring (the CCNet-perplexity-class
+    // filter in exact form): mean add-one-smoothed bigram probability per
+    // document — corpus unigram/bigram counts, instance joins back through
+    // them, decimal-exact per-doc sum. Arithmetic mean (not log/geometric)
+    // keeps every step IEEE-reproducible in the oracle.
+    "q65_bigram_lm" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.bigramLmScore(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // Mixture rebalancing: cap each language at ~80 docs in expectation
+    // (en is 3x the others in the corpus — exactly the skew data mixing
+    // exists to fix). Integer keep-rates from one tiny count aggregate,
+    // membership by the deterministic md5 percent-hash.
+    "q66_mixture_cap" -> { (s, dir) =>
+      ordered(llm.Curation.rebalanceToCap(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", "lang", cap = 80))
+    },
+
+    // Main-text extraction from raw HTML: pages synthesized from document
+    // columns (head/style/nav/script/footer boilerplate + entities around
+    // the real text), then the scan-level regex extractor recovers the
+    // display text. The oracle replays the identical rewrite chain.
+    "q67_html_extract" -> { (s, dir) =>
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0}</style></head><body>"),
+        lit("""<nav><a href="/">home</a> | <a href="/d">docs</a></nav>"""),
+        lit("<h1>artigo "), col("doc_id").cast("string"), lit("</h1><p>"),
+        col("text"), lit(" a &amp; b &lt;ok&gt;</p>"),
+        lit("<script>var x = 1 &amp;&amp; 2;</script>"),
+        lit("<footer>&copy; 2026 rodape</footer></body></html>"))
+      val pages = Tables.documents(s, dir)
+        .select(col("doc_id"), page.as("html"))
+      ordered(pages.select(
+          col("doc_id"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          col("html"),
+          llm.WebText.extractText(col("html")).as("texto"))
+        .withColumn("n_chars_texto", length(col("texto")).cast("long"))
+        .withColumn("densidade",
+          llm.WebText.textDensity(col("html"), col("texto")))
+        .drop("html"))
+    },
+
+    // Per-language exact discrete-quantile length trimming: drop each
+    // language's shortest/longest 5% of documents by token count, with
+    // integer-rank cut points (no interpolated floats) so the filter is
+    // engine-exact.
+    "q68_quantile_filter" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        llm.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+      ordered(llm.Curation.quantileFilter(d, "n_tokens", "lang", 0.05, 0.95))
+    },
+
+    // k-anonymity suppression: quasi-identifiers (lang, size decile) —
+    // rows in equivalence classes smaller than k=12 are dropped, class
+    // size appended.
+    "q69_k_anonymity" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        floor(col("n_chars") / lit(100)).cast("long").as("faixa_tamanho"))
+      ordered(llm.Privacy.kAnonymize(d, Seq("lang", "faixa_tamanho"), k = 12))
+    },
+
+    // Global n-gram heavy hitters: exact top-25 trigrams by occurrence
+    // (ties broken lexicographically), with document frequencies —
+    // per-partition top-k heaps, no global sort.
+    "q70_heavy_hitters" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.topNgrams(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, k = 25))
+    },
+
+    // C4-style repeated-span removal: a 10-token licence boilerplate is
+    // planted at the head of every 7th document; chunking + global
+    // first-occurrence dedup strips it everywhere but its first sighting
+    // and rebuilds the cleaned text.
+    "q71_chunk_purge" -> { (s, dir) =>
+      val boiler = "este conteudo esta licenciado sob os termos da licenca publica"
+      val seeded = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("texto"))
+      ordered(llm.Curation.purgeRepeatedChunks(seeded, "doc_id", "texto",
+        window = 10))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1918,6 +2007,171 @@ object SparkEntry {
         |  FROM d)
         |SELECT * FROM x
         |WHERE dominio NOT IN ('spam-mill.example', 'seo-farm.example', 'unused.example')
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same corpus counts, same instance joins, same add-one-smoothed IEEE
+    // division per bigram, same DECIMAL(38,18)-exact per-doc sum and final
+    // double mean.
+    "q65_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (SELECT u AS w, count(*) AS cu
+        |  FROM (SELECT unnest(tk) AS u FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |cb AS (SELECT g, count(*) AS cb FROM bg GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    CAST(cb.cb + 1 AS DOUBLE) / CAST(uni.cu + v.v AS DOUBLE) AS p
+        |  FROM bg JOIN cb USING (g)
+        |  JOIN uni ON split_part(bg.g, ' ', 1) = uni.w
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigramas,
+        |    sum(CAST(p AS DECIMAL(38,18))) AS psum
+        |  FROM p GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(sc.n_bigramas, 0) AS BIGINT) AS n_bigramas,
+        |  coalesce(CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigramas AS DOUBLE), 0.0)
+        |    AS lm_score
+        |FROM t LEFT JOIN sc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same integer keep-rates (floor of the identical IEEE division) and
+    // the same md5 percent-hash membership.
+    "q66_mixture_cap" ->
+      """WITH r AS (
+        |  SELECT lang, least(100, CAST(floor(8000.0 / count(*)) AS BIGINT)) AS taxa_pct
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, d.doc_id, d.source, r.taxa_pct
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+        |  < r.taxa_pct
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Rebuilds the same page and replays the identical extraction chain:
+    // five container drops, tag strip, entity decode (amp last), collapse.
+    "q67_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title><style>p{margin:0}</style></head><body>'
+        |    || '<nav><a href="/">home</a> | <a href="/d">docs</a></nav>'
+        |    || '<h1>artigo ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        |    || text || ' a &amp; b &lt;ok&gt;</p>'
+        |    || '<script>var x = 1 &amp;&amp; 2;</script>'
+        |    || '<footer>&copy; 2026 rodape</footer></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |              '(?is)<nav[^>]*>.*?</nav>', ' ', 'g'),
+        |              '(?is)<footer[^>]*>.*?</footer>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS texto
+        |  FROM pg)
+        |SELECT doc_id,
+        |  CAST(length(html) AS BIGINT) AS n_chars_html,
+        |  texto,
+        |  CAST(length(texto) AS BIGINT) AS n_chars_texto,
+        |  CAST(length(texto) AS DOUBLE)
+        |    / CAST(greatest(length(html), 1) AS DOUBLE) AS densidade
+        |FROM x ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same integer-rank discrete quantiles (rank = max(1, ceil(p*n)) in
+    // each language's sorted order) and the same inclusive bounds filter.
+    "q68_quantile_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang, n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d),
+        |b AS (SELECT lang,
+        |    min(CASE WHEN rn >= greatest(1,
+        |      CAST(ceil(0.05 * CAST(n AS DOUBLE)) AS BIGINT)) THEN n_tokens END) AS lo,
+        |    min(CASE WHEN rn >= greatest(1,
+        |      CAST(ceil(0.95 * CAST(n AS DOUBLE)) AS BIGINT)) THEN n_tokens END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_tokens, b.lo, b.hi
+        |FROM d JOIN b USING (lang)
+        |WHERE n_tokens >= lo AND n_tokens <= hi
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same equivalence classes (lang x size decile), same k>=12 gate.
+    "q69_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS faixa_tamanho
+        |  FROM documents),
+        |c AS (SELECT lang, faixa_tamanho, count(*) AS grupo_n
+        |  FROM d GROUP BY 1, 2 HAVING count(*) >= 12)
+        |SELECT d.lang, d.faixa_tamanho, d.doc_id,
+        |  CAST(c.grupo_n AS BIGINT) AS grupo_n
+        |FROM d JOIN c USING (lang, faixa_tamanho)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same trigram multiset, same exact counts, same deterministic
+    // (count DESC, gram ASC) top-25 cut.
+    "q70_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |    ELSE [] END) AS ngram
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT ngram,
+        |    CAST(count(*) AS BIGINT) AS ocorrencias,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM g GROUP BY 1
+        |  ORDER BY ocorrencias DESC, ngram LIMIT 25)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same seeded boilerplate, same 10-token non-overlapping chunk
+    // fan-out, same global first-occurrence keep, same ordered rebuild.
+    "q71_chunk_purge" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'este conteudo esta licenciado sob os termos da licenca publica '
+        |        || text
+        |      ELSE text END AS texto
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(texto)), '\s+') AS tk
+        |  FROM d),
+        |c AS (SELECT doc_id, tk, len(tk) AS n,
+        |    1 + CAST(ceil(greatest(len(tk) - 10, 0) / 10.0) AS INT) AS nch
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(tk[u.i * 10 + 1 : u.i * 10 + 10], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |k AS (SELECT *, row_number()
+        |    OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM ch),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS texto_limpo
+        |  FROM k WHERE rn = 1 GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+        |SELECT tot.doc_id,
+        |  coalesce(reb.texto_limpo, '') AS texto_limpo,
+        |  CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
+        |FROM tot LEFT JOIN reb USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -158,6 +158,104 @@ object Curation {
         min(col(idCol)).as("id_min"),
         max(col(idCol)).as("id_max"))
 
+  /** Mixture rebalancing to a per-domain cap — the data-mixing step that
+    * keeps one giant source (a crawl dump) from drowning the rest of the
+    * corpus: every domain keeps at most ~`cap` documents in expectation,
+    * sampled deterministically. The keep-rate per domain is the integer
+    * percentage `min(100, floor(100·cap / count))` — one IEEE division of
+    * two exact longs then `floor`, replayed identically by the oracle —
+    * and membership is the [[pctHash]] of the id, so re-runs keep exactly
+    * the same documents.
+    *
+    * Shape: one map-side-combinable count per domain (tiny result: one row
+    * per domain), broadcast back onto the corpus scan, then a scan-level
+    * hash filter — the 100 TB side is never shuffled. Appends `taxa_pct`.
+    */
+  def rebalanceToCap(
+      df: DataFrame, idCol: String, domainCol: String, cap: Long): DataFrame = {
+    val rates = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(domainCol),
+        least(lit(100L),
+          floor(lit(100L * cap).cast("double") / col("__cnt").cast("double"))
+            .cast("long")).as("taxa_pct"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(pctHash(col(idCol)) < col("taxa_pct"))
+  }
+
+  /** C4-style repeated-span removal: break every document into fixed
+    * non-overlapping `window`-token chunks, find chunk texts that occur
+    * more than once ACROSS the corpus (boilerplate, licence blocks,
+    * navigation text), keep only the globally-first occurrence (min
+    * (doc, position)) and rebuild each document from its surviving chunks.
+    * Emits `texto_limpo` ('' when everything was boilerplate), `n_chunks`,
+    * `n_removidos`.
+    *
+    * Shape: the chunk fan-out is [[chunkTokens]]'s scan-level explode; the
+    * global first-occurrence is ONE `groupBy(chunk)` with a `min(struct)`
+    * (map-side combinable — a hot chunk collapses in the combiner, so the
+    * million-duplicate licence block costs its instance count linearly,
+    * never a quadratic pair-space); the rebuild is a per-document
+    * `collect_list` bounded by the document's own chunk count.
+    */
+  def purgeRepeatedChunks(
+      df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
+    val chunks = chunkTokens(
+      df.select(col(idCol).as("__id"), col(textCol)), textCol,
+      window, overlap = 0)
+      .select(col("__id"), col("chunk_idx"), col("chunk_text"))
+    val first = chunks.groupBy("chunk_text")
+      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__first"))
+    val kept = chunks.join(first, "chunk_text")
+      .filter(struct(col("__id"), col("chunk_idx")) === col("__first"))
+    val rebuilt = kept.groupBy("__id").agg(
+      count(lit(1)).as("__kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("texto_limpo"))
+    chunks.groupBy("__id").agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("texto_limpo"), lit("")).as("texto_limpo"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("__kept"), lit(0L))).as("n_removidos"))
+  }
+
+  /** Per-group EXACT discrete-quantile bounds + outlier filter — the
+    * length/score trimming step (drop the shortest/longest tails per
+    * language) with engine-exact cut points: the bound at quantile `p` is
+    * the value at 1-based rank `max(1, ceil(p·n))` in the group's sorted
+    * order — an integer-rank selection, not an interpolated float, so the
+    * filter is reproducible bit-for-bit anywhere (interpolating
+    * `percentile_cont` implementations differ in last-ulp arithmetic).
+    * Keeps rows with `lo ≤ v ≤ hi`; appends both bounds.
+    *
+    * Shape: one window rank + count per group (a sort shuffle on the
+    * group key), bounds reduced per group and broadcast back onto the
+    * scan. Exact selection at 100 TB means sorting each group once; when
+    * the tail precision isn't worth that sort, swap the rank window for
+    * `approx_percentile` — same plan shape minus the sort.
+    */
+  def quantileFilter(
+      df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1, s"need 0<=pLo<=pHi<=1")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wAll = Window.partitionBy(col("__g"))
+    val ranked = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    def rankOf(p: Double) =
+      greatest(lit(1L), ceil(lit(p) * col("__n").cast("double")).cast("long"))
+    val bounds = ranked.groupBy("__g").agg(
+      min(when(col("__rn") >= rankOf(pLo), col("__v"))).as("lo"),
+      min(when(col("__rn") >= rankOf(pHi), col("__v"))).as("hi"))
+    df.join(broadcast(bounds), col(groupCol) === col("__g"))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .drop("__g")
+  }
+
   /** The host part of a URL (scheme-tolerant, '' when unparseable). */
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

@@ -47,6 +47,28 @@ object Privacy {
       .withColumn("n_ips", n(Ipv4Re))
   }
 
+  /** k-anonymity suppression over quasi-identifier columns: any row whose
+    * quasi-identifier combination is shared by fewer than `k` rows is
+    * DROPPED — the release-gate complement to [[redactPii]] (masking
+    * direct identifiers does nothing if a rare attribute combination
+    * re-identifies the person). Appends `grupo_n`, the size of each
+    * surviving row's equivalence class.
+    *
+    * Shape: one map-side-combinable `groupBy(quasi…).count` (the
+    * equivalence-class table is bounded by the QI cardinality product,
+    * orders of magnitude smaller than the corpus) joined back on the same
+    * keys — the shuffle both sides already need, no window over the full
+    * table. Numeric quasi-identifiers should be generalized into buckets
+    * BEFORE calling (a raw unique value makes every row its own class).
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, s"need quasi columns and k>=1")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("grupo_n"))
+      .filter(col("grupo_n") >= k)
+    df.join(classes, quasiCols)
+  }
+
   /** Canonical text normalization: Unicode NFC (native codegen'd kernel),
     * C0 control characters (minus \t\n\r) and DEL stripped, then whitespace
     * runs collapsed to single spaces and trimmed. The standard

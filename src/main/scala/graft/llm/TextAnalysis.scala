@@ -141,6 +141,90 @@ object TextAnalysis {
           .as("freq_media"))
   }
 
+  /** Bigram language-model quality score — the statistical step up from
+    * [[tokenFrequencyScore]] and the cheap stand-in for the model-based
+    * perplexity filters (CCNet-style) curation stacks run after heuristics:
+    * documents whose token TRANSITIONS are corpus-typical score high;
+    * shuffled/boilerplate/noise text scores low even when its unigrams are
+    * common.
+    *
+    * Per document: the mean add-one-smoothed bigram probability
+    * `p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)` over the document's bigram
+    * instances. The arithmetic (not geometric) mean is deliberate: it
+    * avoids `ln()`, whose last-ulp value differs across libm
+    * implementations — every `p` here is one correctly-rounded IEEE
+    * division of two exact longs, identical in any engine.
+    *
+    * Shape: one persisted tokenization; corpus unigram + bigram counts are
+    * map-side-combined aggregations (Zipf skew collapses in the
+    * combiner); the instance joins back through them stream hot grams past
+    * a single-row build side (linear, the q55 skew argument); `V` rides
+    * along as a broadcast single-row cross join, never a driver action.
+    * Exactness: counts are longs; each `p` is one IEEE division; the
+    * per-doc sum goes through `DECIMAL(38,18)` (exact, order-independent
+    * — a double sum would depend on partitioning) and the mean is one
+    * final division.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), tokens(col(textCol)).as("__tk")))
+    val uni = tk.select(explode(col("__tk")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val bigrams = tk.select(col("__id"),
+        explode(call_function("word_shingles_all", col("__tk"), lit(2))).as("__bg"))
+    val cb = bigrams.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val p = bigrams
+      .join(cb, "__bg")
+      .join(uni, substring_index(col("__bg"), " ", 1) === col("__w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        ((col("__cb") + 1L).cast("double") /
+          (col("__cu") + col("__v")).cast("double")).as("__p"))
+    val scored = p.groupBy("__id").agg(
+      count(lit(1)).as("n_bigramas"),
+      sum(col("__p").cast("decimal(38,18)")).as("__psum"))
+    tk.select(col("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_bigramas"), lit(0L)).as("n_bigramas"),
+        coalesce(
+          col("__psum").cast("double") / col("n_bigramas").cast("double"),
+          lit(0.0)).as("lm_score"))
+  }
+
+  /** Global n-gram heavy hitters: the exact top-`k` most frequent word
+    * `n`-grams with their occurrence and document counts — the mining pass
+    * behind boilerplate blocklists, contamination watchlists and tokenizer
+    * vocabulary audits. Multiplicity is kept (the repetition signal IS the
+    * point); ties break lexicographically so the cut is deterministic.
+    *
+    * Shape: scan-level gram explode → ONE map-side-combinable aggregation
+    * on the gram → `orderBy(...).limit(k)`, which Spark executes as
+    * TakeOrderedAndProject: each partition keeps its own top-k heap and
+    * only k rows per partition reach the driver-side merge — no global
+    * sort of the gram universe at any scale.
+    */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val grams = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
+        explode(call_function("word_shingles_all",
+          tokens(col(textCol)), lit(n))).as("ngram"))
+    grams.groupBy("ngram")
+      .agg(
+        count(lit(1)).as("ocorrencias"),
+        count_distinct(col("__id")).as("n_docs"))
+      .orderBy(col("ocorrencias").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1, the
     * repetition family of quality filters): per document, the count and
     * fraction of tokens covered by the most frequent token and bigram, and

@@ -133,6 +133,63 @@ class CurationSpec extends SparkSpec {
       (4L, "limpo", 0L, 0L, 0L)))
   }
 
+  test("rebalanceToCap caps heavy domains and keeps light ones whole") {
+    val docs = ((0L until 40L).map(i => (i, "heavy")) ++
+      Seq((100L, "light"), (101L, "light"))).toDF("doc_id", "dom")
+    val got = Curation.rebalanceToCap(docs, "doc_id", "dom", cap = 10L)
+    val rates = got.select("dom", "taxa_pct").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates.get("light").forall(_ == 100L))
+    assert(rates("heavy") == 25L, "floor(100*10/40)")
+    val kept = got.select("doc_id").as[Long].collect().toSet
+    assert(Set(100L, 101L).subsetOf(kept), "uncapped domain keeps everything")
+    val again = Curation.rebalanceToCap(docs, "doc_id", "dom", cap = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again, "same doc always in or out")
+  }
+
+  test("quantileFilter trims by exact integer-rank discrete quantiles") {
+    val df = (1L to 20L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val got = Curation.quantileFilter(df, "v", "grp", 0.1, 0.9)
+    // n=20: lo = value at rank ceil(2)=2, hi at rank ceil(18)=18
+    val vs = got.select("v").as[Long].collect().sorted.toSeq
+    assert(vs == (2L to 18L), s"kept $vs")
+    val bounds = got.select("lo", "hi").distinct().as[(Long, Long)].head()
+    assert(bounds == ((2L, 18L)))
+    // singleton group: both ranks clamp to 1 -> the row survives
+    val one = Curation.quantileFilter(
+      Seq((9L, "h", 42L)).toDF("id", "grp", "v"), "v", "grp", 0.05, 0.95)
+    assert(one.count() == 1)
+  }
+
+  test("purgeRepeatedChunks keeps only the globally-first chunk occurrence") {
+    val docs = Seq(
+      (1L, "a b c d"), // chunks [a b] [c d] — both first
+      (2L, "a b x y"), // [a b] repeated from doc 1, [x y] unique
+      (3L, "c d"), //      [c d] repeated from doc 1 -> emptied
+    ).toDF("doc_id", "texto")
+    val got = Curation.purgeRepeatedChunks(docs, "doc_id", "texto", window = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d", 2L, 0L),
+      (2L, "x y", 2L, 1L),
+      (3L, "", 1L, 1L)))
+  }
+
+  test("kAnonymize drops equivalence classes smaller than k") {
+    import graft.llm.Privacy
+    val df = Seq(
+      (1L, "en", 0L), (2L, "en", 0L), (3L, "en", 0L),
+      (4L, "pt", 0L), (5L, "pt", 1L),
+    ).toDF("id", "lang", "faixa")
+    val got = Privacy.kAnonymize(df, Seq("lang", "faixa"), k = 3)
+      .select("id", "grupo_n").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L)))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(df, Seq.empty, k = 3)
+    }
+  }
+
   test("normalizeText composes NFC, strips controls, collapses whitespace") {
     import graft.llm.Privacy
     val decomposed = "cafe" + "́"

@@ -189,6 +189,33 @@ class FunctionsSpec extends SparkSpec {
       (3L, 2L, 2L, 6L, 3.0))) // b(2) a(4)
   }
 
+  test("bigramLmScore smooths transitions against corpus counts exactly") {
+    import spark.implicits._
+    // unigrams: a=3 b=2 z=1 -> V=3; bigrams: "a b"=2, "b a"=1
+    // p(b|a) = (2+1)/(3+3) = 0.5; p(a|b) = (1+1)/(2+3) = 0.4
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L), (3L, 0L)))
+    assert(math.abs(got(0)._3 - 0.45) < 1e-15, s"doc 1 mean(0.5, 0.4): $got")
+    assert(math.abs(got(1)._3 - 0.5) < 1e-15)
+    assert(got(2)._3 == 0.0, "no bigrams -> score 0")
+  }
+
+  test("topNgrams returns the exact top-k with lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y x y x"), (2L, "x y q")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("x y", 3L, 2L), ("y x", 2L, 1L)))
+    // ties cut deterministically: three grams at count 1, k=2 keeps the
+    // lexicographically smallest two
+    val tied = Seq((1L, "b c"), (2L, "a b"), (3L, "c a")).toDF("doc_id", "text")
+    val cut = graft.llm.TextAnalysis.topNgrams(tied, "doc_id", "text", n = 2, k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(cut == Seq(("a b", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)
