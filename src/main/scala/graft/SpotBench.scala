@@ -1,4 +1,19 @@
 package graft
+
+/** Print the executed plan of named queries (plan-audit loop). */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.create()
+    for (name <- args) {
+      println(s"===== $name =====")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      llm.CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}
+
 object SpotBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -192,11 +192,13 @@ object Curation {
     * `n_removidos`.
     *
     * Shape: the chunk fan-out is [[chunkTokens]]'s scan-level explode; the
-    * global first-occurrence is ONE `groupBy(chunk)` with a `min(struct)`
-    * (map-side combinable — a hot chunk collapses in the combiner, so the
-    * million-duplicate licence block costs its instance count linearly,
-    * never a quadratic pair-space); the rebuild is a per-document
-    * `collect_list` bounded by the document's own chunk count.
+    * global first-occurrence is a `row_number` window on the chunk text
+    * (one shuffle+sort — the `min(struct)` groupBy form costs the same
+    * sort but then needs a SECOND full-chunk-set shuffle to join the
+    * winners back); keep flags ride the rows, so totals, removed counts
+    * and the ordered rebuild all fold in ONE per-document aggregation —
+    * two shuffles end to end, no join. A hot boilerplate chunk sorts one
+    * partition linearly in its instance count, never a pair-space.
     */
   def purgeRepeatedChunks(
       df: DataFrame, idCol: String, textCol: String, window: Int): DataFrame = {
@@ -204,22 +206,17 @@ object Curation {
       df.select(col(idCol).as("__id"), col(textCol)), textCol,
       window, overlap = 0)
       .select(col("__id"), col("chunk_idx"), col("chunk_text"))
-    val first = chunks.groupBy("chunk_text")
-      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__first"))
-    val kept = chunks.join(first, "chunk_text")
-      .filter(struct(col("__id"), col("chunk_idx")) === col("__first"))
-    val rebuilt = kept.groupBy("__id").agg(
-      count(lit(1)).as("__kept"),
-      concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
-        s => s.getField("chunk_text"))).as("texto_limpo"))
-    chunks.groupBy("__id").agg(count(lit(1)).as("n_chunks"))
-      .join(rebuilt, Seq("__id"), "left")
-      .select(
-        col("__id").as(idCol),
-        coalesce(col("texto_limpo"), lit("")).as("texto_limpo"),
-        col("n_chunks"),
-        (col("n_chunks") - coalesce(col("__kept"), lit(0L))).as("n_removidos"))
+    val w = Window.partitionBy(col("chunk_text"))
+      .orderBy(col("__id"), col("chunk_idx"))
+    chunks.withColumn("__keep", row_number().over(w) === 1)
+      .groupBy("__id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("texto_limpo"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removidos"))
+      .withColumnRenamed("__id", idCol)
   }
 
   /** Per-group EXACT discrete-quantile bounds + outlier filter — the

@@ -226,4 +226,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"vocabulary counts need map-side partial aggregation:\n$plan")
   }
+
+  test("HTML extraction is scan-level — zero shuffles, no UDF") {
+    val plan = planString(Tables.documents(spark, sfDir)
+      .select(graft.llm.WebText.extractText(col("text"))))
+    assert(!plan.contains("Exchange"),
+      s"extraction must be per-page work:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+  }
+
+  test("heavy hitters top-k never globally sorts the gram universe") {
+    val df = graft.llm.TextAnalysis.topNgrams(
+      Tables.documents(spark, sfDir), "doc_id", "text", n = 3, k = 10)
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must use per-partition heaps:\n$plan")
+  }
+
+  test("mixture capping broadcasts the rate table; the corpus never shuffles") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val plan = planString(
+      graft.llm.Curation.rebalanceToCap(docs, "doc_id", "lang", cap = 10))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-domain rates must broadcast:\n$plan")
+    // the only Exchanges allowed feed the tiny rate aggregate, not the
+    // corpus scan side: corpus rows flow scan -> broadcast join -> filter
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 100 TB side must not shuffle for the join:\n$plan")
+  }
+
+  test("chunk purge is two shuffles: chunk-text window + per-doc rebuild") {
+    val plan = planString(graft.llm.Curation.purgeRepeatedChunks(
+      Tables.documents(spark, sfDir).select("doc_id", "text"),
+      "doc_id", "text", window = 10))
+    // count the FINAL adaptive plan only (toString repeats the initial one)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges <= 2, s"expected window + rebuild shuffles only:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the single-aggregation form needs no join:\n$plan")
+  }
 }
