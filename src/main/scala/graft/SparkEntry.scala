@@ -1017,6 +1017,33 @@ object SparkEntry {
       ordered(llm.Curation.purgeRepeatedChunks(seeded, "doc_id", "texto",
         window = 10))
     },
+
+    // JSONL staging roundtrip: the corpus written as distributed JSONL
+    // shards (the LLM interchange format) and read back under the
+    // explicit schema — values and types must survive exactly.
+    "q72_jsonl_roundtrip" -> { (s, dir) =>
+      ordered(Staging.jsonlRoundtrip(
+        s, Tables.documents(s, dir),
+        s"${GraftSession.scratchRoot}/graft-jsonl/documents"))
+    },
+
+    // SemDeDup semantic deduplication: scaled-copy duplicates are planted
+    // (the q38 seeding — same direction, doubled magnitude, +1M ids);
+    // unit-direction k-means cells bound the candidate space, within-cell
+    // exact cosine >= 0.99 marks duplicates, lowest id survives per
+    // neighbourhood — every planted variant must vanish. k-means is not
+    // SQL-reproducible -> rows-only; DedupSpec carries the planted-
+    // duplicate correctness (like the q30/q42 ANN paths).
+    "q73_semantic_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val variants = emb.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x + x))
+      ordered(llm.Dedup.semanticDedup(
+        emb.unionByName(variants), "vec_id", "embedding",
+        nCells = 8, threshold = 0.99)
+        .select("vec_id", "label"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2172,6 +2199,11 @@ object SparkEntry {
         |  CAST(tot.n_chunks AS BIGINT) AS n_chunks,
         |  CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
         |FROM tot LEFT JOIN reb USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // A faithful JSONL roundtrip returns the table unchanged.
+    "q72_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

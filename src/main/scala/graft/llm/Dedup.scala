@@ -400,6 +400,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * k-means cells bound the candidate space, within-cell cosine ≥
+    * `threshold` marks semantic duplicates, and every vector with a
+    * SMALLER-id near-duplicate is dropped — each duplicate neighbourhood
+    * keeps its lowest id as the canonical representative. (The one-pass
+    * min-neighbour rule, not full transitive closure: on a chain a~b~c
+    * with a≁c, both b and c drop. That is the standard conservative
+    * choice for ε-ball dedup — duplicates this close are interchangeable,
+    * and it avoids an iterative connected-components fixpoint; callers
+    * that need exact closure can feed [[embeddingNearDups]] pairs into
+    * [[Components.connectedComponents]] instead.)
+    *
+    * Scale shape: the cell index is the REUSABLE sampled-fit
+    * [[Ivf.index]] (fit over a hash sample, assignment one map-side
+    * pass); candidate pairs reuse the tiled within-block self-join
+    * ([[embeddingNearDups]] → [[tiledPairs]]) so a hot cell is capped at
+    * ~maxBlock² per task; the final keep is one broadcast-able distinct
+    * of the loser ids + a left-anti join. Not SQL-reproducible (k-means),
+    * so rows-only + scalatest planted-duplicate specs, like the ANN paths.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, threshold: Double, maxBlock: Int = 1000): DataFrame = {
+    // cluster in DIRECTION space (unit vectors): cosine duplicates are
+    // scaled copies of one direction, and k-means on raw magnitudes would
+    // scatter them across cells and hide them from the within-cell pass
+    val unit = corpus.withColumn("__unit",
+      transform(col(vecCol),
+        x => x.cast("double") /
+          greatest(Similarity.l2Norm(col(vecCol)), lit(1e-12))))
+    val idx = Ivf.index(unit, idCol, "__unit", nCells)
+    // the index is pruned to (id, unit vector, cell) — tag the ORIGINAL
+    // rows with their cell so the pair pass scores the source embeddings
+    val withCell = corpus.join(
+      idx.assigned.select(col(idCol), col("__cell")), Seq(idCol))
+    val pairs = embeddingNearDups(
+      withCell, idCol, vecCol, "__cell", threshold, maxBlock)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Blocked exact n-gram Jaccard: pairs are generated only within a
     * deterministic block (first two tokens), then scored exactly. The
     * oracle-checkable counterpart of the LSH candidate step.

@@ -31,6 +31,19 @@ object Staging {
     spark.read.parquet(path)
   }
 
+  /** JSONL (one JSON object per line) staging roundtrip — the interchange
+    * format LLM corpora ship in (WebText/Pile/RedPajama-style dumps are
+    * JSONL shards). Write is Spark's native distributed json sink (one
+    * shard per partition); the re-read pins the EXPLICIT schema — schema
+    * inference is a whole extra pass over 100 TB and type-widens
+    * heterogeneous shards, so round-tripping through inference is neither
+    * cheap nor faithful.
+    */
+  def jsonlRoundtrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    spark.read.schema(df.schema).json(path)
+  }
+
   /** Persist `df` as a bucketed+sorted catalog table. Tables bucketed the
     * same way on their join key then hash-join WITHOUT a shuffle on either
     * side — at 100 TB this converts every recurring fact-fact join on the

@@ -242,6 +242,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("semanticDedup keeps one representative per planted duplicate group") {
+    // two duplicate directions (scaled copies = cosine 1) among distinct
+    // fillers; nCells exceeds what the data supports? no — keep cells
+    // small so same-direction vectors share a cell
+    val df = (Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f)),
+      (5L, Seq(2.0f, 0.0f, 4.0f)), //  dup of 1
+      (9L, Seq(3.0f, 0.0f, 6.0f)), //  dup of 1
+      (2L, Seq(0.0f, 7.0f, 0.1f)),
+      (6L, Seq(0.0f, 14.0f, 0.2f)), // dup of 2
+      (3L, Seq(5.0f, -5.0f, 1.0f)), // singleton
+    ) ++ (20L until 40L).map(i =>
+      (i, Seq(i.toFloat, (i % 7).toFloat - 3.0f, -i.toFloat))))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(
+      df, "vec_id", "embedding", nCells = 2, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(5L) && !kept.contains(9L),
+      s"group {1,5,9} must keep exactly its min id: $kept")
+    assert(kept.contains(2L) && !kept.contains(6L),
+      s"group {2,6} must keep exactly its min id: $kept")
+    assert(kept.contains(3L), "singletons survive")
+    // deterministic: the same call keeps the same set
+    val again = Dedup.semanticDedup(
+      df, "vec_id", "embedding", nCells = 2, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == again)
+  }
+
   test("simhash64 is deterministic and order-insensitive over token sets") {
     val df = Seq(
       (1L, "one two three four"),
