@@ -1,7 +1,5 @@
 package graft.llm
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,14 +8,22 @@ import org.apache.spark.sql.functions._
   * centroid-partitioned scale path next to the hyperplane-LSH variant in
   * [[Similarity]].
   *
-  * Index: k-means centroids trained on a deterministic SAMPLE of the
-  * corpus; every corpus vector is then assigned to exactly one centroid
-  * cell (one map-side pass). Query: score the `nProbe` nearest centroids
-  * per query (tiny broadcast cross — |centroids| rows), then score corpus
-  * vectors only inside the probed cells (equi-join on cell id — shuffle
-  * linear in rows, never an all-pairs product) and take the exact-cosine
-  * top-k. Recall grows with `nProbe` at proportional candidate cost; the
+  * Index: [[Kmeans]] centroids (deterministic, partition-independent
+  * Lloyd rounds) trained on a deterministic SAMPLE of the corpus; every
+  * corpus vector is then assigned to exactly one centroid cell by a
+  * scan-level argmin expression (one map-side pass, no shuffle, no model
+  * UDF). Query: score the `nProbe` nearest centroids per query (tiny
+  * broadcast cross — |centroids| rows), then score corpus vectors only
+  * inside the probed cells (equi-join on cell id — shuffle linear in
+  * rows, never an all-pairs product) and take the exact-cosine top-k.
+  * Recall grows with `nProbe` at proportional candidate cost; the
   * scalatest suite measures it against [[Similarity.bruteForceTopK]].
+  *
+  * The whole path is engine-deterministic: the same corpus gives the
+  * same cells, probes and neighbours under ANY partitioning/executor
+  * count (Spark ML's k-means|| seeding is partition-sensitive — re-runs
+  * of an index build silently moved ~1/3 of q42's neighbours when the
+  * core count changed; see [[Kmeans]]).
   *
   * At 100 TB the index is built ONCE ([[index]] → [[IvfIndex]]) and reused
   * across query batches; cells are written bucketed by cell id and probes
@@ -34,36 +40,33 @@ object Ivf {
 
   /** Build the index. K-means TRAINS on a deterministic `samplePct`-percent
     * sample of the corpus (md5 percent-hash of the id — reproducible, no
-    * executor RNG state): the fit is a 20-iteration driver-coordinated job,
-    * and running it over the full corpus is the dominant cost at scale
-    * while adding nothing — sample-estimated centroids converge to the same
-    * cells. ASSIGNMENT stays full-corpus. Tiny corpora, where the sample
-    * couldn't support `nCells` clusters, fall back to fitting on everything
-    * (fit cost is irrelevant there).
+    * executor RNG state): the fit iterates over its training set, and
+    * running it over the full corpus is the dominant cost at scale while
+    * adding nothing — sample-estimated centroids converge to the same
+    * cells. ASSIGNMENT stays full-corpus and scan-level. Tiny corpora,
+    * where the sample couldn't support `nCells` clusters, fall back to
+    * fitting on everything (fit cost is irrelevant there).
     */
   def index(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, seed: Long = 42L, samplePct: Int = 10): IvfIndex = {
+      nCells: Int, samplePct: Int = 10): IvfIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val feat = Spread(corpus).select(
-      col(idCol), col(vecCol),
-      array_to_vector(col(vecCol)).as("__feat"))
-    // k-means iterates over its training set — persist the (small) sample,
+    val feat = Spread(corpus).select(col(idCol), col(vecCol))
+    // the fit iterates over its training set — persist the (small) sample,
     // never the full corpus
     val sampled = feat.filter(Curation.pctHash(col(idCol)) < samplePct)
       .transform(CacheScope.persistTracked)
     val trainSet =
       if (sampled.count() >= nCells.toLong * 4L) sampled
       else feat.transform(CacheScope.persistTracked)
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(trainSet)
-    val assigned = model.transform(feat).drop("__feat")
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v.toArray) }
-      .toDF("__cell", "__centroid")
-    IvfIndex(assigned, centroids)
+    val centroids = Kmeans.fit(trainSet, idCol, vecCol, nCells)
+    val assigned = feat.withColumn("__cell",
+      Kmeans.nearestCell(
+        transform(col(vecCol), _.cast("double")), centroids))
+    IvfIndex(assigned,
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }
+        .toDF("__cell", "__centroid"))
   }
 
   /** Squared euclidean distance between a float vector and a double
@@ -113,9 +116,9 @@ object Ivf {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
       samplePct: Int = 10): DataFrame =
-    ivfTopK(index(corpus, idCol, vecCol, nCells, seed, samplePct),
+    ivfTopK(index(corpus, idCol, vecCol, nCells, samplePct),
       queries, idCol, vecCol, k, nProbe)
 
   /** Persist the index with the cell-tagged corpus PARTITIONED BY cell id:

@@ -89,6 +89,24 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == oneShot, "prebuilt-index results equal the one-shot path")
   }
 
+  test("deterministic k-means is partition-independent bit-for-bit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def fitAt(parts: Int) = graft.llm.Kmeans.fit(
+      emb.repartition(parts), "vec_id", "embedding", k = 8, iters = 5)
+    val a = fitAt(3)
+    val b = fitAt(17)
+    assert(a == b, "centroids must not depend on the partition layout")
+    // and the full ANN path inherits it: same neighbours either way
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def ann(parts: Int) = graft.llm.Ivf.ivfTopK(
+        graft.llm.Ivf.index(emb.repartition(parts), "vec_id", "embedding", 8),
+        q, "vec_id", "embedding", 5, nProbe = 4)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(ann(3) == ann(17), "ANN results must not depend on partitioning")
+  }
+
   test("quantizeInt8: values in [-127,127], error bounded by escala/2, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -2.5f, 0.1f, 127.0f)),
