@@ -1044,6 +1044,17 @@ object SparkEntry {
         nCells = 8, threshold = 0.99)
         .select("vec_id", "label"))
     },
+
+    // Per-group top-k via the bounded-heap graft_top_k_by aggregate
+    // (ObjectHashAggregate with partial merge: the shuffle carries <= k
+    // pairs per group per map partition, never the whole table like the
+    // window row_number form): top-3 customers per nation by balance,
+    // ties broken on the smaller custkey.
+    "q74_group_topk" -> { (s, dir) =>
+      ordered(TopK.groupTopK(
+        Tables.customer(s, dir), "c_nationkey", "c_acctbal", "c_custkey",
+        k = 3))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2204,6 +2215,19 @@ object SparkEntry {
     // A faithful JSONL roundtrip returns the table unchanged.
     "q72_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The bounded-heap aggregate must agree with the ANSI window form:
+    // rank by (balance DESC, custkey ASC) within each nation, keep 3.
+    "q74_group_topk" ->
+      """SELECT c_nationkey, CAST(rn AS INT) AS posicao,
+        |  c_custkey, c_acctbal
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

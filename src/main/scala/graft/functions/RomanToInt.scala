@@ -88,7 +88,7 @@ object GraftFunctions {
   private[functions] def descriptors = Seq(
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
-    WordShinglesAll.descriptor, NfcNormalize.descriptor)
+    WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

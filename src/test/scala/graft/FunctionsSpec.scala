@@ -216,6 +216,37 @@ class FunctionsSpec extends SparkSpec {
     assert(cut == Seq(("a b", 1L, 1L), ("b c", 1L, 1L)))
   }
 
+  test("graft_top_k_by equals the window row_number form, ties on smaller id") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      // quantities repeat heavily -> real score ties across every group
+      .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+    val got = graft.operators.TopK
+      .groupTopK(li, "l_suppkey", "l_quantity", "l_orderkey", k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_quantity").desc, col("l_orderkey"))
+    val want = li.withColumn("posicao", row_number().over(w))
+      .filter(col("posicao") <= 5)
+      .select(col("l_suppkey"), col("posicao"),
+        col("l_orderkey"), col("l_quantity").cast("double"))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("graft_top_k_by survives partial/merge across many partitions") {
+    GraftFunctions.register(spark)
+    // 1 group, 1000 rows over 8 partitions: merge path must keep the
+    // global top-3, not a per-partition artifact
+    val df = spark.range(1000).repartition(8)
+      .select(lit(1L).as("g"), (col("id") % 10).cast("double").as("s"), col("id"))
+    val got = graft.operators.TopK.groupTopK(df, "g", "s", "id", k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // score 9.0 at ids 9, 19, 29 — the three smallest ids at the max score
+    assert(got == Set((1L, 1, 9L, 9.0), (1L, 2, 19L, 9.0), (1L, 3, 29L, 9.0)))
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // parquet-backed input so ConvertToLocalRelation can't fold the project
     val df = graft.sources.Tables.nation(spark, sfDir)

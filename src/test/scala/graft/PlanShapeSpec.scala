@@ -210,6 +210,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected hash aggregation with map-side partials:\n$plan")
   }
 
+  test("q74 group top-k partial-aggregates under ObjectHashAggregate, no window sort") {
+    val plan = planString(SparkEntry.queries("q74_group_topk")(spark, sfDir))
+    // partial + final instances: the map side reduces each group to <= k
+    // pairs BEFORE the exchange — the whole point vs the window form
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"top-k must not fall back to a full window sort:\n$plan")
+  }
+
   test("chunkTokens is a scan-level explode — zero shuffles") {
     val plan = planString(graft.llm.Curation.chunkTokens(
       Tables.documents(spark, sfDir).select("doc_id", "text"), "text", 40, 10))
