@@ -1055,6 +1055,48 @@ object SparkEntry {
         Tables.customer(s, dir), "c_nationkey", "c_acctbal", "c_custkey",
         k = 3))
     },
+
+    // ORC staging roundtrip (the Hive-lake columnar format): distributed
+    // write + explicit-schema re-read, then a filtered pruned read whose
+    // predicate reaches the ORC scan (plan-asserted in PlanShapeSpec) —
+    // values must survive the format change exactly.
+    "q75_orc_roundtrip" -> { (s, dir) =>
+      val rt = Staging.orcRoundtrip(s, Tables.documents(s, dir),
+        s"${GraftSession.scratchRoot}/graft-orc/documents")
+      ordered(rt.filter(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars"))
+    },
+
+    // SCD type-2 history maintenance: an incoming supplier batch (some
+    // changed balances, some no-ops, some brand-new keys) closes the
+    // superseded open versions at the effective date and appends new open
+    // ones — history never shuffles, both probes broadcast the batch.
+    "q76_scd2_history" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+      val open = sup.select(
+        col("s_suppkey"), col("s_acctbal"), col("s_nationkey"),
+        lit("2026-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val closedHist = sup.filter(col("s_suppkey") % 4 === 0).select(
+        col("s_suppkey"), (col("s_acctbal") - 50).as("s_acctbal"),
+        col("s_nationkey"),
+        lit("2025-01-01").cast("date").as("valid_from"),
+        lit("2026-01-01").cast("date").as("valid_to"),
+        lit(false).as("is_current"))
+      val history = open.unionByName(closedHist)
+      val incoming = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), (col("s_acctbal") + 100).as("s_acctbal"),
+          col("s_nationkey"))
+        .unionByName(sup.filter(col("s_suppkey") % 3 === 1))
+        .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 10000).as("s_suppkey"),
+            (col("s_acctbal") * 2).as("s_acctbal"), col("s_nationkey")))
+        .withColumn("effective", lit("2026-08-01").cast("date"))
+      ordered(Scd.scd2Apply(history, incoming,
+        Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2228,6 +2270,57 @@ object SparkEntry {
         |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
         |  FROM customer) t
         |WHERE rn <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // A faithful ORC roundtrip returns the filtered projection unchanged.
+    "q75_orc_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // SCD2 replay: close matched-and-changed open rows at the effective
+    // date, append new versions for changed attrs and brand-new keys.
+    "q76_scd2_history" ->
+      """WITH sup AS (SELECT s_suppkey, s_acctbal, s_nationkey FROM supplier),
+        |hist AS (
+        |  SELECT s_suppkey, s_acctbal, s_nationkey,
+        |    DATE '2026-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM sup
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal - 50, s_nationkey,
+        |    DATE '2025-01-01', DATE '2026-01-01', FALSE
+        |  FROM sup WHERE s_suppkey % 4 = 0),
+        |incoming AS (
+        |  SELECT s_suppkey, s_acctbal + 100 AS s_acctbal, s_nationkey
+        |  FROM sup WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal, s_nationkey
+        |  FROM sup WHERE s_suppkey % 3 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 10000, s_acctbal * 2, s_nationkey
+        |  FROM sup WHERE s_suppkey % 5 = 0),
+        |cur AS (SELECT * FROM hist WHERE is_current),
+        |hist_out AS (
+        |  SELECT h.s_suppkey, h.s_acctbal, h.s_nationkey, h.valid_from,
+        |    CASE WHEN h.is_current AND i.s_suppkey IS NOT NULL
+        |              AND (h.s_acctbal IS DISTINCT FROM i.s_acctbal
+        |                   OR h.s_nationkey IS DISTINCT FROM i.s_nationkey)
+        |         THEN DATE '2026-08-01' ELSE h.valid_to END AS valid_to,
+        |    CASE WHEN h.is_current AND i.s_suppkey IS NOT NULL
+        |              AND (h.s_acctbal IS DISTINCT FROM i.s_acctbal
+        |                   OR h.s_nationkey IS DISTINCT FROM i.s_nationkey)
+        |         THEN FALSE ELSE h.is_current END AS is_current
+        |  FROM hist h LEFT JOIN incoming i ON h.s_suppkey = i.s_suppkey),
+        |new_rows AS (
+        |  SELECT i.s_suppkey, i.s_acctbal, i.s_nationkey,
+        |    DATE '2026-08-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM incoming i LEFT JOIN cur c ON i.s_suppkey = c.s_suppkey
+        |  WHERE c.s_suppkey IS NULL
+        |     OR i.s_acctbal IS DISTINCT FROM c.s_acctbal
+        |     OR i.s_nationkey IS DISTINCT FROM c.s_nationkey)
+        |SELECT * FROM hist_out UNION ALL SELECT * FROM new_rows
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history maintenance.
+  *
+  * Reference analogue: the metadata upsert keeps only the LATEST state of
+  * each key (`upsert_dados_no_postgres`,
+  * sm_cloud_run/utilitarios/bd_utilitarios.py:262) — type-2 is the
+  * standard warehouse extension that keeps every prior version with its
+  * validity interval, which the panel's period-dimension joins
+  * (`periodo_por_data`) then query by date.
+  *
+  * Spark-first shape: the incoming batch is tiny relative to a 100 TB
+  * dimension history, so BOTH probes broadcast the batch side — the
+  * history table is never shuffled:
+  *   1. history LEFT-joins broadcast(incoming) to close open rows whose
+  *      attributes changed (valid_to = the batch effective date);
+  *   2. incoming LEFT-joins a broadcast of the CURRENT rows for its own
+  *      keys (a broadcast-semi-pruned slice of the history, ≤ |batch|
+  *      rows) to decide which batch rows become new open versions
+  *      (changed attributes or brand-new keys; identical rows are no-ops).
+  * The result is one `unionByName` of the two branches — same columns,
+  * deterministic, SQL-reproducible.
+  */
+object Scd {
+
+  /** Apply `incoming` (keys + attrs + `effectiveCol` date) to the type-2
+    * `history` (keys + attrs + `valid_from`/`valid_to`/`is_current`).
+    * Returns the full new history.
+    */
+  def scd2Apply(
+      history: DataFrame, incoming: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String],
+      effectiveCol: String): DataFrame = {
+
+    val inKeyed = incoming.select(
+      (keyCols.map(col) :+ col(effectiveCol).as("__eff")) ++
+        attrCols.map(c => col(c).as(s"__in_$c")): _*)
+
+    // attribute change under null-safe equality; prefixes name the two
+    // sides ("" = the unprefixed history columns)
+    def changed(aPrefix: String, bPrefix: String) =
+      attrCols.map(c => !(col(s"$aPrefix$c") <=> col(s"$bPrefix$c"))).reduce(_ || _)
+
+    // 1. pass through / close open rows that a changed batch row supersedes
+    // (__eff is the match indicator: non-null iff the key is in the batch —
+    // a batch row's effective date must never be null)
+    val closing = col("is_current") && col("__eff").isNotNull && changed("", "__in_")
+    val historyOut = history.join(broadcast(inKeyed), keyCols, "left")
+      .select(
+        (keyCols.map(col) ++ attrCols.map(col)) :+
+          col("valid_from") :+
+          when(closing, col("__eff")).otherwise(col("valid_to")).as("valid_to") :+
+          when(closing, lit(false)).otherwise(col("is_current")).as("is_current"): _*)
+
+    // 2. new open versions from the batch: changed attrs or brand-new key.
+    // Current rows for the batch's keys only — a broadcast-semi prune of
+    // the history down to ≤ |batch| rows, then itself broadcast.
+    val currentForBatch = history.filter(col("is_current"))
+      .join(broadcast(inKeyed.select(keyCols.map(col): _*)), keyCols, "left_semi")
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__cur_$c")) :+ lit(true).as("__has_cur"): _*)
+    val newRows = inKeyed.join(broadcast(currentForBatch), keyCols, "left")
+      .filter(col("__has_cur").isNull || changed("__in_", "__cur_"))
+      .select(
+        (keyCols.map(col) ++
+          attrCols.map(c => col(s"__in_$c").as(c))) :+
+          col("__eff").as("valid_from") :+
+          lit(null).cast(historyOut.schema("valid_to").dataType).as("valid_to") :+
+          lit(true).as("is_current"): _*)
+
+    historyOut.unionByName(newRows)
+  }
+}

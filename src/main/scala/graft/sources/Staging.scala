@@ -44,6 +44,18 @@ object Staging {
     spark.read.schema(df.schema).json(path)
   }
 
+  /** ORC staging roundtrip — the second columnar format every warehouse
+    * exchange touches (Hive-era lakes are ORC). Same contract as the
+    * parquet path: distributed write, explicit schema on re-read, and the
+    * scan keeps columnar virtues (predicate pushdown + column pruning —
+    * plan-asserted in PlanShapeSpec), so a filtered re-read touches only
+    * the stripes and columns it needs.
+    */
+  def orcRoundtrip(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    spark.read.schema(df.schema).orc(path)
+  }
+
   /** Persist `df` as a bucketed+sorted catalog table. Tables bucketed the
     * same way on their join key then hash-join WITHOUT a shuffle on either
     * side — at 100 TB this converts every recurring fact-fact join on the

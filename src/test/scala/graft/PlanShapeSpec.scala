@@ -220,6 +220,34 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must not fall back to a full window sort:\n$plan")
   }
 
+  test("q75 ORC re-read pushes the filter and prunes columns at the scan") {
+    val rt = graft.sources.Staging.orcRoundtrip(
+      spark, Tables.documents(spark, sfDir).select("doc_id", "text", "lang"),
+      s"${GraftSession.scratchRoot}/graft-orc-spec/documents")
+    val plan = planString(rt.filter(col("lang") === "en").select("doc_id", "lang"))
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed to the ORC scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"columns not pruned at the ORC scan (text must not be read):\n$plan")
+  }
+
+  test("q76 SCD2 broadcasts the batch on both probes — history never shuffles") {
+    import graft.operators.Scd
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+    val history = sup.select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"),
+      lit("2026-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val incoming = sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("effective", lit("2026-08-01").cast("date"))
+    val plan = planString(Scd.scd2Apply(history, incoming,
+      Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
+    assert(plan.contains("BroadcastHashJoin"), s"batch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"the 100 TB history side must not shuffle:\n$plan")
+  }
+
   test("chunkTokens is a scan-level explode — zero shuffles") {
     val plan = planString(graft.llm.Curation.chunkTokens(
       Tables.documents(spark, sfDir).select("doc_id", "text"), "text", 40, 10))
