@@ -1097,6 +1097,25 @@ object SparkEntry {
       ordered(Scd.scd2Apply(history, incoming,
         Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
     },
+
+    // Per-label embedding centroid: posexplode fan-out + one map-side-
+    // combinable (label, position) aggregation, DECIMAL(38,18)-exact sums
+    // with a single IEEE division — the mean-pooling / class-prototype
+    // step of an embedding pipeline.
+    "q77_embedding_pool" -> { (s, dir) =>
+      ordered(llm.Similarity.groupCentroid(
+        Tables.embeddings(s, dir), "label", "embedding"))
+    },
+
+    // Attribution interval join: each click pairs with the same user's
+    // purchases within 30 minutes after it — an equi-join on the user key
+    // with the time bound as residual predicate (one shuffle per side,
+    // pair space bounded per user; never a time-bucket cross product).
+    // StreamingSpec runs the watermark-bounded stream-stream twin.
+    "q78_interval_join" -> { (s, dir) =>
+      ordered(streaming.Events.intervalJoin(
+        Tables.events(s, dir), "click", "purchase", boundMinutes = 30))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2321,6 +2340,28 @@ object SparkEntry {
         |     OR i.s_acctbal IS DISTINCT FROM c.s_acctbal
         |     OR i.s_nationkey IS DISTINCT FROM c.s_nationkey)
         |SELECT * FROM hist_out UNION ALL SELECT * FROM new_rows
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Decimal-exact per-coordinate means (posexplode ↔ unnest+subscripts).
+    "q77_embedding_pool" ->
+      """SELECT label, CAST(posicao AS INT) AS posicao,
+        |  CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS valor
+        |FROM (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS posicao,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |GROUP BY label, posicao
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same-user click→purchase pairs within [0, 30] minutes.
+    "q78_interval_join" ->
+      """SELECT c.user_id, c.event_id AS gatilho_id, p.event_id AS conversao_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS atraso_s
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+        |  AND epoch_us(p.ts) - epoch_us(c.ts) <= 30 * 60 * 1000000
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

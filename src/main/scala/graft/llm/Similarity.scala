@@ -201,4 +201,26 @@ object Similarity {
     withScale.withColumn("q",
       transform(col(vecCol), x => floor(x2d(x) / col("escala") + 0.5).cast("int")))
   }
+
+  /** Per-group embedding centroid (mean pooling): one row per
+    * (group, dimension position) with the exact mean of that coordinate —
+    * the class-prototype / chunk→document pooling step of an embedding
+    * pipeline, and SemDeDup's cluster-centroid input.
+    *
+    * Shape: `posexplode` fans each vector into (position, value) rows at
+    * scan level, then ONE map-side-combinable groupBy on
+    * (group, position) — |groups|·dim result rows, shuffle carries only
+    * the partial decimal sums. Per-coordinate sums accumulate in
+    * DECIMAL(38,18) (exact, order-independent — SURVEY §4) with a single
+    * IEEE division at the end, so the result is bit-identical under any
+    * partitioning and to the DuckDB oracle.
+    */
+  def groupCentroid(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("posicao", "__v")))
+      .groupBy(col(groupCol), col("posicao").cast("int").as("posicao"))
+      // float → DOUBLE first: the widening is binary-exact in every
+      // engine, while direct float→decimal conversions differ (Spark
+      // shortest-repr vs binary rounding) — SURVEY §4 / the q38 pattern
+      .agg((sum(col("__v").cast("double").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("valor"))
 }

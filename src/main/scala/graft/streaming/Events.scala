@@ -85,6 +85,53 @@ object Events {
         max(col("ts")).as("fim"))
       .select(col("user_id"), col("eventos"), col("inicio"), col("fim"))
 
+  /** Attribution interval join (batch): every `leftType` event pairs with
+    * the SAME user's `rightType` events at most `boundMinutes` after it
+    * (inclusive both ends — a simultaneous conversion counts). The plan is
+    * one equi-join on `user_id` with the time bound as a residual
+    * predicate: both sides shuffle ONCE on the user key and each key's
+    * pair space is bounded by that user's own activity — never a
+    * time-bucket cross product. Emits the trigger/conversion ids and the
+    * delay in whole seconds.
+    */
+  def intervalJoin(
+      events: DataFrame, leftType: String, rightType: String,
+      boundMinutes: Int): DataFrame = {
+    val l = events.filter(col("event_type") === leftType).select(
+      col("user_id"), col("event_id").as("gatilho_id"), col("ts").as("gatilho_ts"))
+    val r = events.filter(col("event_type") === rightType).select(
+      col("user_id"), col("event_id").as("conversao_id"), col("ts").as("conversao_ts"))
+    val delayUs = unix_micros(col("conversao_ts")) - unix_micros(col("gatilho_ts"))
+    l.join(r, Seq("user_id"))
+      .filter(delayUs >= 0L && delayUs <= boundMinutes.toLong * 60L * 1000000L)
+      .select(col("user_id"), col("gatilho_id"), col("conversao_id"),
+        // `/` on longs is true division in Spark; whole seconds want floor
+        floor(delayUs / 1000000L).cast("long").as("atraso_s"))
+  }
+
+  /** Streaming twin of [[intervalJoin]] — the canonical stream-stream join:
+    * watermarks on BOTH sides plus the time-range condition let Spark
+    * bound join state (each side's buffered rows expire once the other
+    * side's watermark passes the range). `left` must carry
+    * (user_id, gatilho_id, gatilho_ts), `right`
+    * (user_id, conversao_id, conversao_ts).
+    */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame, boundMinutes: Int,
+      lateness: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("gatilho_ts", lateness)
+    val r = right.withColumnRenamed("user_id", "__uid_c")
+      .withWatermark("conversao_ts", lateness)
+    l.join(r,
+      col("user_id") === col("__uid_c") &&
+        col("conversao_ts") >= col("gatilho_ts") &&
+        col("conversao_ts") <= col("gatilho_ts") +
+          expr(s"INTERVAL $boundMinutes MINUTES"))
+      .select(col("user_id"), col("gatilho_id"), col("conversao_id"),
+        floor((unix_micros(col("conversao_ts")) - unix_micros(col("gatilho_ts")))
+          / 1000000L).cast("long").as("atraso_s"))
+  }
+
   // ------------------------------------------------------------ streaming
 
   /** Streaming twin of [[ingestDedup]]: state bounded by the watermark;

@@ -178,4 +178,44 @@ class StreamingSpec extends SparkSpec {
       .select("eventos").as[Long].head()
     assert(u8 == 1L, "batch form agrees: user 8 session 1 has one event")
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val events = Seq(
+      // user 7: click at 10:00, purchases at 10:10 (in) and 11:00 (out)
+      (1L, ts("2026-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2026-01-01 10:10:00"), 7L, "purchase", 5.0),
+      (3L, ts("2026-01-01 11:00:00"), 7L, "purchase", 6.0),
+      // user 8: purchase BEFORE the click never joins
+      (4L, ts("2026-01-01 09:50:00"), 8L, "purchase", 1.0),
+      (5L, ts("2026-01-01 10:00:00"), 8L, "click", 0.0),
+      // user 9: simultaneous click+purchase joins at delay 0
+      (6L, ts("2026-01-01 12:00:00"), 9L, "click", 0.0),
+      (7L, ts("2026-01-01 12:00:00"), 9L, "purchase", 2.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val batch = Events.intervalJoin(events.toDF(cols: _*), "click", "purchase", 30)
+      .collect().map(_.toSeq).toSet
+    assert(batch == Set(
+      Seq(7L, 1L, 2L, 600L), Seq(9L, 6L, 7L, 0L)), s"batch: $batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = events.filter(_._4 == "click")
+      .map(e => (e._1, e._2, e._3))
+    val purchases = events.filter(_._4 == "purchase")
+      .map(e => (e._1, e._2, e._3))
+    val memClicks = MemoryStream[(Long, Long, Timestamp)]
+    val memPurch = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Events.intervalJoinStream(
+      memClicks.toDF.toDF("user_id", "gatilho_id", "gatilho_ts"),
+      memPurch.toDF.toDF("user_id", "conversao_id", "conversao_ts"),
+      boundMinutes = 30)
+    val q = joined.writeStream
+      .format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      memClicks.addData(clicks.map(e => (e._3, e._1, e._2)))
+      memPurch.addData(purchases.map(e => (e._3, e._1, e._2)))
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect().map(_.toSeq).toSet
+      assert(got == batch, s"stream $got\nbatch $batch")
+    } finally q.stop()
+  }
 }
