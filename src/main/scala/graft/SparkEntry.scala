@@ -1116,6 +1116,30 @@ object SparkEntry {
       ordered(streaming.Events.intervalJoin(
         Tables.events(s, dir), "click", "purchase", boundMinutes = 30))
     },
+
+    // Hive-layout partition pruning: the corpus written partitioned by
+    // lang, re-read with a lang filter — the filter must become a
+    // PartitionFilter (directory pruning, plan-asserted in
+    // PlanShapeSpec), not a row filter over every file.
+    "q79_partition_prune" -> { (s, dir) =>
+      val rt = Staging.bulkLoadRoundtrip(s, Tables.documents(s, dir), "lang",
+        s"${GraftSession.scratchRoot}/graft-part/documents")
+      ordered(rt.filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars"))
+    },
+
+    // Trailing-5-events rolling mean per user: one window shuffle+sort,
+    // row-bounded frame, DECIMAL(28,6)-exact sums with one IEEE division.
+    "q80_rolling_agg" -> { (s, dir) =>
+      ordered(streaming.Events.rollingAgg(Tables.events(s, dir), n = 5))
+    },
+
+    // Wide pivot with EXPLICIT values (no extra distinct pass over the
+    // corpus): per-user event counts, one column per event type.
+    "q81_pivot" -> { (s, dir) =>
+      ordered(Rollup.pivotCounts(Tables.events(s, dir), "user_id",
+        "event_type", Seq("click", "error", "purchase", "signup", "view")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2362,6 +2386,37 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
         |  AND epoch_us(p.ts) - epoch_us(c.ts) <= 30 * 60 * 1000000
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // A pruned partitioned read returns the filtered projection unchanged.
+    "q79_partition_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Trailing-5 rolling mean: decimal-exact running sums, one division.
+    "q80_rolling_agg" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(cnt AS BIGINT) AS eventos_janela,
+        |  CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS media_movel
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    count(*) OVER w AS cnt,
+        |    sum(CAST(value AS DECIMAL(28,6))) OVER w AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Conditional counts reproduce the explicit-values pivot.
+    "q81_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -57,4 +57,19 @@ object Rollup {
     */
   def unionBatches(batches: Seq[DataFrame]): DataFrame =
     batches.reduceLeft(_.unionByName(_))
+
+  /** Wide-format pivot (the inverse of q41's unpivot; pandas
+    * `pivot_table(aggfunc='count')`): one row per key, one count column
+    * per EXPLICIT pivot value. Passing the values up front matters at
+    * scale — `pivot(col)` without them runs a whole extra distinct job
+    * over 100 TB just to learn the column list; with them the plan is a
+    * single map-side-combinable aggregation, missing combinations
+    * backfilled with 0.
+    */
+  def pivotCounts(
+      df: DataFrame, keyCol: String, pivotCol: String,
+      values: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol)).pivot(pivotCol, values)
+      .agg(count(lit(1L)))
+      .na.fill(0L, values)
 }

@@ -109,6 +109,24 @@ object Events {
         floor(delayUs / 1000000L).cast("long").as("atraso_s"))
   }
 
+  /** Per-user rolling aggregate over the trailing `n` events (ordered by
+    * ts then event_id for determinism): moving event count and
+    * decimal-exact moving mean of `value` — the feature-engineering
+    * window every behavioral pipeline computes. ONE window shuffle+sort
+    * on the user key; the frame is row-bounded so state per row is O(n).
+    * The mean accumulates through DECIMAL(28,6) (exact, identical in any
+    * engine/order — SURVEY §4) with a single IEEE division.
+    */
+  def rollingAgg(events: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(n - 1), 0)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      count(lit(1L)).over(w).as("eventos_janela"),
+      (sum(col("value").cast("decimal(28,6)")).over(w).cast("double") /
+        count(lit(1L)).over(w).cast("double")).as("media_movel"))
+  }
+
   /** Streaming twin of [[intervalJoin]] — the canonical stream-stream join:
     * watermarks on BOTH sides plus the time-range condition let Spark
     * bound join state (each side's buffered rows expire once the other

@@ -248,6 +248,19 @@ class PlanShapeSpec extends SparkSpec {
       s"the 100 TB history side must not shuffle:\n$plan")
   }
 
+  test("q79 partitioned-layout read prunes directories via PartitionFilters") {
+    val rt = graft.sources.Staging.bulkLoadRoundtrip(
+      spark, Tables.documents(spark, sfDir), "lang",
+      s"${GraftSession.scratchRoot}/graft-part-spec/documents")
+    val plan = planString(rt.filter(col("lang") === "en").select("doc_id", "lang"))
+    assert(plan.contains("PartitionFilters: [isnotnull(lang") &&
+      plan.contains("= en)"),
+      s"lang filter must prune directories, not scan rows:\n$plan")
+    // the partition predicate must NOT degrade to a data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"partition filter leaked into the data scan:\n$plan")
+  }
+
   test("chunkTokens is a scan-level explode — zero shuffles") {
     val plan = planString(graft.llm.Curation.chunkTokens(
       Tables.documents(spark, sfDir).select("doc_id", "text"), "text", 40, 10))
