@@ -1140,6 +1140,40 @@ object SparkEntry {
       ordered(Rollup.pivotCounts(Tables.events(s, dir), "user_id",
         "event_type", Seq("click", "error", "purchase", "signup", "view")))
     },
+
+    // Explicit skew salting: the fact side scatters each supplier key over
+    // 8 deterministic salt groups, the dimension replicates 8×, and the
+    // result must equal the plain join exactly (the salt is
+    // expression-derived, never rand() — task retries stay idempotent).
+    "q82_skew_join" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val dim = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_acctbal"))
+      ordered(Skew.saltedJoin(li, dim, "l_suppkey",
+        Seq("l_orderkey", "l_linenumber"), salt = 8))
+    },
+
+    // OLAP rollup (GROUPING SETS): per-(lang, source) doc counts and char
+    // sums with lang-level and grand totals in ONE map-side-combinable
+    // pass — the panel's summary views without one job per level.
+    "q83_rollup_agg" -> { (s, dir) =>
+      ordered(Tables.documents(s, dir)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1L)).as("docs"), sum(col("n_chars")).as("chars"),
+          grouping_id().cast("int").as("nivel")))
+    },
+
+    // Small-file compaction: the corpus fragmented into 64 tiny files,
+    // rewritten as 4 range-clustered files sorted on doc_id (disjoint
+    // min/max ranges -> file skipping; spec asserts the layout). Content
+    // must survive identically.
+    "q84_compaction" -> { (s, dir) =>
+      val root = s"${GraftSession.scratchRoot}/graft-compact"
+      val frag = Staging.stageRoundtrip(
+        s, Tables.documents(s, dir).repartition(64), s"$root/frag")
+      ordered(Staging.compact(s, frag, "doc_id", 4, s"$root/compacted"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2417,6 +2451,28 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         |FROM events GROUP BY user_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The salted join must equal the plain join.
+    "q82_skew_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+        |  s.s_name, s.s_acctbal
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // ROLLUP grouping sets with the (lang, source) grouping bit vector.
+    "q83_rollup_agg" ->
+      """SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(GROUPING(lang, source) AS INT) AS nivel
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Compaction only changes layout; content is the identity.
+    "q84_compaction" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

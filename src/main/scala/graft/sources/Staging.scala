@@ -56,6 +56,23 @@ object Staging {
     spark.read.schema(df.schema).orc(path)
   }
 
+  /** Small-file compaction (the OPTIMIZE step every long-lived lake table
+    * needs): rewrite a fragmented table into `nFiles` range-clustered
+    * files sorted on `sortCol` — `repartitionByRange` gives
+    * non-overlapping per-file key ranges, so later reads filtered on the
+    * key skip whole files via parquet min/max stats, and the small-file
+    * metadata pressure (one footer+open per file per task at 100 TB) is
+    * gone. Content is untouched; only layout changes.
+    */
+  def compact(
+      spark: SparkSession, df: DataFrame, sortCol: String, nFiles: Int,
+      path: String): DataFrame = {
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** Persist `df` as a bucketed+sorted catalog table. Tables bucketed the
     * same way on their join key then hash-join WITHOUT a shuffle on either
     * side — at 100 TB this converts every recurring fact-fact join on the

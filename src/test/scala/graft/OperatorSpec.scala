@@ -403,4 +403,27 @@ class OperatorSpec extends SparkSpec {
     val offs = frames.select("frame_offset").as[Int].collect().toSeq
     assert(offs == Seq(0, 8, 16), s"got $offs") // 29 bytes / 8 -> 3 frames
   }
+
+  test("compaction rewrites into nFiles disjoint-range files, content intact") {
+    import graft.sources.{Staging, Tables}
+    val root = s"${GraftSession.scratchRoot}/graft-compact-spec"
+    val frag = Staging.stageRoundtrip(
+      spark, Tables.documents(spark, sfDir).repartition(16), s"$root/frag")
+    val out = Staging.compact(spark, frag, "doc_id", 3, s"$root/out")
+    assert(out.count() == frag.count())
+    val files = new java.io.File(s"$root/out").listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 compacted files, got ${files.length}")
+    // range clustering: per-file doc_id ranges must not overlap — that is
+    // what lets a key-filtered read skip whole files on min/max stats
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+  }
 }

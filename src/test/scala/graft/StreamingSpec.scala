@@ -179,6 +179,30 @@ class StreamingSpec extends SparkSpec {
     assert(u8 == 1L, "batch form agrees: user 8 session 1 has one event")
   }
 
+  test("foreachBatch drives the upsert sink: last write per key wins") {
+    import graft.sources.ParquetSink
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = new ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-psink-stream").toString)
+    val q = mem.toDF.toDF("k", "v").writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the standard streaming-merge pattern: seed the target on the
+        // first micro-batch, delete-conflicts upsert on every later one
+        if (batchId == 0L) sink.overwrite(batch, "t")
+        else sink.upsert(batch.sparkSession, batch, "t", Seq("k"))
+      }.start()
+    try {
+      mem.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, "b2"), (3L, "c")))
+      q.processAllAvailable()
+      val got = sink.read(spark, "t").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "a"), (2L, "b2"), (3L, "c")), s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = Seq(
       // user 7: click at 10:00, purchases at 10:10 (in) and 11:00 (out)
