@@ -1041,7 +1041,7 @@ object SparkEntry {
         .withColumn("embedding", transform(col("embedding"), x => x + x))
       ordered(llm.Dedup.semanticDedup(
         emb.unionByName(variants), "vec_id", "embedding",
-        nCells = 8, threshold = 0.99)
+        nCells = 0, threshold = 0.99) // corpus-sized cells (floor 8)
         .select("vec_id", "label"))
     },
 

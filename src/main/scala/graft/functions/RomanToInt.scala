@@ -88,7 +88,8 @@ object GraftFunctions {
   private[functions] def descriptors = Seq(
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
-    WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor)
+    WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
+    NearestCell.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

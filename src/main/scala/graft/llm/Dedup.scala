@@ -420,18 +420,34 @@ object Dedup {
     * ~maxBlock² per task; the final keep is one broadcast-able distinct
     * of the loser ids + a left-anti join. Not SQL-reproducible (k-means),
     * so rows-only + scalatest planted-duplicate specs, like the ANN paths.
+    *
+    * `nCells <= 0` derives the cell count from the corpus size
+    * (`ceil(n / targetCellSize)`, floor 8): within-cell pair volume is
+    * Θ(n²/cells), so a FIXED cell count turns the whole operator
+    * quadratic as the corpus grows — cells must scale with n to keep
+    * per-cell populations (and thus pair volume per row) constant. The
+    * sizing count is one metadata-cheap pass; SemDeDup at web scale runs
+    * tens of thousands of cells for exactly this reason.
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, maxBlock: Int = 1000): DataFrame = {
+      nCells: Int, threshold: Double, maxBlock: Int = 1000,
+      targetCellSize: Int = 1000): DataFrame = {
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(8, math.ceil(corpus.count().toDouble / targetCellSize).toInt)
     // cluster in DIRECTION space (unit vectors): cosine duplicates are
     // scaled copies of one direction, and k-means on raw magnitudes would
-    // scatter them across cells and hide them from the within-cell pass
-    val unit = corpus.withColumn("__unit",
-      transform(col(vecCol),
-        x => x.cast("double") /
-          greatest(Similarity.l2Norm(col(vecCol)), lit(1e-12))))
-    val idx = Ivf.index(unit, idCol, "__unit", nCells)
+    // scatter them across cells and hide them from the within-cell pass.
+    // The norm MUST be a persisted branch point before the per-element
+    // division: referenced inside the transform lambda, CollapseProject
+    // would inline the whole decimal dot product per ELEMENT — O(dim²)
+    // decimal work per row (the q54 trap, SURVEY §4).
+    val normed = CacheScope.persistTracked(corpus.withColumn("__nrm",
+      greatest(Similarity.l2Norm(col(vecCol)), lit(1e-12))))
+    val unit = normed.withColumn("__unit",
+      transform(col(vecCol), x => x.cast("double") / col("__nrm")))
+    val idx = Ivf.index(unit, idCol, "__unit", cells)
     // the index is pruned to (id, unit vector, cell) — tag the ORIGINAL
     // rows with their cell so the pair pass scores the source embeddings
     val withCell = corpus.join(

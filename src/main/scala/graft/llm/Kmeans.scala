@@ -41,11 +41,16 @@ object Kmeans {
 
   /** Nearest-centroid cell id (0-based) for a double-array column against
     * a centroid literal — first minimum wins, so ties break to the lowest
-    * cell deterministically.
+    * cell deterministically. Native codegen'd kernel
+    * ([[graft.functions.NearestCell]]): the HOF form (`transform` over the
+    * centroid literal) evaluates k·dim interpreted lambdas per row and its
+    * cost grows with the cell count — it pinned every executor once cells
+    * scaled with the corpus.
     */
   def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = transform(typedlit(centroids), c => sqDist(v, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function("graft_nearest_cell", v, typedlit(centroids))
   }
 
   /** Fit `k` centroids over `iters` Lloyd rounds on `df(vecCol)` (any
