@@ -1174,6 +1174,40 @@ object SparkEntry {
         s, Tables.documents(s, dir).repartition(64), s"$root/frag")
       ordered(Staging.compact(s, frag, "doc_id", 4, s"$root/compacted"))
     },
+
+    // Snapshot reconciliation: a rebuilt orders table (every 11th row
+    // dropped, every 7th repriced) diffed against the previous snapshot —
+    // multiset exceptAll both ways, modified rows surface as one
+    // removida + one adicionada.
+    "q85_table_diff" -> { (s, dir) =>
+      val old = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val neu = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 11 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      ordered(Diff.diffSnapshots(old, neu))
+    },
+
+    // Ordered funnel view→click→purchase: per-user first-timestamps per
+    // stage via conditional min, depth folded from the ordering chain —
+    // one map-side-combinable aggregation, no window, no self-join.
+    "q86_funnel" -> { (s, dir) =>
+      ordered(streaming.Events.funnelDepth(
+        Tables.events(s, dir), Seq("view", "click", "purchase")))
+    },
+
+    // One-pass long-format profile (nulls planted in lang): counts, exact
+    // distincts, min/max per column — one Expand aggregation, one scan.
+    "q87_profile" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(col("doc_id") % 9 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"))
+      ordered(Profile.profile(d, Seq("doc_id", "lang", "source", "n_chars")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2473,6 +2507,62 @@ object SparkEntry {
     // Compaction only changes layout; content is the identity.
     "q84_compaction" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // EXCEPT ALL both ways reproduces the multiset snapshot diff.
+    "q85_table_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |neu AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT *, 'adicionada' AS mudanca
+        |FROM (SELECT * FROM neu EXCEPT ALL SELECT * FROM old)
+        |UNION ALL
+        |SELECT *, 'removida'
+        |FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM neu)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // First-timestamp-per-stage funnel depth.
+    "q86_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t0 IS NULL THEN 0
+        |            WHEN t1 IS NULL OR t1 < t0 THEN 1
+        |            WHEN t2 IS NULL OR t2 < t1 THEN 2
+        |            ELSE 3 END AS INT) AS etapas
+        |FROM f ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Per-column UNION ALL replays the one-pass profile.
+    "q87_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN NULL ELSE lang END AS lang,
+        |    source, n_chars
+        |  FROM documents)
+        |SELECT 'doc_id' AS coluna, CAST(count(doc_id) AS BIGINT) AS nao_nulos,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS distintos,
+        |  CAST(min(doc_id) AS VARCHAR) AS minimo,
+        |  CAST(max(doc_id) AS VARCHAR) AS maximo FROM d
+        |UNION ALL
+        |SELECT 'lang', CAST(count(lang) AS BIGINT),
+        |  CAST(count(DISTINCT lang) AS BIGINT),
+        |  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'source', CAST(count(source) AS BIGINT),
+        |  CAST(count(DISTINCT source) AS BIGINT),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM d
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(n_chars) AS BIGINT),
+        |  CAST(count(DISTINCT n_chars) AS BIGINT),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -127,6 +127,28 @@ object Events {
         count(lit(1L)).over(w).cast("double")).as("media_movel"))
   }
 
+  /** Ordered funnel: how deep each user got through `stages` IN ORDER
+    * (first event of stage i+1 at-or-after the first event of stage i).
+    * One map-side-combinable aggregation — per-user first-timestamps per
+    * stage via conditional `min`, depth folded from the ordering chain;
+    * no window, no self-join, one shuffle on the user key.
+    */
+  def funnelDepth(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val firsts = events.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === stages.head, col("ts"))).as(s"ts_0"),
+      stages.tail.zipWithIndex.map { case (s, i) =>
+        min(when(col("event_type") === s, col("ts"))).as(s"ts_${i + 1}")
+      }: _*)
+    // depth = length of the prefix with non-null, non-decreasing firsts
+    val depth = stages.indices.tail.foldLeft(
+      when(col("ts_0").isNotNull, 1).otherwise(0)) { (d, i) =>
+      when(d === i && col(s"ts_$i").isNotNull &&
+        col(s"ts_$i") >= col(s"ts_${i - 1}"), i + 1).otherwise(d)
+    }
+    firsts.select(col("user_id"), depth.cast("int").as("etapas"))
+  }
+
   /** Streaming twin of [[intervalJoin]] — the canonical stream-stream join:
     * watermarks on BOTH sides plus the time-range condition let Spark
     * bound join state (each side's buffered rows expire once the other
@@ -193,6 +215,15 @@ object Events {
         min(col("ts")).as("inicio"),
         max(col("ts")).as("fim"))
       .select(col("user_id"), col("eventos"), col("inicio"), col("fim"))
+
+  /** Stream-static enrichment: every micro-batch left-joins the (bounded)
+    * dimension — Spark re-plans the static side per batch, so a dim
+    * refreshed on disk is picked up without restarting the query; the
+    * broadcast keeps the stream side shuffle-free and the join stateless
+    * (no watermark needed, unlike the stream-stream [[intervalJoinStream]]).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(sessao: Long, eventos: Long, inicioUs: Long, fimUs: Long)

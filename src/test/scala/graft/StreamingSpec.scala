@@ -203,6 +203,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "premium"), (8L, "free")).toDF("user_id", "segmento")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = Events.enrichStream(
+      mem.toDF.toDF("event_id", "user_id"), dim, "user_id")
+    val q = enriched.writeStream
+      .format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, 7L), (2L, 9L)))
+      q.processAllAvailable()
+      mem.addData(Seq((3L, 8L)))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .select("event_id", "segmento").as[(Long, Option[String])]
+        .collect().toSet
+      // unmatched stream rows survive (left join), matched ones enrich
+      assert(got == Set((1L, Some("premium")), (2L, None), (3L, Some("free"))),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val events = Seq(
       // user 7: click at 10:00, purchases at 10:10 (in) and 11:00 (out)
