@@ -1208,6 +1208,51 @@ object SparkEntry {
         col("source"), col("n_chars"))
       ordered(Profile.profile(d, Seq("doc_id", "lang", "source", "n_chars")))
     },
+
+    // Incremental view maintenance: a per-customer count/sum rollup built
+    // from 2/3 of orders, then the remaining third folded in as a delta
+    // batch — the materialized side never shuffles (broadcast delta
+    // aggregate + semi-pruned key slice), and DECIMAL sums make the fold
+    // bit-identical to the full recompute the oracle runs.
+    "q88_incr_aggregate" -> { (s, dir) =>
+      val base = Tables.orders(s, dir).filter(col("o_orderkey") % 3 =!= 0)
+      val delta = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+      val matAgg = base.groupBy(col("o_custkey")).agg(
+        count(lit(1L)).as("pedidos"),
+        sum(col("o_totalprice").cast("decimal(28,6)"))
+          .cast("decimal(28,6)").as("total"))
+      val merged = Incremental.mergeAggregate(
+        matAgg, delta.withColumnRenamed("o_totalprice", "total"),
+        Seq("o_custkey"), "pedidos", Map("total" -> "decimal(28,6)"))
+      ordered(merged.select(col("o_custkey"), col("pedidos"),
+        col("total").cast("double").as("total")))
+    },
+
+    // The composed RAG ingestion pipeline, end-to-end and ORACLE-EXACT:
+    // chunk the corpus (q53's operator) → embed each chunk with a
+    // deterministic md5 feature hash (portable, so DuckDB replays the
+    // "model" bit-for-bit — a real encoder slots into the same column) →
+    // exact cosine top-3 retrieval (q29's operator) for a query subset.
+    // The embedded corpus is a persisted branch point: both the corpus
+    // and query sides of the pair join consume it, and CollapseProject
+    // would otherwise re-chunk + re-hash per consumer (SURVEY §4).
+    "q89_rag_retrieval" -> { (s, dir) =>
+      val dims = 4
+      val chunks = llm.Curation.chunkTokens(
+        Tables.documents(s, dir).select("doc_id", "text"), "text",
+        window = 30, overlap = 0)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      val emb = transform(sequence(lit(0), lit(dims - 1)),
+        i => conv(substring(md5(concat(i.cast("string"), lit(":"),
+          col("chunk_text")).cast("binary")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0d)
+      val corpus = llm.CacheScope.persistTracked(
+        chunks.select(col("chunk_id"), emb.as("embedding")))
+      val queries = corpus.filter(col("chunk_id") % 50000 === 0)
+      ordered(llm.Similarity.bruteForceTopK(
+        corpus, queries, "chunk_id", "embedding", k = 3))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2564,5 +2609,56 @@ object SparkEntry {
         |  CAST(count(DISTINCT n_chars) AS BIGINT),
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM d
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The folded view must equal the from-scratch aggregate.
+    "q88_incr_aggregate" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS pedidos,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(28,6))
+        |    AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Chunk (q53 idiom) → md5 feature-hash embed → decimal-exact cosine
+    // top-3 (q29 idiom): the whole retrieval pipeline replayed in SQL.
+    "q89_rag_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    1 + CAST(ceil(greatest(len(tk) - 30, 0) / 30.0) AS INT) AS nch
+        |  FROM t),
+        |ch AS (
+        |  SELECT doc_id * 1000 + u.i AS chunk_id,
+        |    array_to_string(tk[u.i * 30 + 1 : u.i * 30 + 30], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |e AS (
+        |  SELECT chunk_id,
+        |    list_transform(generate_series(0, 3),
+        |      d -> CAST(CAST(('0x' || substring(md5(
+        |        CAST(d AS VARCHAR) || ':' || chunk_text), 1, 8)) AS BIGINT)
+        |        AS DOUBLE) / 4294967296.0) AS emb
+        |  FROM ch),
+        |n AS (
+        |  SELECT chunk_id, sqrt(CAST(list_aggregate(list_transform(emb,
+        |    x -> CAST(x * x AS DECIMAL(38,18))), 'sum') AS DOUBLE)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT q.chunk_id AS query_id, cdf.chunk_id AS corpus_id,
+        |    CAST(list_aggregate(list_transform(list_zip(q.emb, cdf.emb),
+        |      z -> CAST(z[1] * z[2] AS DECIMAL(38,18))), 'sum') AS DOUBLE) AS dot
+        |  FROM (SELECT * FROM e WHERE chunk_id % 50000 = 0) q
+        |  CROSS JOIN e cdf),
+        |s AS (
+        |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
+        |  FROM p
+        |  JOIN n nq ON p.query_id = nq.chunk_id
+        |  JOIN n nc ON p.corpus_id = nc.chunk_id)
+        |SELECT * FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -27,7 +27,7 @@ object CacheScope {
   private val tracked = mutable.ListBuffer.empty[DataFrame]
 
   /** Persist `df` at MEMORY_AND_DISK and remember it for release. */
-  private[llm] def persistTracked(df: DataFrame): DataFrame = synchronized {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = synchronized {
     tracked += df
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }

@@ -25,4 +25,44 @@ object Incremental {
   /** Work list: metadata rows needing refresh for the given stage. */
   def needsRefresh(meta: DataFrame, producedTs: String, consumedTs: String): DataFrame =
     meta.filter(stalePredicate(col(producedTs), col(consumedTs)))
+
+  /** Incremental maintenance of a materialized keyed count/sum aggregate:
+    * fold a delta batch in WITHOUT recomputing from the base table — the
+    * only way a 100 TB rollup stays fresh per batch.
+    *
+    * Shape (the SCD2 broadcast discipline): the delta first reduces to its
+    * own partial aggregate (batch-sized); the materialized side LEFT-joins
+    * that broadcast and adds measures where keys match — the big table
+    * never shuffles; brand-new keys come from the delta aggregate
+    * anti-joined against a broadcast-semi-pruned (≤ |delta| rows) slice
+    * of existing keys. Sums accumulate in DECIMAL, so folding the delta
+    * in is bit-identical to a full recompute under any partitioning/order
+    * (a double sum would drift and the maintained view would slowly
+    * diverge from its definition).
+    *
+    * `matAgg` must carry `keys ++ (countCol +: sumCols)`; `delta` is raw
+    * rows with the same keys and the pre-aggregation source columns named
+    * by `sumCols`.
+    */
+  def mergeAggregate(
+      matAgg: DataFrame, delta: DataFrame, keys: Seq[String],
+      countCol: String, sumCols: Map[String, String]): DataFrame = {
+    val measures = sumCols.keys.toSeq.sorted
+    val deltaAgg = delta.groupBy(keys.map(col): _*).agg(
+      count(lit(1L)).as(s"__d_$countCol"),
+      measures.map(m =>
+        sum(col(m).cast(sumCols(m))).cast(sumCols(m)).as(s"__d_$m")): _*)
+    val updated = matAgg.join(broadcast(deltaAgg), keys, "left")
+      .select(keys.map(col) ++ Seq(
+        (col(countCol) + coalesce(col(s"__d_$countCol"), lit(0L))).as(countCol)) ++
+        measures.map(m =>
+          (col(m) + coalesce(col(s"__d_$m"), lit(0).cast(sumCols(m))))
+            .cast(sumCols(m)).as(m)): _*)
+    val existingKeys = matAgg.select(keys.map(col): _*)
+      .join(broadcast(deltaAgg.select(keys.map(col): _*)), keys, "left_semi")
+    val fresh = deltaAgg.join(broadcast(existingKeys), keys, "left_anti")
+      .select(keys.map(col) ++ Seq(col(s"__d_$countCol").as(countCol)) ++
+        measures.map(m => col(s"__d_$m").as(m)): _*)
+    updated.unionByName(fresh)
+  }
 }
