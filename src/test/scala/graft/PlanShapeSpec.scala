@@ -261,6 +261,22 @@ class PlanShapeSpec extends SparkSpec {
       s"partition filter leaked into the data scan:\n$plan")
   }
 
+  test("q88 incremental merge broadcasts the delta — the view side never re-shuffles") {
+    import graft.operators.Incremental
+    val base = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 3 =!= 0)
+    val delta = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 3 === 0)
+      .withColumnRenamed("o_totalprice", "total")
+    val matAgg = base.groupBy(col("o_custkey")).agg(
+      count(lit(1L)).as("pedidos"),
+      sum(col("o_totalprice").cast("decimal(28,6)"))
+        .cast("decimal(28,6)").as("total"))
+    val plan = planString(Incremental.mergeAggregate(
+      matAgg, delta, Seq("o_custkey"), "pedidos", Map("total" -> "decimal(28,6)")))
+    assert(plan.contains("BroadcastHashJoin"), s"delta must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the materialized view must never shuffle for the merge:\n$plan")
+  }
+
   test("chunkTokens is a scan-level explode — zero shuffles") {
     val plan = planString(graft.llm.Curation.chunkTokens(
       Tables.documents(spark, sfDir).select("doc_id", "text"), "text", 40, 10))
