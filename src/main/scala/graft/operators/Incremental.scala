@@ -52,15 +52,23 @@ object Incremental {
       count(lit(1L)).as(s"__d_$countCol"),
       measures.map(m =>
         sum(col(m).cast(sumCols(m))).cast(sumCols(m)).as(s"__d_$m")): _*)
-    val updated = matAgg.join(broadcast(deltaAgg), keys, "left")
-      .select(keys.map(col) ++ Seq(
+    // null-safe key equality throughout: with plain `=` a null-key group
+    // existing on BOTH sides would dodge the update join AND the semi/anti
+    // pruning — the view would end up with two rows for that group
+    def keyEq(right: DataFrame) =
+      keys.map(c => matAgg(c) <=> right(c)).reduce(_ && _)
+    val updated = matAgg.join(broadcast(deltaAgg), keyEq(deltaAgg), "left")
+      .select(keys.map(matAgg(_)) ++ Seq(
         (col(countCol) + coalesce(col(s"__d_$countCol"), lit(0L))).as(countCol)) ++
         measures.map(m =>
           (col(m) + coalesce(col(s"__d_$m"), lit(0).cast(sumCols(m))))
             .cast(sumCols(m)).as(m)): _*)
+    val deltaKeys = deltaAgg.select(keys.map(col): _*)
     val existingKeys = matAgg.select(keys.map(col): _*)
-      .join(broadcast(deltaAgg.select(keys.map(col): _*)), keys, "left_semi")
-    val fresh = deltaAgg.join(broadcast(existingKeys), keys, "left_anti")
+      .join(broadcast(deltaKeys),
+        keys.map(c => matAgg(c) <=> deltaKeys(c)).reduce(_ && _), "left_semi")
+    val fresh = deltaAgg.join(broadcast(existingKeys),
+      keys.map(c => deltaAgg(c) <=> existingKeys(c)).reduce(_ && _), "left_anti")
       .select(keys.map(col) ++ Seq(col(s"__d_$countCol").as(countCol)) ++
         measures.map(m => col(s"__d_$m").as(m)): _*)
     updated.unionByName(fresh)

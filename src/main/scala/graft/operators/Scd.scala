@@ -29,6 +29,11 @@ object Scd {
   /** Apply `incoming` (keys + attrs + `effectiveCol` date) to the type-2
     * `history` (keys + attrs + `valid_from`/`valid_to`/`is_current`).
     * Returns the full new history.
+    *
+    * `incoming` must hold AT MOST ONE row per key (a batch is one
+    * snapshot instant — dedupe first, e.g. [[Rollup]]/`min_by`, if the
+    * source can repeat keys): a duplicated key would fan out the close
+    * join and insert conflicting open versions.
     */
   def scd2Apply(
       history: DataFrame, incoming: DataFrame,

@@ -404,6 +404,23 @@ class OperatorSpec extends SparkSpec {
     assert(offs == Seq(0, 8, 16), s"got $offs") // 29 bytes / 8 -> 3 frames
   }
 
+  test("mergeAggregate equals the full recompute, including null-key groups") {
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(
+        count(lit(1L)).as("n"),
+        sum(col("v").cast("decimal(28,6)")).cast("decimal(28,6)").as("total"))
+    val base = Seq(Option(1L) -> 4.0, Option(1L) -> 6.0, (None: Option[Long]) -> 5.0)
+      .toDF("k", "v")
+    val delta = Seq(Option(1L) -> 1.0, (None: Option[Long]) -> 2.0, Option(2L) -> 3.0)
+      .toDF("k", "v")
+    val merged = Incremental.mergeAggregate(
+      agg(base), delta.withColumnRenamed("v", "total"),
+      Seq("k"), "n", Map("total" -> "decimal(28,6)"))
+    val full = agg(base.unionByName(delta))
+    assert(merged.collect().map(_.toSeq).toSet == full.collect().map(_.toSeq).toSet,
+      "folded view must equal from-scratch aggregate (null keys must merge, not duplicate)")
+  }
+
   test("compaction rewrites into nFiles disjoint-range files, content intact") {
     import graft.sources.{Staging, Tables}
     val root = s"${GraftSession.scratchRoot}/graft-compact-spec"
