@@ -1253,6 +1253,19 @@ object SparkEntry {
       ordered(llm.Similarity.bruteForceTopK(
         corpus, queries, "chunk_id", "embedding", k = 3))
     },
+
+    // Anti-entropy checksum: one (rows, order-independent md5-sum) row
+    // replaces shipping the table to compare replicas/rebuilds — exact
+    // DECIMAL sum of portable per-row hashes, null-sentinel'd columns.
+    "q90_table_checksum" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 19 === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        col("l_shipdate"))
+      ordered(Diff.tableChecksum(li,
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2660,5 +2673,24 @@ object SparkEntry {
         |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
         |  FROM s)
         |WHERE rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The checksum is a plain commutative sum — SQL replays it directly.
+    "q90_table_checksum" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 19 = 0 THEN NULL ELSE l_returnflag END
+        |      AS l_returnflag,
+        |    l_shipdate
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS linhas,
+        |  CAST(CAST(sum(CAST(CAST(('0x' || substring(md5(
+        |    coalesce(CAST(l_orderkey AS VARCHAR), ' null') || '|' ||
+        |    coalesce(CAST(l_linenumber AS VARCHAR), ' null') || '|' ||
+        |    coalesce(l_returnflag, ' null') || '|' ||
+        |    coalesce(CAST(l_shipdate AS VARCHAR), ' null')), 1, 8))
+        |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS soma_verificacao
+        |FROM li
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -79,7 +79,9 @@ case class TopKBy(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    // null and NaN scores are ignored (NaN sorts above every real score
+    // in Double.compare and would poison the top-k with unrankable rows)
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN) {
       buffer.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
     }
     buffer

@@ -26,4 +26,24 @@ object Diff {
   def diffSnapshots(old: DataFrame, neu: DataFrame): DataFrame =
     neu.exceptAll(old).withColumn("mudanca", lit("adicionada"))
       .unionByName(old.exceptAll(neu).withColumn("mudanca", lit("removida")))
+
+  /** Order-independent table checksum — the anti-entropy primitive: two
+    * replicas (or a table and its rebuild) compare one (rows, checksum)
+    * row each instead of shipping data. Per row, the first 8 md5 hex
+    * digits of the '|'-joined columns (nulls → a sentinel no real value
+    * uses, so `("a", null)` ≠ `("a", "")`) become a bigint; the checksum
+    * is their exact DECIMAL(38,0) sum — commutative, so ANY partitioning
+    * or row order yields the same value, and portable (md5, no
+    * murmur/xxhash dependency) so any engine replays it. One map-side-
+    * combinable aggregation, no shuffle beyond the single-row reduce.
+    */
+  def tableChecksum(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val rowKey = concat_ws("|",
+      columns.map(c => coalesce(col(c).cast("string"), lit(" null"))): _*)
+    val rowHash = conv(substring(md5(rowKey.cast("binary")), 1, 8), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(
+      count(lit(1L)).as("linhas"),
+      sum(rowHash).cast("decimal(38,0)").cast("string").as("soma_verificacao"))
+  }
 }
