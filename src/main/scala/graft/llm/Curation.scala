@@ -253,6 +253,26 @@ object Curation {
       .drop("__g")
   }
 
+  /** The sketch twin of [[quantileFilter]] for when exact cut points are
+    * not worth sorting every group at 100 TB: per-group bounds from
+    * `approx_percentile` (one map-side-combinable aggregation — NO window
+    * sort), broadcast back onto the scan like the exact form. `accuracy`
+    * trades sketch memory for bound tightness. Not oracle-reproducible
+    * (sketch internals are engine-specific) — the spec pins it against
+    * the exact form's bounds instead.
+    */
+  def quantileFilterApprox(
+      df: DataFrame, valueCol: String, groupCol: String,
+      pLo: Double, pHi: Double, accuracy: Int = 10000): DataFrame = {
+    require(0 <= pLo && pLo <= pHi && pHi <= 1, s"need 0<=pLo<=pHi<=1")
+    val bounds = df.groupBy(col(groupCol).as("__g")).agg(
+      percentile_approx(col(valueCol), lit(pLo), lit(accuracy)).as("lo"),
+      percentile_approx(col(valueCol), lit(pHi), lit(accuracy)).as("hi"))
+    df.join(broadcast(bounds), col(groupCol) === col("__g"))
+      .filter(col(valueCol) >= col("lo") && col(valueCol) <= col("hi"))
+      .drop("__g")
+  }
+
   /** The host part of a URL (scheme-tolerant, '' when unparseable). */
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

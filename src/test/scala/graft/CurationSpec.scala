@@ -162,6 +162,19 @@ class CurationSpec extends SparkSpec {
     assert(one.count() == 1)
   }
 
+  test("quantileFilterApprox tracks the exact bounds without a window sort") {
+    val df = (1L to 1000L).map(v => (v, "g", v)).toDF("id", "grp", "v")
+    val approx = Curation.quantileFilterApprox(df, "v", "grp", 0.1, 0.9)
+    val (lo, hi) = approx.select("lo", "hi").distinct().as[(Long, Long)].head()
+    // exact integer-rank bounds are 100 and 900; the sketch at accuracy
+    // 10000 over 1000 distinct values must land within ±1 rank
+    assert(math.abs(lo - 100L) <= 1 && math.abs(hi - 900L) <= 1, s"($lo, $hi)")
+    approx.collect()
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the sketch path must not sort groups:\n$plan")
+  }
+
   test("purgeRepeatedChunks keeps only the globally-first chunk occurrence") {
     val docs = Seq(
       (1L, "a b c d"), // chunks [a b] [c d] — both first
