@@ -1266,6 +1266,63 @@ object SparkEntry {
       ordered(Diff.tableChecksum(li,
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")))
     },
+
+    // q61's as-of join through the custom Catalyst operator
+    // (AsOfJoinNode -> AsOfJoinStrategy -> sort-merge AsOfJoinExec): same
+    // semantics and oracle, but one forward merge pass with a single held
+    // dim row instead of the union + running-window plan.
+    "q91_asof_native" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dim = ev.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      val fact = ev.filter(col("event_type") =!= "error")
+      ordered(AsOf.asOfJoinNative(fact, dim, "user_id", "ts", Seq("value"), "cfg_"))
+    },
+
+    // Generalized bounded-heap per-group top-k (arbitrary payload types —
+    // strings, dates — not just q74's primitive score/id pairs): top-5
+    // lineitem rows per return flag. The sort key spans every payload
+    // column so exact-duplicate rows are interchangeable and the result
+    // is deterministic under any partitioning.
+    "q92_group_topk_rows" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      ordered(TopK.groupTopKRows(li, Seq("l_returnflag"),
+        Seq(("l_quantity", false), ("l_orderkey", true),
+          ("l_linenumber", true), ("l_shipdate", true)), 5))
+    },
+
+    // Incremental SCD2 (q76's batch against the same synthetic history)
+    // as a DELTA: only the closed and newly-opened versions, never a
+    // rewrite of the full history — the only history pass is a
+    // bloom+is_current-pruned scan, then broadcast joins.
+    "q93_scd2_delta" -> { (s, dir) =>
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+      val open = sup.select(
+        col("s_suppkey"), col("s_acctbal"), col("s_nationkey"),
+        lit("2026-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      val closedHist = sup.filter(col("s_suppkey") % 4 === 0).select(
+        col("s_suppkey"), (col("s_acctbal") - 50).as("s_acctbal"),
+        col("s_nationkey"),
+        lit("2025-01-01").cast("date").as("valid_from"),
+        lit("2026-01-01").cast("date").as("valid_to"),
+        lit(false).as("is_current"))
+      val history = open.unionByName(closedHist)
+      val incoming = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey"), (col("s_acctbal") + 100).as("s_acctbal"),
+          col("s_nationkey"))
+        .unionByName(sup.filter(col("s_suppkey") % 3 === 1))
+        .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 10000).as("s_suppkey"),
+            (col("s_acctbal") * 2).as("s_acctbal"), col("s_nationkey")))
+        .withColumn("effective", lit("2026-08-01").cast("date"))
+      ordered(Scd.scd2Delta(history, incoming,
+        Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2691,6 +2748,68 @@ object SparkEntry {
         |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
         |    AS soma_verificacao
         |FROM li
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q91_asof_native" ->
+      """WITH ev AS (
+        |  SELECT event_id, ts, user_id, event_type, value FROM events),
+        |dim AS (SELECT user_id, ts, value FROM ev WHERE event_type = 'error'),
+        |fact AS (SELECT * FROM ev WHERE event_type <> 'error')
+        |SELECT f.event_id, f.ts, f.user_id, f.event_type, f.value,
+        |  d.ts AS cfg_ts, d.value AS cfg_value
+        |FROM fact f ASOF LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.ts >= d.ts
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q92_group_topk_rows" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, l_shipdate,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey, l_linenumber, l_shipdate)
+        |      AS INTEGER) AS posicao
+        |  FROM lineitem)
+        |SELECT * FROM ranked WHERE posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q93_scd2_delta" ->
+      """WITH sup AS (SELECT s_suppkey, s_acctbal, s_nationkey FROM supplier),
+        |hist AS (
+        |  SELECT s_suppkey, s_acctbal, s_nationkey,
+        |    DATE '2026-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM sup
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal - 50, s_nationkey,
+        |    DATE '2025-01-01', DATE '2026-01-01', FALSE
+        |  FROM sup WHERE s_suppkey % 4 = 0),
+        |incoming AS (
+        |  SELECT s_suppkey, s_acctbal + 100 AS s_acctbal, s_nationkey
+        |  FROM sup WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_acctbal, s_nationkey
+        |  FROM sup WHERE s_suppkey % 3 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 10000, s_acctbal * 2, s_nationkey
+        |  FROM sup WHERE s_suppkey % 5 = 0),
+        |cur AS (SELECT * FROM hist WHERE is_current),
+        |m AS (
+        |  SELECT i.s_suppkey, i.s_acctbal AS in_acctbal,
+        |    i.s_nationkey AS in_nationkey, c.s_acctbal AS cur_acctbal,
+        |    c.s_nationkey AS cur_nationkey, c.valid_from AS cur_valid_from,
+        |    c.s_suppkey IS NOT NULL AS has_cur,
+        |    (c.s_suppkey IS NOT NULL AND
+        |      (c.s_acctbal IS DISTINCT FROM i.s_acctbal
+        |       OR c.s_nationkey IS DISTINCT FROM i.s_nationkey)) AS mudou
+        |  FROM incoming i LEFT JOIN cur c ON i.s_suppkey = c.s_suppkey)
+        |SELECT s_suppkey, cur_acctbal AS s_acctbal,
+        |  cur_nationkey AS s_nationkey, cur_valid_from AS valid_from,
+        |  DATE '2026-08-01' AS valid_to, FALSE AS is_current,
+        |  'fechar' AS acao
+        |FROM m WHERE mudou
+        |UNION ALL
+        |SELECT s_suppkey, in_acctbal, in_nationkey, DATE '2026-08-01',
+        |  CAST(NULL AS DATE), TRUE, 'abrir'
+        |FROM m WHERE NOT has_cur OR mudou
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 }

@@ -70,11 +70,16 @@ object RomanOps {
 }
 
 /** `spark.sql.extensions`-injectable registration so SQL-text users get the
-  * native functions too (`SELECT roman_to_int(col) …`).
+  * native functions too (`SELECT roman_to_int(col) …`), plus the engine's
+  * planner strategy for the whole-operator extensions
+  * ([[graft.plans.AsOfJoinStrategy]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+  }
 }
 
 /** Imperative registration for sessions built without the extension. */

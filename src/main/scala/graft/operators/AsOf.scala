@@ -53,4 +53,55 @@ object AsOf {
       .filter(col("__is_dim") === 0)
       .drop("__is_dim")
   }
+
+  /** The same as-of join through the custom Catalyst operator
+    * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]): one
+    * sort-merge pass with a single held dim row of state instead of the
+    * union + running-window plan of [[asOfJoin]]. Same output columns,
+    * same semantics (see the node's scaladoc for the null rules); prefer
+    * it when the fact side is large or already clustered/sorted on the
+    * key — the operator declares its distribution/ordering requirements,
+    * so Catalyst elides the sort for bucketed-sorted inputs and reuses
+    * the fact-side partitioning downstream.
+    */
+  def asOfJoinNative(
+      fact: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graft.Shims
+    import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
+
+    val spark = fact.sparkSession
+    // idempotent runtime registration for sessions built without the
+    // GraftExtensions config (the extension path injects it too)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+
+    def attrOf(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found in [${p.output.map(_.name).mkString(", ")}]"))
+
+    val lp = Shims.analyzed(fact)
+    // prune the dim to key+ts+payload and re-alias with fresh exprIds so a
+    // self-as-of (fact and dim sliced from one source) never carries
+    // duplicate attribute ids into the binary node
+    val rp0 = Shims.analyzed(dim)
+    val dimCols = (Seq(keyCol, tsCol) ++ payloadCols).distinct
+    val rp = Project(dimCols.map(n => Alias(attrOf(rp0, n), n)()), rp0)
+
+    val rightTs = attrOf(rp, tsCol)
+    val rightCarried = rightTs +: payloadCols.map(attrOf(rp, _))
+    val outAttrs = rightCarried.map(a =>
+      AttributeReference(prefix + a.name, a.dataType, nullable = true)())
+
+    Shims.ofRows(spark, AsOfJoinNode(
+      lp, rp,
+      leftKeys = Seq(attrOf(lp, keyCol)), rightKeys = Seq(attrOf(rp, keyCol)),
+      leftTs = attrOf(lp, tsCol), rightTs = rightTs,
+      rightCarried = rightCarried, outAttrs = outAttrs))
+  }
 }

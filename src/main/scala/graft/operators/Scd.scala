@@ -78,4 +78,77 @@ object Scd {
 
     historyOut.unionByName(newRows)
   }
+
+  /** Incremental SCD2: the DELTA a batch induces instead of the rewritten
+    * full history — [[scd2Apply]] re-emits every history row, which at a
+    * 100 TB dimension means rewriting 100 TB per batch; a merge-capable
+    * sink only needs the changed rows. Output schema = history's columns
+    * plus `acao`: `'fechar'` rows are the previously-open versions now
+    * closed (`valid_to` = batch effective date, `is_current` = false) and
+    * `'abrir'` rows are the new open versions (changed attributes or
+    * brand-new keys). Unchanged batch rows are no-ops and emit nothing.
+    *
+    * Scale shape: the ONLY pass over the history is a scan filtered by
+    * `is_current` AND a Bloom filter built from the batch's key hashes —
+    * both evaluated scan-side before any exchange, so bloom-negative
+    * history rows (virtually all of them) are dropped at the source and
+    * the surviving sliver is exact-semi-pruned to ≤ |batch| rows and
+    * broadcast. The history is never shuffled and never rewritten.
+    *
+    * Same contract as [[scd2Apply]]: `incoming` holds at most one row per
+    * key. False positives from `fpp` only route extra rows through the
+    * exact semi-join; they never change the result.
+    */
+  def scd2Delta(
+      history: DataFrame, incoming: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String],
+      effectiveCol: String, fpp: Double = 0.01): DataFrame = {
+    val spark = history.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+
+    val inKeyed = incoming.select(
+      (keyCols.map(col) :+ col(effectiveCol).as("__eff")) ++
+        attrCols.map(c => col(c).as(s"__in_$c")): _*)
+
+    def keyHash(df: DataFrame) = xxhash64(keyCols.map(df(_)): _*)
+    val hashed = incoming.select(keyHash(incoming).as("__graft_kh"))
+    val expected = math.max(hashed.count(), 1L)
+    val bloom = hashed.stat.bloomFilter("__graft_kh", expected, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = call_function("graft_might_contain", lit(bytes), keyHash(history))
+
+    // bloom-positive current rows, exact-pruned to the batch's keys, then
+    // broadcast: ≤ |batch| rows regardless of history size
+    val inKeySet = incoming
+      .select(keyCols.map(k => col(k).as(s"__graft_k_$k")): _*).distinct()
+    val candidates = history.filter(col("is_current") && might)
+    val semiCond = keyCols.map(k => candidates(k) <=> col(s"__graft_k_$k")).reduce(_ && _)
+    val candSlim = candidates.join(broadcast(inKeySet), semiCond, "left_semi")
+      .select(keyCols.map(col) ++
+        attrCols.map(c => col(c).as(s"__cur_$c")) :+
+        col("valid_from").as("__cur_valid_from") :+ lit(true).as("__has_cur"): _*)
+
+    val matched = inKeyed.join(broadcast(candSlim), keyCols, "left")
+    val changed = attrCols.map(c => !(col(s"__in_$c") <=> col(s"__cur_$c"))).reduce(_ || _)
+    val validToType = history.schema("valid_to").dataType
+
+    val closes = matched.filter(col("__has_cur").isNotNull && changed)
+      .select(
+        (keyCols.map(col) ++ attrCols.map(c => col(s"__cur_$c").as(c))) :+
+          col("__cur_valid_from").as("valid_from") :+
+          col("__eff").cast(validToType).as("valid_to") :+
+          lit(false).as("is_current") :+ lit("fechar").as("acao"): _*)
+    val opens = matched.filter(col("__has_cur").isNull || changed)
+      .select(
+        (keyCols.map(col) ++ attrCols.map(c => col(s"__in_$c").as(c))) :+
+          col("__eff").as("valid_from") :+
+          lit(null).cast(validToType).as("valid_to") :+
+          lit(true).as("is_current") :+ lit("abrir").as("acao"): _*)
+
+    closes.unionByName(opens)
+  }
 }

@@ -38,4 +38,35 @@ object TopK {
         col("__t.id").as(idCol),
         col("__t.score").as(scoreCol))
   }
+
+  /** Generalized per-group top-k: the first `k` FULL ROWS of each group
+    * under an arbitrary sort order (`orderCols` = (column, ascending)),
+    * any column types — the bounded-heap [[graft.functions.TopKRows]]
+    * aggregate carrying the whole row as payload. Output = every input
+    * column plus `posCol` (1-based rank). Same scale contract as
+    * [[groupTopK]]: map-side partials bound the exchange at k rows per
+    * group per input partition; nothing is ever fully sorted. Ties break
+    * arbitrarily, as with `row_number` — give a total order for
+    * deterministic output.
+    */
+  def groupTopKRows(
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[(String, Boolean)],
+      k: Int, posCol: String = "posicao"): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, CreateStruct, Descending, Literal}
+    import org.apache.spark.sql.graft.Shims
+
+    val dirs = orderCols.map(o => if (o._2) Ascending else Descending)
+    val func = graft.functions.TopKRows(
+      CreateStruct(orderCols.map(o => UnresolvedAttribute.quoted(o._1))),
+      CreateStruct(df.columns.toSeq.map(UnresolvedAttribute.quoted)),
+      Literal(k), dirs, dirs.map(_.defaultNullOrdering))
+    val top = Shims.column(AggregateExpression(func, Complete, isDistinct = false))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(top.as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("__t.*"), (col("__pos") + 1).cast("int").as(posCol))
+  }
 }

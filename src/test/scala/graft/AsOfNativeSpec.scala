@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+import graft.sources.Tables
+
+/** The custom-Catalyst as-of join ([[graft.plans.AsOfJoinExec]]): unit
+  * semantics, equivalence with the compositional window form on real
+  * event data, and the physical-plan contracts (custom exec present, no
+  * nested-loop/cartesian fallback, sorted by the declared ordering).
+  */
+class AsOfNativeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = Seq(
+    (1L, 10L, "v10"), (1L, 20L, "v20"),
+    (2L, 15L, "w15")).toDF("k", "t", "payload")
+  private val fact = Seq(
+    (100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 19L),
+    (103L, 1L, 25L), (104L, 2L, 99L), (105L, 3L, 50L))
+    .toDF("id", "k", "t")
+
+  test("native as-of join matches the documented at-or-before semantics") {
+    val got = AsOf.asOfJoinNative(fact, dim, "k", "t", Seq("payload"))
+      .select("id", "asof_t", "asof_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, None, None),
+      (101L, Some(10L), Some("v10")),
+      (102L, Some(10L), Some("v10")),
+      (103L, Some(20L), Some("v20")),
+      (104L, Some(15L), Some("w15")),
+      (105L, None, None)))
+  }
+
+  test("null keys and timestamps never match, on either side") {
+    val d = Seq((Some(1L), Some(10L), "a"), (None, Some(5L), "nk"),
+      (Some(1L), None, "nt")).toDF("k", "t", "payload")
+    val f = Seq((1L, Some(1L), Some(50L)), (2L, None, Some(50L)),
+      (3L, Some(1L), None)).toDF("id", "k", "t")
+    val got = AsOf.asOfJoinNative(f, d, "k", "t", Seq("payload"))
+      .select("id", "asof_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("a")), (2L, None), (3L, None)))
+  }
+
+  test("empty dim side leaves every fact unmatched") {
+    val got = AsOf.asOfJoinNative(fact, dim.limit(0), "k", "t", Seq("payload"))
+    assert(got.count() == 6 && got.filter(col("asof_payload").isNotNull).count() == 0)
+  }
+
+  test("native and compositional forms agree on the events table") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val d = ev.filter(col("event_type") === "error").select("user_id", "ts", "value")
+    val f = ev.filter(col("event_type") =!= "error")
+    val a = AsOf.asOfJoin(f, d, "user_id", "ts", Seq("value"), "cfg_")
+      .orderBy("event_id").collect().toSeq
+    val b = AsOf.asOfJoinNative(f, d, "user_id", "ts", Seq("value"), "cfg_")
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("self-as-of (fact and dim sliced from one source) resolves cleanly") {
+    // both sides derive from the same logical subtree — the dim-side
+    // re-alias must keep attribute ids disjoint
+    val got = AsOf.asOfJoinNative(fact, fact.select(col("k"), col("t"), col("id").as("payload")),
+      "k", "t", Seq("payload"))
+    assert(got.count() == 6)
+  }
+
+  test("plan uses the custom exec: no window, no nested loop, sorts planned") {
+    val df = AsOf.asOfJoinNative(fact, dim, "k", "t", Seq("payload"))
+    val plan = planString(df)
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct")
+      && !plan.contains("Window"), s"fallback plan shape:\n$plan")
+    // EnsureRequirements must have planned the clustered exchange + sort
+    // the operator declared
+    assert(plan.contains("Sort") && plan.contains("hashpartitioning"),
+      s"declared distribution/ordering not planned:\n$plan")
+  }
+}

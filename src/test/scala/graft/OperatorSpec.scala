@@ -443,4 +443,40 @@ class OperatorSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("scd2Delta emits exactly the changes scd2Apply makes") {
+    import graft.operators.Scd
+    val history = Seq(
+      (1L, Some(10.0), "2026-01-01", None, true),             // attr changes
+      (2L, Some(20.0), "2026-01-01", None, true),             // identical: no-op
+      (3L, Option.empty[Double], "2026-01-01", None, true),   // null == null: no-op
+      (4L, Some(40.0), "2026-01-01", None, true),             // not in batch
+      (6L, Some(60.0), "2026-01-01", None, true),             // value -> null: change
+      (1L, Some(5.0), "2025-01-01", Some("2026-01-01"), false)) // closed: untouched
+      .toDF("k", "saldo", "vf", "vt", "is_current")
+      .select(col("k"), col("saldo"), col("vf").cast("date").as("valid_from"),
+        col("vt").cast("date").as("valid_to"), col("is_current"))
+    val incoming = Seq(
+      (1L, Some(11.0)), (2L, Some(20.0)), (3L, Option.empty[Double]),
+      (5L, Some(50.0)), (6L, Option.empty[Double]))
+      .toDF("k", "saldo")
+      .withColumn("effective", lit("2026-08-01").cast("date"))
+
+    val delta = Scd.scd2Delta(history, incoming, Seq("k"), Seq("saldo"), "effective")
+    val fechar = delta.filter(col("acao") === "fechar").drop("acao")
+    val abrir = delta.filter(col("acao") === "abrir").drop("acao")
+    // changed keys 1 and 6 close; 1, 6 and new key 5 open; 2/3 are no-ops
+    assert(fechar.select("k").as[Long].collect().toSet == Set(1L, 6L))
+    assert(abrir.select("k").as[Long].collect().toSet == Set(1L, 5L, 6L))
+
+    // applying the delta to the history reproduces scd2Apply exactly
+    val closedKeys = fechar.select("k").as[Long].collect().toSeq
+    val untouched = history.filter(
+      !(col("is_current") && col("k").isin(closedKeys: _*)))
+    val reconstructed = untouched.unionByName(fechar).unionByName(abrir)
+      .collect().toSet
+    val full = Scd.scd2Apply(history, incoming, Seq("k"), Seq("saldo"), "effective")
+      .collect().toSet
+    assert(reconstructed == full)
+  }
 }

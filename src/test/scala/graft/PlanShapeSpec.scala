@@ -248,6 +248,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the 100 TB history side must not shuffle:\n$plan")
   }
 
+  test("q93 SCD2 delta bloom-prunes the history scan and never shuffles it") {
+    import graft.operators.Scd
+    val sup = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"))
+    val history = sup.select(col("s_suppkey"), col("s_acctbal"), col("s_nationkey"),
+      lit("2026-01-01").cast("date").as("valid_from"),
+      lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val incoming = sup.filter(col("s_suppkey") % 3 === 0)
+      .withColumn("effective", lit("2026-08-01").cast("date"))
+    val plan = planString(Scd.scd2Delta(history, incoming,
+      Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
+    assert(plan.contains("might_contain"),
+      s"history probe must be bloom-pre-filtered at the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"batch must broadcast:\n$plan")
+    // the only permitted exchange is the batch-side key-set distinct
+    // (__graft_k_*); the history columns must never hash-partition
+    val historyExchanges = "Exchange hashpartitioning\\(([^)]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).filterNot(_.contains("__graft_k_")).toSeq
+    assert(!plan.contains("SortMergeJoin") && historyExchanges.isEmpty,
+      s"the 100 TB history side must not shuffle ($historyExchanges):\n$plan")
+  }
+
   test("q79 partitioned-layout read prunes directories via PartitionFilters") {
     val rt = graft.sources.Staging.bulkLoadRoundtrip(
       spark, Tables.documents(spark, sfDir), "lang",
