@@ -432,13 +432,26 @@ object Dedup {
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, threshold: Double, maxBlock: Int = 1000,
-      targetCellSize: Int = 1000): DataFrame = {
+      targetCellSize: Int = 1000): DataFrame =
+    semanticDedup(corpus,
+      semanticDedupIndex(corpus, idCol, vecCol, nCells, targetCellSize),
+      idCol, vecCol, threshold, maxBlock)
+
+  /** The direction-space cell index [[semanticDedup]] runs on, built once
+    * and reusable: incremental curation pipelines re-dedup a growing
+    * corpus every batch, and re-fitting k-means per run is the dominant
+    * avoidable cost — build this (or [[Ivf.writeIndex]] it cell-partitioned)
+    * and pass it to the index-taking overload instead. Clusters UNIT
+    * vectors: cosine duplicates are scaled copies of one direction, and
+    * k-means on raw magnitudes would scatter them across cells and hide
+    * them from the within-cell pass.
+    */
+  def semanticDedupIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, targetCellSize: Int = 1000): Ivf.IvfIndex = {
     val cells =
       if (nCells > 0) nCells
       else math.max(8, math.ceil(corpus.count().toDouble / targetCellSize).toInt)
-    // cluster in DIRECTION space (unit vectors): cosine duplicates are
-    // scaled copies of one direction, and k-means on raw magnitudes would
-    // scatter them across cells and hide them from the within-cell pass.
     // The norm MUST be a persisted branch point before the per-element
     // division: referenced inside the transform lambda, CollapseProject
     // would inline the whole decimal dot product per ELEMENT — O(dim²)
@@ -447,7 +460,15 @@ object Dedup {
       greatest(Similarity.l2Norm(col(vecCol)), lit(1e-12))))
     val unit = normed.withColumn("__unit",
       transform(col(vecCol), x => x.cast("double") / col("__nrm")))
-    val idx = Ivf.index(unit, idCol, "__unit", cells)
+    Ivf.index(unit, idCol, "__unit", cells)
+  }
+
+  /** [[semanticDedup]] through a prebuilt [[semanticDedupIndex]] (or one
+    * loaded back via [[Ivf.readIndex]]): identical output, no k-means fit.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idx: Ivf.IvfIndex, idCol: String, vecCol: String,
+      threshold: Double, maxBlock: Int): DataFrame = {
     // the index is pruned to (id, unit vector, cell) — tag the ORIGINAL
     // rows with their cell so the pair pass scores the source embeddings
     val withCell = corpus.join(

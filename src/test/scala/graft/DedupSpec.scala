@@ -269,6 +269,22 @@ class DedupSpec extends SparkSpec {
       df, "vec_id", "embedding", nCells = 2, threshold = 0.999)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == again)
+
+    // a prebuilt index reproduces the one-shot result without re-fitting,
+    // including after a parquet round-trip of the index (the incremental
+    // pipeline shape: build/persist once, reuse per batch)
+    val idx = Dedup.semanticDedupIndex(df, "vec_id", "embedding", nCells = 2)
+    val viaIdx = Dedup.semanticDedup(
+      df, idx, "vec_id", "embedding", threshold = 0.999, maxBlock = 1000)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaIdx == kept)
+    val path = s"${GraftSession.scratchRoot}/graft-semdedup-idx"
+    graft.llm.Ivf.writeIndex(idx, path)
+    val viaDisk = Dedup.semanticDedup(
+      df, graft.llm.Ivf.readIndex(spark, path), "vec_id", "embedding",
+      threshold = 0.999, maxBlock = 1000)
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaDisk == kept)
   }
 
   test("simhash64 is deterministic and order-insensitive over token sets") {
