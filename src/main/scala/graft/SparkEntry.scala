@@ -1323,6 +1323,27 @@ object SparkEntry {
       ordered(Scd.scd2Delta(history, incoming,
         Seq("s_suppkey"), Seq("s_acctbal", "s_nationkey"), "effective"))
     },
+
+    // Deterministic per-group sampling (k docs per language) through the
+    // same bounded heap: "first k by md5(id)" is a uniform-ish,
+    // partition-independent, oracle-replayable sample — no full sort, no
+    // rand() seed state, map-side capped like every TopKRows use.
+    "q94_group_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      ordered(TopK.groupTopKRows(docs, Seq("lang"),
+        Seq(("h", true), ("doc_id", true)), 3))
+    },
+
+    // Z-order (Morton) clustering value over (o_custkey, o_orderkey):
+    // exact BIGINT min-max scaling + bit interleave, the multi-column
+    // file-pruning layout key. Layout.zorderLayout writes the clustered
+    // files; the oracle replays the arithmetic bit-for-bit.
+    "q95_zorder" -> { (s, dir) =>
+      val ords = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      ordered(Layout.zorderValue(ords, Seq("o_custkey", "o_orderkey")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2811,5 +2832,43 @@ object SparkEntry {
         |  CAST(NULL AS DATE), TRUE, 'abrir'
         |FROM m WHERE NOT has_cur OR mudou
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q94_group_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY h, doc_id) AS INTEGER) AS posicao
+        |  FROM d)
+        |SELECT * FROM ranked WHERE posicao <= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q95_zorder" -> zorderOracle,
   )
+
+  /** q95's oracle, generated: the same 16-bit min-max scale (exact BIGINT
+    * product, IEEE double quotient, floor) and the same 32 interleave
+    * terms the Spark expression builds — column j's bit i lands at
+    * position i*2+j.
+    */
+  private def zorderOracle: String = {
+    def scaleSql(c: String, j: Int) =
+      s"""CASE WHEN mx$j - mn$j <= 0 THEN 0
+         |      ELSE COALESCE(CAST(floor((($c - mn$j) * 65535) / (mx$j - mn$j))
+         |                    AS BIGINT), 0) END AS s$j""".stripMargin
+    val terms = (for { i <- 0 until 16; j <- 0 until 2 }
+      yield s"(((s$j >> $i) & 1) << ${i * 2 + j})").mkString(" + ")
+    s"""WITH stats AS (
+       |  SELECT min(o_custkey) AS mn0, max(o_custkey) AS mx0,
+       |         min(o_orderkey) AS mn1, max(o_orderkey) AS mx1
+       |  FROM orders),
+       |s AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    ${scaleSql("o_custkey", 0)},
+       |    ${scaleSql("o_orderkey", 1)}
+       |  FROM orders, stats)
+       |SELECT o_orderkey, o_custkey, $terms AS zorder FROM s
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
 }

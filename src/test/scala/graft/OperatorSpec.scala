@@ -444,6 +444,49 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("zorder interleave is the exact Morton curve on a known grid") {
+    import graft.operators.Layout
+    // 4-bit 2-d Morton values of a few hand-computed points
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (15L, 15L))
+      .toDF("x", "y")
+    val got = df.select(Layout.interleaveBits(Seq(col("x"), col("y")), 4))
+      .as[Long].collect().toSeq
+    // bit i of x -> position 2i, bit i of y -> position 2i+1
+    assert(got == Seq(0L, 1L, 2L, 3L, 14L, 255L))
+  }
+
+  test("zorderLayout prunes a second filter column where a single-column sort cannot") {
+    import graft.operators.Layout
+    val root = s"${GraftSession.scratchRoot}/graft-zorder-spec"
+    // uniform 64x64 grid: every (x, y) cell once
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val zorted = Layout.zorderLayout(spark, grid, Seq("x", "y"), 16, s"$root/z")
+    assert(zorted.count() == 4096)
+    grid.withColumn("zorder", col("x")) // single-col layout: sort by x only
+      .repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$root/flat")
+
+    // per-file y bounding ranges; count files a y-point filter must read
+    def yRanges(path: String): Seq[(Long, Long)] =
+      new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col("y")), max(col("y"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    def filesHit(ranges: Seq[(Long, Long)], y: Long): Int =
+      ranges.count { case (lo, hi) => lo <= y && y <= hi }
+    val zr = yRanges(s"$root/z"); val fr = yRanges(s"$root/flat")
+    val probes = Seq(3L, 17L, 33L, 48L, 60L)
+    val zHits = probes.map(filesHit(zr, _)).sum
+    val fHits = probes.map(filesHit(fr, _)).sum
+    // x-sorted files span the FULL y range (every probe hits every file);
+    // the z-order curve keeps y bounding boxes compact
+    assert(fHits == probes.size * fr.size, s"grid sanity: $fr")
+    assert(zHits * 2 < fHits, s"z-order must prune y probes: $zHits vs $fHits")
+  }
+
   test("scd2Delta emits exactly the changes scd2Apply makes") {
     import graft.operators.Scd
     val history = Seq(
