@@ -4,14 +4,14 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, CreateStruct, EqualTo,
   Expression, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, PosExplode, PredicateHelper, RowNumber,
+  LessThanOrEqual, Literal, PosExplode, PredicateHelper, Rank, RowNumber,
   RowOrdering, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Generate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StructType}
 
-import graft.functions.TopKRows
+import graft.functions.{RankKRows, TopKRows}
 
 /** Optimizer rule: rewrite the `row_number() OVER (PARTITION BY p ORDER
   * BY s) <= k` filter-over-window idiom — the way every SQL user writes
@@ -30,15 +30,18 @@ import graft.functions.TopKRows
   * the operator-optimization batch.)
   *
   * Fires only on the exact safe shape: a Filter directly over a Window
-  * whose ONLY window expression is `row_number()` with a non-empty
-  * orderable ORDER BY, where some conjunct bounds the row number from
-  * above by a positive integer literal ≤ `spark.graft.topkRewrite.maxK`
-  * (heap memory per group is k rows). Remaining conjuncts stay as a
-  * residual filter — the rewritten plan reproduces the row-number column
-  * (position in the per-group top-k) under the original attribute id, so
-  * every downstream reference keeps resolving. Tie semantics are
-  * unchanged: `row_number` picks tied rows arbitrarily, and so does the
-  * heap. Disable with `spark.graft.topkRewrite.enabled=false`.
+  * whose ONLY window expression is `row_number()` (→ [[TopKRows]]) or
+  * `rank()` (→ [[RankKRows]], which keeps boundary tie groups whole and
+  * carries each row's rank) with a non-empty orderable ORDER BY, where
+  * some conjunct bounds the rank from above by a positive integer
+  * literal ≤ `spark.graft.topkRewrite.maxK` (heap memory per group is
+  * ~k rows; rank mode may additionally hold a boundary tie group — the
+  * same rows the window form would output). Remaining conjuncts stay as
+  * a residual filter — the rewritten plan reproduces the rank column
+  * under the original attribute id, so every downstream reference keeps
+  * resolving. Tie semantics are unchanged: `row_number` picks tied rows
+  * arbitrarily, and so does the heap; `rank` ties are exact. Disable
+  * with `spark.graft.topkRewrite.enabled=false`.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -51,10 +54,12 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!enabled) return plan
     plan.transformDown {
       case f @ Filter(cond,
-          w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          w @ Window(Seq(alias @ Alias(WindowExpression(rankFn, _), _)),
             partSpec, orderSpec, child, _))
-          if orderSpec.nonEmpty &&
+          if (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank]) &&
+            orderSpec.nonEmpty &&
             RowOrdering.isOrderable(orderSpec.map(_.child).toIndexedSeq) =>
+        val isRank = rankFn.isInstanceOf[Rank]
         val rnAttr = alias.toAttribute
         val conjuncts = splitConjunctivePredicates(cond)
         // a pure `rn <= v` bound may be DROPPED once the rewrite keeps only
@@ -70,7 +75,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else {
               val residual = conjuncts.filterNot(c =>
                 pureUpperBound(c, rnAttr).exists(_ >= k))
-              rewrite(w, child, partSpec, rnAttr, k) match {
+              rewrite(w, child, partSpec, rnAttr, k, isRank) match {
                 case rewritten if residual.isEmpty => rewritten
                 case rewritten => Filter(residual.reduce(And), rewritten)
               }
@@ -97,31 +102,41 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(
       w: Window, child: LogicalPlan, partSpec: Seq[Expression],
-      rnAttr: Attribute, k: Int): LogicalPlan = {
+      rnAttr: Attribute, k: Int, isRank: Boolean): LogicalPlan = {
     val orderSpec = w.orderSpec
     val keyStruct = CreateStruct(orderSpec.map(_.child))
     val payloadStruct = CreateStruct(child.output)
-    val func = TopKRows(keyStruct, payloadStruct, Literal(k),
-      orderSpec.map(_.direction), orderSpec.map(_.nullOrdering))
+    val dirs = orderSpec.map(_.direction)
+    val nullOrds = orderSpec.map(_.nullOrdering)
+    val func =
+      if (isRank) RankKRows(keyStruct, payloadStruct, Literal(k), dirs, nullOrds)
+      else TopKRows(keyStruct, payloadStruct, Literal(k), dirs, nullOrds)
     val aggExpr = Alias(
       AggregateExpression(func, Complete, isDistinct = false), "__graft_top")()
     val agg = Aggregate(partSpec, Seq(aggExpr), child)
 
-    val payloadType = payloadStruct.dataType.asInstanceOf[StructType]
+    // rank mode appends the computed __graft_rank to each emitted struct
+    // (tie groups share a rank, so position alone cannot reproduce it)
+    val elemType = func.dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType.asInstanceOf[StructType]
     val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
-    val rowAttr = AttributeReference("col", payloadType, nullable = false)()
+    val rowAttr = AttributeReference("col", elemType, nullable = false)()
     val gen = Generate(PosExplode(aggExpr.toAttribute),
       unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
       generatorOutput = Seq(posAttr, rowAttr), agg)
 
     // reconstruct every original column under its ORIGINAL attribute id so
     // downstream references (including the residual filter and anything
-    // above) keep resolving; rn = 1-based position in the per-group top-k
+    // above) keep resolving; rn = 1-based top-k position (row_number) or
+    // the carried rank field (rank)
     val fields = child.output.zipWithIndex.map { case (a, i) =>
       Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(
         exprId = a.exprId, qualifier = a.qualifier)
     }
-    val rnOut = Alias(Add(posAttr, Literal(1)), rnAttr.name)(exprId = rnAttr.exprId)
+    val rnExpr: Expression =
+      if (isRank) GetStructField(rowAttr, child.output.length, Some("__graft_rank"))
+      else Add(posAttr, Literal(1))
+    val rnOut = Alias(rnExpr, rnAttr.name)(exprId = rnAttr.exprId)
     Project(fields :+ rnOut, gen)
   }
 }

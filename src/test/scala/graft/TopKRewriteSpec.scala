@@ -87,11 +87,27 @@ class TopKRewriteSpec extends SparkSpec {
     assert(planString(rwEq).contains("graft_top_k_rows"))
   }
 
-  test("non-rewritable shapes are left alone (rank, no upper bound)") {
+  test("rank() rewrites through RankKRows, boundary tie groups kept whole") {
+    // l_quantity alone ties heavily: rank()<=2 keeps whole tie groups,
+    // so the output exceeds 2 rows per group where quantities repeat
+    def ranked() = {
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+      Tables.lineitem(spark, sfDir)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
+    }
+    val want = withRuleOff(ranked().collect().toSeq.sortBy(_.toString))
+    val rw = ranked()
+    val got = rw.collect().toSeq.sortBy(_.toString)
+    assert(planString(rw).contains("graft_rank_k_rows"), planString(rw))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("non-rewritable shapes are left alone (dense_rank, no upper bound)") {
     val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
     val li = Tables.lineitem(spark, sfDir)
-    val ranked = li.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
-    assert(!planString(ranked).contains("graft_top_k_rows"))
+    val ranked = li.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 2)
+    assert(!planString(ranked).contains("graft_"))
     val lower = topkDf.filter(col("rn") >= 5)
     assert(!planString(lower).contains("graft_top_k_rows"))
   }
