@@ -1336,6 +1336,18 @@ object SparkEntry {
         Seq(("h", true), ("doc_id", true)), 3))
     },
 
+    // q68's trim through the percentile_approx sketch — the 100 TB path
+    // when exact cut points are not worth sorting every group (one
+    // map-side-combinable aggregation, no window sort). Sketch internals
+    // are engine-specific, so rows-only; CurationSpec pins its bounds
+    // within one rank of the exact integer-rank form.
+    "q96_quantile_approx" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        llm.TextAnalysis.wsTokenCount(col("text")).as("n_tokens"))
+      ordered(llm.Curation.quantileFilterApprox(d, "n_tokens", "lang", 0.05, 0.95))
+    },
+
     // Z-order (Morton) clustering value over (o_custkey, o_orderkey):
     // exact BIGINT min-max scaling + bit interleave, the multi-column
     // file-pruning layout key. Layout.zorderLayout writes the clustered
