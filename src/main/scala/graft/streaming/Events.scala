@@ -230,6 +230,65 @@ object Events {
   case class SessionOut(
       user_id: Long, sessao: Long, eventos: Long, inicio: Timestamp, fim: Timestamp)
 
+  case class AsOfEvent(
+      event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class AsOfDimState(tsUs: Long, value: Double)
+  case class AsOfJoined(
+      event_id: Long, user_id: Long, ts: Timestamp, event_type: String,
+      value: Double, cfg_ts: Option[Timestamp], cfg_value: Option[Double])
+
+  /** Streaming as-of join: facts in the stream pick up the payload of the
+    * LATEST dim row (`event_type == dimType`) with the same key and
+    * timestamp at-or-before theirs — the streaming twin of
+    * [[graft.operators.AsOf.asOfJoin]] / the q91 native operator, the
+    * shape a live feature-store or rate-table lookup takes.
+    *
+    * State per key is ONE dim row (the latest), updated and probed in one
+    * `flatMapGroupsWithState` pass with each micro-batch's rows processed
+    * in (ts, dim-first, event_id) order — dims at a fact's exact
+    * timestamp match, like the batch form. O(keys) state, no timeline
+    * buffer; the trade is ordered-arrival semantics ACROSS batches: a
+    * fact arriving in a later batch than a dim that SUPERSEDED its
+    * at-or-before match joins against the superseding row's state (or
+    * none), where the batch form would recover the older dim row. Feeds
+    * that need full out-of-order recovery should run the batch operator
+    * over a watermark-complete table instead.
+    */
+  def asOfStream(
+      spark: SparkSession, events: Dataset[AsOfEvent],
+      dimType: String = "error"): Dataset[AsOfJoined] = {
+    import spark.implicits._
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def fromUs(u: Long): Timestamp = {
+      val t = new Timestamp((u / 1000000L) * 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[AsOfEvent], state: GroupState[AsOfDimState]) =>
+          val sorted = batch.toSeq.sortBy(e =>
+            (us(e.ts), if (e.event_type == dimType) 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfJoined]
+          sorted.foreach { e =>
+            if (e.event_type == dimType) {
+              // keep the latest dim; an out-of-order OLDER dim never
+              // regresses the state
+              if (cur.forall(_.tsUs <= us(e.ts)))
+                cur = Some(AsOfDimState(us(e.ts), e.value))
+            } else {
+              val m = cur.filter(_.tsUs <= us(e.ts))
+              out += AsOfJoined(e.event_id, e.user_id, e.ts, e.event_type,
+                e.value, m.map(s => fromUs(s.tsUs)), m.map(_.value))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of [[sessionize]]: per-user custom state via
     * `flatMapGroupsWithState`. Emits a session when the gap closes it; a
     * processing-time timeout flushes the open session when the group goes

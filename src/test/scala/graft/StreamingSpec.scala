@@ -179,6 +179,48 @@ class StreamingSpec extends SparkSpec {
     assert(u8 == 1L, "batch form agrees: user 8 session 1 has one event")
   }
 
+  test("streaming as-of join equals the batch as-of on an ordered feed") {
+    import graft.operators.AsOf
+    import graft.streaming.Events.{AsOfEvent, AsOfJoined}
+    implicit val sqlCtx = spark.sqlContext
+
+    // dims ("error") interleaved with facts, fed across THREE micro-batches
+    // in ts order — state must carry dim payloads across batch boundaries
+    val feed = Seq(
+      Seq(
+        AsOfEvent(1L, 7L, ts("2026-01-01 10:00:00"), "view", 1.0),   // before any dim
+        AsOfEvent(2L, 7L, ts("2026-01-01 10:05:00"), "error", 0.5),  // dim v0.5
+        AsOfEvent(3L, 7L, ts("2026-01-01 10:05:00"), "view", 2.0)),  // tie: matches dim
+      Seq(
+        AsOfEvent(4L, 7L, ts("2026-01-01 10:30:00"), "view", 3.0),   // carried from batch 1
+        AsOfEvent(5L, 8L, ts("2026-01-01 10:31:00"), "view", 4.0)),  // key with no dim
+      Seq(
+        AsOfEvent(6L, 7L, ts("2026-01-01 11:00:00"), "error", 9.5),  // dim update
+        AsOfEvent(7L, 7L, ts("2026-01-01 11:10:00"), "buy", 5.0)))   // matches update
+
+    val mem = MemoryStream[AsOfEvent]
+    val out = Events.asOfStream(spark, mem.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("asof_stream").outputMode("append").start()
+    try {
+      feed.foreach { b => mem.addData(b); q.processAllAvailable() }
+      val got = spark.table("asof_stream").as[AsOfJoined].collect()
+        .map(j => (j.event_id, j.cfg_ts, j.cfg_value)).sortBy(_._1).toSeq
+
+      val all = feed.flatten
+        .map(e => (e.event_id, e.user_id, e.ts, e.event_type, e.value))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      val dim = all.filter(col("event_type") === "error")
+        .select("user_id", "ts", "value")
+      val fact = all.filter(col("event_type") =!= "error")
+      val want = AsOf.asOfJoin(fact, dim, "user_id", "ts", Seq("value"), "cfg_")
+        .select("event_id", "cfg_ts", "cfg_value")
+        .as[(Long, Option[Timestamp], Option[Double])].collect().sortBy(_._1).toSeq
+      assert(got == want && got.size == 5)
+      assert(got.map(_._3) == Seq(None, Some(0.5), Some(0.5), None, Some(9.5)))
+    } finally q.stop()
+  }
+
   test("foreachBatch drives the upsert sink: last write per key wins") {
     import graft.sources.ParquetSink
     implicit val sqlCtx = spark.sqlContext
