@@ -66,6 +66,14 @@ object AsOf {
     */
   def asOfJoinNative(
       fact: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame =
+    asOfJoinNativeKeys(fact, dim, Seq(keyCol), tsCol, payloadCols, prefix)
+
+  /** [[asOfJoinNative]] on a composite key — the exec clusters and merges
+    * on the full key tuple (e.g. (entity, region) rate tables).
+    */
+  def asOfJoinNativeKeys(
+      fact: DataFrame, dim: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
@@ -90,7 +98,7 @@ object AsOf {
     // self-as-of (fact and dim sliced from one source) never carries
     // duplicate attribute ids into the binary node
     val rp0 = Shims.analyzed(dim)
-    val dimCols = (Seq(keyCol, tsCol) ++ payloadCols).distinct
+    val dimCols = (keyCols ++ Seq(tsCol) ++ payloadCols).distinct
     val rp = Project(dimCols.map(n => Alias(attrOf(rp0, n), n)()), rp0)
 
     val rightTs = attrOf(rp, tsCol)
@@ -100,7 +108,7 @@ object AsOf {
 
     Shims.ofRows(spark, AsOfJoinNode(
       lp, rp,
-      leftKeys = Seq(attrOf(lp, keyCol)), rightKeys = Seq(attrOf(rp, keyCol)),
+      leftKeys = keyCols.map(attrOf(lp, _)), rightKeys = keyCols.map(attrOf(rp, _)),
       leftTs = attrOf(lp, tsCol), rightTs = rightTs,
       rightCarried = rightCarried, outAttrs = outAttrs))
   }

@@ -71,6 +71,18 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got.count() == 6)
   }
 
+  test("composite keys cluster and merge on the full key tuple") {
+    val d2 = Seq((1L, "a", 10L, "va"), (1L, "b", 10L, "vb"), (2L, "a", 5L, "w"))
+      .toDF("k", "r", "t", "payload")
+    val f2 = Seq((1L, 1L, "a", 20L), (2L, 1L, "b", 20L), (3L, 1L, "c", 20L),
+      (4L, 2L, "a", 4L))
+      .toDF("id", "k", "r", "t")
+    val got = AsOf.asOfJoinNativeKeys(f2, d2, Seq("k", "r"), "t", Seq("payload"))
+      .select("id", "asof_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Some("va")), (2L, Some("vb")), (3L, None), (4L, None)))
+  }
+
   test("plan uses the custom exec: no window, no nested loop, sorts planned") {
     val df = AsOf.asOfJoinNative(fact, dim, "k", "t", Seq("payload"))
     val plan = planString(df)
