@@ -79,4 +79,68 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
+
+  /** Per-file Bloom manifest over `keyCol`, written to
+    * `path/_graft_manifest` (underscore-prefixed → invisible to normal
+    * parquet reads): one row per data file with its row count and a Bloom
+    * filter of the file's key hashes — Catalyst's own
+    * `BloomFilterAggregate` per file in ONE distributed pass, never a
+    * job per file.
+    *
+    * Min/max footer stats (what [[zorderLayout]]/`compact` exploit) prune
+    * RANGE predicates; a Bloom manifest prunes POINT lookups on columns
+    * with no clustering at all — the lake-manifest trick (Delta/Iceberg
+    * file skipping) without opening a single parquet footer: the manifest
+    * is one tiny row per file, probed driver-side.
+    */
+  def writeBloomManifest(
+      spark: SparkSession, path: String, keyCol: String,
+      fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val keyed = spark.read.parquet(path)
+      .select(col(keyCol), input_file_name().as("arquivo"))
+    // BloomFilterAggregate sizes from foldable literals — size every
+    // file's bloom for the LARGEST file (manifest stays tiny either way)
+    val maxRows = math.max(1L,
+      keyed.groupBy("arquivo").count().agg(max("count")).head().getLong(0))
+    val bloomAgg = Shims.column(
+      new BloomFilterAggregate(
+        XxHash64(Seq(UnresolvedAttribute.quoted(keyCol)), 42L),
+        Literal(maxRows),
+        Literal(BloomFilter.optimalNumOfBits(maxRows, fpp)))
+        .toAggregateExpression())
+    val manifest = keyed.groupBy("arquivo")
+      .agg(count(lit(1L)).as("linhas"), bloomAgg.as("bloom"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_manifest")
+    manifest
+  }
+
+  /** Read only the files whose manifest Bloom might contain one of
+    * `keys`: the manifest (one row per file) is probed driver-side with
+    * the SAME xxhash64 the aggregate used, bloom-negative files are never
+    * scheduled. False positives only cost an extra file read; callers
+    * still apply the actual predicate to the returned frame.
+    */
+  def bloomPrunedRead(
+      spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.util.sketch.BloomFilter
+
+    val hashes = keys.map(v =>
+      XxHash64(Seq(Literal(v)), 42L).eval(null).asInstanceOf[Long])
+    val files = spark.read.parquet(s"$path/_graft_manifest").collect().toSeq
+      .filter { r =>
+        val bf = BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom"))
+        hashes.exists(bf.mightContainLong)
+      }
+      .map(_.getAs[String]("arquivo"))
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*)
+  }
 }

@@ -487,6 +487,34 @@ class OperatorSpec extends SparkSpec {
     assert(zHits * 2 < fHits, s"z-order must prune y probes: $zHits vs $fHits")
   }
 
+  test("bloom manifest prunes point lookups to the owning files") {
+    import graft.operators.Layout
+    import graft.sources.{Staging, Tables}
+    val root = s"${GraftSession.scratchRoot}/graft-bloom-manifest"
+    // range-cluster docs into 8 files so each doc_id lives in exactly one
+    Staging.compact(spark,
+      Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id", 8, root)
+    Layout.writeBloomManifest(spark, root, "doc_id")
+    val totalFiles = new java.io.File(root).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(totalFiles == 8)
+
+    val probe = Tables.documents(spark, sfDir)
+      .select("doc_id").orderBy("doc_id").limit(1)
+      .as[Long].head() // an existing key, owned by one file
+    val pruned = Layout.bloomPrunedRead(spark, root, "doc_id", Seq(probe))
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    assert(prunedFiles <= totalFiles / 2,
+      s"bloom should skip most files, read $prunedFiles of $totalFiles")
+    // correctness: pruned read + predicate == full read + predicate
+    val got = pruned.filter(col("doc_id") === probe).collect().toSeq
+    val want = spark.read.parquet(root).filter(col("doc_id") === probe).collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // absent key: provably-empty result either way
+    assert(Layout.bloomPrunedRead(spark, root, "doc_id", Seq(-12345L))
+      .filter(col("doc_id") === -12345L).isEmpty)
+  }
+
   test("scd2Delta emits exactly the changes scd2Apply makes") {
     import graft.operators.Scd
     val history = Seq(
