@@ -1249,7 +1249,11 @@ object SparkEntry {
           .cast("double") / 4294967296.0d)
       val corpus = llm.CacheScope.persistTracked(
         chunks.select(col("chunk_id"), emb.as("embedding")))
-      val queries = corpus.filter(col("chunk_id") % 50000 === 0)
+      // a FIXED query batch (deterministic first-32 by id): real retrieval
+      // serves a constant query load against a growing corpus — a
+      // corpus-proportional query set (the old % filter) made this bench
+      // O(corpus²) and it blew up 60x at sf1
+      val queries = corpus.orderBy("chunk_id").limit(32)
       ordered(llm.Similarity.bruteForceTopK(
         corpus, queries, "chunk_id", "embedding", k = 3))
     },
@@ -2750,7 +2754,7 @@ object SparkEntry {
         |  SELECT q.chunk_id AS query_id, cdf.chunk_id AS corpus_id,
         |    CAST(list_aggregate(list_transform(list_zip(q.emb, cdf.emb),
         |      z -> CAST(z[1] * z[2] AS DECIMAL(38,18))), 'sum') AS DOUBLE) AS dot
-        |  FROM (SELECT * FROM e WHERE chunk_id % 50000 = 0) q
+        |  FROM (SELECT * FROM e ORDER BY chunk_id LIMIT 32) q
         |  CROSS JOIN e cdf),
         |s AS (
         |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
