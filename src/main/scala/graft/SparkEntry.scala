@@ -490,7 +490,7 @@ object SparkEntry {
     // -exact dot products, per-query window top-k.
     "q29_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val queries = emb.orderBy("vec_id").limit(32)
       ordered(llm.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
     },
 
@@ -498,7 +498,7 @@ object SparkEntry {
     // rerank (rows-only; recall spec in scalatest).
     "q30_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val queries = emb.orderBy("vec_id").limit(32)
       ordered(llm.Similarity.annTopK(emb, queries, "vec_id", "embedding", 10, planes = 4))
     },
 
@@ -589,7 +589,7 @@ object SparkEntry {
     // scalatest).
     "q42_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val queries = emb.orderBy("vec_id").limit(32)
       ordered(llm.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 10))
     },
 
@@ -1837,7 +1837,7 @@ object SparkEntry {
         |    CAST(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
         |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
         |      'sum') AS DOUBLE) AS dot
-        |  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 32) q
         |  CROSS JOIN embeddings c),
         |s AS (
         |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
