@@ -13,20 +13,23 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{
   ArrayType, DataType, IntegerType, StructField, StructType}
 
-/** Bounded per-group `rank() <= k` retention: keeps every row whose RANK
-  * under the sort order is ≤ k — tie groups at the boundary are kept
-  * WHOLE (that is what distinguishes `rank` from `row_number`) — and
+/** Bounded per-group `rank() <= k` (or, with `dense = true`,
+  * `dense_rank() <= k`) retention: keeps every row whose rank under the
+  * sort order is ≤ k — tie groups at the boundary are kept WHOLE (that
+  * is what distinguishes the rank family from `row_number`) — and
   * returns them ordered, each with its rank, as
-  * `array<struct<…payload…, __graft_rank>>`.
+  * `array<struct<…payload…, __graft_rank>>`. `rank` counts ROWS before
+  * a tie group; `dense_rank` counts DISTINCT KEYS, so dense retention
+  * keeps the k smallest distinct keys with all their rows.
   *
-  * The [[TopKRows]] twin for [[graft.plans.WindowTopKRewrite]]'s `rank()`
-  * branch. Same partial-aggregation contract (map tasks reduce their
-  * slice before the exchange); the buffer floor is the LAST RETAINED
-  * key — candidates strictly past it can never reach rank ≤ k and are
-  * dropped on arrival, ties with it join their group. Worst-case memory
-  * is the result itself (an all-ties group keeps every row — exactly
-  * what the window form would emit), so the rewrite's maxK guard bounds
-  * the intent, not the tie width.
+  * The [[TopKRows]] twin for [[graft.plans.WindowTopKRewrite]]'s
+  * rank-family branch. Same partial-aggregation contract (map tasks
+  * reduce their slice before the exchange); the buffer floor is the
+  * LAST RETAINED key — candidates strictly past it can never reach
+  * rank ≤ k and are dropped on arrival, ties with it join their group.
+  * Worst-case memory is the result itself (an all-ties group keeps
+  * every row — exactly what the window form would emit), so the
+  * rewrite's maxK guard bounds the intent, not the tie width.
   */
 case class RankKRows(
     sortKey: Expression,
@@ -34,6 +37,7 @@ case class RankKRows(
     kExpr: Expression,
     dirs: Seq[SortDirection],
     nullOrds: Seq[NullOrdering],
+    dense: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RankKRowsBuffer]
@@ -72,7 +76,8 @@ case class RankKRows(
 
   override def dataType: DataType = ArrayType(outType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "graft_rank_k_rows"
+  override def prettyName: String =
+    if (dense) "graft_dense_rank_k_rows" else "graft_rank_k_rows"
 
   @transient private lazy val pairProj =
     UnsafeProjection.create(Seq(sortKey, payload))
@@ -84,7 +89,7 @@ case class RankKRows(
   }
 
   private def mkBuffer(): RankKRowsBuffer =
-    new RankKRowsBuffer(k, keyType.length, ordering)
+    new RankKRowsBuffer(k, keyType.length, ordering, dense)
 
   override def createAggregationBuffer(): RankKRowsBuffer = mkBuffer()
 
@@ -145,11 +150,14 @@ case class RankKRows(
 }
 
 /** Growable (key, payload) store with rank-≤-k compaction: sort, walk tie
-  * groups, retain groups whose START index < k (their rank = start + 1).
-  * The floor is the key of the last retained group — later candidates
-  * strictly past it are dropped without sorting; ties join their group.
+  * groups, retain groups whose START index < k (`rank`) or whose GROUP
+  * index < k (`dense_rank`); the rank carried per row is start + 1 or
+  * group index + 1 respectively. The floor is the key of the last
+  * retained group — later candidates strictly past it are dropped
+  * without sorting; ties join their group.
   */
-final class RankKRowsBuffer(val k: Int, keyFields: Int, ordering: BaseOrdering) {
+final class RankKRowsBuffer(
+    val k: Int, keyFields: Int, ordering: BaseOrdering, dense: Boolean = false) {
   private var rows = new Array[UnsafeRow](math.max(4 * k, 16))
   private var n = 0
   private var floor: UnsafeRow = null
@@ -193,16 +201,19 @@ final class RankKRowsBuffer(val k: Int, keyFields: Int, ordering: BaseOrdering) 
   private def compact(): Unit = {
     sortInPlace()
     var cut = 0
-    while (cut < n && cut < k) {
+    var groups = 0
+    while (cut < n && (if (dense) groups < k else cut < k)) {
       // advance past the whole tie group starting at `cut`
       var end = cut + 1
       while (end < n && ordering.compare(keyOf(rows(end)), keyOf(rows(cut))) == 0) end += 1
       cut = end
+      groups += 1
     }
-    // cut = end of the last retained group (its start was < k)
+    // cut = end of the last retained group
     java.util.Arrays.fill(rows.asInstanceOf[Array[AnyRef]], cut, n, null)
     n = cut
-    if (n > 0 && n >= k) floor = rows(n - 1)
+    val saturated = if (dense) groups >= k else n >= k
+    if (n > 0 && saturated) floor = rows(n - 1)
     if (n == rows.length) rows = java.util.Arrays.copyOf(rows, rows.length * 2)
   }
 
@@ -213,9 +224,13 @@ final class RankKRowsBuffer(val k: Int, keyFields: Int, ordering: BaseOrdering) 
     val ranks = new Array[Int](n)
     var i = 0
     var groupStart = 0
+    var groupIdx = 0
     while (i < n) {
-      if (i > 0 && ordering.compare(keyOf(out(i)), keyOf(out(i - 1))) != 0) groupStart = i
-      ranks(i) = groupStart + 1
+      if (i > 0 && ordering.compare(keyOf(out(i)), keyOf(out(i - 1))) != 0) {
+        groupStart = i
+        groupIdx += 1
+      }
+      ranks(i) = if (dense) groupIdx + 1 else groupStart + 1
       i += 1
     }
     (out, ranks)

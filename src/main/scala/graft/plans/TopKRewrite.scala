@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, CreateStruct, EqualTo,
-  Expression, GetStructField, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, PosExplode, PredicateHelper, Rank, RowNumber,
-  RowOrdering, WindowExpression}
+  DenseRank, Expression, GetStructField, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual, Literal, PosExplode, PredicateHelper, Rank,
+  RowNumber, RowOrdering, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Generate, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -30,9 +30,10 @@ import graft.functions.{RankKRows, TopKRows}
   * the operator-optimization batch.)
   *
   * Fires only on the exact safe shape: a Filter directly over a Window
-  * whose ONLY window expression is `row_number()` (→ [[TopKRows]]) or
-  * `rank()` (→ [[RankKRows]], which keeps boundary tie groups whole and
-  * carries each row's rank) with a non-empty orderable ORDER BY, where
+  * whose ONLY window expression is `row_number()` (→ [[TopKRows]]),
+  * `rank()` or `dense_rank()` (→ [[RankKRows]], which keeps boundary tie
+  * groups whole and carries each row's rank; dense mode retains the k
+  * smallest distinct keys) with a non-empty orderable ORDER BY, where
   * some conjunct bounds the rank from above by a positive integer
   * literal ≤ `spark.graft.topkRewrite.maxK` (heap memory per group is
   * ~k rows; rank mode may additionally hold a boundary tie group — the
@@ -56,10 +57,10 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(WindowExpression(rankFn, _), _)),
             partSpec, orderSpec, child, _))
-          if (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank]) &&
+          if (rankFn.isInstanceOf[RowNumber] || rankFn.isInstanceOf[Rank] ||
+            rankFn.isInstanceOf[DenseRank]) &&
             orderSpec.nonEmpty &&
             RowOrdering.isOrderable(orderSpec.map(_.child).toIndexedSeq) =>
-        val isRank = rankFn.isInstanceOf[Rank]
         val rnAttr = alias.toAttribute
         val conjuncts = splitConjunctivePredicates(cond)
         // a pure `rn <= v` bound may be DROPPED once the rewrite keeps only
@@ -75,7 +76,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             else {
               val residual = conjuncts.filterNot(c =>
                 pureUpperBound(c, rnAttr).exists(_ >= k))
-              rewrite(w, child, partSpec, rnAttr, k, isRank) match {
+              rewrite(w, child, partSpec, rnAttr, k, rankFn) match {
                 case rewritten if residual.isEmpty => rewritten
                 case rewritten => Filter(residual.reduce(And), rewritten)
               }
@@ -102,14 +103,17 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(
       w: Window, child: LogicalPlan, partSpec: Seq[Expression],
-      rnAttr: Attribute, k: Int, isRank: Boolean): LogicalPlan = {
+      rnAttr: Attribute, k: Int, rankFn: Expression): LogicalPlan = {
     val orderSpec = w.orderSpec
     val keyStruct = CreateStruct(orderSpec.map(_.child))
     val payloadStruct = CreateStruct(child.output)
     val dirs = orderSpec.map(_.direction)
     val nullOrds = orderSpec.map(_.nullOrdering)
+    val isRankLike = !rankFn.isInstanceOf[RowNumber]
     val func =
-      if (isRank) RankKRows(keyStruct, payloadStruct, Literal(k), dirs, nullOrds)
+      if (isRankLike)
+        RankKRows(keyStruct, payloadStruct, Literal(k), dirs, nullOrds,
+          dense = rankFn.isInstanceOf[DenseRank])
       else TopKRows(keyStruct, payloadStruct, Literal(k), dirs, nullOrds)
     val aggExpr = Alias(
       AggregateExpression(func, Complete, isDistinct = false), "__graft_top")()
@@ -134,7 +138,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         exprId = a.exprId, qualifier = a.qualifier)
     }
     val rnExpr: Expression =
-      if (isRank) GetStructField(rowAttr, child.output.length, Some("__graft_rank"))
+      if (isRankLike) GetStructField(rowAttr, child.output.length, Some("__graft_rank"))
       else Add(posAttr, Literal(1))
     val rnOut = Alias(rnExpr, rnAttr.name)(exprId = rnAttr.exprId)
     Project(fields :+ rnOut, gen)

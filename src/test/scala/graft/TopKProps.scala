@@ -104,4 +104,34 @@ object TopKProps extends Properties("TopKBuffers") {
         rk == xs.count(_._1 < key) + 1
       }
     }
+
+  private def splitMergeDense(
+      xs: List[(Long, Long)], k: Int, seed: Long): RankKRowsBuffer = {
+    val rnd = new scala.util.Random(seed)
+    val parts = xs.grouped(math.max(1, if (xs.isEmpty) 1 else rnd.nextInt(xs.size) + 1))
+      .toSeq.map { slice =>
+        val b = new RankKRowsBuffer(k, 1, ord, dense = true)
+        slice.foreach { case (key, id) => b.add(pair(key, id)) }
+        b
+      }
+    val acc = new RankKRowsBuffer(k, 1, ord, dense = true)
+    rnd.shuffle(parts).foreach(acc.addAll)
+    acc
+  }
+
+  property("dense mode: retention is the k smallest distinct keys with ALL their rows") =
+    Prop.forAll(genCase) { case (xs, k, seed) =>
+      val (rows, _) = splitMergeDense(xs, k, seed).rankedTop()
+      val kept = xs.map(_._1).distinct.sorted.take(k).toSet
+      val got = rows.toSeq.map(r => (keyOf(r), idOf(r))).sortBy(identity)
+      got == xs.filter(p => kept(p._1)).sortBy(identity)
+    }
+
+  property("dense mode: carried ranks count distinct smaller keys") =
+    Prop.forAll(genCase) { case (xs, k, seed) =>
+      val (rows, ranks) = splitMergeDense(xs, k, seed).rankedTop()
+      rows.toSeq.map(keyOf).zip(ranks.toSeq).forall { case (key, rk) =>
+        rk == xs.map(_._1).distinct.count(_ < key) + 1
+      }
+    }
 }

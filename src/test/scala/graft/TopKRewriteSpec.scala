@@ -103,10 +103,24 @@ class TopKRewriteSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
-  test("non-rewritable shapes are left alone (dense_rank, no upper bound)") {
+  test("dense_rank() rewrites too: k smallest distinct keys, all their rows") {
+    def ranked() = {
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+      Tables.lineitem(spark, sfDir)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 2)
+    }
+    val want = withRuleOff(ranked().collect().toSeq.sortBy(_.toString))
+    val rw = ranked()
+    val got = rw.collect().toSeq.sortBy(_.toString)
+    assert(planString(rw).contains("graft_dense_rank_k_rows"), planString(rw))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("non-rewritable shapes are left alone (percent_rank, no upper bound)") {
     val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
     val li = Tables.lineitem(spark, sfDir)
-    val ranked = li.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 2)
+    val ranked = li.withColumn("rk", percent_rank().over(w)).filter(col("rk") <= 0.5)
     assert(!planString(ranked).contains("graft_"))
     val lower = topkDf.filter(col("rn") >= 5)
     assert(!planString(lower).contains("graft_top_k_rows"))
