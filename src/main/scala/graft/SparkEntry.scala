@@ -490,7 +490,9 @@ object SparkEntry {
     // -exact dot products, per-query window top-k.
     "q29_cosine_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.orderBy("vec_id").limit(32)
+      // the fixed 32-row batch is a global sort-limit; persist it so the
+      // probe/scoring joins downstream don't each recompute the sort
+      val queries = llm.CacheScope.persistTracked(emb.orderBy("vec_id").limit(32))
       ordered(llm.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
     },
 
@@ -498,7 +500,7 @@ object SparkEntry {
     // rerank (rows-only; recall spec in scalatest).
     "q30_ann_lsh" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.orderBy("vec_id").limit(32)
+      val queries = llm.CacheScope.persistTracked(emb.orderBy("vec_id").limit(32))
       ordered(llm.Similarity.annTopK(emb, queries, "vec_id", "embedding", 10, planes = 4))
     },
 
@@ -589,7 +591,7 @@ object SparkEntry {
     // scalatest).
     "q42_ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.orderBy("vec_id").limit(32)
+      val queries = llm.CacheScope.persistTracked(emb.orderBy("vec_id").limit(32))
       ordered(llm.Ivf.ivfTopK(emb, queries, "vec_id", "embedding", 10))
     },
 
@@ -1253,7 +1255,8 @@ object SparkEntry {
       // serves a constant query load against a growing corpus — a
       // corpus-proportional query set (the old % filter) made this bench
       // O(corpus²) and it blew up 60x at sf1
-      val queries = corpus.orderBy("chunk_id").limit(32)
+      val queries = llm.CacheScope.persistTracked(
+        corpus.orderBy("chunk_id").limit(32))
       ordered(llm.Similarity.bruteForceTopK(
         corpus, queries, "chunk_id", "embedding", k = 3))
     },
@@ -2768,23 +2771,31 @@ object SparkEntry {
         |  FROM s)
         |WHERE rank <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
 
-    // The checksum is a plain commutative sum — SQL replays it directly.
+    // The checksum is a plain commutative sum — SQL replays it directly:
+    // per-column md5 tokens (null → 32 'n's), row digest over their
+    // concatenation, two 32-bit halves recombined into a 64-bit addend.
     "q90_table_checksum" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber,
         |    CASE WHEN l_orderkey % 19 = 0 THEN NULL ELSE l_returnflag END
         |      AS l_returnflag,
         |    l_shipdate
-        |  FROM lineitem)
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT md5(
+        |    coalesce(md5(CAST(l_orderkey AS VARCHAR)), repeat('n', 32)) ||
+        |    coalesce(md5(CAST(l_linenumber AS VARCHAR)), repeat('n', 32)) ||
+        |    coalesce(md5(l_returnflag), repeat('n', 32)) ||
+        |    coalesce(md5(CAST(l_shipdate AS VARCHAR)), repeat('n', 32)))
+        |    AS d
+        |  FROM li)
         |SELECT CAST(count(*) AS BIGINT) AS linhas,
-        |  CAST(CAST(sum(CAST(CAST(('0x' || substring(md5(
-        |    coalesce(CAST(l_orderkey AS VARCHAR), ' null') || '|' ||
-        |    coalesce(CAST(l_linenumber AS VARCHAR), ' null') || '|' ||
-        |    coalesce(l_returnflag, ' null') || '|' ||
-        |    coalesce(CAST(l_shipdate AS VARCHAR), ' null')), 1, 8))
-        |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
-        |    AS soma_verificacao
-        |FROM li
+        |  CAST(sum(
+        |    CAST(CAST(('0x' || substring(d, 1, 8)) AS BIGINT) AS HUGEINT)
+        |      * 4294967296 +
+        |    CAST(CAST(('0x' || substring(d, 9, 8)) AS BIGINT) AS HUGEINT))
+        |    AS VARCHAR) AS soma_verificacao
+        |FROM h
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q91_asof_native" ->
@@ -2863,15 +2874,17 @@ object SparkEntry {
     "q95_zorder" -> zorderOracle,
   )
 
-  /** q95's oracle, generated: the same 16-bit min-max scale (exact BIGINT
-    * product, IEEE double quotient, floor) and the same 32 interleave
-    * terms the Spark expression builds — column j's bit i lands at
-    * position i*2+j.
+  /** q95's oracle, generated: the same 16-bit min-max scale (exact
+    * wide-integer product and integral floor division — HUGEINT here,
+    * DECIMAL(38,0) on the Spark side, identical for any BIGINT domain)
+    * and the same 32 interleave terms the Spark expression builds —
+    * column j's bit i lands at position i*2+j.
     */
   private def zorderOracle: String = {
     def scaleSql(c: String, j: Int) =
       s"""CASE WHEN mx$j - mn$j <= 0 THEN 0
-         |      ELSE COALESCE(CAST(floor((($c - mn$j) * 65535) / (mx$j - mn$j))
+         |      ELSE COALESCE(CAST((CAST($c AS HUGEINT) - mn$j) * 65535
+         |                    // (CAST(mx$j AS HUGEINT) - mn$j)
          |                    AS BIGINT), 0) END AS s$j""".stripMargin
     val terms = (for { i <- 0 until 16; j <- 0 until 2 }
       yield s"(((s$j >> $i) & 1) << ${i * 2 + j})").mkString(" + ")

@@ -94,7 +94,7 @@ object GraftFunctions {
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
     WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
-    NearestCell.descriptor)
+    NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

@@ -257,9 +257,11 @@ object Curation {
     * not worth sorting every group at 100 TB: per-group bounds from
     * `approx_percentile` (one map-side-combinable aggregation — NO window
     * sort), broadcast back onto the scan like the exact form. `accuracy`
-    * trades sketch memory for bound tightness. Not oracle-reproducible
-    * (sketch internals are engine-specific) — the spec pins it against
-    * the exact form's bounds instead.
+    * trades sketch memory for bound tightness. Like [[quantileFilter]],
+    * the per-group `lo`/`hi` bound columns are appended to the returned
+    * rows (callers wanting the bare schema drop them). Not
+    * oracle-reproducible (sketch internals are engine-specific) — the
+    * spec pins it against the exact form's bounds instead.
     */
   def quantileFilterApprox(
       df: DataFrame, valueCol: String, groupCol: String,

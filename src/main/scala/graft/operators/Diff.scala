@@ -29,19 +29,24 @@ object Diff {
 
   /** Order-independent table checksum — the anti-entropy primitive: two
     * replicas (or a table and its rebuild) compare one (rows, checksum)
-    * row each instead of shipping data. Per row, the first 8 md5 hex
-    * digits of the '|'-joined columns (nulls → a sentinel no real value
-    * uses, so `("a", null)` ≠ `("a", "")`) become a bigint; the checksum
-    * is their exact DECIMAL(38,0) sum — commutative, so ANY partitioning
-    * or row order yields the same value, and portable (md5, no
-    * murmur/xxhash dependency) so any engine replays it. One map-side-
-    * combinable aggregation, no shuffle beyond the single-row reduce.
+    * row each instead of shipping data. Each column is md5'd SEPARATELY
+    * (fixed 32-hex tokens; nulls → a 32-char non-hex sentinel no digest
+    * can produce), so the concatenated row key is injective up to md5
+    * collisions — no '|'-in-value or sentinel-string ambiguity. The row
+    * digest's first two 32-bit halves combine into 64 bits of per-row
+    * entropy; the checksum is their exact DECIMAL(38,0) sum —
+    * commutative, so ANY partitioning or row order yields the same
+    * value, and portable (md5, no murmur/xxhash dependency) so any
+    * engine replays it. One map-side-combinable aggregation, no shuffle
+    * beyond the single-row reduce.
     */
   def tableChecksum(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val rowKey = concat_ws("|",
-      columns.map(c => coalesce(col(c).cast("string"), lit(" null"))): _*)
-    val rowHash = conv(substring(md5(rowKey.cast("binary")), 1, 8), 16, 10)
-      .cast("decimal(38,0)")
+    val colTokens = columns.map(c =>
+      coalesce(md5(col(c).cast("string").cast("binary")), lit("n" * 32)))
+    val rowDigest = md5(concat(colTokens: _*).cast("binary"))
+    def half(start: Int) =
+      conv(substring(rowDigest, start, 8), 16, 10).cast("decimal(38,0)")
+    val rowHash = half(1) * lit(4294967296L) + half(9)
     df.agg(
       count(lit(1L)).as("linhas"),
       sum(rowHash).cast("decimal(38,0)").cast("string").as("soma_verificacao"))

@@ -16,20 +16,27 @@ import org.apache.spark.sql.functions._
   * from plain expressions.
   *
   * Everything is integer-exact and engine-portable: each key is min-max
-  * scaled to `bits` bits with BIGINT arithmetic (the scale product stays
-  * far under 2^53, so the floor-division is exact in any engine), then
-  * bit-interleaved with shift/and/sum — no hash, no RNG, no UDF, fully
-  * codegen'd, reproducible by an ANSI SQL oracle.
+  * scaled to `bits` bits in DECIMAL(38,0) arithmetic (exact for ANY
+  * BIGINT domain — epoch-micros spans included; a long×long product
+  * would overflow past 2^63 and a double quotient loses floor exactness
+  * past 2^53), then bit-interleaved with shift/and/sum — no hash, no
+  * RNG, no UDF, fully codegen'd, reproducible by an ANSI SQL oracle.
   */
 object Layout {
 
-  /** Min-max scale an integral column onto [0, 2^bits): exact BIGINT
-    * floor((v - mn) * (2^bits - 1) / (mx - mn)). Null values scale to 0
-    * (they sort first, as in a plain layout).
+  /** Min-max scale an integral column onto [0, 2^bits): exact
+    * floor((v - mn) * (2^bits - 1) / (mx - mn)) computed in
+    * DECIMAL(38,0). The widest possible product is span(<2^64) ×
+    * (2^bits - 1 ≤ 2^16) < 2^80 ≈ 1.2e24, well inside 38 digits; the
+    * remainder is subtracted before dividing so the decimal division's
+    * quotient is an exact small integer (no rounding to floor away).
+    * Null values scale to 0 (they sort first, as in a plain layout).
     */
   def scaleToBits(c: Column, mn: Column, mx: Column, bits: Int): Column = {
-    val span = (mx - mn).cast("long")
-    val scaled = floor(((c - mn).cast("long") * ((1L << bits) - 1)) / span).cast("long")
+    val dec = "decimal(38,0)"
+    val span = mx.cast(dec) - mn.cast(dec)
+    val prod = (c.cast(dec) - mn.cast(dec)) * lit((1L << bits) - 1).cast(dec)
+    val scaled = ((prod - prod % span) / span).cast("long")
     coalesce(when(span <= 0, lit(0L)).otherwise(scaled), lit(0L))
   }
 
@@ -83,63 +90,74 @@ object Layout {
   /** Per-file Bloom manifest over `keyCol`, written to
     * `path/_graft_manifest` (underscore-prefixed → invisible to normal
     * parquet reads): one row per data file with its row count and a Bloom
-    * filter of the file's key hashes — Catalyst's own
-    * `BloomFilterAggregate` per file in ONE distributed pass, never a
-    * job per file.
+    * filter of the file's key hashes — one distributed aggregation pass,
+    * never a job per file. Each file's filter is sized for ITS OWN row
+    * count ([[graft.functions.SizedBloom]] reads the per-file count
+    * joined back onto the scan), so a skewed file-size distribution
+    * doesn't multiply manifest bytes the way a largest-file-sized
+    * `BloomFilterAggregate` literal would.
     *
     * Min/max footer stats (what [[zorderLayout]]/`compact` exploit) prune
     * RANGE predicates; a Bloom manifest prunes POINT lookups on columns
     * with no clustering at all — the lake-manifest trick (Delta/Iceberg
-    * file skipping) without opening a single parquet footer: the manifest
-    * is one tiny row per file, probed driver-side.
+    * file skipping) without opening a single parquet footer.
     */
   def writeBloomManifest(
       spark: SparkSession, path: String, keyCol: String,
       fpp: Double = 0.001): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Shims
-    import org.apache.spark.util.sketch.BloomFilter
 
     val keyed = spark.read.parquet(path)
       .select(col(keyCol), input_file_name().as("arquivo"))
-    // BloomFilterAggregate sizes from foldable literals — size every
-    // file's bloom for the LARGEST file (manifest stays tiny either way)
-    val maxRows = math.max(1L,
-      keyed.groupBy("arquivo").count().agg(max("count")).head().getLong(0))
+    val counts = keyed.groupBy("arquivo").agg(count(lit(1L)).as("linhas"))
     val bloomAgg = Shims.column(
-      new BloomFilterAggregate(
+      graft.functions.SizedBloom(
         XxHash64(Seq(UnresolvedAttribute.quoted(keyCol)), 42L),
-        Literal(maxRows),
-        Literal(BloomFilter.optimalNumOfBits(maxRows, fpp)))
-        .toAggregateExpression())
-    val manifest = keyed.groupBy("arquivo")
-      .agg(count(lit(1L)).as("linhas"), bloomAgg.as("bloom"))
+        UnresolvedAttribute.quoted("linhas"),
+        Literal(fpp)).toAggregateExpression())
+    val manifest = keyed.join(broadcast(counts), "arquivo")
+      .groupBy("arquivo")
+      .agg(max("linhas").as("linhas"), bloomAgg.as("bloom"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_manifest")
     manifest
   }
 
   /** Read only the files whose manifest Bloom might contain one of
-    * `keys`: the manifest (one row per file) is probed driver-side with
-    * the SAME xxhash64 the aggregate used, bloom-negative files are never
-    * scheduled. False positives only cost an extra file read; callers
-    * still apply the actual predicate to the returned frame.
+    * `keys`. The probe is DISTRIBUTED: the manifest scan filters rows
+    * executor-side with [[graft.functions.BloomMightContainAny]] against
+    * the (tiny, literal) probe-hash array, and only the matching file
+    * NAMES are collected — bloom bytes never reach the driver, so the
+    * lookup survives a 10^6-file table whose manifest blooms total
+    * gigabytes. Probe keys are hashed with the data's actual key TYPE
+    * (an `Int` literal probing a BIGINT column would otherwise hash
+    * differently and silently bloom-miss every file). False positives
+    * only cost an extra file read; callers still apply the actual
+    * predicate to the returned frame.
     */
   def bloomPrunedRead(
       spark: SparkSession, path: String, keyCol: String,
       keys: Seq[Any]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    import org.apache.spark.util.sketch.BloomFilter
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, XxHash64}
+    import org.apache.spark.sql.graft.Shims
+    import org.apache.spark.sql.types.{ArrayType, LongType}
 
-    val hashes = keys.map(v =>
-      XxHash64(Seq(Literal(v)), 42L).eval(null).asInstanceOf[Long])
-    val files = spark.read.parquet(s"$path/_graft_manifest").collect().toSeq
-      .filter { r =>
-        val bf = BloomFilter.readFrom(r.getAs[Array[Byte]]("bloom"))
-        hashes.exists(bf.mightContainLong)
-      }
-      .map(_.getAs[String]("arquivo"))
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    val hashes = keys.map { v =>
+      val l = Literal(v)
+      val typed: Expression =
+        if (l.dataType == keyType) l else Cast(l, keyType, Option(zone))
+      XxHash64(Seq(typed), 42L).eval(null).asInstanceOf[Long]
+    }
+    val probe = Shims.column(graft.functions.BloomMightContainAny(
+      UnresolvedAttribute.quoted("bloom"),
+      Literal.create(hashes, ArrayType(LongType, containsNull = false))))
+    val files = spark.read.parquet(s"$path/_graft_manifest")
+      .filter(probe)
+      .select("arquivo").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files: _*)
   }
