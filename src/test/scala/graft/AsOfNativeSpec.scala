@@ -83,6 +83,28 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got == Seq((1L, Some("va")), (2L, Some("vb")), (3L, None), (4L, None)))
   }
 
+  test("exec starts a whole-stage-codegen region and parents fuse over it") {
+    val df = AsOf.asOfJoinNative(fact, dim, "k", "t", Seq("payload"))
+      .filter(col("asof_payload").isNotNull)
+      .select(col("id"), col("asof_t"))
+    // execute df itself first so AQE's final plan is materialized
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq((101L, 10L), (102L, 10L), (103L, 20L), (104L, 15L)))
+    // AQE wraps stages in leaf nodes, so assert on the tree string: the
+    // `*(n)` prefix marks membership in codegen stage n
+    val plan = df.queryExecution.executedPlan.toString
+    val stageOf = """\*\((\d+)\) (AsOfJoin|Filter|Project)""".r
+    val stages = stageOf.findAllMatchIn(plan)
+      .map(m => m.group(2) -> m.group(1)).toMap
+    assert(stages.contains("AsOfJoin"),
+      s"AsOfJoinExec not inside a WholeStageCodegen region:\n$plan")
+    // the filter+project above must be INSIDE the same region (fused over
+    // the merge output), not separate interpreted operators
+    assert(stages.get("Filter") == stages.get("AsOfJoin") &&
+      stages.get("Project") == stages.get("AsOfJoin"),
+      s"parents did not fuse into the as-of codegen region:\n$plan")
+  }
+
   test("plan uses the custom exec: no window, no nested loop, sorts planned") {
     val df = AsOf.asOfJoinNative(fact, dim, "k", "t", Seq("payload"))
     val plan = planString(df)
