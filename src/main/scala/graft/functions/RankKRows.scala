@@ -43,10 +43,16 @@ case class RankKRows(
   extends TypedImperativeAggregate[RankKRowsBuffer]
   with TernaryLike[Expression] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) if v > 0 => v
-    case other => throw new IllegalArgumentException(
-      s"$prettyName requires a positive integer literal k, got $other")
+  /** Some(k) for the literal form; None = learn k per group from kExpr
+    * (any integer expression constant within each group — the
+    * `percent_rank()` rewrite joins a per-group count onto the input and
+    * derives the rank cutoff from it).
+    */
+  private lazy val staticK: Option[Int] = kExpr match {
+    case Literal(v: Int, IntegerType) if v > 0 => Some(v)
+    case Literal(_, _) => throw new IllegalArgumentException(
+      s"$prettyName requires a positive integer literal k, got $kExpr")
+    case _ => None
   }
 
   private def keyType: StructType = sortKey.dataType.asInstanceOf[StructType]
@@ -63,8 +69,8 @@ case class RankKRows(
       else if (s.length != dirs.length || s.length != nullOrds.length)
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName: ${s.length} sort columns but ${dirs.length} directions")
-      else if (!kExpr.foldable || kExpr.dataType != IntegerType)
-        TypeCheckResult.TypeCheckFailure(s"$prettyName needs an integer literal k")
+      else if (kExpr.dataType != IntegerType)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName needs an integer k")
       else TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs an orderable struct sort key, got ${other.catalogString}")
@@ -88,17 +94,24 @@ case class RankKRows(
     RowOrdering.create(bound.toIndexedSeq, Nil)
   }
 
-  private def mkBuffer(): RankKRowsBuffer =
-    new RankKRowsBuffer(k, keyType.length, ordering, dense)
+  private def mkBuffer(initialK: Int): RankKRowsBuffer =
+    new RankKRowsBuffer(initialK, keyType.length, ordering, dense)
 
-  override def createAggregationBuffer(): RankKRowsBuffer = mkBuffer()
+  override def createAggregationBuffer(): RankKRowsBuffer =
+    mkBuffer(staticK.getOrElse(-1))
 
   override def update(buffer: RankKRowsBuffer, input: InternalRow): RankKRowsBuffer = {
+    if (staticK.isEmpty) {
+      val kv = kExpr.eval(input)
+      if (kv == null) throw new IllegalArgumentException(s"$prettyName: k is null")
+      buffer.ensureK(math.max(kv.asInstanceOf[Int], 0))
+    }
     buffer.add(pairProj(input))
     buffer
   }
 
   override def merge(buffer: RankKRowsBuffer, other: RankKRowsBuffer): RankKRowsBuffer = {
+    if (other.k >= 0) buffer.ensureK(other.k)
     buffer.addAll(other)
     buffer
   }
@@ -116,7 +129,8 @@ case class RankKRows(
   override def serialize(buffer: RankKRowsBuffer): Array[Byte] = {
     val rows = buffer.current()
     val bytes = rows.map(_.getBytes)
-    val bb = ByteBuffer.allocate(4 + bytes.map(_.length + 4).sum)
+    val bb = ByteBuffer.allocate(8 + bytes.map(_.length + 4).sum)
+    bb.putInt(buffer.k)
     bb.putInt(rows.length)
     bytes.foreach { b => bb.putInt(b.length); bb.put(b) }
     bb.array()
@@ -124,8 +138,9 @@ case class RankKRows(
 
   override def deserialize(bytes: Array[Byte]): RankKRowsBuffer = {
     val bb = ByteBuffer.wrap(bytes)
+    val kRead = bb.getInt
     val n = bb.getInt
-    val buf = mkBuffer()
+    val buf = mkBuffer(kRead)
     var j = 0
     while (j < n) {
       val len = bb.getInt
@@ -157,14 +172,22 @@ case class RankKRows(
   * without sorting; ties join their group.
   */
 final class RankKRowsBuffer(
-    val k: Int, keyFields: Int, ordering: BaseOrdering, dense: Boolean = false) {
-  private var rows = new Array[UnsafeRow](math.max(4 * k, 16))
+    initialK: Int, keyFields: Int, ordering: BaseOrdering, dense: Boolean = false) {
+  private var kVar = initialK // -1 = dynamic k not yet learned: keep all
+  private var rows = new Array[UnsafeRow](
+    if (initialK > 0) math.max(4 * initialK, 16) else 16)
   private var n = 0
   private var floor: UnsafeRow = null
+
+  def k: Int = kVar
+
+  /** Learn k once (dynamic mode); later calls are no-ops. */
+  def ensureK(v: Int): Unit = if (kVar < 0) kVar = v
 
   private def keyOf(row: UnsafeRow): InternalRow = row.getStruct(0, keyFields)
 
   def add(candidate: UnsafeRow): Unit = {
+    if (kVar == 0) return
     if (floor != null && ordering.compare(keyOf(candidate), keyOf(floor)) > 0) return
     if (n == rows.length) compact()
     rows(n) = candidate.copy()
@@ -172,6 +195,7 @@ final class RankKRowsBuffer(
   }
 
   def addOwned(candidate: UnsafeRow): Unit = {
+    if (kVar == 0) return
     if (floor != null && ordering.compare(keyOf(candidate), keyOf(floor)) > 0) return
     if (n == rows.length) compact()
     rows(n) = candidate
@@ -200,9 +224,11 @@ final class RankKRowsBuffer(
     */
   private def compact(): Unit = {
     sortInPlace()
+    // k unset (dynamic mode, nothing learned yet): keep everything
+    val kEff = if (kVar < 0) n else kVar
     var cut = 0
     var groups = 0
-    while (cut < n && (if (dense) groups < k else cut < k)) {
+    while (cut < n && (if (dense) groups < kEff else cut < kEff)) {
       // advance past the whole tie group starting at `cut`
       var end = cut + 1
       while (end < n && ordering.compare(keyOf(rows(end)), keyOf(rows(cut))) == 0) end += 1
@@ -212,7 +238,7 @@ final class RankKRowsBuffer(
     // cut = end of the last retained group
     java.util.Arrays.fill(rows.asInstanceOf[Array[AnyRef]], cut, n, null)
     n = cut
-    val saturated = if (dense) groups >= k else n >= k
+    val saturated = kVar >= 0 && (if (dense) groups >= kVar else n >= kVar)
     if (n > 0 && saturated) floor = rows(n - 1)
     if (n == rows.length) rows = java.util.Arrays.copyOf(rows, rows.length * 2)
   }
