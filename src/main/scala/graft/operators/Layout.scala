@@ -87,6 +87,32 @@ object Layout {
     spark.read.parquet(path)
   }
 
+  /** Z-order-aware compaction: ONE call unifies the three layout levers —
+    * small-file compaction ([[graft.sources.Staging.compact]]),
+    * multi-column curve clustering ([[zorderLayout]]) and the Bloom
+    * file-skipping manifest ([[writeBloomManifests]]). The table is
+    * rewritten into `nFiles` Morton-range-disjoint files (compact
+    * bounding boxes in EVERY clustered dimension → min/max prunes RANGE
+    * predicates on any of them) and a per-file Bloom manifest over each
+    * clustering key is computed in one extra scan of the just-written
+    * (page-cache-warm) files — one bloom column per key in a single
+    * aggregation pass, so POINT lookups on any key prune files without
+    * opening a footer. Compacting and clustering share the same shuffle:
+    * at 100 TB this halves the rewrite cost of running the levers
+    * separately, and keeps them consistent (a manifest can never describe
+    * a pre-compaction layout).
+    */
+  def zorderCompact(
+      spark: SparkSession, df: DataFrame, cols: Seq[String], nFiles: Int,
+      path: String, bits: Int = 16, fpp: Double = 0.001): DataFrame = {
+    zorderValue(df, cols, bits)
+      .repartitionByRange(nFiles, col("zorder"))
+      .sortWithinPartitions("zorder")
+      .write.mode("overwrite").parquet(path)
+    writeBloomManifests(spark, path, cols, fpp)
+    spark.read.parquet(path)
+  }
+
   /** Per-file Bloom manifest over `keyCol`, written to
     * `path/_graft_manifest` (underscore-prefixed → invisible to normal
     * parquet reads): one row per data file with its row count and a Bloom
@@ -104,22 +130,39 @@ object Layout {
     */
   def writeBloomManifest(
       spark: SparkSession, path: String, keyCol: String,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001): DataFrame =
+    writeManifest(spark, path, Seq(keyCol), fpp, _ => "bloom")
+
+  /** Multi-key Bloom manifest: one bloom column PER key
+    * (`bloom_<key>`), all computed in the SAME single scan+aggregation
+    * pass over the table — adding a probe key costs one more aggregate
+    * buffer, not another pass over 100 TB.
+    */
+  def writeBloomManifests(
+      spark: SparkSession, path: String, keyCols: Seq[String],
+      fpp: Double = 0.001): DataFrame =
+    writeManifest(spark, path, keyCols, fpp, k => s"bloom_$k")
+
+  private def writeManifest(
+      spark: SparkSession, path: String, keyCols: Seq[String],
+      fpp: Double, bloomName: String => String): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.graft.Shims
 
     val keyed = spark.read.parquet(path)
-      .select(col(keyCol), input_file_name().as("arquivo"))
+      .select(keyCols.map(col) :+ input_file_name().as("arquivo"): _*)
     val counts = keyed.groupBy("arquivo").agg(count(lit(1L)).as("linhas"))
-    val bloomAgg = Shims.column(
-      graft.functions.SizedBloom(
-        XxHash64(Seq(UnresolvedAttribute.quoted(keyCol)), 42L),
-        UnresolvedAttribute.quoted("linhas"),
-        Literal(fpp)).toAggregateExpression())
+    val bloomAggs = keyCols.map { k =>
+      Shims.column(
+        graft.functions.SizedBloom(
+          XxHash64(Seq(UnresolvedAttribute.quoted(k)), 42L),
+          UnresolvedAttribute.quoted("linhas"),
+          Literal(fpp)).toAggregateExpression()).as(bloomName(k))
+    }
     val manifest = keyed.join(broadcast(counts), "arquivo")
       .groupBy("arquivo")
-      .agg(max("linhas").as("linhas"), bloomAgg.as("bloom"))
+      .agg(max("linhas").as("linhas"), bloomAggs: _*)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_manifest")
     manifest
   }
@@ -152,10 +195,19 @@ object Layout {
         if (l.dataType == keyType) l else Cast(l, keyType, Option(zone))
       XxHash64(Seq(typed), 42L).eval(null).asInstanceOf[Long]
     }
+    val manifest = spark.read.parquet(s"$path/_graft_manifest")
+    // single-key manifests name their column `bloom`; multi-key manifests
+    // ([[writeBloomManifests]]/[[zorderCompact]]) name one per key
+    val bloomCol =
+      if (manifest.columns.contains(s"bloom_$keyCol")) s"bloom_$keyCol"
+      else if (manifest.columns.contains("bloom")) "bloom"
+      else throw new IllegalArgumentException(
+        s"manifest at $path has no bloom column for '$keyCol' " +
+          s"(columns: ${manifest.columns.mkString(", ")})")
     val probe = Shims.column(graft.functions.BloomMightContainAny(
-      UnresolvedAttribute.quoted("bloom"),
+      UnresolvedAttribute.quoted(bloomCol),
       Literal.create(hashes, ArrayType(LongType, containsNull = false))))
-    val files = spark.read.parquet(s"$path/_graft_manifest")
+    val files = manifest
       .filter(probe)
       .select("arquivo").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))

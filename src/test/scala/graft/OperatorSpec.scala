@@ -487,6 +487,34 @@ class OperatorSpec extends SparkSpec {
     assert(zHits * 2 < fHits, s"z-order must prune y probes: $zHits vs $fHits")
   }
 
+  test("zorderCompact: curve clustering + per-key bloom manifests in one call") {
+    import graft.operators.Layout
+    val root = s"${GraftSession.scratchRoot}/graft-zorder-compact"
+    // uniform 64x64 grid: every (x, y) cell once → 16 files of one
+    // 16x16 curve box each
+    val grid = spark.range(64L * 64L).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    val out = Layout.zorderCompact(spark, grid, Seq("x", "y"), 16, root)
+    assert(out.count() == 4096)
+    val totalFiles = new java.io.File(root).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(totalFiles == 16)
+    // the manifest carries one bloom per clustering key from ONE pass
+    val mf = spark.read.parquet(s"$root/_graft_manifest")
+    assert(mf.columns.toSet == Set("arquivo", "linhas", "bloom_x", "bloom_y"))
+    assert(mf.agg(sum("linhas")).head().getLong(0) == 4096)
+    // point probes on EITHER clustered column bloom-prune most files and
+    // agree with the full scan — the multi-column promise of the layout
+    for (k <- Seq("x", "y")) {
+      val pruned = Layout.bloomPrunedRead(spark, root, k, Seq(7L))
+      val prunedFiles = pruned.select(input_file_name()).distinct().count()
+      assert(prunedFiles <= totalFiles / 2,
+        s"$k probe read $prunedFiles of $totalFiles files")
+      val got = pruned.filter(col(k) === 7L).count()
+      assert(got == 64, s"$k=7 must keep its full 64-row slice, got $got")
+    }
+  }
+
   test("bloom manifest prunes point lookups to the owning files") {
     import graft.operators.Layout
     import graft.sources.{Staging, Tables}
