@@ -222,7 +222,7 @@ object Dedup {
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = AdaptiveBlock): DataFrame = {
     // Simhash via explode + 64 signed-bit sums: one codegen'd xxhash64 per
     // token row and codegen'd HashAggregate bit sums, instead of the
     // interpreted 64×tokens higher-order fold in simhash64. Persisted: the
@@ -269,7 +269,7 @@ object Dedup {
     */
   def simhashPairsPortable(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = AdaptiveBlock): DataFrame = {
     val m = md5(col("__tok").cast("binary"))
     val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(col("__id"),
@@ -308,6 +308,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Sentinel `maxBlock` value: derive the tile size from the observed
+    * block-size distribution ([[adaptiveMaxBlock]]) instead of a static
+    * guess.
+    */
+  val AdaptiveBlock: Int = 0
+
+  /** Pick the tile side from RUNTIME stats — the observed per-block
+    * counts (the same aggregation the hot-block filter needs anyway) and
+    * the session's shuffle parallelism: total pair work W = Σ n_b² split
+    * across P slots gives a per-task pair budget of W/P, so tiles of side
+    * √(W/P) fill every slot with equal work. A static cap either
+    * over-tiles uniform data when set low (wasted replication: every
+    * block pays S>1 for skew that isn't there) or under-tiles a hot block
+    * when set high; this self-tunes as the corpus scales. The floor keeps
+    * tiny corpora on the plain self-join; the cap bounds any single
+    * task's pair volume (32768² ≈ 10⁹ comparisons) regardless of W.
+    *
+    * Costs one scalar aggregate action over the (block, count) table —
+    * driver-side traffic is ONE row, the block counts themselves stay
+    * distributed.
+    */
+  private[graft] def adaptiveMaxBlock(counts: DataFrame, parallelism: Int): Int = {
+    val row = counts.agg(
+      sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w")).head()
+    if (row.isNullAt(0)) return 256 // empty input: any size works
+    val w = row.getDouble(0)
+    val target = math.ceil(math.sqrt(w / math.max(parallelism, 1))).toLong
+    math.max(256L, math.min(target, 32768L)).toInt
+  }
+
   /** Skew-bounded within-block pair generation, shared by the exact
     * all-pairs scorers ([[blockedJaccard]], [[embeddingNearDups]]).
     *
@@ -333,7 +363,7 @@ object Dedup {
     * (tokenize/shingle) keep the default: counts and both tile sides read
     * `keyed`, and its upstream must run once, not three times.
     */
-  private[llm] def tiledPairs(
+  private[graft] def tiledPairs(
       keyed: DataFrame, payload: Seq[String], maxBlock: Int,
       cache: Boolean = true): DataFrame = {
     val cached = if (cache) CacheScope.persistTracked(keyed) else keyed
@@ -344,10 +374,15 @@ object Dedup {
     // self-join's shuffle volume: an earlier all-blocks count join tripled
     // shuffled bytes and made the no-skew case ~2.5x slower at sf1. The
     // count aggregation itself is map-side-combined per block key — cheap.
-    val hot = cached.groupBy("__block").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > maxBlock)
+    val counts = cached.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+    val effBlock =
+      if (maxBlock > 0) maxBlock
+      else adaptiveMaxBlock(counts,
+        keyed.sparkSession.sessionState.conf.numShufflePartitions)
+    val hot = counts
+      .filter(col("__cnt") > effBlock)
       .select(col("__block"),
-        ceil(col("__cnt").cast("double") / maxBlock).cast("int").as("__hs"))
+        ceil(col("__cnt").cast("double") / effBlock).cast("int").as("__hs"))
     // The salt is a deterministic function of the id so re-runs partition
     // identically.
     val salted = cached.join(broadcast(hot), Seq("__block"), "left_outer")
@@ -378,7 +413,7 @@ object Dedup {
     */
   def embeddingNearDups(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double, maxBlock: Int = 1000): DataFrame = {
+      threshold: Double, maxBlock: Int = AdaptiveBlock): DataFrame = {
     val keyed = Spread(df).select(
       col(idCol).as("__id"), col(blockCol).as("__block"), col(vecCol).as("__v"),
       Similarity.l2Norm(col(vecCol)).as("__n"))
@@ -431,7 +466,7 @@ object Dedup {
     */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, threshold: Double, maxBlock: Int = 1000,
+      nCells: Int, threshold: Double, maxBlock: Int = AdaptiveBlock,
       targetCellSize: Int = 1000): DataFrame =
     semanticDedup(corpus,
       semanticDedupIndex(corpus, idCol, vecCol, nCells, targetCellSize),
@@ -498,7 +533,7 @@ object Dedup {
     */
   def blockedJaccard(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int = 3,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = AdaptiveBlock): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val keyed = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
       .select(

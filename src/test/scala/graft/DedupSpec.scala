@@ -193,6 +193,33 @@ class DedupSpec extends SparkSpec {
       "xxhash tiled output must equal the unsalted join exactly")
   }
 
+  test("adaptive block sizing: uniform data untiled, planted skew tiled, output identical") {
+    // uniform: 64 blocks of 8 rows — W = 64·8² = 4096 pair-units; even at
+    // parallelism 4 the 256 floor exceeds every block, so S = 1 everywhere
+    // (zero replication waste, unlike a static cap below 8)
+    val uniformCounts = (0 until 64).map(b => (b.toString, 8L))
+      .toDF("__block", "__cnt")
+    val effU = Dedup.adaptiveMaxBlock(uniformCounts, parallelism = 4)
+    assert(effU >= 8 && effU == 256, s"uniform data must not tile, got $effU")
+    // planted skew: a 2M-row hot block — W ≈ 4·10¹²; √(W/32) ≈ 354k hits
+    // the 32768 per-task cap, so the hot block tiles into ~62 salt groups
+    val skewCounts = Seq(("hot", 2000000L), ("cold", 10L)).toDF("__block", "__cnt")
+    val effS = Dedup.adaptiveMaxBlock(skewCounts, parallelism = 32)
+    assert(effS == 32768, s"skewed data must tile at the cap, got $effS")
+    // end-to-end: the adaptive default must emit exactly the pairs the
+    // effectively-unsalted run does
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, s"the quick fox number $i jumps over dog ${i % 7}")) ++
+      Seq((900L, "calm river flows south"), (901L, "calm river flows north")))
+      .toDF("doc_id", "text")
+    val adaptive = Dedup.blockedJaccard(docs, "doc_id", "text",
+        maxBlock = Dedup.AdaptiveBlock)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val plain = Dedup.blockedJaccard(docs, "doc_id", "text", maxBlock = 1000000)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(adaptive == plain && adaptive.nonEmpty)
+  }
+
   test("blockedJaccard tiling on a planted hot block matches the unsalted join") {
     // 60 docs share the block key "the quick" (a planted Zipf-hot block);
     // cap 8 forces S = ceil(60/8) = 8 salt groups and 36 pair tiles. The
