@@ -132,4 +132,91 @@ final class JdbcSink(
     incoming.select(keys.head, keys.tail: _*).distinct().foreachPartition(deleteOne)
     append(incoming, table)
   }
+
+  /** Single-connection transactional upsert — the reference's atomicity
+    * (DELETE + COPY sharing one transaction,
+    * sm_cloud_run/utilitarios/bd_utilitarios.py:262): the incoming batch
+    * is collected to the driver and the batched DELETEs + INSERTs run on
+    * ONE connection with autocommit off, committed once — any failure
+    * rolls back BOTH phases, so a reader never observes the
+    * deleted-but-not-reinserted window and a failed load leaves the
+    * target untouched. The price is driver-side materialization and one
+    * connection's throughput: right for dimension/metadata tables, wrong
+    * for fact volume — `maxRows` refuses batches that belong on the
+    * distributed [[upsert]] (idempotent; exactly-once visibility at scale
+    * comes from a staging table + RENAME on the target DB).
+    */
+  def upsertTransactional(
+      spark: SparkSession, incoming: DataFrame, table: String,
+      keys: Seq[String], maxRows: Int = 100000): Unit = {
+    val rows = incoming.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"transactional upsert is the modest-batch path (> $maxRows rows): " +
+        "use the distributed upsert() for fact volume")
+    val schema = incoming.schema
+    val quote = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(_)
+    val deleteSql =
+      s"DELETE FROM $table WHERE ${keys.map(k => s"${quote(k)} = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO $table (${schema.fieldNames.map(quote).mkString(", ")}) " +
+        s"VALUES (${Seq.fill(schema.length)("?").mkString(", ")})"
+    val keyIdx = keys.map(schema.fieldIndex)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try {
+      conn.setAutoCommit(false)
+      try {
+        val del = conn.prepareStatement(deleteSql)
+        val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+        var n = 0
+        rows.foreach { r =>
+          val key = keyIdx.map(r.get)
+          if (seen.add(key)) {
+            key.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+            del.addBatch()
+            n += 1
+            if (n % batchSize == 0) del.executeBatch()
+          }
+        }
+        del.executeBatch()
+        val ins = conn.prepareStatement(insertSql)
+        var m = 0
+        rows.foreach { r =>
+          schema.indices.foreach { i =>
+            val v = r.get(i)
+            if (v == null) ins.setNull(i + 1, sqlTypeOf(schema(i).dataType))
+            else ins.setObject(i + 1, v)
+          }
+          ins.addBatch()
+          m += 1
+          if (m % batchSize == 0) ins.executeBatch()
+        }
+        ins.executeBatch()
+        conn.commit()
+      } catch {
+        case e: Throwable => conn.rollback(); throw e
+      }
+    } finally conn.close()
+  }
+
+  /** JDBC type for `setNull` — some drivers (Derby) reject
+    * `Types.NULL` and need the column's own type.
+    */
+  private def sqlTypeOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case ByteType => java.sql.Types.TINYINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case StringType => java.sql.Types.VARCHAR
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case BinaryType => java.sql.Types.BINARY
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case _ => java.sql.Types.OTHER
+    }
+  }
 }

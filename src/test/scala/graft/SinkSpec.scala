@@ -66,6 +66,46 @@ class SinkSpec extends SparkSpec {
     assert(viaSink == viaPlan)
   }
 
+  test("JdbcSink transactional upsert commits atomically and matches the distributed path") {
+    val sink = derbySink("txn")
+    val target = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+    val incoming = Seq((2L, 20.0), (4L, 40.0), (9L, 90.0)).toDF("k", "v")
+    sink.overwrite(target, "t_txn")
+    sink.upsertTransactional(spark, incoming, "t_txn", Seq("k"))
+    val viaSink = sink.read(spark, "t_txn").as[(Long, Double)].collect().toSet
+    val viaPlan = Upsert.upsert(target, incoming, Seq("k"))
+      .as[(Long, Double)].collect().toSet
+    assert(viaSink == viaPlan)
+    // batch cap: fact-scale batches are refused, not silently collected
+    intercept[IllegalArgumentException] {
+      sink.upsertTransactional(spark, incoming, "t_txn", Seq("k"), maxRows = 2)
+    }
+  }
+
+  test("JdbcSink transactional upsert rolls back wholesale on failure") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby").toFile
+    val url = s"jdbc:derby:${dir.getAbsolutePath}/rb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val sink = new JdbcSink(url, props, batchSize = 2)
+    // a PRIMARY KEY so a duplicate-key incoming batch fails mid-INSERT
+    val ddl = java.sql.DriverManager.getConnection(url, props)
+    try {
+      ddl.createStatement().execute(
+        "CREATE TABLE t_rb (\"k\" BIGINT PRIMARY KEY, \"v\" DOUBLE)")
+    } finally ddl.close()
+    sink.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "t_rb")
+    // key 2 would be deleted, then the duplicated key 9 violates the PK —
+    // the rollback must restore the DELETE too, not just stop inserting
+    val poisoned = Seq((2L, 20.0), (9L, 90.0), (9L, 91.0)).toDF("k", "v")
+    intercept[java.sql.SQLException] {
+      sink.upsertTransactional(spark, poisoned, "t_rb", Seq("k"))
+    }
+    val got = sink.read(spark, "t_rb").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0)),
+      s"failed transactional upsert must leave the target untouched, got $got")
+  }
+
   test("streaming foreachBatch upserts into a Sink idempotently") {
     // The stream-into-warehouse pattern: each micro-batch upserts on key
     // through the Sink trait. Replayed batches (at-least-once delivery)
