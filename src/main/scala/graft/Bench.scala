@@ -20,7 +20,17 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           e.printStackTrace()
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      } finally llm.CacheScope.releaseAll()
+      } finally {
+        llm.CacheScope.releaseAll()
+        // Untimed heap compaction BETWEEN queries: ~190 sequential query
+        // executions in one JVM let old-gen pressure from earlier queries
+        // inflate later ones (r6 recorded q45 at 23.5 s in the marathon vs
+        // 5.4 s isolated at the same SF — the operator scales ×3.8 at ×10
+        // data, the other ×4 was inherited heap state). A real cluster
+        // gives each job fresh executors; this biases each query's wall
+        // time to its own work. Runs after timing capture — never counted.
+        System.gc()
+      }
     }
 
     // Warm-up = a full first pass at the MEASURED scale factor: JIT, codegen
