@@ -38,6 +38,7 @@ case class RankKRows(
     dirs: Seq[SortDirection],
     nullOrds: Seq[NullOrdering],
     dense: Boolean = false,
+    withPeers: Boolean = false,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RankKRowsBuffer]
@@ -76,9 +77,18 @@ case class RankKRows(
       s"$prettyName needs an orderable struct sort key, got ${other.catalogString}")
   }
 
-  /** Payload fields plus the computed rank. */
-  def outType: StructType =
-    StructType(payloadType.fields :+ StructField("__graft_rank", IntegerType, nullable = false))
+  /** Payload fields plus the computed rank (and, with `withPeers`, the
+    * row's full tie-group size — retained tie groups are always complete,
+    * so the count is the ORIGINAL peer count; the `cume_dist` rewrite
+    * derives the group-end position rank − 1 + peers from it).
+    */
+  def outType: StructType = {
+    val base = payloadType.fields :+
+      StructField("__graft_rank", IntegerType, nullable = false)
+    StructType(
+      if (withPeers) base :+ StructField("__graft_peers", IntegerType, nullable = false)
+      else base)
+  }
 
   override def dataType: DataType = ArrayType(outType, containsNull = false)
   override def nullable: Boolean = false
@@ -117,13 +127,14 @@ case class RankKRows(
   }
 
   override def eval(buffer: RankKRowsBuffer): Any = {
-    val (rows, ranks) = buffer.rankedTop()
+    val (rows, ranks, peers) = buffer.rankedTopWithPeers()
     val nPay = payloadType.length
-    new GenericArrayData(rows.zip(ranks).map { case (r, rk) =>
-      val pay = r.getStruct(1, nPay)
-      InternalRow.fromSeq(
-        payloadType.fields.indices.map(i => pay.get(i, payloadType.fields(i).dataType)) :+ rk)
-    })
+    new GenericArrayData(rows.indices.map { j =>
+      val pay = rows(j).getStruct(1, nPay)
+      val base = payloadType.fields.indices.map(i =>
+        pay.get(i, payloadType.fields(i).dataType)) :+ ranks(j)
+      InternalRow.fromSeq(if (withPeers) base :+ peers(j) else base)
+    }.toArray[InternalRow])
   }
 
   override def serialize(buffer: RankKRowsBuffer): Array[Byte] = {
@@ -245,20 +256,34 @@ final class RankKRowsBuffer(
 
   /** Final (rows ascending, rank per row) with rank ≤ k enforced. */
   def rankedTop(): (Array[UnsafeRow], Array[Int]) = {
+    val (out, ranks, _) = rankedTopWithPeers()
+    (out, ranks)
+  }
+
+  /** [[rankedTop]] plus each row's tie-group size. Retained groups are
+    * always whole (the floor admits ties), so the size is the original
+    * peer count, not a truncated one.
+    */
+  def rankedTopWithPeers(): (Array[UnsafeRow], Array[Int], Array[Int]) = {
     compact()
     val out = java.util.Arrays.copyOfRange(rows, 0, n)
     val ranks = new Array[Int](n)
+    val peers = new Array[Int](n)
     var i = 0
     var groupStart = 0
     var groupIdx = 0
     while (i < n) {
       if (i > 0 && ordering.compare(keyOf(out(i)), keyOf(out(i - 1))) != 0) {
+        var j = groupStart
+        while (j < i) { peers(j) = i - groupStart; j += 1 }
         groupStart = i
         groupIdx += 1
       }
       ranks(i) = if (dense) groupIdx + 1 else groupStart + 1
       i += 1
     }
-    (out, ranks)
+    var j = groupStart
+    while (j < n) { peers(j) = n - groupStart; j += 1 }
+    (out, ranks, peers)
   }
 }

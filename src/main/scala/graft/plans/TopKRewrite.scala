@@ -4,11 +4,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.expressions.{
   Add, Alias, And, Attribute, AttributeReference, Cast, CreateStruct,
-  DenseRank, EqualNullSafe, EqualTo, Expression, Floor, GetStructField,
-  GreaterThan, GreaterThanOrEqual, If, IntegralDivide, Least, LessThan,
-  LessThanOrEqual, Literal, Multiply, NTile, PercentRank, PosExplode,
-  PredicateHelper, Rank, Remainder, RowNumber, RowOrdering, Subtract,
-  WindowExpression}
+  CumeDist, DenseRank, EqualNullSafe, EqualTo, Expression, Floor,
+  GetStructField, GreaterThan, GreaterThanOrEqual, If, IntegralDivide,
+  Least, LessThan, LessThanOrEqual, Literal, Multiply, NTile, PercentRank,
+  PosExplode, PredicateHelper, Rank, Remainder, RowNumber, RowOrdering,
+  Subtract, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, BROADCAST, Filter, Generate, HintInfo, Join, JoinHint,
@@ -48,6 +48,17 @@ import graft.functions.{RankKRows, TopKRows}
   * resolving. Tie semantics are unchanged: `row_number` picks tied rows
   * arbitrarily, and so does the heap; `rank` ties are exact. Disable
   * with `spark.graft.topkRewrite.enabled=false`.
+  *
+  * The FRACTION family — `ntile(b) <= k`, `percent_rank() <= p`,
+  * `cume_dist() <= p` — rewrites too, via the two-pass form: their
+  * retained-row count depends on the group size, so a broadcast
+  * per-group `count(*)` joins onto the input (the big side is not
+  * re-shuffled; the bounded aggregate still partial-aggregates map-side
+  * with its per-group k in hand) and the rank value is reconstructed
+  * arithmetically from the emitted position/rank/peer-count and the
+  * count, with the ORIGINAL predicate always re-applied exactly. Fires
+  * only while the kept fraction is ≤ `spark.graft.topkRewrite
+  * .maxFraction` (default 0.5) — past that the window's sort wins.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -101,7 +112,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(WindowExpression(fracFn, _), _)),
             partSpec, orderSpec, child, _))
-          if (fracFn.isInstanceOf[NTile] || fracFn.isInstanceOf[PercentRank]) &&
+          if (fracFn.isInstanceOf[NTile] || fracFn.isInstanceOf[PercentRank] ||
+            fracFn.isInstanceOf[CumeDist]) &&
             orderSpec.nonEmpty &&
             RowOrdering.isOrderable(orderSpec.map(_.child).toIndexedSeq) =>
         val attr = alias.toAttribute
@@ -123,12 +135,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
               }
             case _ => f
           }
-          case _: PercentRank =>
+          case _ => // PercentRank | CumeDist
             conjuncts.flatMap(doubleUpperBound(_, attr)) match {
               case Nil => f
               case ps =>
                 val p = ps.min
                 if (p < 0.0 || p > maxFraction) f
+                else if (fracFn.isInstanceOf[CumeDist])
+                  rewriteCumeDist(w, child, partSpec, attr, p, cond)
                 else rewritePercentRank(w, child, partSpec, attr, p, cond)
             }
         }
@@ -325,6 +339,41 @@ object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Cast(Subtract(cntF, one), DoubleType)),
       Literal(0.0, DoubleType))
     val rnOut = Alias(pr, prAttr.name)(exprId = prAttr.exprId)
+    Filter(cond, Project(fields :+ rnOut, gen))
+  }
+
+  /** `cume_dist() <= p`: a row's cume_dist is its TIE-GROUP-END position
+    * over the group size, so retention needs rank ≤ floor(p·n) (+2
+    * margin, trimmed by the exact residual) and the reconstruction needs
+    * the tie-group size — RankKRows carries it (`withPeers`; retained tie
+    * groups are always whole, so the count is the original one):
+    * cume_dist = (rank − 1 + peers) / n, exactly the window's division.
+    * Completes the rank-function family: row_number/rank/dense_rank/
+    * ntile/percent_rank/cume_dist all rewrite to bounded aggregation.
+    */
+  private def rewriteCumeDist(
+      w: Window, child: LogicalPlan, partSpec: Seq[Expression],
+      cdAttr: Attribute, p: Double, cond: Expression): LogicalPlan = {
+    val (joined, cntAttr) = withGroupCounts(child, partSpec)
+    val orderSpec = w.orderSpec
+    val keyStruct = CreateStruct(orderSpec.map(_.child))
+    val payloadStruct = CreateStruct(child.output :+ cntAttr)
+    val one = Literal(1L, LongType)
+    val cutoff = Add(
+      Floor(Multiply(Literal(p), Cast(cntAttr, DoubleType))), Literal(2L, LongType))
+    val kExpr = Cast(Least(Seq(cutoff, Literal(Int.MaxValue.toLong, LongType))), IntegerType)
+    val func = RankKRows(keyStruct, payloadStruct, kExpr,
+      orderSpec.map(_.direction), orderSpec.map(_.nullOrdering),
+      dense = false, withPeers = true)
+    val (gen, _, rowAttr) = explodeTop(func, partSpec, joined)
+    val fields = originalFields(child, rowAttr)
+    val cntF = GetStructField(rowAttr, child.output.length, Some("__graft_cnt"))
+    val rankF = GetStructField(rowAttr, child.output.length + 1, Some("__graft_rank"))
+    val peersF = GetStructField(rowAttr, child.output.length + 2, Some("__graft_peers"))
+    val endPos = Add(Subtract(Cast(rankF, LongType), one), Cast(peersF, LongType))
+    val cd = org.apache.spark.sql.catalyst.expressions.Divide(
+      Cast(endPos, DoubleType), Cast(cntF, DoubleType))
+    val rnOut = Alias(cd, cdAttr.name)(exprId = cdAttr.exprId)
     Filter(cond, Project(fields :+ rnOut, gen))
   }
 }

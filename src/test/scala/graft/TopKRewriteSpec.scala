@@ -173,6 +173,28 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("cume_dist() <= p rewrites with carried tie-group sizes") {
+    def q(bound: Double) = {
+      // quantity-only ordering ties heavily: cume_dist depends on the
+      // tie-group END position, exercising the carried peer counts
+      val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+      Tables.lineitem(spark, sfDir)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("cd", cume_dist().over(w)).filter(col("cd") <= bound)
+    }
+    for (bound <- Seq(0.3, 0.5)) {
+      val want = withRuleOff(q(bound).collect().toSeq.sortBy(_.toString))
+      val rw = q(bound)
+      val got = rw.collect().toSeq.sortBy(_.toString)
+      val plan = planString(rw)
+      assert(plan.contains("graft_rank_k_rows"),
+        s"rule did not fire for bound=$bound:\n$plan")
+      assert(!plan.contains("Window"), s"window survived:\n$plan")
+      assert(got == want, s"mismatch for bound=$bound")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("fraction rewrites handle a global (unpartitioned) window") {
     def q() = {
       val w = Window.orderBy(col("l_quantity").desc, col("l_orderkey").asc,
