@@ -1355,6 +1355,20 @@ object SparkEntry {
       ordered(llm.Curation.quantileFilterApprox(d, "n_tokens", "lang", 0.05, 0.95))
     },
 
+    // Full-frame window aggregates (the share-of-group annotation idiom).
+    // GraftSession's WindowAggRewrite replans these as a per-group
+    // aggregation broadcast-joined back (no full-table sort); the DuckDB
+    // oracle computes the WINDOW natively, so the hash check proves the
+    // rewrite is value-exact, not merely plausible.
+    "q97_window_agg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_suppkey")
+      ordered(Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("grp_qty",
+          sum(col("l_quantity").cast("decimal(28,3)")).over(w).cast("double"))
+        .withColumn("grp_n", count(lit(1L)).over(w)))
+    },
+
     // Z-order (Morton) clustering value over (o_custkey, o_orderkey):
     // exact BIGINT min-max scaling + bit interleave, the multi-column
     // file-pruning layout key. Layout.zorderLayout writes the clustered
@@ -2872,6 +2886,13 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q95_zorder" -> zorderOracle,
+
+    "q97_window_agg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,3)))
+        |    OVER (PARTITION BY l_suppkey) AS DOUBLE) AS grp_qty,
+        |  count(*) OVER (PARTITION BY l_suppkey) AS grp_n
+        |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -79,6 +79,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.WindowAggRewrite)
   }
 }
 
