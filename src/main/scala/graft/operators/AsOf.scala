@@ -69,12 +69,27 @@ object AsOf {
       payloadCols: Seq[String], prefix: String = "asof_"): DataFrame =
     asOfJoinNativeKeys(fact, dim, Seq(keyCol), tsCol, payloadCols, prefix)
 
+  /** FORWARD-direction native as-of: attach the EARLIEST dim row with the
+    * same key and `dim.ts >= fact.ts` (ties match) — pandas
+    * `merge_asof(direction='forward')`; the "next scheduled event /
+    * upcoming rate" lookup. Same Catalyst operator and planner contracts
+    * as [[asOfJoinNative]]; the forward merge needs NO held state at all
+    * (the lookahead dim row is the candidate and is never consumed).
+    */
+  def asOfJoinForwardNative(
+      fact: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], prefix: String = "asof_next_"): DataFrame =
+    asOfJoinNativeKeys(fact, dim, Seq(keyCol), tsCol, payloadCols, prefix,
+      forward = true)
+
   /** [[asOfJoinNative]] on a composite key — the exec clusters and merges
     * on the full key tuple (e.g. (entity, region) rate tables).
+    * `forward = true` flips the direction to earliest-at-or-after.
     */
   def asOfJoinNativeKeys(
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String], tsCol: String,
-      payloadCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      payloadCols: Seq[String], prefix: String = "asof_",
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graft.Shims
@@ -110,6 +125,6 @@ object AsOf {
       lp, rp,
       leftKeys = keyCols.map(attrOf(lp, _)), rightKeys = keyCols.map(attrOf(rp, _)),
       leftTs = attrOf(lp, tsCol), rightTs = rightTs,
-      rightCarried = rightCarried, outAttrs = outAttrs))
+      rightCarried = rightCarried, outAttrs = outAttrs, forward = forward))
   }
 }

@@ -53,7 +53,8 @@ case class AsOfJoinNode(
     leftTs: Attribute,
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
-    outAttrs: Seq[Attribute])
+    outAttrs: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -74,7 +75,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightCarried, n.outAttrs) :: Nil
+        n.rightCarried, n.outAttrs, n.forward) :: Nil
     case _ => Nil
   }
 }
@@ -100,7 +101,8 @@ class AsOfMerger(
     rKeys: Seq[Attribute],
     lTs: Attribute,
     rTs: Attribute,
-    carried: Seq[Attribute]) extends Serializable {
+    carried: Seq[Attribute],
+    forward: Boolean = false) extends Serializable {
 
   require(rKeys.map(_.dataType) == lKeys.map(_.dataType) &&
     rTs.dataType == lTs.dataType,
@@ -135,6 +137,33 @@ class AsOfMerger(
         val fKey = factKeyProj(fact)
         val fTs = factTsProj(fact)
         val factUnmatchable = fKey.anyNull || fTs.anyNull
+        if (forward) {
+          // FORWARD direction (earliest dim at-or-after): no held state at
+          // all - advance past dims before (fKey, fTs); the lookahead dim
+          // IS the candidate, and it is not consumed (later facts with the
+          // same key and larger ts may need it too, facts arrive ascending)
+          var fwdMatched = false
+          if (!factUnmatchable) {
+            var scanning = nextDim != null
+            while (scanning) {
+              val dKey = dimKeyProj(nextDim)
+              if (dKey.anyNull || dimTsProj(nextDim).anyNull) {
+                advance()
+              } else {
+                val c = keyOrd.compare(dKey, fKey)
+                if (c < 0 || (c == 0 && tsOrd.compare(dimTsProj(nextDim), fTs) < 0)) {
+                  advance()
+                } else {
+                  fwdMatched = c == 0
+                  scanning = false
+                }
+              }
+              if (nextDim == null) scanning = false
+            }
+          }
+          return joined(fact,
+            if (fwdMatched) carriedProj(nextDim) else nullCarried)
+        }
         if (!factUnmatchable) {
           var scanning = nextDim != null
           while (scanning) {
@@ -193,7 +222,8 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
-    outAttrs: Seq[Attribute])
+    outAttrs: Seq[Attribute],
+    forward: Boolean = false)
   extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -213,7 +243,8 @@ case class AsOfJoinExec(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 
   private def merger = new AsOfMerger(
-    left.output, right.output, leftKeys, rightKeys, leftTs, rightTs, rightCarried)
+    left.output, right.output, leftKeys, rightKeys, leftTs, rightTs,
+    rightCarried, forward)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")

@@ -71,6 +71,41 @@ class AsOfNativeSpec extends SparkSpec {
     assert(got.count() == 6)
   }
 
+  test("forward direction attaches the earliest at-or-after dim row") {
+    val got = AsOf.asOfJoinForwardNative(fact, dim, "k", "t", Seq("payload"))
+      .select("id", "asof_next_t", "asof_next_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (100L, Some(10L), Some("v10")), // t=5 → next dim at 10
+      (101L, Some(10L), Some("v10")), // tie matches
+      (102L, Some(20L), Some("v20")),
+      (103L, None, None),             // t=25: nothing after
+      (104L, None, None),             // k=2, t=99 past w15
+      (105L, None, None)))            // k=3: no dim
+  }
+
+  test("forward equals backward on negated timestamps (cross-check)") {
+    // deterministic synthetic data with plenty of shared keys and ties
+    val f = spark.range(500).select(
+      col("id"), (col("id") % 17).as("k"), ((col("id") * 13) % 97).as("t"))
+    val d = spark.range(120).select(
+      (col("id") % 17).as("k"), ((col("id") * 29) % 97).as("t"),
+      concat(lit("p"), col("id")).as("payload"))
+      // unique (k, t) so ties between dim rows can't make either form
+      // pick arbitrarily
+      .groupBy("k", "t").agg(first("payload").as("payload"))
+    val fwd = AsOf.asOfJoinForwardNative(f, d, "k", "t", Seq("payload"), "n_")
+      .select("id", "n_t", "n_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    // backward on negated ts = forward on the original axis
+    val bwd = AsOf.asOfJoinNative(
+        f.withColumn("t", -col("t")), d.withColumn("t", -col("t")),
+        "k", "t", Seq("payload"), "n_")
+      .select(col("id"), (-col("n_t")).as("n_t"), col("n_payload"))
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(fwd == bwd && fwd.exists(_._2.isDefined) && fwd.exists(_._2.isEmpty))
+  }
+
   test("composite keys cluster and merge on the full key tuple") {
     val d2 = Seq((1L, "a", 10L, "va"), (1L, "b", 10L, "vb"), (2L, "a", 5L, "w"))
       .toDF("k", "r", "t", "payload")
