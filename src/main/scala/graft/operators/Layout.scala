@@ -160,9 +160,14 @@ object Layout {
           UnresolvedAttribute.quoted("linhas"),
           Literal(fpp)).toAggregateExpression()).as(bloomName(k))
     }
+    // per-key bounding boxes ride along in the SAME pass: range predicates
+    // prune on mn/mx, point lookups on the bloom — one manifest, no
+    // parquet footer ever opened for either
+    val boundsAggs = keyCols.flatMap(k =>
+      Seq(min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
     val manifest = keyed.join(broadcast(counts), "arquivo")
       .groupBy("arquivo")
-      .agg(max("linhas").as("linhas"), bloomAggs: _*)
+      .agg(max("linhas").as("linhas"), bloomAggs ++ boundsAggs: _*)
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_manifest")
     manifest
   }
@@ -182,6 +187,50 @@ object Layout {
   def bloomPrunedRead(
       spark: SparkSession, path: String, keyCol: String,
       keys: Seq[Any]): DataFrame = {
+    val manifest = spark.read.parquet(s"$path/_graft_manifest")
+    prunedByManifest(spark, path,
+      manifest.filter(bloomProbeExpr(spark, path, manifest.columns, keyCol, keys)))
+  }
+
+  /** Combined range + point manifest pruning in ONE manifest read: keep
+    * only files whose per-key bounding box intersects every `ranges`
+    * predicate (inclusive lo..hi) AND whose bloom might contain one of
+    * every `points` key list. On a [[zorderCompact]] table this is the
+    * full lakehouse file-skipping combo — curve-clustered bounding boxes
+    * make the range side selective on EVERY clustered dimension, blooms
+    * make the point side exact-ish — with zero parquet footers opened and
+    * bloom bytes never leaving the executors. Callers still apply the
+    * real predicate to the returned frame (manifest pruning is sound,
+    * never complete).
+    */
+  def manifestPrunedRead(
+      spark: SparkSession, path: String,
+      ranges: Map[String, (Any, Any)] = Map.empty,
+      points: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "manifestPrunedRead needs at least one range or point predicate")
+    val manifest = spark.read.parquet(s"$path/_graft_manifest")
+    val rangeConds = ranges.toSeq.map { case (k, (lo, hi)) =>
+      require(manifest.columns.contains(s"mn_$k"),
+        s"manifest at $path has no min/max bounds for '$k' " +
+          "(re-write it with a current writeBloomManifests)")
+      col(s"mx_$k") >= lit(lo) && col(s"mn_$k") <= lit(hi)
+    }
+    val pointConds = points.toSeq.map { case (k, vs) =>
+      bloomProbeExpr(spark, path, manifest.columns, k, vs)
+    }
+    prunedByManifest(spark, path,
+      manifest.filter((rangeConds ++ pointConds).reduce(_ && _)))
+  }
+
+  /** Executor-side bloom membership test for `keys` against `keyCol`'s
+    * manifest bloom column, with each probe key cast to the DATA's key
+    * type before hashing (an `Int` probe on a BIGINT column would
+    * otherwise hash differently and silently miss every file).
+    */
+  private def bloomProbeExpr(
+      spark: SparkSession, path: String, manifestCols: Seq[String],
+      keyCol: String, keys: Seq[Any]): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal, XxHash64}
     import org.apache.spark.sql.graft.Shims
@@ -195,21 +244,25 @@ object Layout {
         if (l.dataType == keyType) l else Cast(l, keyType, Option(zone))
       XxHash64(Seq(typed), 42L).eval(null).asInstanceOf[Long]
     }
-    val manifest = spark.read.parquet(s"$path/_graft_manifest")
     // single-key manifests name their column `bloom`; multi-key manifests
     // ([[writeBloomManifests]]/[[zorderCompact]]) name one per key
     val bloomCol =
-      if (manifest.columns.contains(s"bloom_$keyCol")) s"bloom_$keyCol"
-      else if (manifest.columns.contains("bloom")) "bloom"
+      if (manifestCols.contains(s"bloom_$keyCol")) s"bloom_$keyCol"
+      else if (manifestCols.contains("bloom")) "bloom"
       else throw new IllegalArgumentException(
         s"manifest at $path has no bloom column for '$keyCol' " +
-          s"(columns: ${manifest.columns.mkString(", ")})")
-    val probe = Shims.column(graft.functions.BloomMightContainAny(
+          s"(columns: ${manifestCols.mkString(", ")})")
+    Shims.column(graft.functions.BloomMightContainAny(
       UnresolvedAttribute.quoted(bloomCol),
       Literal.create(hashes, ArrayType(LongType, containsNull = false))))
-    val files = manifest
-      .filter(probe)
-      .select("arquivo").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Collect only the matching file NAMES (bloom/bounds bytes stay on
+    * executors) and read those files.
+    */
+  private def prunedByManifest(
+      spark: SparkSession, path: String, matching: DataFrame): DataFrame = {
+    val files = matching.select("arquivo").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files: _*)
   }

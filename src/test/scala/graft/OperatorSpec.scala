@@ -499,10 +499,29 @@ class OperatorSpec extends SparkSpec {
     val totalFiles = new java.io.File(root).listFiles
       .count(_.getName.endsWith(".parquet"))
     assert(totalFiles == 16)
-    // the manifest carries one bloom per clustering key from ONE pass
+    // the manifest carries one bloom AND one bounding box per clustering
+    // key, all from ONE pass
     val mf = spark.read.parquet(s"$root/_graft_manifest")
-    assert(mf.columns.toSet == Set("arquivo", "linhas", "bloom_x", "bloom_y"))
+    assert(mf.columns.toSet == Set("arquivo", "linhas", "bloom_x", "bloom_y",
+      "mn_x", "mx_x", "mn_y", "mx_y"))
     assert(mf.agg(sum("linhas")).head().getLong(0) == 4096)
+    // combined range+point pruning from one manifest read: the
+    // intersection reads no more files than either predicate alone, and
+    // the result matches the full scan under the real predicate
+    val combo = Layout.manifestPrunedRead(spark, root,
+      ranges = Map("x" -> (0L, 15L)), points = Map("y" -> Seq(7L)))
+    val comboFiles = combo.select(input_file_name()).distinct().count()
+    val rangeOnly = Layout.manifestPrunedRead(spark, root, ranges = Map("x" -> (0L, 15L)))
+      .select(input_file_name()).distinct().count()
+    val pointOnly = Layout.bloomPrunedRead(spark, root, "y", Seq(7L))
+      .select(input_file_name()).distinct().count()
+    assert(comboFiles <= math.min(rangeOnly, pointOnly) && comboFiles < totalFiles,
+      s"combo read $comboFiles files (range $rangeOnly, point $pointOnly, total $totalFiles)")
+    val comboGot = combo.filter(col("x") <= 15L && col("y") === 7L)
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    val fullGot = spark.read.parquet(root).filter(col("x") <= 15L && col("y") === 7L)
+      .select("x", "y").as[(Long, Long)].collect().toSet
+    assert(comboGot == fullGot && comboGot.nonEmpty)
     // point probes on EITHER clustered column bloom-prune most files and
     // agree with the full scan — the multi-column promise of the layout
     for (k <- Seq("x", "y")) {
