@@ -121,6 +121,53 @@ object Ivf {
     ivfTopK(index(corpus, idCol, vecCol, nCells, samplePct),
       queries, idCol, vecCol, k, nProbe)
 
+  /** Incremental append: assign `newVectors` to the EXISTING centroids
+    * (the same scan-level argmin the build uses — no refit, no shuffle)
+    * and union them into the cell-tagged corpus. The routing structure is
+    * unchanged, so every prior query's probe set still resolves; recall
+    * degrades only as far as the new data drifts from the trained
+    * centroid geometry — the standard IVF trade (FAISS `add` after
+    * `train`), and exactly what a daily embedding delta wants instead of
+    * re-fitting 100 TB. Refit (rebuild via [[index]]) when drift
+    * accumulates.
+    */
+  def append(
+      idx: IvfIndex, newVectors: DataFrame, idCol: String,
+      vecCol: String): IvfIndex = {
+    val assignedNew = assignToExisting(idx, newVectors, idCol, vecCol)
+    IvfIndex(idx.assigned.unionByName(assignedNew), idx.centroids)
+  }
+
+  /** [[append]] against a PERSISTED index: the delta is assigned with the
+    * stored centroids and appended into the cell-partitioned layout —
+    * new files land inside existing `__cell=` partitions, so probe-time
+    * partition pruning keeps working; the centroid table is untouched.
+    */
+  def appendIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = readIndex(spark, path)
+    assignToExisting(idx, newVectors, idCol, vecCol)
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/cells")
+  }
+
+  /** Cell-assign a delta with an index's centroids (collected — nCells
+    * rows — and reused through the same codegen'd argmin as the build).
+    */
+  private def assignToExisting(
+      idx: IvfIndex, newVectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val centroidSeq: Seq[Seq[Double]] = idx.centroids
+      .orderBy("__cell")
+      .collect()
+      .map(r => r.getSeq[Double](1).toSeq)
+      .toSeq
+    Spread(newVectors).select(col(idCol), col(vecCol))
+      .withColumn("__cell",
+        Kmeans.nearestCell(
+          transform(col(vecCol), _.cast("double")), centroidSeq))
+  }
+
   /** Persist the index with the cell-tagged corpus PARTITIONED BY cell id:
     * a probe filters on `__cell`, and against the loaded index that filter
     * is a partition filter — Spark prunes every unprobed cell's files at

@@ -89,6 +89,51 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == oneShot, "prebuilt-index results equal the one-shot path")
   }
 
+  test("IVF incremental append routes a delta into existing cells, no refit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val idx = graft.llm.Ivf.index(base, "vec_id", "embedding", nCells = 8)
+    val appended = graft.llm.Ivf.append(idx, delta, "vec_id", "embedding")
+    // centroids untouched, every delta row assigned to an existing cell
+    assert(appended.centroids.collect().toSeq == idx.centroids.collect().toSeq)
+    assert(appended.assigned.count() == emb.count())
+    // appended rows are findable: querying WITH a delta vector must return
+    // itself as the exact top-1 (cosine 1 with its own cell probed first)
+    val q = delta.orderBy("vec_id").limit(8)
+    val got = graft.llm.Ivf.ivfTopK(appended, q, "vec_id", "embedding", 1, nProbe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall { case (qid, cid) => qid == cid },
+      s"delta vectors must match themselves after append: $got")
+    // equivalently: append == assigning the union with the SAME centroids
+    val unionAssigned = graft.llm.Ivf.append(
+      idx.copy(assigned = idx.assigned.limit(0)), emb, "vec_id", "embedding")
+    val a = appended.assigned.select("vec_id", "__cell").as[(Long, Int)].collect().sorted.toSeq
+    val b = unionAssigned.assigned.select("vec_id", "__cell").as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b, "append must assign exactly as a fresh assignment with the same centroids")
+  }
+
+  test("IVF appendIndex lands delta files inside existing cell partitions") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val dir = s"${graft.GraftSession.scratchRoot}/ivf-append"
+    graft.llm.Ivf.writeIndex(
+      graft.llm.Ivf.index(base, "vec_id", "embedding", nCells = 8), dir)
+    graft.llm.Ivf.appendIndex(spark, dir, delta, "vec_id", "embedding")
+    val loaded = graft.llm.Ivf.readIndex(spark, dir)
+    assert(loaded.assigned.count() == emb.count())
+    // still the partition-pruned layout: no new top-level dirs beyond
+    // __cell=, and a probe filter still prunes at the scan
+    val tops = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(tops.nonEmpty && tops.forall(_.startsWith("__cell=")))
+    val q = delta.orderBy("vec_id").limit(4)
+    val got = graft.llm.Ivf.ivfTopK(loaded, q, "vec_id", "embedding", 1, nProbe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall { case (qid, cid) => qid == cid })
+  }
+
   test("deterministic k-means is partition-independent bit-for-bit") {
     val emb = Tables.embeddings(spark, sfDir)
     def fitAt(parts: Int) = graft.llm.Kmeans.fit(
