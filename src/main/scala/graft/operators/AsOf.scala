@@ -80,16 +80,31 @@ object AsOf {
       fact: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String], prefix: String = "asof_next_"): DataFrame =
     asOfJoinNativeKeys(fact, dim, Seq(keyCol), tsCol, payloadCols, prefix,
-      forward = true)
+      direction = "forward")
+
+  /** NEAREST-direction native as-of: whichever of the backward and
+    * forward matches has the smaller |dim.ts − fact.ts| wins, ties to
+    * backward — pandas `merge_asof(direction='nearest')`. One merged
+    * pass: the backward scan's lookahead row IS the forward candidate,
+    * so nearest costs the same as backward. Integral/timestamp ts only
+    * (the delta needs arithmetic, not just ordering).
+    */
+  def asOfJoinNearestNative(
+      fact: DataFrame, dim: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], prefix: String = "asof_near_"): DataFrame =
+    asOfJoinNativeKeys(fact, dim, Seq(keyCol), tsCol, payloadCols, prefix,
+      direction = "nearest")
 
   /** [[asOfJoinNative]] on a composite key — the exec clusters and merges
     * on the full key tuple (e.g. (entity, region) rate tables).
-    * `forward = true` flips the direction to earliest-at-or-after.
+    * `direction`: "backward" (latest at-or-before, default), "forward"
+    * (earliest at-or-after) or "nearest" (smaller |delta|, ties
+    * backward).
     */
   def asOfJoinNativeKeys(
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], prefix: String = "asof_",
-      forward: Boolean = false): DataFrame = {
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graft.Shims
@@ -125,6 +140,6 @@ object AsOf {
       lp, rp,
       leftKeys = keyCols.map(attrOf(lp, _)), rightKeys = keyCols.map(attrOf(rp, _)),
       leftTs = attrOf(lp, tsCol), rightTs = rightTs,
-      rightCarried = rightCarried, outAttrs = outAttrs, forward = forward))
+      rightCarried = rightCarried, outAttrs = outAttrs, direction = direction))
   }
 }

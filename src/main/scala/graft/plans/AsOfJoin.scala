@@ -54,7 +54,7 @@ case class AsOfJoinNode(
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    forward: Boolean = false)
+    direction: String = "backward")
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -75,7 +75,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightCarried, n.outAttrs, n.forward) :: Nil
+        n.rightCarried, n.outAttrs, n.direction) :: Nil
     case _ => Nil
   }
 }
@@ -102,11 +102,23 @@ class AsOfMerger(
     lTs: Attribute,
     rTs: Attribute,
     carried: Seq[Attribute],
-    forward: Boolean = false) extends Serializable {
+    direction: String = "backward") extends Serializable {
 
   require(rKeys.map(_.dataType) == lKeys.map(_.dataType) &&
     rTs.dataType == lTs.dataType,
     "as-of join sides disagree on key/ts types — cast upstream")
+  require(Set("backward", "forward", "nearest")(direction),
+    s"unknown as-of direction '$direction'")
+  private val forward = direction == "forward"
+  private val nearest = direction == "nearest"
+  // `nearest` needs |delta| arithmetic, not just ordering: restrict to ts
+  // types whose single-field row value is an integral we can subtract
+  if (nearest) {
+    import org.apache.spark.sql.types._
+    require(Seq(LongType, IntegerType, TimestampType, DateType)
+      .exists(_ == lTs.dataType),
+      s"nearest as-of needs an integral/timestamp ts, got ${lTs.dataType}")
+  }
 
   def create(
       factIter: Iterator[InternalRow],
@@ -114,6 +126,13 @@ class AsOfMerger(
     val keyTypes = lKeys.map(_.dataType)
     val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
     val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTs.dataType))
+    val tsType = lTs.dataType
+    // nearest-direction delta arithmetic (types pre-checked in the ctor)
+    def tsValue(r: InternalRow): Long = tsType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType => r.getLong(0)
+      case _ => r.getInt(0).toLong
+    }
     val factKeyProj = UnsafeProjection.create(lKeys, leftOutput)
     val factTsProj = UnsafeProjection.create(Seq(lTs), leftOutput)
     val dimKeyProj = UnsafeProjection.create(rKeys, rightOutput)
@@ -129,6 +148,7 @@ class AsOfMerger(
       // reused on the next dim row)
       private var heldKey: UnsafeRow = null
       private var heldCarried: UnsafeRow = null
+      private var heldTs: UnsafeRow = null // nearest mode only
 
       override def hasNext: Boolean = factIter.hasNext
 
@@ -177,6 +197,7 @@ class AsOfMerger(
               } else if (c == 0 && tsOrd.compare(dimTsProj(nextDim), fTs) <= 0) {
                 heldKey = dKey.copy()
                 heldCarried = carriedProj(nextDim).copy()
+                if (nearest) heldTs = dimTsProj(nextDim).copy()
                 advance()
               } else {
                 scanning = false
@@ -187,7 +208,28 @@ class AsOfMerger(
         }
         val matched = !factUnmatchable && heldKey != null &&
           keyOrd.compare(heldKey, fKey) == 0
-        joined(fact, if (matched) heldCarried else nullCarried)
+        if (nearest) {
+          // the backward scan stopped exactly at the first dim AFTER the
+          // fact, so the lookahead row (if the key matches) is the forward
+          // candidate; pick the smaller |delta|, ties to backward (pandas)
+          val fwdOk = !factUnmatchable && nextDim != null && {
+            val dKey = dimKeyProj(nextDim)
+            !dKey.anyNull && !dimTsProj(nextDim).anyNull &&
+              keyOrd.compare(dKey, fKey) == 0
+          }
+          val pick: InternalRow =
+            if (matched && fwdOk) {
+              val ft = tsValue(fTs)
+              if (ft - tsValue(heldTs) <= tsValue(dimTsProj(nextDim)) - ft)
+                heldCarried
+              else carriedProj(nextDim)
+            } else if (matched) heldCarried
+            else if (fwdOk) carriedProj(nextDim)
+            else nullCarried
+          joined(fact, pick)
+        } else {
+          joined(fact, if (matched) heldCarried else nullCarried)
+        }
       }
 
       private def advance(): Unit =
@@ -223,7 +265,7 @@ case class AsOfJoinExec(
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    forward: Boolean = false)
+    direction: String = "backward")
   extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -244,7 +286,7 @@ case class AsOfJoinExec(
 
   private def merger = new AsOfMerger(
     left.output, right.output, leftKeys, rightKeys, leftTs, rightTs,
-    rightCarried, forward)
+    rightCarried, direction)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")

@@ -106,6 +106,53 @@ class AsOfNativeSpec extends SparkSpec {
     assert(fwd == bwd && fwd.exists(_._2.isDefined) && fwd.exists(_._2.isEmpty))
   }
 
+  test("nearest direction picks the smaller delta, ties to backward") {
+    // dim at t=10 and t=20 for k=1: facts probe both sides of the midpoint
+    val f = Seq((1L, 1L, 12L), (2L, 1L, 18L), (3L, 1L, 15L), // tie → backward
+      (4L, 1L, 3L), (5L, 1L, 99L), (6L, 2L, 1L), (7L, 3L, 5L))
+      .toDF("id", "k", "t")
+    val got = AsOf.asOfJoinNearestNative(f, dim, "k", "t", Seq("payload"))
+      .select("id", "asof_near_t", "asof_near_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some(10L), Some("v10")), // |12-10| < |20-12|
+      (2L, Some(20L), Some("v20")), // |18-20| < |18-10|
+      (3L, Some(10L), Some("v10")), // tie 5=5 → backward
+      (4L, Some(10L), Some("v10")), // only forward exists
+      (5L, Some(20L), Some("v20")), // only backward exists
+      (6L, Some(15L), Some("w15")), // k=2 forward-only
+      (7L, None, None)))            // k=3: no dim at all
+  }
+
+  test("nearest equals choose(backward, forward) on synthetic data") {
+    val f = spark.range(400).select(
+      col("id"), (col("id") % 13).as("k"), ((col("id") * 11) % 89).as("t"))
+    val d = spark.range(90).select(
+      (col("id") % 13).as("k"), ((col("id") * 31) % 89).as("t"),
+      concat(lit("p"), col("id")).as("payload"))
+      .groupBy("k", "t").agg(first("payload").as("payload"))
+    val near = AsOf.asOfJoinNearestNative(f, d, "k", "t", Seq("payload"), "x_")
+      .select("id", "x_t", "x_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    // reference: run backward and forward independently, choose per row
+    val b = AsOf.asOfJoinNative(f, d, "k", "t", Seq("payload"), "b_")
+    val fw = AsOf.asOfJoinForwardNative(f, d, "k", "t", Seq("payload"), "f_")
+    val want = b.join(fw.select("id", "f_t", "f_payload"), "id")
+      .select(col("id"), col("t"), col("b_t"), col("b_payload"), col("f_t"), col("f_payload"))
+      .as[(Long, Long, Option[Long], Option[String], Option[Long], Option[String])]
+      .collect().sortBy(_._1).toSeq
+      .map { case (id, t, bt, bp, ft2, fp) =>
+        (bt, ft2) match {
+          case (Some(x), Some(y)) =>
+            if (t - x <= y - t) (id, bt, bp) else (id, ft2, fp)
+          case (Some(_), None) => (id, bt, bp)
+          case (None, Some(_)) => (id, ft2, fp)
+          case _ => (id, None, None)
+        }
+      }
+    assert(near == want && near.exists(_._2.isDefined))
+  }
+
   test("composite keys cluster and merge on the full key tuple") {
     val d2 = Seq((1L, "a", 10L, "va"), (1L, "b", 10L, "vb"), (2L, "a", 5L, "w"))
       .toDF("k", "r", "t", "payload")
