@@ -134,4 +134,55 @@ object TopKProps extends Properties("TopKBuffers") {
         rk == xs.map(_._1).distinct.count(_ < key) + 1
       }
     }
+
+  // --- dynamic k (the ntile/percent_rank/cume_dist two-pass path): k is
+  // learned from the first row per partial, adopted across merges, and
+  // partials that saw no rows never learn one ---
+
+  private def splitMergeDynamicTopK(
+      xs: List[(Long, Long)], k: Int, seed: Long): TopKRowsBuffer = {
+    val rnd = new scala.util.Random(seed)
+    val parts = xs.grouped(math.max(1, if (xs.isEmpty) 1 else rnd.nextInt(xs.size) + 1))
+      .toSeq.map { slice =>
+        val b = new TopKRowsBuffer(-1, 1, 1, ord)
+        slice.foreach { case (key, id) => b.ensureK(k); b.add(pair(key, id)) }
+        b
+      }
+    val acc = new TopKRowsBuffer(-1, 1, 1, ord)
+    // same shuffle consumption as the static path (comparable tie order),
+    // plus a never-learned empty partial merged last
+    (rnd.shuffle(parts) :+ new TopKRowsBuffer(-1, 1, 1, ord)).foreach { o =>
+      if (o.k >= 0) acc.ensureK(o.k) // mirrors TopKRows.merge
+      acc.addAll(o)
+    }
+    acc
+  }
+
+  property("dynamic k: learned-k buffers equal the static-k result exactly") =
+    Prop.forAll(genCase) { case (xs, k, seed) =>
+      val got = splitMergeDynamicTopK(xs, k, seed)
+        .sortedTop().toSeq.map(r => (keyOf(r), idOf(r)))
+      val want = splitMergeTopK(xs, k, seed)
+        .sortedTop().toSeq.map(r => (keyOf(r), idOf(r)))
+      got == want
+    }
+
+  property("dynamic k = 0 keeps nothing; unlearned buffers keep everything") =
+    Prop.forAll(genCase) { case (xs, _, _) =>
+      val zero = new TopKRowsBuffer(-1, 1, 1, ord)
+      zero.ensureK(0)
+      xs.foreach { case (key, id) => zero.add(pair(key, id)) }
+      val unlearned = new TopKRowsBuffer(-1, 1, 1, ord)
+      xs.foreach { case (key, id) => unlearned.add(pair(key, id)) }
+      zero.sortedTop().isEmpty &&
+        unlearned.sortedTop().length == xs.length
+    }
+
+  property("peer counts equal each retained key's full multiplicity (cume_dist contract)") =
+    Prop.forAll(genCase) { case (xs, k, seed) =>
+      val (rows, _, peers) = splitMergeRank(xs, k, seed).rankedTopWithPeers()
+      rows.toSeq.map(keyOf).zip(peers.toSeq).forall { case (key, pc) =>
+        pc == xs.count(_._1 == key)
+      }
+    }
 }
