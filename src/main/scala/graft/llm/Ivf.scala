@@ -85,22 +85,87 @@ object Ivf {
   def ivfTopK(
       idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
+    // probe list: nProbe nearest centroids per query (|queries| × |centroids|
+    // over a broadcast centroid table — negligible)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("__cell").asc)
+    val probes = centroidDistances(idx.centroids, queries, idCol, vecCol)
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+    topKInProbedCells(idx, probes, idCol, vecCol, k)
+  }
+
+  /** ANN top-k with a CANDIDATE budget instead of a fixed probe count:
+    * each query probes its nearest cells (by centroid distance) until the
+    * probed cells together hold at least `minCandidates` corpus vectors.
+    * A fixed `nProbe` is blind to cell-population skew — a query landing
+    * in tiny cells scores almost nothing (recall collapses) while one in
+    * hot cells scores far more than it needs; driving the probe width
+    * from the cell histogram (nCells rows, computed once per index and
+    * broadcast) equalizes WORK per query, which is the quantity that
+    * actually bounds both recall and cost at 100 TB. Deterministic:
+    * probes open in (distance, cell id) order, and only the prefix sum of
+    * their sizes decides the cut.
+    *
+    * `minCandidates >= |corpus|` degenerates to exact brute force;
+    * `minCandidates = 1` probes exactly the nearest cell per query.
+    */
+  def ivfTopKAdaptive(
+      idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCandidates: Long): DataFrame =
+    topKInProbedCells(
+      idx, adaptiveProbes(idx, queries, idCol, vecCol, minCandidates),
+      idCol, vecCol, k)
+
+  /** The adaptive probe frame: one row per (query, probed cell), cut at
+    * the candidate budget. Package-visible so the spec can assert budget
+    * coverage and minimality per query.
+    */
+  private[graft] def adaptiveProbes(
+      idx: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      minCandidates: Long): DataFrame = {
+    require(minCandidates >= 1L, "minCandidates must be at least 1")
+    // nCells-row histogram; left join keeps empty cells probe-able at
+    // zero candidate cost
+    val sizes = idx.assigned.groupBy("__cell").agg(count(lit(1L)).as("__n"))
+    val withSizes = idx.centroids.join(sizes, Seq("__cell"), "left_outer")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__dist").asc, col("__cell").asc)
+    // exclusive prefix sum of probed-cell sizes: keep every probe that
+    // opens while the budget is still unmet — the crossing probe stays,
+    // everything after it is cut
+    val prior = sum(col("__n"))
+      .over(probeW.rowsBetween(Window.unboundedPreceding, -1))
+    centroidDistances(withSizes, queries, idCol, vecCol)
+      .withColumn("__prior", coalesce(prior, lit(0L)))
+      .filter(col("__prior") < minCandidates)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+  }
+
+  /** Per-(query, centroid) squared distances over a broadcast centroid
+    * table — the |queries| × nCells routing product both probe policies
+    * share.
+    */
+  private def centroidDistances(
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.l2Norm(col(vecCol)).as("__qn"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", sqDist(col("__qv"), col("__centroid")))
+
+  /** Exact-cosine top-k restricted to each query's probed cells: corpus
+    * vectors join the (tiny, broadcast) probe frame on cell id — shuffle
+    * linear in probed rows, never an all-pairs product.
+    */
+  private def topKInProbedCells(
+      idx: IvfIndex, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
     val cells = idx.assigned.select(
       col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"), col("__cell"))
-
-    // probe list: nProbe nearest centroids per query (|queries| × |centroids|
-    // over a broadcast centroid table — negligible)
-    val qd = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-        Similarity.l2Norm(col(vecCol)).as("__qn"))
-      .crossJoin(broadcast(idx.centroids))
-      .withColumn("__dist", sqDist(col("__qv"), col("__centroid")))
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__dist").asc, col("__cell").asc)
-    val probes = qd.withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
-
     val scored = cells.join(broadcast(probes), Seq("__cell"))
       .select(col("query_id"), col("corpus_id"),
         (Similarity.dotDecimal(col("__qv"), col("__cv")).cast("double") /

@@ -223,6 +223,20 @@ object Layout {
       manifest.filter((rangeConds ++ pointConds).reduce(_ && _)))
   }
 
+  /** The key columns a table's `_graft_manifest` describes, recovered
+    * from its `mn_<key>` bounds columns (every manifest writer records
+    * bounds for each key) — or Nil when the table carries no manifest.
+    * Lets a rewrite step learn what to refresh without the caller
+    * re-stating the keys.
+    */
+  def manifestKeys(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_manifest")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else spark.read.parquet(p.toString).schema.fieldNames.toSeq
+      .filter(_.startsWith("mn_")).map(_.stripPrefix("mn_"))
+  }
+
   /** Executor-side bloom membership test for `keys` against `keyCol`'s
     * manifest bloom column, with each probe key cast to the DATA's key
     * type before hashing (an `Int` probe on a BIGINT column would

@@ -63,13 +63,24 @@ object Staging {
     * key skip whole files via parquet min/max stats, and the small-file
     * metadata pressure (one footer+open per file per task at 100 TB) is
     * gone. Content is untouched; only layout changes.
+    *
+    * If the destination already carries a `_graft_manifest`
+    * ([[graft.operators.Layout.writeBloomManifests]]), the manifest
+    * describes files this rewrite deletes — it is re-derived for the same
+    * keys after the write (bloom columns normalized to the per-key
+    * `bloom_<key>` names, default fpp), so a caller's pruned reads keep
+    * working across compactions instead of silently probing a dead file
+    * list.
     */
   def compact(
       spark: SparkSession, df: DataFrame, sortCol: String, nFiles: Int,
       path: String): DataFrame = {
+    val manifestKeys = graft.operators.Layout.manifestKeys(spark, path)
     df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+    if (manifestKeys.nonEmpty)
+      graft.operators.Layout.writeBloomManifests(spark, path, manifestKeys)
     spark.read.parquet(path)
   }
 

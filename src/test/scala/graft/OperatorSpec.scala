@@ -562,6 +562,37 @@ class OperatorSpec extends SparkSpec {
       .filter(col("doc_id") === -12345L).isEmpty)
   }
 
+  test("compact refreshes an existing bloom manifest for the rewritten files") {
+    import graft.operators.Layout
+    import graft.sources.{Staging, Tables}
+    val base = s"${GraftSession.scratchRoot}/graft-compact-manifest"
+    val root = s"$base/tbl"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    Staging.compact(spark, docs, "doc_id", 8, root)
+    Layout.writeBloomManifest(spark, root, "doc_id")
+    assert(Layout.manifestKeys(spark, root) == Seq("doc_id"))
+
+    // rewrite the destination from fresh input: the old manifest describes
+    // 8 files this compaction deletes — it must come back describing the 4
+    // new ones, without the caller re-stating the keys
+    val frag = Staging.stageRoundtrip(spark, docs.repartition(16), s"$base/frag")
+    Staging.compact(spark, frag, "doc_id", 4, root)
+    val manifest = spark.read.parquet(s"$root/_graft_manifest")
+    assert(manifest.count() == 4, "manifest must describe the 4 new files")
+    val live = new java.io.File(root).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val described = manifest.select("arquivo").as[String].collect()
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(described.subsetOf(live), s"manifest names dead files: ${described -- live}")
+
+    val probe = docs.select(min(col("doc_id"))).as[Long].head()
+    val pruned = Layout.bloomPrunedRead(spark, root, "doc_id", Seq(probe))
+    assert(pruned.select(input_file_name()).distinct().count() <= 2,
+      "refreshed bloom should prune to the owning file(s)")
+    assert(pruned.filter(col("doc_id") === probe).count() ==
+      docs.filter(col("doc_id") === probe).count())
+  }
+
   test("scd2Delta emits exactly the changes scd2Apply makes") {
     import graft.operators.Scd
     val history = Seq(

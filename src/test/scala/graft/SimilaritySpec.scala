@@ -196,6 +196,72 @@ class SimilaritySpec extends SparkSpec {
     graft.llm.CacheScope.releaseAll()
   }
 
+  test("adaptive IVF probes are exactly the minimal nearest-cell prefix covering the budget") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.llm.Ivf.index(emb, "vec_id", "embedding", nCells = 8)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val sizes = idx.assigned.groupBy("__cell").agg(count(lit(1)).as("n"))
+      .select("__cell", "n").as[(Int, Long)].collect().toMap
+    val cents = idx.centroids.select("__cell", "__centroid")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val qvecs = q.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val budget = 150L
+    val got = graft.llm.Ivf.adaptiveProbes(idx, q, "vec_id", "embedding", budget)
+      .select("query_id", "__cell").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == qvecs.map(_._1).toSet)
+    qvecs.foreach { case (qid, qv) =>
+      // replay the routing independently: cells in (squared distance, cell
+      // id) order, kept while the exclusive prefix sum of their populations
+      // is under budget — the same left-to-right double fold as sqDist
+      val order = cents.map { case (c, cent) =>
+        val d = qv.iterator.zip(cent.iterator)
+          .foldLeft(0.0) { case (acc, (x, cc)) =>
+            val dd = x.toDouble - cc; acc + dd * dd
+          }
+        (d, c)
+      }.sortBy(identity).map(_._2)
+      val kept = scala.collection.mutable.ListBuffer[Int]()
+      var held = 0L
+      val it = order.iterator
+      while (held < budget && it.hasNext) {
+        val c = it.next(); kept += c; held += sizes.getOrElse(c, 0L)
+      }
+      assert(got(qid) == kept.toSet,
+        s"query $qid probed ${got(qid).toSeq.sorted}, expected ${kept.sorted}")
+    }
+    graft.llm.CacheScope.releaseAll()
+  }
+
+  test("adaptive IVF: full budget = brute force, recall monotone, budget 1 finds self") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = graft.llm.Ivf.index(emb, "vec_id", "embedding", nCells = 8)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val total = emb.count()
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().sorted.toSeq
+    val truth = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k))
+    // a budget covering the corpus probes every populated cell → the exact
+    // same candidate set, cosines and tie-breaks as brute force
+    assert(pairs(graft.llm.Ivf.ivfTopKAdaptive(
+      idx, q, "vec_id", "embedding", k, total)) == truth)
+    // larger budgets probe supersets of cells, so recall never drops
+    val t = truth.toSet
+    val small = pairs(graft.llm.Ivf.ivfTopKAdaptive(idx, q, "vec_id", "embedding", k, 64L))
+    val big = pairs(graft.llm.Ivf.ivfTopKAdaptive(idx, q, "vec_id", "embedding", k, 512L))
+    assert(big.count(t) >= small.count(t),
+      s"recall fell from ${small.count(t)} to ${big.count(t)} as the budget grew")
+    // budget 1 probes exactly the nearest cell — the query's own cell, so a
+    // corpus query still retrieves itself at rank 1
+    val self1 = graft.llm.Ivf.ivfTopKAdaptive(idx, q, "vec_id", "embedding", 1, 1L)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Long)].collect()
+    val qids = q.select("vec_id").as[Long].collect()
+    assert(qids.forall(qq => self1.exists { case (a, b, r) => a == qq && b == qq && r == 1L }))
+    graft.llm.CacheScope.releaseAll()
+  }
+
   test("ANN recall against brute force is substantial at 2 planes") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") % 100 === 0)
