@@ -1377,6 +1377,24 @@ object SparkEntry {
       val ords = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
       ordered(Layout.zorderValue(ords, Seq("o_custkey", "o_orderkey")))
     },
+
+    // CDC changelog apply: orders replayed as a change log onto the
+    // customer snapshot — the LATEST change per customer wins (o_orderkey
+    // is the unique sequence), final status F deletes the row, anything
+    // else replaces it with the change's row image. Winner via the
+    // bounded-heap TopKRows aggregate; snapshot probed with a broadcast
+    // anti join (never shuffled).
+    "q98_cdc_apply" -> { (s, dir) =>
+      val target = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val changes = Tables.orders(s, dir).select(
+        col("o_custkey").as("c_custkey"),
+        concat(lit("upd_"), col("o_orderkey")).as("c_name"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
+      ordered(Cdc.applyChangelog(target, changes, Seq("c_custkey"), "seq", "op"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2893,6 +2911,25 @@ object SparkEntry {
         |    OVER (PARTITION BY l_suppkey) AS DOUBLE) AS grp_qty,
         |  count(*) OVER (PARTITION BY l_suppkey) AS grp_n
         |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q98_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey,
+        |         'upd_' || o_orderkey AS c_name,
+        |         o_totalprice AS c_acctbal,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders),
+        |w AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY c_custkey
+        |                                    ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.c_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM w WHERE op <> 'D'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -100,11 +100,23 @@ object AsOf {
     * `direction`: "backward" (latest at-or-before, default), "forward"
     * (earliest at-or-after) or "nearest" (smaller |delta|, ties
     * backward).
+    *
+    * The remaining pandas `merge_asof` knobs, applied in the same merge
+    * pass at zero extra cost:
+    *  - `tolerance` (≥ 0): a candidate farther than this from the fact's
+    *    ts does NOT match (the fact keeps null payloads). Raw ts units —
+    *    µs for timestamps, days for dates; integral/timestamp ts only.
+    *  - `allowExactMatches = false`: `dim.ts == fact.ts` no longer
+    *    matches — backward becomes strictly-before, forward strictly-
+    *    after (a same-instant dim row must not leak into the feature row
+    *    it describes). Unsupported for `nearest`, which would need a
+    *    look past equal-ts runs.
     */
   def asOfJoinNativeKeys(
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String], tsCol: String,
       payloadCols: Seq[String], prefix: String = "asof_",
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward", tolerance: Long = -1L,
+      allowExactMatches: Boolean = true): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     import org.apache.spark.sql.graft.Shims
@@ -140,6 +152,7 @@ object AsOf {
       lp, rp,
       leftKeys = keyCols.map(attrOf(lp, _)), rightKeys = keyCols.map(attrOf(rp, _)),
       leftTs = attrOf(lp, tsCol), rightTs = rightTs,
-      rightCarried = rightCarried, outAttrs = outAttrs, direction = direction))
+      rightCarried = rightCarried, outAttrs = outAttrs, direction = direction,
+      tolerance = tolerance, allowExact = allowExactMatches))
   }
 }

@@ -73,4 +73,55 @@ object Incremental {
         measures.map(m => col(s"__d_$m").as(m)): _*)
     updated.unionByName(fresh)
   }
+
+  /** Per-group DISTINCT-count sketches (Apache DataSketches HLL via
+    * Spark's `hll_sketch_agg` family) for the measure [[mergeAggregate]]
+    * cannot maintain: exact distinct counts don't decompose —
+    * `count_distinct(A ∪ B)` is not a function of the two counts, so a
+    * materialized exact distinct forces a full base-table recompute per
+    * batch. HLL registers merge by max: folding a delta's sketches into
+    * the view reaches the SAME register state as sketching the union from
+    * scratch, so the maintained view never drifts from its definition —
+    * at a bounded relative error (±~1.6 % at the default lgK=12, 2.5 KB
+    * per group) instead of an O(100 TB) refresh.
+    *
+    * `distinctSketch` builds the materialized rollup (one binary sketch
+    * column per group, map-side combined);
+    */
+  def distinctSketch(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      sketchCol: String = "distinct_sketch", lgK: Int = 12): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as(sketchCol))
+
+  /** Fold a raw delta batch into a [[distinctSketch]] rollup. Same
+    * broadcast discipline as [[mergeAggregate]]: the delta reduces to its
+    * own batch-sized sketch rollup first; the materialized side LEFT-joins
+    * that broadcast and `hll_union`s sketches where keys match (the view
+    * never shuffles); brand-new groups arrive via the anti-joined delta
+    * rollup. Null-safe key equality for the same reason as there.
+    */
+  def mergeDistinctSketch(
+      mat: DataFrame, delta: DataFrame, keys: Seq[String], valueCol: String,
+      sketchCol: String = "distinct_sketch", lgK: Int = 12): DataFrame = {
+    val deltaAgg0 = distinctSketch(delta, keys, valueCol, sketchCol, lgK)
+    val deltaAgg = deltaAgg0.select(keys.map(col) :+
+      col(sketchCol).as(s"__d_$sketchCol"): _*)
+    val updated = mat.join(broadcast(deltaAgg),
+        keys.map(c => mat(c) <=> deltaAgg(c)).reduce(_ && _), "left")
+      .select(keys.map(mat(_)) :+
+        when(col(s"__d_$sketchCol").isNull, mat(sketchCol))
+          .otherwise(hll_union(mat(sketchCol), col(s"__d_$sketchCol")))
+          .as(sketchCol): _*)
+    val deltaKeys = deltaAgg0.select(keys.map(col): _*)
+    val existingKeys = mat.select(keys.map(col): _*)
+      .join(broadcast(deltaKeys),
+        keys.map(c => mat(c) <=> deltaKeys(c)).reduce(_ && _), "left_semi")
+    val fresh = deltaAgg0.join(broadcast(existingKeys),
+      keys.map(c => deltaAgg0(c) <=> existingKeys(c)).reduce(_ && _), "left_anti")
+    updated.unionByName(fresh)
+  }
+
+  /** Read a sketch column back as an approximate distinct count. */
+  def sketchEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
 }

@@ -54,7 +54,9 @@ case class AsOfJoinNode(
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    direction: String = "backward")
+    direction: String = "backward",
+    tolerance: Long = -1L,
+    allowExact: Boolean = true)
   extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -75,7 +77,8 @@ object AsOfJoinStrategy extends SparkStrategy {
     case n: AsOfJoinNode =>
       AsOfJoinExec(planLater(n.left), planLater(n.right),
         n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightCarried, n.outAttrs, n.direction) :: Nil
+        n.rightCarried, n.outAttrs, n.direction, n.tolerance,
+        n.allowExact) :: Nil
     case _ => Nil
   }
 }
@@ -102,7 +105,9 @@ class AsOfMerger(
     lTs: Attribute,
     rTs: Attribute,
     carried: Seq[Attribute],
-    direction: String = "backward") extends Serializable {
+    direction: String = "backward",
+    tolerance: Long = -1L,
+    allowExact: Boolean = true) extends Serializable {
 
   require(rKeys.map(_.dataType) == lKeys.map(_.dataType) &&
     rTs.dataType == lTs.dataType,
@@ -111,14 +116,22 @@ class AsOfMerger(
     s"unknown as-of direction '$direction'")
   private val forward = direction == "forward"
   private val nearest = direction == "nearest"
-  // `nearest` needs |delta| arithmetic, not just ordering: restrict to ts
-  // types whose single-field row value is an integral we can subtract
-  if (nearest) {
+  // strict (non-exact) matching would need a look PAST runs of equal-ts
+  // dim rows for the nearest direction's forward candidate — unsupported;
+  // backward/forward strictness is a one-comparison change
+  require(allowExact || !nearest,
+    "nearest as-of does not support allowExact = false")
+  // `nearest` and `tolerance` need |delta| arithmetic, not just ordering:
+  // restrict to ts types whose single-field row value is an integral we
+  // can subtract (tolerance is in the ts column's raw units — µs for
+  // timestamps, days for dates)
+  if (nearest || tolerance >= 0L) {
     import org.apache.spark.sql.types._
     require(Seq(LongType, IntegerType, TimestampType, DateType)
       .exists(_ == lTs.dataType),
-      s"nearest as-of needs an integral/timestamp ts, got ${lTs.dataType}")
+      s"nearest/tolerance as-of needs an integral/timestamp ts, got ${lTs.dataType}")
   }
+  private val needTsState = nearest || tolerance >= 0L
 
   def create(
       factIter: Iterator[InternalRow],
@@ -171,7 +184,9 @@ class AsOfMerger(
                 advance()
               } else {
                 val c = keyOrd.compare(dKey, fKey)
-                if (c < 0 || (c == 0 && tsOrd.compare(dimTsProj(nextDim), fTs) < 0)) {
+                val cTs =
+                  if (c == 0) tsOrd.compare(dimTsProj(nextDim), fTs) else 0
+                if (c < 0 || (c == 0 && (cTs < 0 || (!allowExact && cTs == 0)))) {
                   advance()
                 } else {
                   fwdMatched = c == 0
@@ -181,8 +196,9 @@ class AsOfMerger(
               if (nextDim == null) scanning = false
             }
           }
-          return joined(fact,
-            if (fwdMatched) carriedProj(nextDim) else nullCarried)
+          val fwdOk = fwdMatched && (tolerance < 0L ||
+            tsValue(dimTsProj(nextDim)) - tsValue(fTs) <= tolerance)
+          return joined(fact, if (fwdOk) carriedProj(nextDim) else nullCarried)
         }
         if (!factUnmatchable) {
           var scanning = nextDim != null
@@ -192,12 +208,14 @@ class AsOfMerger(
               advance()
             } else {
               val c = keyOrd.compare(dKey, fKey)
+              val cTs =
+                if (c == 0) tsOrd.compare(dimTsProj(nextDim), fTs) else 0
               if (c < 0) {
                 advance()
-              } else if (c == 0 && tsOrd.compare(dimTsProj(nextDim), fTs) <= 0) {
+              } else if (c == 0 && (cTs < 0 || (allowExact && cTs == 0))) {
                 heldKey = dKey.copy()
                 heldCarried = carriedProj(nextDim).copy()
-                if (nearest) heldTs = dimTsProj(nextDim).copy()
+                if (needTsState) heldTs = dimTsProj(nextDim).copy()
                 advance()
               } else {
                 scanning = false
@@ -217,18 +235,24 @@ class AsOfMerger(
             !dKey.anyNull && !dimTsProj(nextDim).anyNull &&
               keyOrd.compare(dKey, fKey) == 0
           }
+          val ft = if (factUnmatchable) 0L else tsValue(fTs)
+          val bOk = matched &&
+            (tolerance < 0L || ft - tsValue(heldTs) <= tolerance)
+          val fOk = fwdOk &&
+            (tolerance < 0L || tsValue(dimTsProj(nextDim)) - ft <= tolerance)
           val pick: InternalRow =
-            if (matched && fwdOk) {
-              val ft = tsValue(fTs)
+            if (bOk && fOk) {
               if (ft - tsValue(heldTs) <= tsValue(dimTsProj(nextDim)) - ft)
                 heldCarried
               else carriedProj(nextDim)
-            } else if (matched) heldCarried
-            else if (fwdOk) carriedProj(nextDim)
+            } else if (bOk) heldCarried
+            else if (fOk) carriedProj(nextDim)
             else nullCarried
           joined(fact, pick)
         } else {
-          joined(fact, if (matched) heldCarried else nullCarried)
+          val ok = matched && (tolerance < 0L ||
+            tsValue(fTs) - tsValue(heldTs) <= tolerance)
+          joined(fact, if (ok) heldCarried else nullCarried)
         }
       }
 
@@ -265,7 +289,9 @@ case class AsOfJoinExec(
     rightTs: Attribute,
     rightCarried: Seq[Attribute],
     outAttrs: Seq[Attribute],
-    direction: String = "backward")
+    direction: String = "backward",
+    tolerance: Long = -1L,
+    allowExact: Boolean = true)
   extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
@@ -286,7 +312,7 @@ case class AsOfJoinExec(
 
   private def merger = new AsOfMerger(
     left.output, right.output, leftKeys, rightKeys, leftTs, rightTs,
-    rightCarried, direction)
+    rightCarried, direction, tolerance, allowExact)
 
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")

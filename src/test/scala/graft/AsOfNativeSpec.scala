@@ -153,6 +153,119 @@ class AsOfNativeSpec extends SparkSpec {
     assert(near == want && near.exists(_._2.isDefined))
   }
 
+  test("allowExactMatches=false: same-instant dim rows no longer match") {
+    // backward: the dim at exactly fact.ts is skipped, the previous one wins
+    val f = Seq((1L, 1L, 10L), (2L, 1L, 19L), (3L, 1L, 20L), (4L, 2L, 15L))
+      .toDF("id", "k", "t")
+    val strictB = AsOf.asOfJoinNativeKeys(f, dim, Seq("k"), "t", Seq("payload"),
+        allowExactMatches = false)
+      .select("id", "asof_t", "asof_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(strictB == Seq(
+      (1L, None, None),             // only dim at t=10 == fact ts: excluded
+      (2L, Some(10L), Some("v10")),
+      (3L, Some(10L), Some("v10")), // dim at 20 == fact ts: previous wins
+      (4L, None, None)))            // w15 at exactly 15: excluded
+    // forward: the dim at exactly fact.ts is skipped, the next one wins
+    val strictF = AsOf.asOfJoinNativeKeys(f, dim, Seq("k"), "t", Seq("payload"),
+        prefix = "n_", direction = "forward", allowExactMatches = false)
+      .select("id", "n_t", "n_payload")
+      .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    assert(strictF == Seq(
+      (1L, Some(20L), Some("v20")), // 10 excluded → 20
+      (2L, Some(20L), Some("v20")),
+      (3L, None, None),             // 20 excluded, nothing after
+      (4L, None, None)))            // 15 excluded
+  }
+
+  test("strict backward equals exact backward on a +1-shifted dim axis") {
+    val f = spark.range(500).select(
+      col("id"), (col("id") % 17).as("k"), ((col("id") * 13) % 97).as("t"))
+    val d = spark.range(120).select(
+      (col("id") % 17).as("k"), ((col("id") * 29) % 97).as("t"),
+      concat(lit("p"), col("id")).as("payload"))
+      .groupBy("k", "t").agg(first("payload").as("payload"))
+      .withColumn("t0", col("t"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "asof_t0", "asof_payload")
+        .as[(Long, Option[Long], Option[String])].collect().sortBy(_._1).toSeq
+    // dim.ts < fact.ts  ⟺  dim.ts + 1 <= fact.ts on an integer axis
+    val strict = rows(AsOf.asOfJoinNativeKeys(
+      f, d, Seq("k"), "t", Seq("t0", "payload"), allowExactMatches = false))
+    val shifted = rows(AsOf.asOfJoinNativeKeys(
+      f, d.withColumn("t", col("t") + 1), Seq("k"), "t", Seq("t0", "payload")))
+    assert(strict == shifted && strict.exists(_._2.isDefined))
+    // strictness only ever shrinks the candidate set: wherever the strict
+    // join matched, the exact join matched a dim row at-or-after it
+    val exact = rows(AsOf.asOfJoinNativeKeys(
+      f, d, Seq("k"), "t", Seq("t0", "payload")))
+      .map { case (id, t0, _) => id -> t0 }.toMap
+    assert(strict.forall { case (id, t0, _) =>
+      t0.isEmpty || exact(id).exists(_ >= t0.get) })
+  }
+
+  test("tolerance: matches farther than the bound become nulls, all directions") {
+    val f = Seq((1L, 1L, 10L), (2L, 1L, 19L), (3L, 1L, 25L), (4L, 1L, 5L))
+      .toDF("id", "k", "t")
+    val b = AsOf.asOfJoinNativeKeys(f, dim, Seq("k"), "t", Seq("payload"),
+        tolerance = 5L)
+      .select("id", "asof_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(b == Seq(
+      (1L, Some("v10")),  // delta 0
+      (2L, None),         // nearest-before is 10, delta 9 > 5
+      (3L, Some("v20")),  // delta 5 == tolerance: inclusive
+      (4L, None)))        // no dim at-or-before at all
+    val fw = AsOf.asOfJoinNativeKeys(f, dim, Seq("k"), "t", Seq("payload"),
+        prefix = "n_", direction = "forward", tolerance = 4L)
+      .select("id", "n_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(fw == Seq(
+      (1L, Some("v10")),  // delta 0
+      (2L, Some("v20")),  // next is 20, delta 1
+      (3L, None),         // nothing after
+      (4L, None)))        // next is 10, delta 5 > 4
+    // nearest: tolerance filters each candidate INDEPENDENTLY — when the
+    // nearer side is out of bounds the farther-but-in-bounds side wins
+    val nr = AsOf.asOfJoinNativeKeys(
+        Seq((1L, 1L, 12L), (2L, 1L, 16L), (3L, 1L, 12L)).toDF("id", "k", "t"),
+        dim, Seq("k"), "t", Seq("payload"),
+        prefix = "x_", direction = "nearest", tolerance = 5L)
+      .select("id", "x_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(nr == Seq(
+      (1L, Some("v10")),  // b delta 2 in, f delta 8 out → backward
+      (2L, Some("v20")),  // b delta 6 out, f delta 4 in → forward
+      (3L, Some("v10"))))
+    val none = AsOf.asOfJoinNativeKeys(
+        Seq((1L, 1L, 14L)).toDF("id", "k", "t"),
+        dim, Seq("k"), "t", Seq("payload"),
+        prefix = "x_", direction = "nearest", tolerance = 3L)
+      .select("id", "x_payload").as[(Long, Option[String])].collect().toSeq
+    assert(none == Seq((1L, None))) // b delta 4 and f delta 6 both out
+  }
+
+  test("tolerance equals the window form with out-of-bound payloads nulled") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("t", unix_micros(col("ts")))
+    val d = ev.filter(col("event_type") === "error").select("user_id", "t", "value")
+    val f = ev.filter(col("event_type") =!= "error")
+      .select("event_id", "user_id", "t")
+    val tol = 3600L * 1000000L // one hour in µs
+    val native = AsOf.asOfJoinNativeKeys(
+        f, d, Seq("user_id"), "t", Seq("value"), "cfg_", tolerance = tol)
+      .select("event_id", "cfg_t", "cfg_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    val window = AsOf.asOfJoin(f, d, "user_id", "t", Seq("value"), "cfg_")
+      .select(col("event_id"),
+        when(col("t") - col("cfg_t") <= tol, col("cfg_t")).as("cfg_t"),
+        when(col("t") - col("cfg_t") <= tol, col("cfg_value")).as("cfg_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(native == window && native.exists(_._2.isDefined) &&
+      native.exists(_._2.isEmpty))
+  }
+
   test("composite keys cluster and merge on the full key tuple") {
     val d2 = Seq((1L, "a", 10L, "va"), (1L, "b", 10L, "vb"), (2L, "a", 5L, "w"))
       .toDF("k", "r", "t", "payload")

@@ -421,6 +421,35 @@ class OperatorSpec extends SparkSpec {
       "folded view must equal from-scratch aggregate (null keys must merge, not duplicate)")
   }
 
+  test("mergeDistinctSketch folds a delta to the recomputed sketch state, bounded error") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val mat = Incremental.distinctSketch(a, Seq("lang"), "doc_id")
+    def estimates(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("lang"),
+          Incremental.sketchEstimate(col("distinct_sketch")).cast("long").as("est"))
+        .as[(String, Long)].collect().toMap
+    val merged = estimates(Incremental.mergeDistinctSketch(mat, b, Seq("lang"), "doc_id"))
+    // register-max merging is associative: folding the delta in reaches the
+    // same estimates as sketching everything from scratch
+    val full = estimates(Incremental.distinctSketch(docs, Seq("lang"), "doc_id"))
+    assert(merged == full, s"merged $merged != recomputed $full")
+    // and the estimates track the exact distinct counts within HLL error
+    val exact = docs.groupBy("lang").agg(count_distinct(col("doc_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(exact.keySet == merged.keySet)
+    exact.foreach { case (lang, n) =>
+      assert(math.abs(merged(lang) - n) <= math.max(2L, (n * 0.05).toLong),
+        s"$lang: estimate ${merged(lang)} vs exact $n")
+    }
+    // a group only the delta has must arrive through the anti-join path
+    val withNew = Incremental.mergeDistinctSketch(
+      mat, b.withColumn("lang", lit("zz")), Seq("lang"), "doc_id")
+    assert(withNew.filter(col("lang") === "zz").count() == 1)
+  }
+
   test("compaction rewrites into nFiles disjoint-range files, content intact") {
     import graft.sources.{Staging, Tables}
     val root = s"${GraftSession.scratchRoot}/graft-compact-spec"
@@ -591,6 +620,28 @@ class OperatorSpec extends SparkSpec {
       "refreshed bloom should prune to the owning file(s)")
     assert(pruned.filter(col("doc_id") === probe).count() ==
       docs.filter(col("doc_id") === probe).count())
+  }
+
+  test("applyChangelog: latest change wins — deletes drop, upserts insert or replace") {
+    import graft.operators.Cdc
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (2L, "b2", 21.0, 1L, "U"), (2L, "dead", 0.0, 2L, "D"), // delete after update → gone
+      (3L, "dead", 0.0, 1L, "D"), (3L, "c2", 33.0, 2L, "U"), // update after delete → restored
+      (4L, "d", 40.0, 1L, "I"))                              // insert of a missing key
+      .toDF("k", "name", "bal", "seq", "op")
+    val got = Cdc.applyChangelog(target, changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 10.0), (3L, "c2", 33.0), (4L, "d", 40.0)))
+    // plan contracts: winner per key through the bounded-heap aggregate
+    // (map-side capped), target probed by a broadcast anti join (the
+    // snapshot side must never shuffle)
+    val plan = planString(Cdc.applyChangelog(target, changes, Seq("k"), "seq", "op"))
+    assert(plan.contains("ObjectHashAggregate"), s"winner not heap-aggregated:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"target not probed via broadcast anti join:\n$plan")
+    assert(!plan.contains("Window"), s"changelog must not window-sort:\n$plan")
   }
 
   test("scd2Delta emits exactly the changes scd2Apply makes") {
