@@ -32,6 +32,13 @@ trait Sink {
     * batch. Incoming wins on conflict, exactly [[Upsert.upsert]].
     */
   def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit
+
+  /** Remove every target row whose key tuple appears in `keyRows` (one
+    * column per key, same names; extra columns ignored). The delete half
+    * of the changelog contract ([[graft.operators.Cdc]]): [[upsert]]
+    * covers inserts/updates, this covers tombstones.
+    */
+  def deleteKeys(spark: SparkSession, table: String, keys: Seq[String], keyRows: DataFrame): Unit
 }
 
 /** Parquet-directory sink: `root/<table>` per table, optional chunk-column
@@ -55,12 +62,25 @@ final class ParquetSink(root: String, chunkCol: Option[String] = None) extends S
 
   def read(spark: SparkSession, table: String): DataFrame = spark.read.parquet(path(table))
 
-  def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
-    val staging = s"${table}__graft_staging"
+  def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit =
     // Bloom-pruned merge: bloom-negative target rows stream scan→write
     // without touching the anti-join (see Upsert.upsertBloomPruned).
-    write(Upsert.upsertBloomPruned(read(spark, table), incoming, keys),
-      staging, SaveMode.Overwrite)
+    stagedRewrite(spark, table)(Upsert.upsertBloomPruned(_, incoming, keys))
+
+  def deleteKeys(spark: SparkSession, table: String, keys: Seq[String], keyRows: DataFrame): Unit =
+    stagedRewrite(spark, table)(_.join(
+      org.apache.spark.sql.functions.broadcast(
+        keyRows.selectExpr(keys: _*).distinct()),
+      keys, "left_anti"))
+
+  /** Rewrite the table through `transform`, staged to a sibling directory
+    * and swapped in (parquet can't mutate in place, and overwriting the
+    * directory a plan is scanning would corrupt the read).
+    */
+  private def stagedRewrite(spark: SparkSession, table: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val staging = s"${table}__graft_staging"
+    write(transform(read(spark, table)), staging, SaveMode.Overwrite)
     val (live, tmp) = (new java.io.File(path(table)), new java.io.File(path(staging)))
     import scala.reflect.io.Directory
     new Directory(live).deleteRecursively()
@@ -108,6 +128,18 @@ final class JdbcSink(
     * `ALTER/RENAME` on the target DB.
     */
   def upsert(spark: SparkSession, incoming: DataFrame, table: String, keys: Seq[String]): Unit = {
+    batchDelete(table, keys, incoming)
+    append(incoming, table)
+  }
+
+  def deleteKeys(spark: SparkSession, table: String, keys: Seq[String], keyRows: DataFrame): Unit =
+    batchDelete(table, keys, keyRows)
+
+  /** Distributed batched DELETE of `keyRows`' key set — one connection per
+    * partition, `batchSize` statements per round trip (the reference's
+    * `deletar_conflitos` shape).
+    */
+  private def batchDelete(table: String, keys: Seq[String], keyRows: DataFrame): Unit = {
     val (u, props, bs) = (url, properties, batchSize) // don't close over `this`
     // Spark's JDBC writer creates columns with dialect-quoted (case-exact)
     // identifiers — the DELETE must quote the same way or case-folding
@@ -129,8 +161,7 @@ final class JdbcSink(
         st.executeBatch()
       } finally conn.close()
     }
-    incoming.select(keys.head, keys.tail: _*).distinct().foreachPartition(deleteOne)
-    append(incoming, table)
+    keyRows.select(keys.head, keys.tail: _*).distinct().foreachPartition(deleteOne)
   }
 
   /** Single-connection transactional upsert — the reference's atomicity

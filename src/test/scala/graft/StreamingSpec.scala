@@ -245,6 +245,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC apply folds micro-batches to the batch changelog result") {
+    import graft.operators.Cdc
+    import graft.sources.ParquetSink
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v")
+    val sink = new ParquetSink(
+      java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString)
+    sink.overwrite(target, "t")
+    val mem = MemoryStream[(Long, String, Double, Long, String)]
+    val q = Cdc.applyChangelogStream(
+      mem.toDF.toDF("k", "tag", "v", "seq", "op"), sink, "t",
+      Seq("k"), "seq", "op",
+      java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString)
+    try {
+      // batch 1 upserts a key the stream later deletes — the delete must
+      // land on the already-folded state, not the original snapshot
+      mem.addData((2L, "b2", 21.0, 1L, "U"), (4L, "d", 40.0, 2L, "I"))
+      q.processAllAvailable()
+      mem.addData((2L, "dead", 0.0, 3L, "D"), (3L, "c2", 33.0, 4L, "U"))
+      q.processAllAvailable()
+      val got = sink.read(spark, "t").as[(Long, String, Double)].collect().toSet
+      val wholeLog = Seq(
+        (2L, "b2", 21.0, 1L, "U"), (4L, "d", 40.0, 2L, "I"),
+        (2L, "dead", 0.0, 3L, "D"), (3L, "c2", 33.0, 4L, "U"))
+        .toDF("k", "tag", "v", "seq", "op")
+      val batchForm = Cdc.applyChangelog(target, wholeLog, Seq("k"), "seq", "op")
+        .as[(Long, String, Double)].collect().toSet
+      assert(got == batchForm &&
+        got == Set((1L, "a", 10.0), (3L, "c2", 33.0), (4L, "d", 40.0)))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins each micro-batch against the dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((7L, "premium"), (8L, "free")).toDF("user_id", "segmento")
