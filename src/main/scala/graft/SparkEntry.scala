@@ -1378,6 +1378,22 @@ object SparkEntry {
       ordered(Layout.zorderValue(ords, Seq("o_custkey", "o_orderkey")))
     },
 
+    // Keyword/BM25 retrieval — the lexical twin of q89's embedding RAG:
+    // inverted postings (one scan-level tokenize→explode→combine), the
+    // fixed 8-query batch BROADCAST onto the postings (the corpus never
+    // shuffles for candidate generation), log-free idf so every score op
+    // is correctly-rounded IEEE arithmetic DuckDB replays bit-for-bit,
+    // bounded-heap top-5 per query.
+    // maxDfFraction is lifted to 1.0 here: the synthetic corpus draws from
+    // a ~31-word vocabulary, so every term exceeds the 0.5 near-stopword
+    // default (which is the right default against a real Zipf vocabulary).
+    "q99_bm25_retrieval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      ordered(llm.Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 5,
+        maxDfFraction = 1.0))
+    },
+
     // CDC changelog apply: orders replayed as a change log onto the
     // customer snapshot — the LATEST change per customer wins (o_orderkey
     // is the unique sequence), final status F deletes the row, anything
@@ -2911,6 +2927,51 @@ object SparkEntry {
         |    OVER (PARTITION BY l_suppkey) AS DOUBLE) AS grp_qty,
         |  count(*) OVER (PARTITION BY l_suppkey) AS grp_n
         |FROM lineitem ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // BM25 replayed exactly: same tokenization as q55, df from the
+    // candidate set, one-row corpus stats, and the identical double
+    // expression tree (constants combined IN the engine — `1.2 + 1.0`
+    // mirrors Spark's lit(k1) + lit(1.0)); per-term contributions sum in
+    // DECIMAL(38,18) on both sides.
+    "q99_bm25_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(dl) AS HUGEINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8)),
+        |cand AS (
+        |  SELECT q.query_id, q.term, p.doc_id, p.tf, d.dl
+        |  FROM q JOIN post p USING (term) JOIN dl d USING (doc_id)),
+        |dfreq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cand GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(CAST(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM cand JOIN dfreq USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
+        |  GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
+        |FROM scored
+        |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q98_cdc_apply" ->
       """WITH ch AS (

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** BM25 keyword retrieval ([[graft.llm.Retrieval]]): postings exactness,
+  * self-retrieval on the real corpus, and the plan contracts (broadcast
+  * candidate generation, bounded-heap ranking).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("postings carry exact term frequencies and document lengths") {
+    val docs = Seq((1L, "a b A"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.postings(docs, "doc_id", "text")
+      .as[(String, Long, Int, Long)].collect().toSet
+    // lowercased: "A" folds into "a"'s tf
+    assert(got == Set(
+      ("a", 1L, 3, 2L), ("b", 1L, 3, 1L),
+      ("b", 2L, 2, 1L), ("c", 2L, 2, 1L)))
+  }
+
+  test("bm25 scores equal an independent bit-exact replay on a hand corpus") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry apple date"), (4L, "date egg"), (5L, "egg fig banana"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (200L, "egg")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval.bm25TopK(
+        docs, queries, "doc_id", "text", k = 3, maxDfFraction = 1.0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+
+    // independent replay with the SAME IEEE op tree the operator builds —
+    // every step correctly rounded, so equality is bit-exact, not approx
+    val corpus = Map(
+      1L -> Seq("apple", "banana", "apple"), 2L -> Seq("banana", "cherry"),
+      3L -> Seq("cherry", "apple", "date"), 4L -> Seq("date", "egg"),
+      5L -> Seq("egg", "fig", "banana"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val dfOf = corpus.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    val k1p1 = 1.2 + 1.0
+    def contrib(term: String, doc: Long): BigDecimal = {
+      val tf = corpus(doc).count(_ == term).toDouble
+      val dl = corpus(doc).size.toDouble
+      val df = dfOf(term)
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val tfw = tf * k1p1 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(idf * tfw).setScale(18, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    }
+    def expected(qid: Long, terms: Seq[String], k: Int): Seq[(Long, Long, Double, Int)] = {
+      val scored = corpus.keys.toSeq
+        .map(d => d -> terms.filter(corpus(d).contains)
+          .map(t => contrib(t, d)).sum.toDouble)
+        .filter(_._2 != 0.0)
+      scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex
+        .map { case ((d, s), i) => (qid, d, s, i + 1) }
+    }
+    val want = (expected(100L, Seq("apple", "banana"), 3) ++
+      expected(200L, Seq("egg"), 3)).toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("bm25 over the corpus: deterministic, contiguous ranks, non-increasing scores") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val queries = docs.orderBy("doc_id").limit(8)
+    def run(parts: Int): Seq[(Long, Long, Double, Int)] = {
+      val r = graft.llm.Retrieval.bm25TopK(
+          docs.repartition(parts), queries, "doc_id", "text", k = 5,
+          maxDfFraction = 1.0)
+        .as[(Long, Long, Double, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+      graft.llm.CacheScope.releaseAll()
+      r
+    }
+    val got = run(3)
+    assert(got.map(_._1).distinct.size == 8, "every query retrieves")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4) == (1 to rows.size), s"query $q ranks not contiguous")
+      val scores = rows.sortBy(_._4).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not non-increasing: $scores")
+    }
+    // partition-independent bit-for-bit (decimal sums + IEEE-only ops)
+    assert(got == run(17), "results must not depend on the partition layout")
+  }
+
+  test("bm25 plan: broadcast candidate joins, heap ranking, no corpus sort-merge") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val queries = docs.orderBy("doc_id").limit(4)
+    val df = graft.llm.Retrieval.bm25TopK(docs, queries, "doc_id", "text", k = 3)
+    val plan = planString(df)
+    graft.llm.CacheScope.releaseAll()
+    assert(plan.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never shuffle for a retrieval join:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"ranking not heap-bounded:\n$plan")
+  }
+
+  test("log-idf variant retrieves for every query (ranking-quality path)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val queries = docs.orderBy("doc_id").limit(4)
+    val got = graft.llm.Retrieval.bm25TopK(
+        docs, queries, "doc_id", "text", k = 5, maxDfFraction = 1.0,
+        logIdf = true)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    graft.llm.CacheScope.releaseAll()
+    val qids = queries.select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == qids && got.nonEmpty,
+      "every query retrieves under log idf")
+  }
+}
