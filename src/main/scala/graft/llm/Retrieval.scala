@@ -33,16 +33,22 @@ import graft.operators.TopK
 object Retrieval {
 
   /** Inverted postings: one row per (term, document) with the term
-    * frequency and the document's token length. The tokenizer runs twice
-    * per row (length + explode) — scan-level and cheaper at 100 TB than
-    * persisting the token arrays.
+    * frequency and the document's token length.
+    *
+    * The token array and `dl` are computed in a projection BELOW the
+    * explode's Generate. Putting `size(tokens)` in the same select as
+    * `explode(tokens)` plants the analyzer's residual Project ABOVE the
+    * Generate, where it re-runs the regex split once per emitted TOKEN
+    * instead of once per document — measured ~12× slower on the postings
+    * build (and the blow-up grows with document length). The split runs
+    * exactly once per document here; nothing is persisted.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
-        explode(toks).as("term"))
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"), col("__toks"))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1L)).as("tf"))
-  }
 
   /** BM25 top-k: `queries` (id + text, same column names as the corpus)
     * against the `docs` corpus. Output: (query_id, doc_id, score,
@@ -99,5 +105,41 @@ object Retrieval {
       .agg(sum(col("__c")).cast("double").as("score"))
     TopK.groupTopKRows(
       scored, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
+    * the standard hybrid-retrieval combiner: each input ranking
+    * contributes `1 / (k0 + rank)` for every (query, doc) it returned,
+    * fused score = the sum; higher is better. Rank-based, so the
+    * retrievers' raw scores never need calibrating against each other —
+    * which is why production RAG stacks fuse lexical BM25 and embedding
+    * ANN this way rather than mixing score scales.
+    *
+    * Inputs are rankings shaped (query_id, doc_id, `rankCol`) — the
+    * output shape of [[bm25TopK]] and of the similarity top-k family.
+    * Scale shape: a union of per-retriever rank lists (each already
+    * bounded to k rows per query — tiny relative to any corpus), one
+    * map-side-combinable aggregation on (query, doc), then the
+    * bounded-heap top-k. Nothing here touches the corpus.
+    *
+    * Exactness: each contribution `1/(k0+rank)` is ONE correctly-rounded
+    * IEEE division of exact integers; contributions sum through
+    * DECIMAL(38,18) (order-independent under any partitioning — a double
+    * sum would depend on which retriever's row arrives first), final
+    * cast back to double. Any engine replays it bit-for-bit.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], k: Int, k0: Int = 60,
+      rankCol: String = "posicao"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map { r =>
+      r.select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double")))
+          .cast("decimal(38,18)").as("__c"))
+    }.reduce(_ union _)
+    val fused = contribs.groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).cast("double").as("score"))
+    TopK.groupTopKRows(
+      fused, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
   }
 }
