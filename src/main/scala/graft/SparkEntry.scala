@@ -1411,6 +1411,52 @@ object SparkEntry {
         when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"))
       ordered(Cdc.applyChangelog(target, changes, Seq("c_custkey"), "seq", "op"))
     },
+
+    // Hybrid retrieval: BM25 (q99's lexical path, k=20) and embedding
+    // cosine top-k (q89's dense path over whole docs, k=20) fused with
+    // reciprocal-rank fusion — rank-based, so the two retrievers' score
+    // scales never need calibrating. Both rank lists are tiny (8 queries
+    // × ≤20 rows); the fuse is one map-side-combinable agg + bounded-heap
+    // top-5, exact through DECIMAL per-retriever contributions.
+    "q100_hybrid_rrf" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      val bm25 = llm.Retrieval.bm25TopK(docs, queries, "doc_id", "text",
+        k = 20, maxDfFraction = 1.0)
+        .select("query_id", "doc_id", "posicao")
+      val emb = transform(sequence(lit(0), lit(3)),
+        i => conv(substring(md5(concat(i.cast("string"), lit(":"),
+          col("text")).cast("binary")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0d)
+      val corpus = llm.CacheScope.persistTracked(
+        docs.select(col("doc_id"), emb.as("embedding")))
+      val qemb = llm.CacheScope.persistTracked(
+        corpus.orderBy("doc_id").limit(8))
+      val knn = llm.Similarity.bruteForceTopK(
+        corpus, qemb, "doc_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id").as("doc_id"),
+          col("rank").as("posicao"))
+      ordered(llm.Retrieval.rrfFuse(Seq(bm25, knn), k = 5))
+    },
+
+    // Boilerplate-span purge (C4/RefinedWeb document-frequency rule):
+    // 5-token spans occurring in MORE than 2 documents are dropped from
+    // every document that carries them (vs q71's keep-first dedup); docs
+    // rebuilt from the surviving spans in order.
+    "q101_span_purge" -> { (s, dir) =>
+      ordered(llm.Curation.purgeFrequentSpans(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 5, maxDocs = 2))
+    },
+
+    // Temperature-flattened language rebalancing (subsample-only α=0.5
+    // mixture): head languages downsampled toward the sqrt-flattened
+    // share, keep decision per doc via the deterministic md5 uniform.
+    "q102_temperature_sample" -> { (s, dir) =>
+      ordered(llm.Curation.temperatureResample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", "lang", targetFraction = 0.5))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2990,6 +3036,143 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM w WHERE w.c_custkey = c.c_custkey)
         |UNION ALL
         |SELECT c_custkey, c_name, c_acctbal FROM w WHERE op <> 'D'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // RRF hybrid: q99's BM25 replay (k=20) + q89's md5-embedding cosine
+    // replay over whole docs (k=20), contributions 1/(60+rank) summed in
+    // DECIMAL(38,18) — both rank lists and the fuse are replayed exactly.
+    "q100_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(dl) AS HUGEINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8)),
+        |cand AS (
+        |  SELECT q.query_id, q.term, p.doc_id, p.tf, d.dl
+        |  FROM q JOIN post p USING (term) JOIN dl d USING (doc_id)),
+        |dfreq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cand GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(CAST(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM cand JOIN dfreq USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
+        |  GROUP BY query_id, doc_id),
+        |bm AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS posicao
+        |  FROM scored QUALIFY posicao <= 20),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 3),
+        |      d -> CAST(CAST(('0x' || substring(md5(
+        |        CAST(d AS VARCHAR) || ':' || text), 1, 8)) AS BIGINT)
+        |        AS DOUBLE) / 4294967296.0) AS emb
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, sqrt(CAST(list_aggregate(list_transform(emb,
+        |    x -> CAST(x * x AS DECIMAL(38,18))), 'sum') AS DOUBLE)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT qe.doc_id AS query_id, ce.doc_id AS corpus_id,
+        |    CAST(list_aggregate(list_transform(list_zip(qe.emb, ce.emb),
+        |      z -> CAST(z[1] * z[2] AS DECIMAL(38,18))), 'sum') AS DOUBLE) AS dot
+        |  FROM (SELECT * FROM e ORDER BY doc_id LIMIT 8) qe
+        |  CROSS JOIN e ce),
+        |s AS (
+        |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
+        |  FROM p
+        |  JOIN n nq ON p.query_id = nq.doc_id
+        |  JOIN n nc ON p.corpus_id = nc.doc_id),
+        |kn AS (
+        |  SELECT query_id, corpus_id AS doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, corpus_id) AS posicao
+        |  FROM s QUALIFY posicao <= 20),
+        |contrib AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(1.0 / (60.0 + CAST(posicao AS DOUBLE)) AS DECIMAL(38,18)) AS c
+        |  FROM bm
+        |  UNION ALL
+        |  SELECT query_id, doc_id,
+        |    CAST(1.0 / (60.0 + CAST(posicao AS DOUBLE)) AS DECIMAL(38,18)) AS c
+        |  FROM kn),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(c) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM contrib GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
+        |FROM f
+        |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Span purge replay: q71's chunk fan-out at window 5, frequent set =
+    // spans in > 2 distinct docs, every instance of a frequent span
+    // dropped, ordered rebuild per doc.
+    "q101_span_purge" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |    1 + CAST(ceil(greatest(len(tk) - 5, 0) / 5.0) AS INT) AS nch
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(tk[u.i * 5 + 1 : u.i * 5 + 5], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |f AS (SELECT chunk_text, true AS hit FROM ch
+        |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) > 2),
+        |k AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, f.hit
+        |  FROM ch LEFT JOIN f USING (chunk_text)),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS texto_limpo
+        |  FROM k WHERE hit IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+        |SELECT tot.doc_id,
+        |  coalesce(reb.texto_limpo, '') AS texto_limpo,
+        |  CAST(tot.n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
+        |FROM tot LEFT JOIN reb USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Temperature resample replay: per-language counts, sqrt weights
+    // summed in DECIMAL(38,12), left-associative probability chain and
+    // the md5-uniform keep test — identical IEEE op sequence both sides.
+    "q102_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS cd
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, cd, sqrt(CAST(cd AS DOUBLE)) AS wd FROM c),
+        |t AS (SELECT CAST(sum(cd) AS HUGEINT) AS n,
+        |    CAST(CAST(sum(CAST(wd AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) AS wsum
+        |  FROM w),
+        |p AS (
+        |  SELECT lang,
+        |    least(1.0, wd / wsum * 0.5 * CAST(n AS DOUBLE) / CAST(cd AS DOUBLE))
+        |      AS p_keep
+        |  FROM w, t)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars, p.p_keep
+        |FROM documents d JOIN p USING (lang)
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -219,6 +219,54 @@ object Curation {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Boilerplate-span purge, the document-frequency-threshold variant
+    * (C4 §2.1 drops any 3-sentence span occurring more than once;
+    * RefinedWeb's line-wise filter drops lines shared across pages):
+    * chunk each document into `window`-token spans, count the DISTINCT
+    * documents containing each span text, and drop EVERY instance of the
+    * spans that appear in more than `maxDocs` documents — headers,
+    * navigation, license blurbs. Complement of [[purgeRepeatedChunks]]
+    * (which keeps the first instance): a span frequent enough to be
+    * boilerplate is noise in its first document too.
+    *
+    * Emits one row per input document: `texto_limpo` ('' when everything
+    * was boilerplate), `n_chunks`, `n_removidos`.
+    *
+    * Shape: chunk fan-out is [[chunkTokens]]'s scan-level explode; the
+    * document-frequency pass is one map-side-combinable aggregation on
+    * the span text (count_distinct folds to a two-phase agg); the
+    * over-threshold span set is VANISHINGLY small relative to the corpus
+    * (it's the boilerplate vocabulary) so it broadcasts onto the chunk
+    * stream as a left-anti hash probe — the chunk set itself never
+    * shuffles for the filter; the ordered rebuild is one per-document
+    * aggregation. Two shuffles end to end at any corpus size.
+    */
+  def purgeFrequentSpans(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, s"need maxDocs >= 1, got $maxDocs")
+    val chunks = chunkTokens(
+      df.select(col(idCol).as("__id"), col(textCol)), textCol,
+      window, overlap = 0)
+      .select(col("__id"), col("chunk_idx"), col("chunk_text"))
+    val frequent = chunks.groupBy("chunk_text")
+      .agg(count_distinct(col("__id")).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("chunk_text")
+    chunks
+      .join(broadcast(frequent.withColumn("__hit", lit(true))),
+        Seq("chunk_text"), "left")
+      .withColumn("__keep", col("__hit").isNull)
+      .groupBy("__id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("texto_limpo"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removidos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Per-group EXACT discrete-quantile bounds + outlier filter — the
     * length/score trimming step (drop the shortest/longest tails per
     * language) with engine-exact cut points: the bound at quantile `p` is
@@ -291,5 +339,50 @@ object Curation {
     val bl = blocklist.toDF("dominio").distinct()
     df.withColumn("dominio", urlDomain(col(urlCol)))
       .join(broadcast(bl), Seq("dominio"), "left_anti")
+  }
+
+  /** Temperature-flattened mixture resampling (the multilingual-corpus
+    * balancing rule of mBERT/XLM-R and the domain-mixing rule of
+    * GPT-3-era pipelines): target share of domain `d` ∝ `count_d^α` with
+    * α = 0.5 — sqrt-flattening boosts the tail domains' SHARE while this
+    * subsampling-only form never duplicates a row, so head domains are
+    * downsampled toward the flattened mixture and a domain is kept whole
+    * (`p_d = 1`) once its natural share falls at/below its target.
+    * `targetFraction` scales the total kept volume.
+    *
+    * Per-row keep is the deterministic first-32-md5-bits uniform of the
+    * id (the [[pctHash]] family): reproducible across runs and engines,
+    * no RNG state on executors, and the SAME rows survive a re-run — the
+    * property that makes downstream joins/audits stable.
+    *
+    * Shape: one tiny aggregation (|domains| rows) → a one-row total →
+    * the per-domain keep probability BROADCAST back onto the scan as a
+    * hash probe + filter. The corpus itself never shuffles.
+    *
+    * Exactness: `sqrt` is IEEE correctly-rounded (unlike `pow`, which is
+    * libm-dependent — α is fixed at 0.5 for exactly this reason);
+    * everything else is one division/multiply chain over exact longs, so
+    * the kept set is SQL-reproducible bit-for-bit. Appends `p_keep`.
+    */
+  def temperatureResample(
+      df: DataFrame, idCol: String, domainCol: String,
+      targetFraction: Double): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"need 0 < targetFraction <= 1, got $targetFraction")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1L)).as("__cd"))
+      .withColumn("__wd", sqrt(col("__cd").cast("double")))
+    val totals = counts.agg(
+      sum(col("__cd")).as("__n"),
+      sum(col("__wd").cast("decimal(38,12)")).cast("double").as("__wsum"))
+    val probs = counts.crossJoin(broadcast(totals))
+      .select(col(domainCol),
+        least(lit(1.0),
+          col("__wd") / col("__wsum") * lit(targetFraction) *
+            col("__n").cast("double") / col("__cd").cast("double"))
+          .as("p_keep"))
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("double") / 4294967296.0d
+    df.join(broadcast(probs), Seq(domainCol))
+      .filter(u < col("p_keep"))
   }
 }

@@ -189,6 +189,51 @@ class CurationSpec extends SparkSpec {
       (3L, "", 1L, 1L)))
   }
 
+  test("purgeFrequentSpans drops every instance of over-threshold spans") {
+    val docs = Seq(
+      (1L, "a b c d"), // [a b] in docs 1,2,3 (> maxDocs=2) -> dropped; [c d] kept
+      (2L, "a b x y"),
+      (3L, "a b"), //      emptied: its only span is the frequent one
+      (4L, "c d"), //      [c d] appears in docs 1,4 (= 2, not over) -> kept
+    ).toDF("doc_id", "texto")
+    val got = Curation.purgeFrequentSpans(
+        docs, "doc_id", "texto", window = 2, maxDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // contrast with purgeRepeatedChunks: doc 1's FIRST instance of [a b]
+    // is dropped too — a span frequent enough to be boilerplate is noise
+    // in its first document as well
+    assert(got == Seq(
+      (1L, "c d", 2L, 1L),
+      (2L, "x y", 2L, 1L),
+      (3L, "", 1L, 1L),
+      (4L, "c d", 1L, 0L)))
+  }
+
+  test("temperatureResample flattens the mixture deterministically") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Curation.temperatureResample(
+      docs.select("doc_id", "lang"), "doc_id", "lang", targetFraction = 0.5)
+    val probs = out.select("lang", "p_keep").distinct()
+      .as[(String, Double)].collect().toMap
+    val counts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // sqrt-flattening: keep probability must be anti-monotone in the
+    // natural count — head languages downsampled harder
+    val ordered = counts.toSeq.sortBy(-_._2).map { case (l, _) => probs(l) }
+    assert(ordered == ordered.sorted, s"p_keep not anti-monotone: $probs")
+    assert(probs.values.forall(p => p > 0 && p <= 1.0))
+    // determinism: the same rows survive a re-run
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Curation.temperatureResample(
+        docs.select("doc_id", "lang"), "doc_id", "lang", targetFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // volume lands near the target (md5-uniform noise allowed)
+    val total = counts.values.sum.toDouble
+    assert(math.abs(a.size / total - 0.5) < 0.1,
+      s"kept ${a.size} of $total, wanted ~50%")
+  }
+
   test("kAnonymize drops equivalence classes smaller than k") {
     import graft.llm.Privacy
     val df = Seq(

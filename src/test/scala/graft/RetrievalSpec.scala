@@ -100,6 +100,36 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"ranking not heap-bounded:\n$plan")
   }
 
+  test("rrfFuse sums reciprocal ranks bit-exactly and re-ranks") {
+    // two hand rankings: doc 10 is rank 1 lexically and rank 3 densely,
+    // doc 20 only lexical, doc 30 only dense
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "posicao")
+    val den = Seq((1L, 30L, 1), (1L, 10L, 3)).toDF("query_id", "doc_id", "posicao")
+    val got = graft.llm.Retrieval.rrfFuse(Seq(lex, den), k = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    def c(r: Int): BigDecimal =
+      BigDecimal(1.0 / (60.0 + r.toDouble)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    val s10 = (c(1) + c(3)).toDouble // both retrievers
+    val s20 = c(2).toDouble
+    val s30 = c(1).toDouble
+    // fused order: doc 10 (two contributions) > doc 30 (rank-1 dense) >
+    // doc 20 (rank-2 lexical); scores replayed through the same
+    // decimal-sum path the operator uses
+    assert(got == Seq(
+      (1L, 10L, s10, 1), (1L, 30L, s30, 2), (1L, 20L, s20, 3)))
+  }
+
+  test("rrfFuse is independent of retriever and partition order") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 10L, 1))
+      .toDF("query_id", "doc_id", "posicao")
+    val den = Seq((1L, 10L, 2), (2L, 20L, 1))
+      .toDF("query_id", "doc_id", "posicao")
+    val a = graft.llm.Retrieval.rrfFuse(Seq(lex, den), k = 5).collect().toSet
+    val b = graft.llm.Retrieval.rrfFuse(
+      Seq(den.repartition(7), lex.repartition(3)), k = 5).collect().toSet
+    assert(a == b, "fusion must not depend on input order or layout")
+  }
+
   test("log-idf variant retrieves for every query (ranking-quality path)") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val queries = docs.orderBy("doc_id").limit(4)
