@@ -80,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.WindowAggRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.GeneratorSiblingPushdown)
   }
 }
 
