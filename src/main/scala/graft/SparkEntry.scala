@@ -1457,6 +1457,18 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
         "doc_id", "lang", targetFraction = 0.5))
     },
+
+    // The full LLM curation chain in ONE plan (the text twin of q43):
+    // exact dedup -> quality floor (0.19 ~ corpus median) -> frequent-
+    // span purge -> temperature resample. Every stage is the validated
+    // operator behind q25/q32/q101/q102; the oracle replays the whole
+    // five-operator chain bit-for-bit.
+    "q103_curation_pipeline" -> { (s, dir) =>
+      ordered(pipelines.TextCuration.run(
+        Tables.documents(s, dir), "doc_id", "text", "lang",
+        minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
+        targetFraction = 0.5))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3172,6 +3184,68 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source, d.n_chars, p.p_keep
         |FROM documents d JOIN p USING (lang)
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Whole-chain replay: q25's dedup, q32's quality arithmetic, q101's
+    // span purge and q102's resample composed in one WITH chain — every
+    // fragment individually hash-validated, the composition exact too.
+    "q103_curation_pipeline" ->
+      """WITH kmin AS (SELECT text, min(doc_id) AS keep FROM documents GROUP BY text),
+        |dd AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  JOIN kmin ON d.text = kmin.text AND d.doc_id = kmin.keep),
+        |sc AS (SELECT doc_id, lang, text,
+        |  0.4 * (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / greatest(CAST(len(tk) AS DOUBLE), 1.0)) +
+        |  0.3 * least(1.0,
+        |    (CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE)
+        |     / greatest(CAST(len(tk) AS DOUBLE), 1.0)) / 8.0) -
+        |  0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |  0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+        |    AS qualidade
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM dd)),
+        |qf AS (SELECT * FROM sc WHERE qualidade >= 0.19),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM qf),
+        |c AS (SELECT doc_id, tk,
+        |    1 + CAST(ceil(greatest(len(tk) - 5, 0) / 5.0) AS INT) AS nch
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(tk[u.i * 5 + 1 : u.i * 5 + 5], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |f AS (SELECT chunk_text, true AS hit FROM ch
+        |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) > 2),
+        |kk AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, f.hit
+        |  FROM ch LEFT JOIN f USING (chunk_text)),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS texto_limpo
+        |  FROM kk WHERE hit IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |pg AS (SELECT tot.doc_id,
+        |    coalesce(reb.texto_limpo, '') AS texto_limpo,
+        |    CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
+        |  FROM tot LEFT JOIN reb USING (doc_id)),
+        |j AS (SELECT qf.doc_id, qf.lang, qf.qualidade, pg.texto_limpo,
+        |    pg.n_removidos
+        |  FROM qf JOIN pg USING (doc_id)),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cd FROM j GROUP BY lang),
+        |w AS (SELECT lang, cd, sqrt(CAST(cd AS DOUBLE)) AS wd FROM cnt),
+        |tt AS (SELECT CAST(sum(cd) AS HUGEINT) AS n,
+        |    CAST(CAST(sum(CAST(wd AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) AS wsum
+        |  FROM w),
+        |p AS (SELECT lang,
+        |    least(1.0, wd / wsum * 0.5 * CAST(n AS DOUBLE) / CAST(cd AS DOUBLE))
+        |      AS p_keep
+        |  FROM w, tt)
+        |SELECT j.doc_id, j.lang, j.qualidade, j.texto_limpo, j.n_removidos,
+        |  p.p_keep
+        |FROM j JOIN p USING (lang)
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(j.doc_id AS VARCHAR)), 1, 8))
         |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )

@@ -1,0 +1,54 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Curation, Dedup, Spread, TextAnalysis}
+
+/** The full LLM text-curation chain composed end-to-end in ONE
+  * declarative plan — the text twin of [[Procedures]] (q43): a user of
+  * this engine runs their whole curation pass as one query, not a
+  * staged script with intermediate materializations.
+  *
+  * Stages, in the order production pipelines run them:
+  *   1. exact dedup (keep the minimum id per content hash — q25's shape)
+  *   2. heuristic quality floor ([[TextAnalysis.qualityScore]] ≥ cutoff)
+  *   3. frequent-span boilerplate purge ([[Curation.purgeFrequentSpans]]
+  *      — span stats computed on the full qualified corpus, BEFORE any
+  *      sampling thins it)
+  *   4. temperature-flattened language resampling
+  *      ([[Curation.temperatureResample]])
+  *
+  * Scale shape: dedup is one map-side-combinable hash aggregation;
+  * quality is scan-level; the purge adds its two aggregations with the
+  * frequent-span set broadcast; the purge result joins back to the doc
+  * metadata on doc_id (both sides descend from the same qualified set —
+  * AQE plans it as a co-partitioned shuffle join, ≤ corpus-linear); the
+  * resample's per-language probabilities broadcast. Nothing driver-side,
+  * nothing quadratic, and every score/probability is IEEE/DECIMAL-exact
+  * so the whole five-operator chain is SQL-replayable bit-for-bit.
+  */
+object TextCuration {
+
+  /** `docs` must carry (idCol, textCol, domainCol). Output: one row per
+    * surviving document — id, domain, `qualidade`, the span-purged
+    * `texto_limpo`, `n_removidos`, and the resample's `p_keep`.
+    */
+  def run(
+      docs: DataFrame, idCol: String, textCol: String, domainCol: String,
+      minQuality: Double, spanWindow: Int, spanMaxDocs: Int,
+      targetFraction: Double): DataFrame = {
+    val deduped = Dedup.exactDedup(
+      docs.select(col(idCol), col(textCol), col(domainCol)), textCol, idCol)
+    val qualified = Spread(deduped)
+      .withColumn("qualidade", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("qualidade") >= minQuality)
+    val purged = Curation.purgeFrequentSpans(
+      qualified.select(col(idCol), col(textCol)),
+      idCol, textCol, spanWindow, spanMaxDocs)
+    val rejoined = qualified.select(col(idCol), col(domainCol), col("qualidade"))
+      .join(purged.select(col(idCol), col("texto_limpo"), col("n_removidos")),
+        Seq(idCol))
+    Curation.temperatureResample(rejoined, idCol, domainCol, targetFraction)
+  }
+}

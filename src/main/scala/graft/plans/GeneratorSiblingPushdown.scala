@@ -105,6 +105,13 @@ object GeneratorSiblingPushdown extends Rule[LogicalPlan] {
   private def sharedSubexpressions(
       generator: Expression, projList: Seq[NamedExpression],
       child: LogicalPlan): Seq[Expression] = {
+    // fast bail-outs for the overwhelmingly common non-firing shapes —
+    // the rule inspects every Project-over-Generate in every fixed-point
+    // pass, so the no-op path must not pay the O(subtrees × projExprs)
+    // semantic comparison: a generator over bare attributes has nothing
+    // to hoist, and an all-cheap projection list has nowhere to share it
+    if (generator.children.forall(cheap)) return Nil
+    if (!projList.exists(ne => ne.exists(e => !cheap(e)))) return Nil
     val candidates = generator.children
       .flatMap(c => c.collect { case e => e })
       .filter(e => e.deterministic && !cheap(e) &&

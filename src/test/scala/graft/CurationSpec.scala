@@ -234,6 +234,23 @@ class CurationSpec extends SparkSpec {
       s"kept ${a.size} of $total, wanted ~50%")
   }
 
+  test("TextCuration chains dedup, quality, purge and resample in one plan") {
+    import graft.pipelines.TextCuration
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextCuration.run(docs, "doc_id", "text", "lang",
+        minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
+        targetFraction = 0.5)
+      .select("doc_id", "qualidade", "n_removidos", "p_keep")
+      .as[(Long, Double, Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 0.19), "quality floor leaked")
+    assert(out.forall(r => r._3 >= 0 && r._4 > 0 && r._4 <= 1.0))
+    val ids = out.map(_._1).toSet
+    assert(ids.size == out.length, "dedup must leave doc_id unique")
+    val total = docs.count()
+    assert(ids.size < total, "the chain must actually filter")
+  }
+
   test("kAnonymize drops equivalence classes smaller than k") {
     import graft.llm.Privacy
     val df = Seq(
