@@ -1469,6 +1469,18 @@ object SparkEntry {
         minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
         targetFraction = 0.5))
     },
+
+    // BPE vocabulary induction (Sennrich 2016): ONE corpus pass builds
+    // the weighted word vocabulary, then every merge iteration is
+    // vocab-linear with a single-row argmax (k-means collect
+    // discipline). Iterative driver loop over aggregations -> not
+    // SQL-reproducible in one query: rows-only here; BpeSpec proves the
+    // merge table equals an independent single-node replay and the
+    // textbook sequence on the canonical corpus.
+    "q104_bpe_train" -> { (s, dir) =>
+      ordered(llm.Bpe.train(
+        Tables.documents(s, dir).select("text"), "text", numMerges = 12))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
