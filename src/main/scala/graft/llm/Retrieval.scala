@@ -130,11 +130,18 @@ object Retrieval {
     */
   def rrfFuse(
       rankings: Seq[DataFrame], k: Int, k0: Int = 60,
-      rankCol: String = "posicao"): DataFrame = {
+      rankCol: String = "posicao",
+      weights: Seq[Double] = Seq.empty): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
-    val contribs = rankings.map { r =>
+    require(weights.isEmpty || weights.length == rankings.length,
+      s"need one weight per ranking, got ${weights.length} for ${rankings.length}")
+    val ws = if (weights.isEmpty) Seq.fill(rankings.length)(1.0) else weights
+    val contribs = rankings.zip(ws).map { case (r, w) =>
+      // weighted RRF (w_r / (k0 + rank)): one extra correctly-rounded
+      // multiply, so the weighted form stays oracle-exact; w = 1.0
+      // multiplies out to the classic unweighted score bit-for-bit
       r.select(col("query_id"), col("doc_id"),
-        (lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double")))
+        (lit(w) * (lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double"))))
           .cast("decimal(38,18)").as("__c"))
     }.reduce(_ union _)
     val fused = contribs.groupBy("query_id", "doc_id")

@@ -42,12 +42,17 @@ object HtmlForm {
     val body = regexp_extract(col(htmlCol),
       s"""(?s)<select[^>]*\\bid="$quotedId"[^>]*>(.*?)</select>""", 1)
     val opt = """(?s)<option[^>]*\bvalue="([^"]*)"[^>]*>([^<]*)</option>"""
+    // body is materialized ONCE below the explode: regexp_extract_all
+    // yields one capture group per call, so the option scan needs two
+    // passes over the box body — inlined, each would re-run the
+    // whole-page <select> regex (the costliest expression here) per pass
     val zipped = arrays_zip(
-      regexp_extract_all(body, lit(opt), lit(1)),
-      regexp_extract_all(body, lit(opt), lit(2)))
-    df.withColumn("__opt", explode(zipped))
+      regexp_extract_all(col("__body"), lit(opt), lit(1)),
+      regexp_extract_all(col("__body"), lit(opt), lit(2)))
+    df.withColumn("__body", body)
+      .withColumn("__opt", explode(zipped))
       .withColumn("opcao_codigo", col("__opt.0"))
       .withColumn("opcao_descricao", col("__opt.1"))
-      .drop("__opt")
+      .drop("__opt", "__body")
   }
 }

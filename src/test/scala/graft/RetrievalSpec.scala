@@ -119,6 +119,24 @@ class RetrievalSpec extends SparkSpec {
       (1L, 10L, s10, 1), (1L, 30L, s30, 2), (1L, 20L, s20, 3)))
   }
 
+  test("rrfFuse weights rescale contributions and can flip the ranking") {
+    val lex = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "posicao")
+    val den = Seq((1L, 20L, 1)).toDF("query_id", "doc_id", "posicao")
+    // equal ranks: doc 10 wins only through the lexical retriever's weight
+    val got = graft.llm.Retrieval.rrfFuse(
+        Seq(lex, den), k = 2, weights = Seq(2.0, 1.0))
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    def c(w: Double, r: Int): Double =
+      BigDecimal(w * (1.0 / (60.0 + r.toDouble)))
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq((1L, 10L, c(2.0, 1), 1), (1L, 20L, c(1.0, 1), 2)))
+    // weight 1.0 is the bit-exact identity of the unweighted form
+    val w1 = graft.llm.Retrieval.rrfFuse(
+      Seq(lex, den), k = 2, weights = Seq(1.0, 1.0)).collect().toSet
+    val w0 = graft.llm.Retrieval.rrfFuse(Seq(lex, den), k = 2).collect().toSet
+    assert(w1 == w0)
+  }
+
   test("rrfFuse is independent of retriever and partition order") {
     val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 10L, 1))
       .toDF("query_id", "doc_id", "posicao")
