@@ -366,7 +366,18 @@ object Curation {
     */
   def temperatureResample(
       df: DataFrame, idCol: String, domainCol: String,
-      targetFraction: Double): DataFrame = {
+      targetFraction: Double): DataFrame =
+    applyResample(df, idCol, domainCol,
+      keepProbabilities(df, domainCol, targetFraction))
+
+  /** The resample's per-domain keep probabilities (domain, p_keep) —
+    * |domains| rows from one tiny aggregation. Split out so the mixture
+    * can be fit OFFLINE on a reference corpus and applied elsewhere —
+    * including on a STREAM (the production pattern: weights computed in
+    * batch, enforced online).
+    */
+  def keepProbabilities(
+      df: DataFrame, domainCol: String, targetFraction: Double): DataFrame = {
     require(targetFraction > 0 && targetFraction <= 1,
       s"need 0 < targetFraction <= 1, got $targetFraction")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1L)).as("__cd"))
@@ -374,12 +385,23 @@ object Curation {
     val totals = counts.agg(
       sum(col("__cd")).as("__n"),
       sum(col("__wd").cast("decimal(38,12)")).cast("double").as("__wsum"))
-    val probs = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .select(col(domainCol),
         least(lit(1.0),
           col("__wd") / col("__wsum") * lit(targetFraction) *
             col("__n").cast("double") / col("__cd").cast("double"))
           .as("p_keep"))
+  }
+
+  /** Apply (domain, p_keep) probabilities: broadcast hash probe + the
+    * deterministic md5-uniform keep test. STATELESS — no shuffle, no
+    * watermark, no aggregation — so the same call works unchanged on a
+    * streaming DataFrame in append mode (spec-proven equal to the batch
+    * filter over the same rows and probabilities).
+    */
+  def applyResample(
+      df: DataFrame, idCol: String, domainCol: String,
+      probs: DataFrame): DataFrame = {
     val u = conv(substring(md5(col(idCol).cast("string").cast("binary")),
       1, 8), 16, 10).cast("double") / 4294967296.0d
     df.join(broadcast(probs), Seq(domainCol))

@@ -234,6 +234,32 @@ class CurationSpec extends SparkSpec {
       s"kept ${a.size} of $total, wanted ~50%")
   }
 
+  test("applyResample on a stream equals the batch filter (offline-fit weights)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    val probs = Curation.keepProbabilities(ref, "lang", targetFraction = 0.5)
+    val rows = ref.as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Curation.applyResample(
+      mem.toDF.toDF("doc_id", "lang"), "doc_id", "lang", probs)
+    val q = streamed.writeStream
+      .format("memory").queryName("resample_stream").outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table("resample_stream")
+        .select("doc_id").as[Long].collect().toSet
+      val want = Curation.applyResample(ref, "doc_id", "lang", probs)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        "stream apply must keep exactly the batch-kept rows")
+      assert(want.nonEmpty && want.size < rows.length)
+    } finally q.stop()
+  }
+
   test("TextCuration chains dedup, quality, purge and resample in one plan") {
     import graft.pipelines.TextCuration
     val docs = Tables.documents(spark, sfDir)
