@@ -14,12 +14,17 @@ import graft.operators.TopK
   * explode → one map-side-combinable aggregation); the query batch is
   * tiny and BROADCAST onto the postings scan, so candidate generation
   * never shuffles the corpus — candidates are exactly the postings of
-  * the query's terms. Document frequencies for those terms come from the
-  * candidate set itself (no full-vocabulary aggregation), corpus-level
-  * stats (N, avg doc length) are a one-row aggregate cross-joined in,
-  * and the final per-query ranking goes through the bounded-heap top-k
-  * aggregate — k rows per query per partition to the exchange, nothing
-  * globally sorted.
+  * the query's SURVIVING terms. Document frequencies for the query's
+  * vocabulary come from a map-side-combinable count over the postings
+  * themselves (≤ |query vocab| rows out), and the near-stopword cap is
+  * applied to that df table BEFORE the candidate join — a stopword-y
+  * query term is dropped from the broadcast side, so its O(corpus)
+  * posting list never enters the plan at all. Corpus-level stats (N,
+  * avg doc length) fold straight off the pre-explode document scan (one
+  * pass, partial-agg to a single row — no doc_id shuffle), ride the
+  * tiny broadcast side into scoring, and the final per-query ranking
+  * goes through the bounded-heap top-k aggregate — k rows per query per
+  * partition to the exchange, nothing globally sorted.
   *
   * Engine-exactness (the q65 discipline): with `logIdf = false` (default)
   * the score uses the LOG-FREE idf `(N − df + 0.5)/(df + 0.5)` — every
@@ -43,45 +48,71 @@ object Retrieval {
     * build (and the blow-up grows with document length). The split runs
     * exactly once per document here; nothing is persisted.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Spread(docs.select(col(idCol).as("doc_id"), col(textCol)))
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol))
+    // Spread probes df.rdd partitioning, which throws on a streaming
+    // DataFrame — skip the floor there (stream sources set their own
+    // parallelism); batch inputs keep the CPU-bound tokenize widened
+    val spread = if (docs.isStreaming) base else Spread(base)
+    spread
       .select(col("doc_id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("dl"), col("__toks"))
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1L)).as("tf"))
+  }
 
   /** BM25 top-k: `queries` (id + text, same column names as the corpus)
     * against the `docs` corpus. Output: (query_id, doc_id, score,
     * posicao). Queries score their DISTINCT terms (standard for short
     * queries); terms in more than `maxDfFraction` of the corpus are
-    * dropped before scoring — near-stopwords carry the largest posting
-    * lists and the smallest idf, so the cap bounds per-query join volume
-    * at any corpus size. Queries whose terms all miss (or are all
-    * capped) emit no rows.
+    * dropped BEFORE candidate generation — near-stopwords carry the
+    * largest posting lists and the smallest idf, so dropping them from
+    * the broadcast side bounds the candidate join's volume at any corpus
+    * size (a capped term's posting list is never joined, persisted, or
+    * shuffled). Queries whose terms all miss (or are all capped) emit no
+    * rows.
     */
   def bm25TopK(
       docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFraction: Double = 0.5, logIdf: Boolean = false): DataFrame = {
     val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
-    // corpus stats: ONE row (count + exact-decimal-sum mean doc length),
-    // cross-joined into the scoring expression
-    val stats = post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    // corpus stats: ONE row (count + exact-decimal-sum mean doc length)
+    // folded straight off the pre-explode document scan — a partial agg
+    // per scan split, a single-row exchange, and NO doc_id shuffle (the
+    // postings already had dl per doc; re-aggregating them corpus-wide
+    // just to recover it would shuffle the whole posting table). Every
+    // document tokenizes to ≥1 token (split of "" is [""]), so counting
+    // the doc scan equals counting distinct postings doc_ids.
+    val stats = docs
+      .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
+      .where(col("dl") > 0)
       .agg(count(lit(1L)).as("n_docs"),
         (sum(col("dl").cast("decimal(38,0)")).cast("double") /
           count(lit(1L)).cast("double")).as("avgdl"))
     val qterms = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
-    // candidates = postings of query terms only; the broadcast keeps the
-    // postings side pipeline-local (no shuffle of the corpus). Persisted:
-    // both the df count and the scoring consume it, and CollapseProject
-    // would re-run the corpus scan per consumer (SURVEY §4)
-    val cand = CacheScope.persistTracked(post.join(broadcast(qterms), "term"))
-    // df for the query's terms from the candidate set itself (dedupe the
-    // per-query fanout first: a term shared by two queries must count its
-    // documents once)
-    val dfreq = cand.select("term", "doc_id").distinct()
+    // document frequency for the QUERY's vocabulary, computed from the
+    // postings themselves: postings rows are unique per (term, doc_id),
+    // so a count per term IS df. Map-side combinable — each scan split
+    // emits ≤ |query vocab| partial rows; the full posting lists stream
+    // through the combiner but are never materialized or shuffled.
+    val qdf = post
+      .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1L)).as("df"))
+    // near-stopword cap applied HERE, before candidate generation: an
+    // over-cap term never reaches the candidate join, so one stopword-y
+    // query term cannot drag an O(corpus) posting list through the plan.
+    // kept also carries the one-row stats, so scoring needs no separate
+    // stats join at corpus scale.
+    val kept = qdf.crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        lit(maxDfFraction) * col("n_docs").cast("double"))
+    val qcand = qterms.join(broadcast(kept), "term")
+    // candidates = postings of surviving query terms only; the broadcast
+    // keeps the postings side pipeline-local (no shuffle of the corpus),
+    // and scoring consumes cand in ONE pass — nothing to persist
+    val cand = post.join(broadcast(qcand), "term")
     val idf =
       if (logIdf)
         log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -95,11 +126,9 @@ object Retrieval {
     val tfw = col("tf").cast("double") * (lit(k1) + lit(1.0)) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    // dfreq is at most |distinct query terms| rows — broadcast, so the
-    // candidate stream never shuffles before the per-(query, doc) sum
-    val scored = cand.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
-      .filter(col("df").cast("double") <=
-        lit(maxDfFraction) * col("n_docs").cast("double"))
+    // df / n_docs / avgdl all arrived on the broadcast side — the
+    // candidate stream goes straight to the per-(query, doc) sum
+    val scored = cand
       .withColumn("__c", (idf * tfw).cast("decimal(38,18)"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("__c")).cast("double").as("score"))

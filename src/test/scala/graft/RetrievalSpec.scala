@@ -100,6 +100,81 @@ class RetrievalSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"ranking not heap-bounded:\n$plan")
   }
 
+  test("near-stopword cap is applied BELOW the candidate join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def joinsDeep(p: SparkPlan): Seq[BroadcastHashJoinExec] = p match {
+      case a: AdaptiveSparkPlanExec => joinsDeep(a.executedPlan)
+      case q: QueryStageExec => joinsDeep(q.plan)
+      case b: BroadcastHashJoinExec => b +: b.children.flatMap(joinsDeep)
+      case other => other.children.flatMap(joinsDeep)
+    }
+    // "the" is in all 10 docs (df=10 > 0.5·10); "rare" only in doc 10.
+    // A query containing both must stream ONLY "rare"'s posting through
+    // the candidate join — the capped term is dropped from the broadcast
+    // side before the join, not filtered after it.
+    val docs = ((1L to 9L).map(i => (i, s"the filler$i")) :+ (10L, "the rare"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "the rare")).toDF("doc_id", "text")
+    val df = graft.llm.Retrieval.bm25TopK(
+      docs, queries, "doc_id", "text", k = 5, maxDfFraction = 0.5)
+    val got = df.as[(Long, Long, Double, Int)].collect().toSeq
+    // behavioral: only the "rare" posting scores; no "the"-only doc appears
+    assert(got.map(_._2) == Seq(10L), s"capped term leaked into scoring: $got")
+    // positional: the ONLY join allowed to carry corpus-volume rows is the
+    // df count feed (10 "the" + 1 "rare" postings = 11). The candidate
+    // join and the qterms⋈kept join must stay at the kept-term volume —
+    // were the cap applied above the candidate join (the old shape), a
+    // second join would emit 11 rows here and this assertion fails.
+    df.collect()
+    val bigJoins = joinsDeep(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).filter(_ > 5L)
+    graft.llm.CacheScope.releaseAll()
+    assert(bigJoins.size == 1,
+      s"exactly one corpus-volume join (the df feed) allowed, got $bigJoins")
+  }
+
+  test("hybrid fusion recalls docs each single retriever misses") {
+    // Planted corpus: doc 1 is the LEXICAL hit (shares query terms, its
+    // embedding points away from the query); doc 2 is the DENSE hit
+    // (embedding nearly parallel to the query, zero shared tokens). Each
+    // retriever alone recalls 1 of the 2 relevant docs; the fusion's
+    // top-2 holds both. k0=60 keeps contributions rank-dominated — with
+    // a tiny k0 (≈1) a rank-1-vs-rank-2 gap could outweigh a doc
+    // appearing in BOTH lists, which is the knob's sensitivity.
+    val docs = Seq(
+      (1L, "apple orchard harvest", Seq(0.0, 1.0)),
+      (2L, "zzz qqq www", Seq(0.99, 0.1)),
+      (3L, "noise alpha beta", Seq(0.7, 0.7)),
+      (4L, "noise gamma delta", Seq(-1.0, 0.2)))
+      .toDF("doc_id", "text", "embedding")
+    val queries = Seq((100L, "apple harvest", Seq(1.0, 0.0)))
+      .toDF("doc_id", "text", "embedding")
+    val relevant = Set(1L, 2L)
+    def recallAt2(rows: Seq[Long]): Double =
+      rows.take(2).count(relevant).toDouble / relevant.size
+    val bm25 = graft.llm.Retrieval.bm25TopK(
+      docs.select("doc_id", "text"), queries.select("doc_id", "text"),
+      "doc_id", "text", k = 2, maxDfFraction = 1.0)
+    val lexTop = bm25.orderBy("posicao").select("doc_id").as[Long].collect().toSeq
+    val dense = graft.llm.Similarity.bruteForceTopK(
+        docs.select("doc_id", "embedding"), queries.select("doc_id", "embedding"),
+        "doc_id", "embedding", k = 2)
+      .select(col("query_id"), col("corpus_id").as("doc_id"),
+        col("rank").as("posicao"))
+    val denTop = dense.orderBy("posicao").select("doc_id").as[Long].collect().toSeq
+    val fused = graft.llm.Retrieval.rrfFuse(
+        Seq(bm25.select("query_id", "doc_id", "posicao"), dense), k = 2)
+      .orderBy("posicao").select("doc_id").as[Long].collect().toSeq
+    graft.llm.CacheScope.releaseAll()
+    val (rLex, rDen, rFused) = (recallAt2(lexTop), recallAt2(denTop), recallAt2(fused))
+    assert(rLex == 0.5 && rDen == 0.5,
+      s"planting broken: lex=$lexTop dense=$denTop")
+    assert(rFused >= math.max(rLex, rDen) && rFused == 1.0,
+      s"fusion must recall both planted docs: $fused")
+  }
+
   test("rrfFuse sums reciprocal ranks bit-exactly and re-ranks") {
     // two hand rankings: doc 10 is rank 1 lexically and rank 3 densely,
     // doc 20 only lexical, doc 30 only dense
