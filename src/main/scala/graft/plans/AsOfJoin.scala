@@ -351,8 +351,13 @@ case class AsOfJoinExec(
       org.apache.spark.sql.catalyst.expressions.BoundReference(
         i, a.dataType, a.nullable).genCode(ctx)
     }
+    // No `limitNotReachedCond` here: that guard is reserved for leaf and
+    // blocking nodes (calling it from a binary node logs Spark's "[BUG]"
+    // warning — and throws under spark.testing). SortMergeJoinExec's own
+    // produce loop has the same shape and relies on `shouldStop()` alone;
+    // a limit above this node still terminates the stage through it.
     s"""
-       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |while ($iterTerm.hasNext()) {
        |  InternalRow $row = (InternalRow) $iterTerm.next();
        |  $numOutput.add(1);
        |  ${consume(ctx, outputVars).trim}
