@@ -32,6 +32,17 @@ class BpeSpec extends SparkSpec {
       .map { case (w, n) =>
         (w.toCharArray.map(_.toString).toVector :+ Bpe.EndOfWord) -> n }
       .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    // tie-break comparator in CODE-POINT order — Spark's UTF8String
+    // binary ordering — not Java's UTF-16-unit compareTo; the two
+    // diverge for supplementary-plane symbols, and the replay must
+    // mirror the engine
+    def cpLt(a: String, b: String): Boolean = {
+      val (ai, bi) = (a.codePoints().toArray, b.codePoints().toArray)
+      val n = math.min(ai.length, bi.length)
+      var i = 0
+      while (i < n) { if (ai(i) != bi(i)) return ai(i) < bi(i); i += 1 }
+      ai.length < bi.length
+    }
     val want = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 0 until 10) {
       val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -39,7 +50,11 @@ class BpeSpec extends SparkSpec {
         pairs((syms(j), syms(j + 1))) =
           pairs.getOrElse((syms(j), syms(j + 1)), 0L) + n
       val ((l, r), f) = pairs.toSeq
-        .sortBy { case ((a, b), c) => (-c, a, b) }.head
+        .sortWith { case (((a1, b1), c1), ((a2, b2), c2)) =>
+          if (c1 != c2) c1 > c2
+          else if (a1 != a2) cpLt(a1, a2)
+          else cpLt(b1, b2)
+        }.head
       want += ((i, l, r, f))
       vocab = vocab.toSeq.map { case (syms, n) =>
         val out = Vector.newBuilder[String]
@@ -62,6 +77,51 @@ class BpeSpec extends SparkSpec {
         Seq((1L, "lowest")).toDF("doc_id", "text"), "doc_id", "text", merges)
       .as[(Long, String, Seq[String])].collect().head
     assert(out == ((1L, "lowest", Seq("low", "est</w>"))))
+  }
+
+  test("segmentFast equals the fold form on the Sennrich corpus") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    // segment BOTH seen and unseen words (unseen exercises partial
+    // merges and the no-applicable-pair exit)
+    val probe = Seq((1L, "low lower lowest newest widest news wide ow"))
+      .toDF("doc_id", "text")
+    val slow = Bpe.segment(probe, "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect().sortBy(_._2).toSeq
+    val fast = Bpe.segmentFast(probe, "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect().sortBy(_._2).toSeq
+    assert(fast == slow, s"fast $fast\nslow $slow")
+  }
+
+  test("segmentFast equals the fold form on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").limit(40)
+    val merges = Bpe.train(docs, "text", numMerges = 10)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Seq[String])].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    val slow = norm(Bpe.segment(docs, "doc_id", "text", merges))
+    val fast = norm(Bpe.segmentFast(docs, "doc_id", "text", merges))
+    assert(fast == slow)
+    assert(fast.nonEmpty && fast.exists(_._3.size > 1))
+  }
+
+  test("segmentFast takes a 10k-merge table without plan blow-up") {
+    // the fold form would nest 10k aggregate lambdas into one Catalyst
+    // plan here; the broadcast rank map never touches the plan at all
+    val noise = (0 until 9998).map(i => (s"x$i", s"y$i"))
+    val merges = Seq(("a", "b"), ("ab", Bpe.EndOfWord)) ++ noise
+    val out = Bpe.segmentFast(
+        Seq((1L, "ab ba")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .as[(Long, String, Seq[String])].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (1L, "ab", Seq("ab" + Bpe.EndOfWord)),
+      (1L, "ba", Seq("b", "a", Bpe.EndOfWord))))
   }
 
   test("minFreq stops the loop before degenerate merges") {
