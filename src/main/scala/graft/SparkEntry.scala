@@ -1481,6 +1481,25 @@ object SparkEntry {
       ordered(llm.Bpe.train(
         Tables.documents(s, dir).select("text"), "text", numMerges = 12))
     },
+
+    // q103's curation chain with the fuzzy-dedup stage switched on:
+    // exact dedup -> MinHash-LSH near-dup removal (q26's portable
+    // operator, greedy keep-lowest-id over verified pairs) -> quality
+    // floor -> span purge -> temperature resample, still ONE plan.
+    // Near-dups are planted the q26 way (drop-first-token variants at
+    // id+1000000) so the fuzzy stage demonstrably removes them; the
+    // oracle replays the entire six-operator chain bit-for-bit.
+    "q105_curation_fuzzy" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      ordered(pipelines.TextCuration.run(
+        docs.unionByName(variants), "doc_id", "text", "lang",
+        minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
+        targetFraction = 0.5, fuzzyThreshold = Some(0.5)))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3260,6 +3279,112 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substring(md5(CAST(j.doc_id AS VARCHAR)), 1, 8))
         |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q103's chain with the fuzzy stage on: q26's full portable-MinHash
+    // replay runs on the exact-deduped set, verified pairs drop their
+    // greater id, and the quality/purge/resample chain continues from
+    // the survivors — all six operators in one WITH chain, bit-for-bit.
+    "q105_curation_fuzzy" -> {
+      val mins = (0 until 20).map(s =>
+        s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
+      val bands = (0 until 5).map { b =>
+        val cols = (0 until 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        if (b == 0) s"SELECT id, 0 AS band, concat_ws(',', $cols) AS bhash FROM sigs"
+        else s"UNION ALL SELECT id, $b, concat_ws(',', $cols) FROM sigs"
+      }.mkString("\n|  ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang,
+        |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[2:], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |kmin AS (SELECT text, min(doc_id) AS keep FROM all_docs GROUP BY text),
+        |dd AS (SELECT d.doc_id, d.lang, d.text FROM all_docs d
+        |  JOIN kmin ON d.text = kmin.text AND d.doc_id = kmin.keep),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM dd),
+        |k AS (
+        |  SELECT id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+        |             CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT id, md5(unnest(sh)) AS m FROM k)),
+        |sigs AS (
+        |  SELECT id,
+        |    $mins
+        |  FROM shrows GROUP BY id),
+        |buckets AS (
+        |  $bands),
+        |prs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |vp AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM prs p JOIN k ka ON p.id_a = ka.id JOIN k kb ON p.id_b = kb.id
+        |  WHERE CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE) /
+        |    (CAST(len(ka.sh) AS DOUBLE) + CAST(len(kb.sh) AS DOUBLE)
+        |     - CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE)) >= 0.5),
+        |fd AS (SELECT * FROM dd
+        |  WHERE doc_id NOT IN (SELECT id_b FROM vp)),
+        |sc AS (SELECT doc_id, lang, text,
+        |  0.4 * (CAST(len(list_filter(tk2, t2 -> t2 IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / greatest(CAST(len(tk2) AS DOUBLE), 1.0)) +
+        |  0.3 * least(1.0,
+        |    (CAST(list_aggregate(list_transform(tk2, t2 -> len(t2)), 'sum') AS DOUBLE)
+        |     / greatest(CAST(len(tk2) AS DOUBLE), 1.0)) / 8.0) -
+        |  0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |  0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+        |    AS qualidade
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(lower(text)), '\\s+') AS tk2
+        |        FROM fd)),
+        |qf AS (SELECT * FROM sc WHERE qualidade >= 0.19),
+        |tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM qf),
+        |c AS (SELECT doc_id, tk,
+        |    1 + CAST(ceil(greatest(len(tk) - 5, 0) / 5.0) AS INT) AS nch
+        |  FROM tq),
+        |ch AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(tk[u.i * 5 + 1 : u.i * 5 + 5], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |f AS (SELECT chunk_text, true AS hit FROM ch
+        |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) > 2),
+        |kk AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, f.hit
+        |  FROM ch LEFT JOIN f USING (chunk_text)),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS texto_limpo
+        |  FROM kk WHERE hit IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |pg AS (SELECT tot.doc_id,
+        |    coalesce(reb.texto_limpo, '') AS texto_limpo,
+        |    CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
+        |  FROM tot LEFT JOIN reb USING (doc_id)),
+        |j AS (SELECT qf.doc_id, qf.lang, qf.qualidade, pg.texto_limpo,
+        |    pg.n_removidos
+        |  FROM qf JOIN pg USING (doc_id)),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cd FROM j GROUP BY lang),
+        |w AS (SELECT lang, cd, sqrt(CAST(cd AS DOUBLE)) AS wd FROM cnt),
+        |tt AS (SELECT CAST(sum(cd) AS HUGEINT) AS n,
+        |    CAST(CAST(sum(CAST(wd AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) AS wsum
+        |  FROM w),
+        |p AS (SELECT lang,
+        |    least(1.0, wd / wsum * 0.5 * CAST(n AS DOUBLE) / CAST(cd AS DOUBLE))
+        |      AS p_keep
+        |  FROM w, tt)
+        |SELECT j.doc_id, j.lang, j.qualidade, j.texto_limpo, j.n_removidos,
+        |  p.p_keep
+        |FROM j JOIN p USING (lang)
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(j.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -12,21 +12,28 @@ import graft.llm.{Curation, Dedup, Spread, TextAnalysis}
   *
   * Stages, in the order production pipelines run them:
   *   1. exact dedup (keep the minimum id per content hash — q25's shape)
-  *   2. heuristic quality floor ([[TextAnalysis.qualityScore]] ≥ cutoff)
-  *   3. frequent-span boilerplate purge ([[Curation.purgeFrequentSpans]]
+  *   2. OPTIONAL MinHash-LSH fuzzy dedup (`fuzzyThreshold`): verified
+  *      near-dup pairs from [[Dedup.minhashNearDupsPortable]] (q26's
+  *      operator), greedy keep-lowest-id — any document that is the
+  *      GREATER id of a pair is dropped (the RefinedWeb-style per-pair
+  *      discipline; cluster-level survivorship is q52's CC operator)
+  *   3. heuristic quality floor ([[TextAnalysis.qualityScore]] ≥ cutoff)
+  *   4. frequent-span boilerplate purge ([[Curation.purgeFrequentSpans]]
   *      — span stats computed on the full qualified corpus, BEFORE any
   *      sampling thins it)
-  *   4. temperature-flattened language resampling
+  *   5. temperature-flattened language resampling
   *      ([[Curation.temperatureResample]])
   *
-  * Scale shape: dedup is one map-side-combinable hash aggregation;
-  * quality is scan-level; the purge adds its two aggregations with the
-  * frequent-span set broadcast; the purge result joins back to the doc
-  * metadata on doc_id (both sides descend from the same qualified set —
-  * AQE plans it as a co-partitioned shuffle join, ≤ corpus-linear); the
-  * resample's per-language probabilities broadcast. Nothing driver-side,
-  * nothing quadratic, and every score/probability is IEEE/DECIMAL-exact
-  * so the whole five-operator chain is SQL-replayable bit-for-bit.
+  * Scale shape: dedup is one map-side-combinable hash aggregation; the
+  * fuzzy stage is q26's banded-LSH shape (bucketed pairs, no all-pairs)
+  * feeding one anti-join on id; quality is scan-level; the purge adds
+  * its two aggregations with the frequent-span set broadcast; the purge
+  * result joins back to the doc metadata on doc_id (both sides descend
+  * from the same qualified set — AQE plans it as a co-partitioned
+  * shuffle join, ≤ corpus-linear); the resample's per-language
+  * probabilities broadcast. Nothing driver-side, nothing quadratic, and
+  * every score/probability is IEEE/DECIMAL-exact so the whole chain is
+  * SQL-replayable bit-for-bit.
   */
 object TextCuration {
 
@@ -37,9 +44,18 @@ object TextCuration {
   def run(
       docs: DataFrame, idCol: String, textCol: String, domainCol: String,
       minQuality: Double, spanWindow: Int, spanMaxDocs: Int,
-      targetFraction: Double): DataFrame = {
-    val deduped = Dedup.exactDedup(
+      targetFraction: Double, fuzzyThreshold: Option[Double] = None): DataFrame = {
+    val exact = Dedup.exactDedup(
       docs.select(col(idCol), col(textCol), col(domainCol)), textCol, idCol)
+    val deduped = fuzzyThreshold.fold(exact) { t =>
+      // near-dup pairs are already exact-Jaccard-verified ≥ t; documents
+      // shorter than the shingle width have no shingles, generate no
+      // pairs, and always survive this stage
+      val pairs = Dedup.minhashNearDupsPortable(
+        exact.select(col(idCol), col(textCol)), idCol, textCol, t)
+      exact.join(pairs.select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+    }
     val qualified = Spread(deduped)
       .withColumn("qualidade", TextAnalysis.qualityScore(col(textCol)))
       .filter(col("qualidade") >= minQuality)

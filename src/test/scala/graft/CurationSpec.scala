@@ -277,6 +277,34 @@ class CurationSpec extends SparkSpec {
     assert(ids.size < total, "the chain must actually filter")
   }
 
+  test("TextCuration fuzzy stage drops planted near-dups, keeps originals") {
+    import graft.pipelines.TextCuration
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    // q26-style plants: drop-first-token variants at id+1000000 survive
+    // EXACT dedup (different text) but are near-dups of their originals
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text",
+        concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+    def ids(fuzzy: Option[Double]): Set[Long] = {
+      val r = TextCuration.run(docs.unionByName(variants), "doc_id", "text",
+          "lang", minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
+          targetFraction = 0.5, fuzzyThreshold = fuzzy)
+        .select("doc_id").as[Long].collect().toSet
+      graft.llm.CacheScope.releaseAll()
+      r
+    }
+    val without = ids(None)
+    val withFuzzy = ids(Some(0.5))
+    // some planted variant survives the no-fuzzy chain, none survives the
+    // fuzzy one (the variant is always the GREATER id of its pair)
+    assert(without.exists(_ >= 1000000L), "plants must survive exact dedup")
+    assert(!withFuzzy.exists(_ >= 1000000L), "fuzzy stage must drop plants")
+    // NOT a subset check: removing docs upstream shifts the resample's
+    // per-language counts and p_keep, so downstream survivorship is not
+    // monotone — only the plants' removal is invariant
+  }
+
   test("kAnonymize drops equivalence classes smaller than k") {
     import graft.llm.Privacy
     val df = Seq(
