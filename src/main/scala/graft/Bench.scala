@@ -54,13 +54,16 @@ object Bench {
     val total = results.map(_._2).sum
 
     // Full-precision, full-name record → a sidecar file (humans + the
-    // per-round regression diff read this).
+    // per-round regression diff read this). Error text UNtruncated here —
+    // this is the one artifact meant to keep the whole message; the
+    // stdout line below carries a 120-char cut so a stack trace cannot
+    // blow the capture window.
     val qsFull = results.map { case (k, v) => Json.quote(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v.take(120)) }
+    val errJsonFull = errors.map { case (k, v) => Json.quote(k) + ":" + Json.quote(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errJsonFull,"failed":${errors.size},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -68,19 +71,31 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
 
     // Stdout line — the harness captures only the final ~2000 chars of the
-    // run's output (r6/r7 artifacts stored parsed:null because 99 full
-    // query names at nanosecond precision overflowed that tail). Short
-    // `qNN` keys (the names' unique numeric prefixes) at millisecond
-    // precision keep the whole line ≈1.3 KB so it always lands inside the
-    // captured window, sbt's `[success]` trailer included.
+    // run's COMBINED output, stderr included (the r8 artifact stored
+    // parsed:null because two stray WARN lines plus the 104-entry line
+    // overflowed that window and cut the line's head). Defenses, in
+    // order: short `qNN` keys at millisecond precision; the sf dir's
+    // basename instead of the full path; the errors object only when
+    // non-empty (messages cut to 120 chars); and the line printed AFTER
+    // spark.stop(), so no late executor/shutdown logging can land
+    // between it and sbt's `[success]` trailer.
+    val short0 = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
     def shortKey(name: String): String = {
-      val p = name.takeWhile(_ != '_')
-      if (p.matches("q\\d+")) p else name
+      val p = short0(name)
+      // a qNN prefix is only usable if unique — on collision keep the
+      // full name so no timing silently drops out of the parsed object
+      if (p.matches("q\\d+") && short0.valuesIterator.count(_ == p) == 1) p
+      else name
     }
     def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString // locale-safe
     val qsShort = results.map { case (k, v) => Json.quote(shortKey(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,"errors":$errJson,"failed":${errors.size},"sf":"$sfDir"}""")
+    val errShort = errors.map { case (k, v) =>
+      Json.quote(shortKey(k)) + ":" + Json.quote(v.take(120))
+    }.mkString("{", ",", "}")
+    val errField = if (errors.isEmpty) "" else s""","errors":$errShort"""
+    val sfName = new java.io.File(sfDir).getName
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort$errField,"failed":${errors.size},"sf":"$sfName"}""")
   }
 }

@@ -591,6 +591,50 @@ class OperatorSpec extends SparkSpec {
       .filter(col("doc_id") === -12345L).isEmpty)
   }
 
+  test("bloom manifest probe stays flat at a 10,000-entry manifest") {
+    import graft.operators.Layout
+    import graft.sources.{Staging, Tables}
+    import scala.jdk.CollectionConverters._
+    val root = s"${GraftSession.scratchRoot}/graft-bloom-manifest-10k"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+    Staging.compact(spark, docs, "doc_id", 4, root)
+    Layout.writeBloomManifest(spark, root, "doc_id")
+    val probe = docs.select(min(col("doc_id"))).as[Long].head()
+
+    // pruning result against the REAL 4-file manifest — the 10k-entry
+    // probe must reproduce it exactly
+    val matched = Layout.bloomPrunedRead(spark, root, "doc_id", Seq(probe))
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val m = spark.read.parquet(s"$root/_graft_manifest")
+    val schema = m.schema
+    val mRows = m.collect().toSeq
+    // donor: a file whose bloom provably does NOT match the probe, so
+    // the 10k fake entries cloned from it can never match either — the
+    // scale test is deterministic, not subject to bloom FPP luck
+    val donorRow = mRows.find(r => !matched.contains(r.getAs[String]("arquivo")))
+      .getOrElse(fail("need at least one non-matching file as donor"))
+    val aIdx = schema.fieldIndex("arquivo")
+    val fakeRows = (0 until 10000).map { i =>
+      org.apache.spark.sql.Row.fromSeq(
+        donorRow.toSeq.updated(aIdx, s"/nonexistent/fake_$i.parquet"))
+    }
+    spark.createDataFrame((mRows ++ fakeRows).asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_graft_manifest")
+
+    // probe the 10,004-entry manifest: bloom bytes are filtered
+    // executor-side, only matching NAMES reach the driver, so the probe
+    // stays sub-minute and the driver footprint is the name list
+    val t0 = System.nanoTime()
+    val pruned = Layout.bloomPrunedRead(spark, root, "doc_id", Seq(probe))
+    val files = pruned.select(input_file_name()).distinct().as[String].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(files == matched,
+      s"10k-entry manifest must prune identically: $files vs $matched")
+    assert(pruned.filter(col("doc_id") === probe).count() ==
+      docs.filter(col("doc_id") === probe).count())
+    assert(secs < 60.0, s"manifest probe took $secs s at 10k entries")
+  }
+
   test("compact refreshes an existing bloom manifest for the rewritten files") {
     import graft.operators.Layout
     import graft.sources.{Staging, Tables}
