@@ -17,8 +17,32 @@ object Explain {
 /** Time named queries with the noop sink. Args containing `=` are session
   * conf sets applied IN ORDER, so one invocation can A/B an optimizer
   * toggle: `SpotBench q92 spark.graft.topkRewrite.enabled=false q92`.
+  * `probe:` names run perf-probe VARIANTS of graded queries (degraded or
+  * alternative internals) that must stay outside the graded contract.
   */
 object SpotBench {
+
+  /** Perf-probe variants — same inputs as their graded twins, internals
+    * deliberately altered for attribution experiments.
+    */
+  private val probes: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // q27 with skew tiling DISABLED (maxBlock = Int.MaxValue → every
+    // block takes the plain self-join path): isolates tiledPairs'
+    // salting/explode overhead from the inherent pair-scoring cost
+    "q27_no_tiling" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      llm.Dedup.simhashPairsPortable(
+        docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
+        maxBlock = Int.MaxValue)
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create()
@@ -28,10 +52,18 @@ object SpotBench {
         spark.conf.set(k, v)
         println(s"SPOT-CONF $k=$v")
       } else {
+        val q = if (arg.startsWith("probe:")) probes(arg.stripPrefix("probe:"))
+          else SparkEntry.queries(arg)
         val t0 = System.nanoTime()
-        SparkEntry.queries(arg)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        q(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
         llm.CacheScope.releaseAll()
-        println(f"SPOT $arg ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // untimed heap compaction between queries, same as Bench: without
+        // it a heavy query's old-gen pressure inflates every later timing
+        // in the session (measured ×3 on q45 right after a q27 run) and
+        // A/B comparisons read order effects, not code
+        System.gc()
+        println(f"SPOT $arg $sec%.2f s")
       }
     }
     spark.stop()

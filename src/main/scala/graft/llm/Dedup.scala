@@ -317,24 +317,36 @@ object Dedup {
   /** Pick the tile side from RUNTIME stats — the observed per-block
     * counts (the same aggregation the hot-block filter needs anyway) and
     * the session's shuffle parallelism: total pair work W = Σ n_b² split
-    * across P slots gives a per-task pair budget of W/P, so tiles of side
-    * √(W/P) fill every slot with equal work. A static cap either
-    * over-tiles uniform data when set low (wasted replication: every
-    * block pays S>1 for skew that isn't there) or under-tiles a hot block
-    * when set high; this self-tunes as the corpus scales. The floor keeps
-    * tiny corpora on the plain self-join; the cap bounds any single
-    * task's pair volume (32768² ≈ 10⁹ comparisons) regardless of W.
+    * across P slots gives a per-task pair budget of W/P. The tile side is
+    * k·√(W/P) (k = `spark.graft.tileBudgetFactor`, default 4): a block
+    * only counts as HOT — and pays salting/replication — when its own
+    * pair space exceeds k² fair task shares. Salting every block down to
+    * exactly one share (k = 1) over-tiles: hash partitioning already
+    * load-balances the many sub-budget blocks per task; k = 4 keeps
+    * uniform-ish data entirely on the plain self-join while bounding any
+    * straggler task at ~16 fair shares of pair work (q27's sf1 A/B sweep
+    * across k = 1..8 moved < ±15%, so on THAT corpus the machinery cost,
+    * not replication, dominates — see SURVEY §4). A
+    * static cap would either over-tile uniform data or under-tile a hot
+    * block; this self-tunes as the corpus scales. The floor keeps tiny
+    * corpora on the plain self-join; the cap bounds any single task's
+    * pair volume (32768² ≈ 10⁹ comparisons) regardless of W or k.
     *
-    * Costs one scalar aggregate action over the (block, count) table —
-    * driver-side traffic is ONE row, the block counts themselves stay
-    * distributed.
+    * REFERENCE formula, pinned by DedupSpec: [[tiledPairs]] computes the
+    * same expression inside its plan (one-row Σn² cross-joined onto the
+    * block counts) so sizing the tiles costs no separate action — an
+    * eager pre-action here re-derived the caller's whole `keyed` lineage
+    * once more just to learn the threshold.
     */
   private[graft] def adaptiveMaxBlock(counts: DataFrame, parallelism: Int): Int = {
     val row = counts.agg(
       sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w")).head()
     if (row.isNullAt(0)) return 256 // empty input: any size works
     val w = row.getDouble(0)
-    val target = math.ceil(math.sqrt(w / math.max(parallelism, 1))).toLong
+    val k = counts.sparkSession.sessionState.conf
+      .getConfString("spark.graft.tileBudgetFactor", "4").toDouble
+    val target =
+      math.ceil(k * math.sqrt(w / math.max(parallelism, 1))).toLong
     math.max(256L, math.min(target, 32768L)).toInt
   }
 
@@ -374,7 +386,18 @@ object Dedup {
     // self-join's shuffle volume: an earlier all-blocks count join tripled
     // shuffled bytes and made the no-skew case ~2.5x slower at sf1. The
     // count aggregation itself is map-side-combined per block key — cheap.
-    val counts = cached.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+    val countsRaw = cached.groupBy("__block").agg(count(lit(1)).as("__cnt"))
+    // In adaptive mode the block-count table is consumed twice — the Σn²
+    // scalar action that sizes the tiles, then the hot filter inside the
+    // broadcast build. PERSIST it (≤ |blocks| rows, tiny) so the sizing
+    // action materializes it once and the hot filter replays from cache
+    // instead of re-deriving the caller's keyed lineage a second time.
+    // An in-plan threshold (one-row Σn² cross-joined onto counts, no
+    // action at all) was tried and measured WORSE (6.5 s vs 3.7 s warm on
+    // q27 at sf0.1): it duplicates the counts aggregation inside nested
+    // broadcast builds that the scheduler materializes serially.
+    val counts =
+      if (maxBlock > 0) countsRaw else CacheScope.persistTracked(countsRaw)
     val effBlock =
       if (maxBlock > 0) maxBlock
       else adaptiveMaxBlock(counts,
