@@ -1500,6 +1500,27 @@ object SparkEntry {
         minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
         targetFraction = 0.5, fuzzyThreshold = Some(0.5)))
     },
+
+    // Landing-zone fetch worklist (the engine side of the reference's
+    // FTP retrieval loop): remote catalog LEFT-JOINed against the
+    // landing state; absent files and size mismatches come back as
+    // (file, reason) fetch work. The graded query derives both sides
+    // deterministically from orders (every third file landed, every
+    // ninth landed at the wrong size); LandingSpec runs the REAL
+    // binaryFile landing scan + out-of-band copy + dbc decode offline.
+    "q106_landing_worklist" -> { (s, dir) =>
+      val cat = Tables.orders(s, dir).select(
+        concat(lit("PA"), col("o_orderkey"), lit(".dbc")).as("nome_completo"),
+        col("o_totalprice").cast("long").as("tamanho"),
+        col("o_orderkey"))
+      val landed = Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(
+          concat(lit("PA"), col("o_orderkey"), lit(".dbc")).as("nome_completo"),
+          (col("o_totalprice").cast("long") +
+            when(col("o_orderkey") % 9 === 0, 1L).otherwise(0L)).as("tamanho"))
+      ordered(sources.Landing.fetchWorklist(cat, landed))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3385,6 +3406,25 @@ object SparkEntry {
         |        AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep
         |ORDER BY ALL NULLS FIRST""".stripMargin
     },
+
+    "q106_landing_worklist" ->
+      """WITH cat AS (
+        |  SELECT 'PA' || o_orderkey || '.dbc' AS nome_completo,
+        |    CAST(trunc(o_totalprice) AS BIGINT) AS tamanho, o_orderkey
+        |  FROM orders),
+        |land AS (
+        |  SELECT 'PA' || o_orderkey || '.dbc' AS nome_completo,
+        |    CAST(trunc(o_totalprice) AS BIGINT) +
+        |      CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END AS t_local
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT nome_completo, tamanho, o_orderkey, motivo FROM (
+        |  SELECT c.nome_completo, c.tamanho, c.o_orderkey,
+        |    CASE WHEN l.t_local IS NULL THEN 'ausente'
+        |         WHEN l.t_local != c.tamanho THEN 'tamanho_diferente'
+        |    END AS motivo
+        |  FROM cat c LEFT JOIN land l USING (nome_completo))
+        |WHERE motivo IS NOT NULL
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact
