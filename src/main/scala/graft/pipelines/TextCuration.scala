@@ -45,9 +45,15 @@ object TextCuration {
       docs: DataFrame, idCol: String, textCol: String, domainCol: String,
       minQuality: Double, spanWindow: Int, spanMaxDocs: Int,
       targetFraction: Double, fuzzyThreshold: Option[Double] = None): DataFrame = {
-    val exact = Dedup.exactDedup(
+    val exactRaw = Dedup.exactDedup(
       docs.select(col(idCol), col(textCol), col(domainCol)), textCol, idCol)
-    val deduped = fuzzyThreshold.fold(exact) { t =>
+    val deduped = fuzzyThreshold.fold(exactRaw) { t =>
+      // the exact-deduped corpus feeds THREE consumers here (the shingle
+      // pipeline inside the pair search and both sides of the anti-join)
+      // — persist it so the dedup's hash aggregation runs once, not per
+      // consumer (spillable; at scale one materialization beats three
+      // corpus shuffles)
+      val exact = graft.llm.CacheScope.persistTracked(exactRaw)
       // near-dup pairs are already exact-Jaccard-verified ≥ t; documents
       // shorter than the shingle width have no shingles, generate no
       // pairs, and always survive this stage
