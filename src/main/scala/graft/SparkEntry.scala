@@ -1521,6 +1521,17 @@ object SparkEntry {
             when(col("o_orderkey") % 9 === 0, 1L).otherwise(0L)).as("tamanho"))
       ordered(sources.Landing.fetchWorklist(cat, landed))
     },
+
+    // Sliding-window boilerplate purge: q101's document-frequency rule
+    // with stride 2 < window 5, so boilerplate at DIFFERENT offsets in
+    // different documents still meets the threshold (fixed chunking only
+    // counts alignment-sharing spans); every token covered by a frequent
+    // span occurrence is dropped and the doc rebuilt in order.
+    "q107_span_purge_sliding" -> { (s, dir) =>
+      ordered(llm.Curation.purgeFrequentSpansSliding(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 5, stride = 2, maxDocs = 2))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3424,6 +3435,40 @@ object SparkEntry {
         |    END AS motivo
         |  FROM cat c LEFT JOIN land l USING (nome_completo))
         |WHERE motivo IS NOT NULL
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Sliding spans replayed: starts every 2 tokens (full 5-windows
+    // only), doc-frequency > 2 over distinct docs, covered positions
+    // from hit spans, token-stream left join, ordered rebuild.
+    "q107_span_purge_sliding" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS s,
+        |    array_to_string(tk[u.i + 1 : u.i + 5], ' ') AS span
+        |  FROM t, LATERAL unnest(generate_series(0, len(tk) - 5, 2)) u(i)
+        |  WHERE len(tk) >= 5),
+        |f AS (SELECT span FROM sp GROUP BY span
+        |      HAVING count(DISTINCT doc_id) > 2),
+        |h AS (
+        |  SELECT DISTINCT sp.doc_id, CAST(u.p AS INT) AS pos
+        |  FROM sp JOIN f USING (span),
+        |    LATERAL unnest(generate_series(sp.s, sp.s + 4)) u(p)),
+        |tok AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tk[CAST(u.i AS INT)] AS tok
+        |  FROM t, LATERAL unnest(generate_series(1, len(tk))) u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok, h2.cov
+        |  FROM tok LEFT JOIN (SELECT doc_id, pos, true AS cov FROM h) h2
+        |    USING (doc_id, pos))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov IS NULL THEN tok END, ' '
+        |    ORDER BY pos), '') AS texto_limpo,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removidos
+        |FROM kept GROUP BY doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -267,6 +267,67 @@ object Curation {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** [[purgeFrequentSpans]] with SLIDING windows (`stride` < `window`):
+    * fixed chunking only counts spans that share an alignment, so the
+    * same boilerplate sentence at offset 0 in one page and offset 2 in
+    * another never meets the document-frequency threshold — the
+    * boundary-straddling blind spot. Here spans start every `stride`
+    * tokens (full windows only; documents shorter than `window` are
+    * exempt), the over-threshold span set broadcasts back, and every
+    * TOKEN covered by any frequent-span occurrence is dropped; the
+    * document is rebuilt from the surviving tokens in order.
+    *
+    * Emits one row per input document: `texto_limpo` ('' when every
+    * token was covered), `n_tokens`, `n_removidos` (tokens dropped).
+    *
+    * Shape: the span fan-out is window/stride× the token stream (scan
+    * level); document frequency is one map-side-combinable aggregation
+    * on span text; the frequent set is the boilerplate vocabulary —
+    * tiny — and broadcasts; covered positions explode only from HIT
+    * spans (boilerplate-bounded, not corpus-bounded), then one
+    * (id, pos) shuffle join against the token stream and the per-doc
+    * ordered rebuild. Token and span streams both replay from one
+    * persisted (id, tokens) scan.
+    */
+  def purgeFrequentSpansSliding(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      stride: Int, maxDocs: Int): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got stride=$stride window=$window")
+    require(maxDocs >= 1, s"need maxDocs >= 1, got $maxDocs")
+    val toksed = CacheScope.persistTracked(
+      Spread(df.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), TextAnalysis.tokens(col(textCol)).as("__tk")))
+    val starts = when(size(col("__tk")) >= window,
+        sequence(lit(0), size(col("__tk")) - window, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val spans = toksed
+      .select(col("__id"), col("__tk"), explode(starts).as("__st"))
+      .select(col("__id"), col("__st"),
+        concat_ws(" ", slice(col("__tk"), col("__st") + 1, lit(window))).as("__span"))
+    val frequent = spans.groupBy("__span")
+      .agg(count_distinct(col("__id")).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("__span")
+    val covered = spans.join(broadcast(frequent), Seq("__span"))
+      .select(col("__id"),
+        explode(sequence(col("__st"), col("__st") + window - 1)).as("__pos"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val toks = toksed.select(col("__id"),
+      posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+    toks.join(covered, Seq("__id", "__pos"), "left")
+      .groupBy("__id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok"))).as("texto_limpo"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNull, 0L).otherwise(1L)).as("n_removidos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Per-group EXACT discrete-quantile bounds + outlier filter — the
     * length/score trimming step (drop the shortest/longest tails per
     * language) with engine-exact cut points: the bound at quantile `p` is

@@ -209,6 +209,41 @@ class CurationSpec extends SparkSpec {
       (4L, "c d", 1L, 0L)))
   }
 
+  test("sliding span purge catches boilerplate fixed chunking misses") {
+    import graft.llm.Curation
+    // the same 5-token boilerplate at offsets 0 / 1 / 2 — fixed
+    // window-5 chunking sees three DIFFERENT alignment-dependent spans
+    // (each in one doc), sliding stride-1 windows see one span in 3 docs
+    val bp = "visit our great site now"
+    // context tokens are doc-UNIQUE so the only cross-doc span is the
+    // boilerplate itself (a shared continuation would legitimately widen
+    // the frequent region)
+    val docs = Seq(
+      (1L, s"$bp a1 b1 c1 d1 e1"),
+      (2L, s"p2 $bp a2 b2 c2 d2"),
+      (3L, s"p3 q3 $bp a3 b3 c3"))
+      .toDF("doc_id", "text")
+    val fixed = Curation.purgeFrequentSpans(docs, "doc_id", "text",
+        window = 5, maxDocs = 2)
+      .select("doc_id", "n_removidos").as[(Long, Long)].collect().toMap
+    assert(fixed.values.forall(_ == 0L),
+      s"fixed chunking must MISS the straddling boilerplate: $fixed")
+    val slid = Curation.purgeFrequentSpansSliding(docs, "doc_id", "text",
+        window = 5, stride = 1, maxDocs = 2)
+      .select("doc_id", "texto_limpo", "n_removidos")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(slid.map(_._3) == Seq(5L, 5L, 5L),
+      s"sliding must drop exactly the 5 boilerplate tokens per doc: $slid")
+    assert(slid.forall(r => !r._2.contains("visit") && !r._2.contains("site")))
+    assert(slid.head._2 == "a1 b1 c1 d1 e1")
+    // a doc shorter than the window is exempt, never crashes
+    val short = Curation.purgeFrequentSpansSliding(
+        Seq((9L, "tiny doc")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 5, stride = 2, maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(short == Seq((9L, "tiny doc", 2L, 0L)))
+  }
+
   test("temperatureResample flattens the mixture deterministically") {
     val docs = Tables.documents(spark, sfDir)
     val out = Curation.temperatureResample(
