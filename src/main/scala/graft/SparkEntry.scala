@@ -1532,6 +1532,46 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", window = 5, stride = 2, maxDocs = 2))
     },
+
+    // Run-ledger dispatch worklist (the reference's orchestration loop
+    // re-expressed engine-side): jobs = (priority, status) source
+    // partitions with produced = max order date; the append-only ledger
+    // samples every 50th order as a run (every 7th of those failed). The
+    // latest run folds through the bounded-heap k=1 aggregate and
+    // broadcasts onto the catalog; jobs that never ran, failed last, or
+    // are stale come back as (job, motivo) dispatch work.
+    "q108_dispatch_worklist" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val catalog = o.groupBy(
+          col("o_orderpriority").as("tipo"), col("o_orderstatus").as("situacao"))
+        .agg(max(col("o_orderdate")).as("produzido_em"),
+          count(lit(1)).as("tamanho"))
+      val ledger = o.filter(col("o_orderkey") % 50 === 0).select(
+        col("o_orderpriority").as("tipo"), col("o_orderstatus").as("situacao"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 7 === 0, "erro").otherwise("ok").as("status"),
+        col("o_orderdate").as("fim"),
+        col("o_totalprice").cast("long").as("linhas"))
+      ordered(RunLog.dispatchWorklist(catalog, ledger,
+        Seq("tipo", "situacao"), "produzido_em", "seq", "status", "fim"))
+    },
+
+    // Hashed linear classifier inference (fastText-style quality filter):
+    // unigram+bigram features md5-hashed into 1024 buckets, weights a
+    // broadcast (bucket -> fixed-point milli-weight) table derived
+    // deterministically from md5 so the oracle rebuilds the same model;
+    // per-doc margin is an exact BIGINT sum, label its sign.
+    "q109_quality_classifier" -> { (s, dir) =>
+      val buckets = 1024
+      val weights = s.range(buckets).select(
+        col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 2001 - 1000)
+          .as("w_milli"))
+      ordered(llm.TextAnalysis.linearTextScore(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        weights, "doc_id", "text", buckets))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3469,6 +3509,69 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN cov IS NULL THEN 0 ELSE 1 END) AS BIGINT)
         |    AS n_removidos
         |FROM kept GROUP BY doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Ledger fold replayed with a window (the oracle may sort; the engine
+    // may not): latest run per job by seq, left-joined onto the catalog,
+    // reason cascade identical.
+    "q108_dispatch_worklist" ->
+      """WITH catalog AS (
+        |  SELECT o_orderpriority AS tipo, o_orderstatus AS situacao,
+        |         max(o_orderdate) AS produzido_em,
+        |         count(*) AS tamanho
+        |  FROM orders GROUP BY 1, 2),
+        |ledger AS (
+        |  SELECT o_orderpriority AS tipo, o_orderstatus AS situacao,
+        |         o_orderkey AS seq,
+        |         CASE WHEN o_orderkey % 7 = 0 THEN 'erro' ELSE 'ok' END AS status,
+        |         o_orderdate AS fim
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |latest AS (
+        |  SELECT tipo, situacao, seq, status, fim FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY tipo, situacao ORDER BY seq DESC) AS rn
+        |    FROM ledger) WHERE rn = 1)
+        |SELECT tipo, situacao, produzido_em, tamanho,
+        |  seq AS ultima_execucao, status AS ultimo_status, motivo
+        |FROM (
+        |  SELECT c.*, l.seq, l.status,
+        |    CASE WHEN l.seq IS NULL THEN 'nunca_executado'
+        |         WHEN l.status <> 'ok' THEN 'falha_anterior'
+        |         WHEN c.produzido_em > l.fim THEN 'desatualizado' END AS motivo
+        |  FROM catalog c LEFT JOIN latest l USING (tipo, situacao))
+        |WHERE motivo IS NOT NULL
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The hashed model replayed: same md5 bucket hash, same md5-derived
+    // milli-weight table, same exact integer margin.
+    "q109_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |                         for i in range(1, len(tk))]) AS g
+        |  FROM t WHERE len(tk) >= 2),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM feats WHERE g <> ''),
+        |w AS (
+        |  SELECT CAST(range AS BIGINT) AS bucket,
+        |    CAST(('0x' || substring(md5('w:' || range), 1, 8)) AS BIGINT)
+        |      % 2001 - 1000 AS w_milli
+        |  FROM range(1024)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(coalesce(w_milli, 0)) AS margem_milli
+        |  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(s.margem_milli, 0) AS BIGINT) AS margem_milli,
+        |  coalesce(s.margem_milli, 0) > 0 AS aprovado
+        |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

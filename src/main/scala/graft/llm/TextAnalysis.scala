@@ -278,4 +278,57 @@ object TextAnalysis {
       .withColumn("frac_dup_trigramas",
         frac(col("dup_trigramas"), col("n_tokens") - 2, 3))
   }
+
+  /** Hashed linear text-classifier INFERENCE (the fastText architecture,
+    * Joulin et al. 2016 — the model class behind CCNet/DCLM-style quality
+    * filters): features are word unigrams + bigrams hashed into `buckets`
+    * slots, the model is a (bucket → weight) TABLE, the score is the sum
+    * of matched weights, and the label is its sign.
+    *
+    * Spark-first shape: one scan-level tokenize + native
+    * `word_shingles_all` bigram fan-out (multiplicity kept — this is a
+    * bag-of-features model), bucket via the portable md5 word, the weight
+    * table joined in as a BROADCAST build side (a model is ≤ buckets rows
+    * — tiny versus the corpus, which never shuffles for the lookup), then
+    * ONE map-side-combinable per-doc aggregation: the exchange carries a
+    * (doc, partial margin) row per map partition, not the exploded grams.
+    *
+    * Weights are integer fixed-point (milli-units, the quantized-inference
+    * convention) so every margin is an exact BIGINT sum — bit-identical
+    * under any partitioning and to the SQL oracle; no float dot product to
+    * diverge in the last ulp. Features whose bucket has no weight row
+    * count toward `n_feats` with weight 0 (left join). Docs with no
+    * features score 0 / reprovado.
+    *
+    * Output: idCol, n_feats, margem_milli, aprovado (margin > 0).
+    */
+  def linearTextScore(
+      docs: DataFrame, weights: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val base = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), tokens(col(textCol)).as("__tk")))
+    val feats = base.select(col("__id"),
+        explode(concat(col("__tk"),
+          call_function("word_shingles_all", col("__tk"), lit(2)))).as("__g"))
+      .filter(col("__g") =!= "")
+      .select(col("__id"),
+        (conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    val scored = feats
+      .join(broadcast(weights.select(col("bucket"), col("w_milli"))),
+        Seq("bucket"), "left")
+      .groupBy("__id").agg(
+        count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("margem_milli"))
+    base.select(col("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("margem_milli"), lit(0L)).as("margem_milli"))
+      .withColumn("aprovado", col("margem_milli") > 0L)
+  }
 }

@@ -723,4 +723,44 @@ class OperatorSpec extends SparkSpec {
       .collect().toSet
     assert(reconstructed == full)
   }
+
+  test("run ledger: worklist reasons cascade; stats fold the append-only log") {
+    def ts(s: String) = s"$s 00:00:00"
+    val catalog = Seq(
+      ("a", ts("2026-01-05"), 100L), // latest ok run AFTER produced → no work
+      ("b", ts("2026-01-05"), 200L), // latest ok run BEFORE produced → stale
+      ("c", ts("2026-01-05"), 300L), // latest run failed → falha_anterior
+      ("d", ts("2026-01-05"), 400L), // no runs at all → nunca_executado
+    ).toDF("job", "produzido_em", "tamanho")
+      .withColumn("produzido_em", col("produzido_em").cast("timestamp"))
+    val ledger = Seq(
+      // job a: an old failure superseded by a fresh success
+      ("a", 1L, "erro", ts("2026-01-02"), 0L),
+      ("a", 2L, "ok", ts("2026-01-06"), 10L),
+      // job b: succeeded, but before the source was produced
+      ("b", 1L, "ok", ts("2026-01-04"), 20L),
+      // job c: a success superseded by a failure
+      ("c", 1L, "ok", ts("2026-01-06"), 30L),
+      ("c", 2L, "erro", ts("2026-01-07"), 0L),
+    ).toDF("job", "seq", "status", "fim", "linhas")
+      .withColumn("fim", col("fim").cast("timestamp"))
+
+    val work = RunLog.dispatchWorklist(catalog, ledger, Seq("job"),
+      "produzido_em", "seq", "status", "fim")
+    val motivos = work.select("job", "motivo").as[(String, String)].collect().toMap
+    assert(motivos == Map(
+      "b" -> "desatualizado", "c" -> "falha_anterior", "d" -> "nunca_executado"))
+    // worklist keeps the catalog row plus the folded latest-run columns
+    assert(work.filter(col("job") === "c")
+      .select("ultima_execucao", "ultimo_status")
+      .as[(Long, String)].head() == (2L, "erro"))
+
+    val stats = RunLog.runStats(ledger, Seq("job"), "status", "fim", "linhas")
+    val byJob = stats
+      .select("job", "execucoes", "falhas", "linhas_ok")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    assert(byJob == Map(
+      "a" -> ((2L, 1L, 10L)), "b" -> ((1L, 0L, 20L)), "c" -> ((2L, 1L, 30L))))
+  }
 }
