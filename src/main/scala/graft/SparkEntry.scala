@@ -1572,6 +1572,23 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"),
         weights, "doc_id", "text", buckets))
     },
+
+    // Containment near-dup: planted PREFIX documents (first ~40% of
+    // tokens at id+1000000) have Jaccard ~0.4 against their source —
+    // invisible to q26's threshold — but containment 1.0. Bottom-8
+    // md5-hash sketch buckets generate candidates, exact sorted-merge
+    // intersection verifies |A∩B|/min(|A|,|B|) ≥ 0.9.
+    "q110_containment_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = llm.TextAnalysis.tokens(col("text"))
+      val variants = docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat_ws(" ",
+          slice(toks, lit(1),
+            greatest(lit(3), floor(size(toks) * 2 / 5)).cast("int"))))
+      ordered(llm.Dedup.containmentNearDups(
+        docs.unionByName(variants), "doc_id", "text", threshold = 0.9))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3572,6 +3589,47 @@ object SparkEntry {
         |  CAST(coalesce(s.margem_milli, 0) AS BIGINT) AS margem_milli,
         |  coalesce(s.margem_milli, 0) > 0 AS aprovado
         |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Bottom-k sketch + exact containment replayed: same md5 word, same
+    // bottom-8 per doc (row_number here, the bounded heap there), same
+    // intersection-over-smaller-set verify.
+    "q110_containment_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string(
+        |      tk[1:CAST(greatest(3, floor(len(tk) * 2.0 / 5.0)) AS INT)], ' ')
+        |  FROM base WHERE doc_id % 4 = 0),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ')
+        |                   for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h
+        |  FROM (SELECT id, md5(unnest(sh)) AS m FROM k)),
+        |bottom AS (
+        |  SELECT id, h FROM (
+        |    SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h) AS rn
+        |    FROM shrows) WHERE rn <= 8),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bottom a JOIN bottom b ON a.h = b.h AND a.id < b.id)
+        |SELECT id_a, id_b, contencao FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE) /
+        |    least(CAST(len(ka.sh) AS DOUBLE), CAST(len(kb.sh) AS DOUBLE))
+        |      AS contencao
+        |  FROM pairs p JOIN k ka ON p.id_a = ka.id JOIN k kb ON p.id_b = kb.id)
+        |WHERE contencao >= 0.9
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -188,6 +188,56 @@ object Dedup {
     jaccardVerify(candidatePairs(buckets), keyed, threshold)
   }
 
+  /** Containment near-dup detection: pairs whose shingle OVERLAP covers
+    * most of the SMALLER document — `|A∩B| / min(|A|,|B|) ≥ threshold` —
+    * the asymmetric relation Jaccard-based dedup structurally misses. A
+    * prefix/quotation/subset document has Jaccard ≈ |A|/|B| against its
+    * superset (arbitrarily small as the superset grows) but containment
+    * 1.0; production pipelines treat such engulfed documents as
+    * duplicates (the RealNews/C4 quotation case).
+    *
+    * Candidate generation matches the relation: MinHash bands estimate
+    * Jaccard, so instead each document buckets on each of its `bottomK`
+    * SMALLEST portable-md5 shingle hashes (a bottom-k sketch, Broder's
+    * sample of the set). If A is mostly inside B they share low hashes
+    * with high probability regardless of the size ratio (for A ⊆ B, A's
+    * minimum hash lands in B's bottom-k with prob ≈ 1 − e^(−k·|A|/|B|)).
+    * The sketch is exact top-k machinery — the bounded-heap
+    * [[graft.operators.TopK.groupTopKRows]] aggregate, k rows per doc per
+    * map partition to the exchange — then pairs form only within hash
+    * buckets ([[candidatePairs]]' shape: bucketed, never all-pairs; a
+    * boilerplate shingle whose hash goes hot is the same skew case as
+    * q26's band buckets) and the exact sorted-merge intersection verifies.
+    * One IEEE division per pair → bit-reproducible in SQL.
+    *
+    * Output: (id_a, id_b, contencao) for every verified pair.
+    */
+  def containmentNearDups(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, bottomK: Int = 8): DataFrame = {
+    val keyed = shingled(docs, idCol, textCol, shingleN)
+      .transform(CacheScope.persistTracked)
+    val (h1, _) = md5Words(col("__shingle"))
+    val hashes = keyed
+      .select(col("__id"), explode(col("__sh")).as("__shingle"))
+      .select(col("__id"), h1.as("__h"))
+    val bottom = graft.operators.TopK.groupTopKRows(
+        hashes, Seq("__id"), Seq(("__h", true)), bottomK, posCol = "__pos")
+      .select(lit(0).as("band"), col("__h").cast("string").as("bhash"),
+        col("__id"))
+    val shA = keyed.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val shB = keyed.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    candidatePairs(bottom).join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (call_function("sorted_intersect_count", col("__sh_a"), col("__sh_b"))
+          .cast("double") /
+          least(size(col("__sh_a")), size(col("__sh_b"))).cast("double"))
+          .as("contencao"))
+      .filter(col("contencao") >= threshold)
+  }
+
   /** 64-bit SimHash over the distinct token set: bit `i` is set when the
     * sum of ±1 contributions (sign of bit `i` of each token's xxhash64) is
     * positive. Pure nested higher-order expressions — no UDF.

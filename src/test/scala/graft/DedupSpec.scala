@@ -323,4 +323,45 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect()
     assert(out(0) == out(1))
   }
+
+  test("containment catches engulfed prefixes that Jaccard-LSH misses") {
+    // prefix variants: ~30% of each source doc → Jaccard ≈ 0.3 against
+    // the source (below any sane near-dup threshold), containment 1.0
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val variants = docs.filter(col("doc_id") % 5 === 0 && size(toks) >= 20)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text",
+        concat_ws(" ", slice(toks, lit(1), (size(toks) * 3 / 10).cast("int"))))
+    val planted = variants.select("doc_id").as[Long].collect().toSet
+    assert(planted.nonEmpty)
+    val corpus = docs.unionByName(variants)
+
+    // bottomK is the candidate-recall knob: P(source and prefix share no
+    // bottom hash) ≈ (1 − |A|/|B|)^k. At k=32 with ratio ~0.3 that is
+    // ~1e-5 — every planted pair must surface; at the default k=8 (~6%
+    // per-pair miss) recall must still clear 0.8.
+    def caughtAt(k: Int): Set[Long] = Dedup.containmentNearDups(
+        corpus, "doc_id", "text", threshold = 0.9, bottomK = k)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .collect { case (a, b) if planted.contains(b) && b - 1000000 == a => b }
+      .toSet
+    assert(caughtAt(32) == planted)
+    assert(caughtAt(8).size >= (planted.size * 0.8).toInt)
+    // a prefix is a strict shingle subset: score exactly 1.0
+    val scores = Dedup.containmentNearDups(corpus, "doc_id", "text", 0.9,
+        bottomK = 32)
+      .filter(col("id_b") - 1000000 === col("id_a"))
+      .select("contencao").as[Double].collect()
+    assert(scores.forall(_ >= 0.999))
+
+    // the Jaccard path at the same strictness finds NONE of them
+    val byJaccard = Dedup.minhashNearDupsPortable(
+        corpus, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val jaccardCaught = byJaccard.collect {
+      case (a, b) if planted.contains(b) && b - 1000000 == a => b
+    }.toSet
+    assert(jaccardCaught.isEmpty)
+  }
 }
