@@ -1589,6 +1589,27 @@ object SparkEntry {
       ordered(llm.Dedup.containmentNearDups(
         docs.unionByName(variants), "doc_id", "text", threshold = 0.9))
     },
+
+    // Cluster-representative selection: the full dedup→cluster→survive
+    // composition — q26's verified near-dup pairs, q52's connected
+    // components, then keep the HIGHEST-quality member per cluster (ties
+    // → min id) via one struct-max aggregation; singletons survive as
+    // their own cluster. The oracle replays pairs (md5 LSH), closure
+    // (recursive CTE) and the argmax end-to-end.
+    "q111_cluster_best" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      val corpus = llm.CacheScope.persistTracked(docs.unionByName(variants))
+      val pairs = llm.Dedup.minhashNearDupsPortable(
+        corpus, "doc_id", "text", threshold = 0.5)
+      val scored = corpus.select(col("doc_id"),
+        llm.TextAnalysis.qualityScore(col("text")).as("qualidade"))
+      ordered(llm.Components.keepBestPerCluster(
+        pairs.select("id_a", "id_b"), scored, "doc_id", "qualidade"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3631,6 +3652,85 @@ object SparkEntry {
         |  FROM pairs p JOIN k ka ON p.id_a = ka.id JOIN k kb ON p.id_b = kb.id)
         |WHERE contencao >= 0.9
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The whole composition replayed: q26's md5-LSH verified pairs, the
+    // recursive-CTE transitive closure, per-doc quality, and the
+    // per-cluster argmax (window here, struct-max aggregation there).
+    "q111_cluster_best" -> {
+      val mins = (0 until 20).map(s =>
+        s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
+      val bands = (0 until 5).map { b =>
+        val cols = (0 until 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        if (b == 0) s"SELECT id, 0 AS band, concat_ws(',', $cols) AS bhash FROM sigs"
+        else s"UNION ALL SELECT id, $b, concat_ws(',', $cols) FROM sigs"
+      }.mkString("\n|  ")
+      s"""WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[2:], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id AS id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+        |             CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT id, md5(unnest(sh)) AS m FROM k)),
+        |sigs AS (
+        |  SELECT id,
+        |    $mins
+        |  FROM shrows GROUP BY id),
+        |buckets AS (
+        |  $bands),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id),
+        |vp AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT c.id_a, c.id_b,
+        |      CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE) /
+        |      (CAST(len(ka.sh) AS DOUBLE) + CAST(len(kb.sh) AS DOUBLE)
+        |       - CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE)) AS jaccard
+        |    FROM cand c JOIN k ka ON c.id_a = ka.id JOIN k kb ON c.id_b = kb.id)
+        |  WHERE jaccard >= 0.5),
+        |sym AS (SELECT id_a AS a, id_b AS b FROM vp
+        |        UNION SELECT id_b, id_a FROM vp),
+        |reach(n, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |labels AS (
+        |  SELECT n AS id, LEAST(n, MIN(r)) AS cluster_id FROM reach GROUP BY n),
+        |q AS (
+        |  SELECT id,
+        |    0.4 * (CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |           / greatest(CAST(len(tk) AS DOUBLE), 1.0)) +
+        |    0.3 * least(1.0,
+        |      (CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE)
+        |       / greatest(CAST(len(tk) AS DOUBLE), 1.0)) / 8.0) -
+        |    0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+        |           / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |    0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |           / greatest(CAST(len(text) AS DOUBLE), 1.0)) AS qualidade
+        |  FROM t),
+        |j AS (
+        |  SELECT q.id, coalesce(l.cluster_id, q.id) AS cluster_id, q.qualidade
+        |  FROM q LEFT JOIN labels l ON q.id = l.id)
+        |SELECT cluster_id, doc_id, qualidade, membros FROM (
+        |  SELECT cluster_id, id AS doc_id, qualidade,
+        |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS membros,
+        |    row_number() OVER (
+        |      PARTITION BY cluster_id ORDER BY qualidade DESC, id) AS rn
+        |  FROM j) WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -103,4 +103,38 @@ object Components {
       .agg(least(min(col("__v")), col("__u")).as("cluster_id"))
       .select(col("__u").as("doc_id"), col("cluster_id"))
   }
+
+  /** Survivorship policy over near-dup clusters: cluster the pair list
+    * with [[connectedComponents]], then keep the BEST-scored document of
+    * each cluster (ties → smallest id) instead of the blind lowest-id
+    * rule — production curation keeps the highest-quality copy of a
+    * duplicate family, not an arbitrary one. Documents in no pair are
+    * their own singleton cluster and always survive.
+    *
+    * The winner is ONE map-side-combinable aggregation — `max` over a
+    * `(score, −id)` struct (lexicographic struct ordering = argmax with
+    * the id tiebreak) — which also folds the cluster size; no window sort
+    * over the corpus, no second pass. The labels table is bounded by the
+    * pair participants, not the corpus, and joins the scored corpus on id.
+    *
+    * `scored` must carry (idCol, scoreCol). Output: one row per cluster —
+    * cluster_id, idCol (the kept doc), scoreCol, `membros`.
+    */
+  def keepBestPerCluster(
+      pairs: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("doc_id", idCol)
+    val labeled = scored.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    labeled.groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("membros"),
+        max(struct(col(scoreCol), (-col(idCol)).as("__negid"))).as("__w"))
+      .select(
+        col("cluster_id"),
+        (-col(s"__w.__negid")).as(idCol),
+        col(s"__w.$scoreCol").as(scoreCol),
+        col("membros"))
+  }
 }

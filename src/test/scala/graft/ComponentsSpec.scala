@@ -62,4 +62,34 @@ class ComponentsSpec extends SparkSpec {
     assert(run(Seq.empty) == Map.empty)
     assert(run(Seq((5L, 3L))) == Map(5L -> 3L, 3L -> 3L))
   }
+
+  test("keepBestPerCluster: argmax survivor, id tiebreak, singleton passthrough") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.7), // chain cluster: 2 wins on score
+      (10L, 0.4), (11L, 0.4),          // tie: smaller id 10 wins
+      (20L, 0.1),                      // singleton survives untouched
+    ).toDF("doc_id", "qualidade")
+    val out = graft.llm.Components
+      .keepBestPerCluster(pairs, scored, "doc_id", "qualidade")
+      .select("cluster_id", "doc_id", "qualidade", "membros")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 0.9, 3L), (10L, 10L, 0.4, 2L), (20L, 20L, 0.1, 1L)))
+  }
+
+  test("keepBestPerCluster drops no cluster and keeps exactly one doc each") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = (0L until 40L by 2L).map(i => (i, i + 1))
+    val pairs = edges.toDF("id_a", "id_b")
+    val scored = (0L until 50L).map(i => (i, (i % 7).toDouble)).toDF("doc_id", "qualidade")
+    val out = graft.llm.Components
+      .keepBestPerCluster(pairs, scored, "doc_id", "qualidade")
+    // 20 pair clusters + 10 singletons (40..49)
+    assert(out.count() == 30L)
+    assert(out.select("doc_id").distinct().count() == 30L)
+  }
 }
