@@ -1610,6 +1610,22 @@ object SparkEntry {
       ordered(llm.Components.keepBestPerCluster(
         pairs.select("id_a", "id_b"), scored, "doc_id", "qualidade"))
     },
+
+    // Leakage-safe train/val split: the split key hashes the GROUP
+    // (source), not the doc, so near-duplicate pages — which cluster
+    // within a site — can never straddle the eval boundary. Scan-level
+    // deterministic assignment (zero shuffles), then one mixture-stats
+    // aggregation per (split, lang). The oracle replays the md5 group
+    // hash and the token sums bit-for-bit.
+    "q112_leakage_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val split = llm.Curation.leakageSafeSplit(
+        docs, "source", valPct = 25, salt = "v1")
+      ordered(split.groupBy("split", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(llm.TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"),
+        count_distinct(col("source")).as("n_fontes")))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3731,6 +3747,21 @@ object SparkEntry {
         |  FROM j) WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin
     },
+
+    // Group-hash split + per-(split, lang) mixture stats; the md5 percent
+    // hash is the pctHash contract (first 32 md5 bits mod 100).
+    "q112_leakage_split" ->
+      """WITH s AS (
+        |  SELECT *,
+        |    CASE WHEN CAST(('0x' || substring(md5(source || 'v1'), 1, 8)) AS BIGINT) % 100 < 25
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT split, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_fontes
+        |FROM s GROUP BY split, lang
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

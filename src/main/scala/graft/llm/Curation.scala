@@ -36,6 +36,48 @@ object Curation {
     df.filter(pctHash(col(idCol)) < rate)
   }
 
+  /** Leakage-safe train/validation split: the split key is the HASH OF A
+    * GROUP (url domain / source / site), not of the document, so every
+    * page from one site lands on ONE side. Doc-level random splits leak:
+    * near-duplicate pages overwhelmingly share a site, and a doc-hash
+    * split strands one copy in train and its twin in val, inflating eval
+    * (Lee et al. 2021 §6 measure exactly this overlap). Group-level
+    * assignment makes the straddle impossible BY CONSTRUCTION for
+    * same-group pairs — no near-dup pass needed at split time.
+    *
+    * Deterministic ([[pctHash]] of group ++ salt): reproducible across
+    * runs, engines and partitionings; scan-level (zero shuffles — the
+    * split is a projection, not a sample-sort).
+    */
+  def leakageSafeSplit(
+      df: DataFrame, groupCol: String, valPct: Int,
+      salt: String = ""): DataFrame = {
+    require(valPct >= 0 && valPct <= 100, s"valPct in [0,100], got $valPct")
+    df.withColumn("split",
+      when(pctHash(concat(col(groupCol).cast("string"), lit(salt))) < valPct,
+        lit("val")).otherwise(lit("train")))
+  }
+
+  /** Split-leakage audit: how many related pairs straddle the split. Feed
+    * it the verified near-dup pairs (q26/q110) and a (id → split)
+    * assignment; 0 means the eval set shares no near-duplicate with
+    * train. Shape: two broadcast-or-shuffle hash joins pairs→assignment
+    * (pairs ≪ corpus) and one count — no corpus-side shuffle.
+    */
+  def splitLeakage(
+      pairs: DataFrame, assign: DataFrame, idCol: String): DataFrame = {
+    val a = assign.select(col(idCol).as("__id"), col("split"))
+    pairs
+      .join(a.withColumnRenamed("split", "split_a"),
+        pairs("id_a") === a("__id")).drop("__id")
+      .join(a.withColumnRenamed("split", "split_b"),
+        pairs("id_b") === a("__id")).drop("__id")
+      .agg(
+        count(lit(1)).as("n_pares"),
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+          .as("n_vazados"))
+  }
+
   /** Offset-based sequence packing: assign each document to the
     * fixed-`budget` token bin its running token-offset starts in
     * (`bin = floor(offset / budget)` with `offset` = the per-group running

@@ -361,4 +361,43 @@ class CurationSpec extends SparkSpec {
     val got = df.select(Privacy.normalizeText(col("texto"))).as[String].head()
     assert(got == "café x y")
   }
+
+  test("leakageSafeSplit keeps same-group near-dup pairs on one side; " +
+      "doc-level split leaks") {
+    // Near-dup pairs cluster within a site: 40 sites, each with a page and
+    // its near-identical twin. Group-level assignment can never straddle
+    // them; a doc-id hash split does.
+    val docs = (0L until 40L).flatMap { site =>
+      Seq((site * 2, s"site$site"), (site * 2 + 1, s"site$site"))
+    }.toDF("doc_id", "source")
+    val pairs = (0L until 40L).map(s => (s * 2, s * 2 + 1))
+      .toDF("id_a", "id_b")
+
+    val byGroup = Curation.leakageSafeSplit(docs, "source", valPct = 30)
+    val (nPairs, leakedGroup) = Curation
+      .splitLeakage(pairs, byGroup.select("doc_id", "split"), "doc_id")
+      .as[(Long, Long)].head()
+    assert(nPairs == 40L && leakedGroup == 0L,
+      s"group split must never straddle a same-site pair, leaked $leakedGroup")
+
+    // both sides non-empty (the hash actually splits)
+    val sides = byGroup.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(sides.keySet == Set("train", "val") && sides.values.forall(_ > 0))
+
+    // determinism + salt sensitivity
+    val again = Curation.leakageSafeSplit(docs, "source", valPct = 30)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == byGroup.select("doc_id", "split")
+      .as[(Long, String)].collect().toSet)
+
+    // the CONTROL: hashing the doc id splits twins apart
+    val byDoc = docs.withColumn("split",
+      when(Curation.pctHash(col("doc_id")) < 30, "val").otherwise("train"))
+    val (_, leakedDoc) = Curation
+      .splitLeakage(pairs, byDoc.select("doc_id", "split"), "doc_id")
+      .as[(Long, Long)].head()
+    assert(leakedDoc > 0L,
+      "doc-level split on this corpus should strand at least one twin pair")
+  }
 }
