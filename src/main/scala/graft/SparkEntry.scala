@@ -1626,6 +1626,27 @@ object SparkEntry {
         sum(llm.TextAnalysis.wsTokenCount(col("text"))).as("n_tokens"),
         count_distinct(col("source")).as("n_fontes")))
     },
+
+    // The RELEASE-GATED curation chain: q103's five stages + benchmark
+    // decontamination (5-gram overlap with an eval suite derived from
+    // every 41st doc's first 24 tokens -> dropped) + PII redaction
+    // (emails/IPs planted on every 7th doc are masked LAST, with
+    // per-kind counts for the release audit). Still ONE plan; the
+    // oracle replays all eight operators end-to-end bit-for-bit.
+    "q113_curation_release" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contato"), col("doc_id"),
+            lit("@exemplo.com 10.0.0."), col("doc_id") % 256))
+          .otherwise(col("text")))
+      val bench = docs.filter(col("doc_id") % 41 === 0)
+        .select(concat_ws(" ",
+          slice(llm.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
+      ordered(pipelines.TextCuration.runFull(
+        docs, "doc_id", "text", "lang",
+        minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
+        targetFraction = 0.5, benchmark = bench, decontamN = 5))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3761,6 +3782,109 @@ object SparkEntry {
         |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_fontes
         |FROM s GROUP BY split, lang
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q103's five-operator replay + decontamination (5-gram overlap vs
+    // the every-41st-doc eval suite) + PII redaction with counts from
+    // the pre-redaction text — the full eight-operator release chain.
+    "q113_curation_release" ->
+      """WITH src AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contato' || CAST(doc_id AS VARCHAR) ||
+        |           '@exemplo.com 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      ELSE text END AS text, lang
+        |  FROM documents),
+        |kmin AS (SELECT text, min(doc_id) AS keep FROM src GROUP BY text),
+        |dd AS (SELECT d.doc_id, d.lang, d.text FROM src d
+        |  JOIN kmin ON d.text = kmin.text AND d.doc_id = kmin.keep),
+        |sc AS (SELECT doc_id, lang, text,
+        |  0.4 * (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / greatest(CAST(len(tk) AS DOUBLE), 1.0)) +
+        |  0.3 * least(1.0,
+        |    (CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE)
+        |     / greatest(CAST(len(tk) AS DOUBLE), 1.0)) / 8.0) -
+        |  0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |  0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+        |    AS qualidade
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM dd)),
+        |qf AS (SELECT * FROM sc WHERE qualidade >= 0.19),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM qf),
+        |c AS (SELECT doc_id, tk,
+        |    1 + CAST(ceil(greatest(len(tk) - 5, 0) / 5.0) AS INT) AS nch
+        |  FROM t),
+        |ch AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |    array_to_string(tk[u.i * 5 + 1 : u.i * 5 + 5], ' ') AS chunk_text
+        |  FROM c, LATERAL unnest(generate_series(0, nch - 1)) u(i)),
+        |f AS (SELECT chunk_text, true AS hit FROM ch
+        |  GROUP BY chunk_text HAVING count(DISTINCT doc_id) > 2),
+        |kk AS (SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, f.hit
+        |  FROM ch LEFT JOIN f USING (chunk_text)),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS texto_limpo
+        |  FROM kk WHERE hit IS NULL GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+        |pg AS (SELECT tot.doc_id,
+        |    coalesce(reb.texto_limpo, '') AS texto_limpo,
+        |    CAST(tot.n_chunks - coalesce(reb.kept, 0) AS BIGINT) AS n_removidos
+        |  FROM tot LEFT JOIN reb USING (doc_id)),
+        |j AS (SELECT qf.doc_id, qf.lang, qf.qualidade, pg.texto_limpo,
+        |    pg.n_removidos
+        |  FROM qf JOIN pg USING (doc_id)),
+        |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS cd FROM j GROUP BY lang),
+        |w AS (SELECT lang, cd, sqrt(CAST(cd AS DOUBLE)) AS wd FROM cnt),
+        |tt AS (SELECT CAST(sum(cd) AS HUGEINT) AS n,
+        |    CAST(CAST(sum(CAST(wd AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS DOUBLE) AS wsum
+        |  FROM w),
+        |p AS (SELECT lang,
+        |    least(1.0, wd / wsum * 0.5 * CAST(n AS DOUBLE) / CAST(cd AS DOUBLE))
+        |      AS p_keep
+        |  FROM w, tt),
+        |fin AS (SELECT j.doc_id, j.lang, j.qualidade, j.texto_limpo,
+        |    j.n_removidos, p.p_keep
+        |  FROM j JOIN p USING (lang)
+        |  WHERE CAST(CAST(('0x' || substring(md5(CAST(j.doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) AS DOUBLE) / 4294967296.0 < p_keep),
+        |bsh AS (SELECT DISTINCT s FROM (
+        |  SELECT unnest(CASE WHEN len(btk) >= 5
+        |    THEN [array_to_string(btk[i:i+4], ' ') for i in range(1, len(btk) - 3)]
+        |    ELSE [] END) AS s
+        |  FROM (SELECT string_split_regex(trim(lower(
+        |          array_to_string(tk[1:24], ' '))), '\s+') AS btk
+        |        FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |              FROM src WHERE doc_id % 41 = 0)))),
+        |dsh AS (SELECT doc_id, list_distinct(CASE WHEN len(ck) >= 5
+        |    THEN [array_to_string(ck[i:i+4], ' ') for i in range(1, len(ck) - 3)]
+        |    ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(trim(lower(texto_limpo)), '\s+') AS ck
+        |        FROM fin)),
+        |hits AS (SELECT doc_id, count(*) AS n FROM
+        |  (SELECT doc_id, unnest(sh) AS s FROM dsh) cc JOIN bsh USING (s)
+        |  GROUP BY 1),
+        |dec AS (SELECT fin.doc_id, fin.lang, fin.qualidade, fin.n_removidos,
+        |    fin.p_keep, fin.texto_limpo AS tl
+        |  FROM fin LEFT JOIN hits USING (doc_id)
+        |  WHERE coalesce(hits.n, 0) = 0)
+        |SELECT doc_id, lang, qualidade, n_removidos, p_keep,
+        |  regexp_replace(regexp_replace(regexp_replace(tl,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\(\d{2}\)\s?\d{4,5}-\d{4}', '<TELEFONE>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+        |    AS texto_limpo,
+        |  CAST(len(regexp_extract_all(tl,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(tl,
+        |    '\(\d{2}\)\s?\d{4,5}-\d{4}')) AS BIGINT) AS n_telefones,
+        |  CAST(len(regexp_extract_all(tl,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+        |FROM dec
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Curation, Dedup, Spread, TextAnalysis}
+import graft.llm.{Curation, Dedup, Privacy, Spread, TextAnalysis}
 
 /** The full LLM text-curation chain composed end-to-end in ONE
   * declarative plan — the text twin of [[Procedures]] (q43): a user of
@@ -83,5 +83,42 @@ object TextCuration {
         .join(purged.select(col(idCol), col("texto_limpo"), col("n_removidos")),
           Seq(idCol)))
     Curation.temperatureResample(rejoined, idCol, domainCol, targetFraction)
+  }
+
+  /** [[run]] extended with the two release-gate stages production
+    * pipelines append before export:
+    *   6. benchmark decontamination ([[Curation.decontaminate]] on the
+    *      PURGED text — eval contamination is judged on what would
+    *      actually ship): any document sharing a `decontamN`-gram with
+    *      the benchmark suite is DROPPED
+    *   7. PII redaction ([[Privacy.redactPii]] — masking runs LAST so no
+    *      later stage can resurface a masked identifier; per-kind counts
+    *      ride the rows for the release audit)
+    *
+    * Scale shape on top of [[run]]'s: the benchmark's distinct shingles
+    * BROADCAST (an eval suite is thousands of docs against a 100 TB
+    * corpus), the contamination verdict joins back on the id both sides
+    * already share (AQE co-partitions, survivors-linear), and redaction
+    * is scan-level regex — zero additional corpus shuffles beyond the
+    * one id join.
+    */
+  def runFull(
+      docs: DataFrame, idCol: String, textCol: String, domainCol: String,
+      minQuality: Double, spanWindow: Int, spanMaxDocs: Int,
+      targetFraction: Double, benchmark: DataFrame, decontamN: Int,
+      fuzzyThreshold: Option[Double] = None): DataFrame = {
+    // the resampled survivors feed the contamination scan AND the final
+    // join — one spillable materialization instead of two chain replays
+    val kept = graft.llm.CacheScope.persistTracked(
+      run(docs, idCol, textCol, domainCol, minQuality, spanWindow,
+        spanMaxDocs, targetFraction, fuzzyThreshold))
+    val flags = Curation.decontaminate(
+      kept.select(col(idCol), col("texto_limpo")),
+      benchmark.select(col(textCol).as("texto_limpo")),
+      idCol, "texto_limpo", decontamN)
+    val clean = kept
+      .join(flags.filter(!col("contaminado")).select(col(idCol)), Seq(idCol))
+      .withColumnRenamed("texto_limpo", "texto_purgado")
+    Privacy.redactPii(clean, "texto_purgado").drop("texto_purgado")
   }
 }

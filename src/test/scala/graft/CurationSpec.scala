@@ -362,6 +362,45 @@ class CurationSpec extends SparkSpec {
     assert(got == "café x y")
   }
 
+  test("TextCuration.runFull drops benchmark-contaminated docs and masks PII") {
+    import graft.pipelines.TextCuration
+    // Corpus where the chain's earlier stages are no-ops (all unique,
+    // all high quality, no frequent spans at maxDocs=50), isolating the
+    // two release gates.
+    val base = "the of and a to in or for with on at by from up about into"
+    val docs = (0L until 30L).map { i =>
+      val pii = if (i % 3 == 0) s" contato$i@exemplo.com 10.0.0.$i" else ""
+      (i, s"$base unico$i marcador$i fim$i$pii", "pt")
+    }.toDF("doc_id", "text", "lang")
+    // eval suite = doc 5's first 6 tokens -> doc 5 shares a 5-gram
+    val bench = Seq("the of and a to in").toDF("text")
+    val out = TextCuration.runFull(docs, "doc_id", "text", "lang",
+      minQuality = 0.0, spanWindow = 5, spanMaxDocs = 50,
+      targetFraction = 1.0, benchmark = bench, decontamN = 5)
+    val rows = out.select("doc_id", "texto_limpo", "n_emails", "n_ips")
+      .as[(Long, String, Long, Long)].collect()
+    graft.llm.CacheScope.releaseAll()
+    // every doc starts with the benchmark 5-gram -> ALL are contaminated;
+    // that proves the gate but leaves nothing to check redaction on, so
+    // re-run with a benchmark that hits nothing
+    assert(rows.isEmpty, "all docs share the bench 5-gram -> all dropped")
+    val out2 = TextCuration.runFull(docs, "doc_id", "text", "lang",
+      minQuality = 0.0, spanWindow = 5, spanMaxDocs = 50,
+      targetFraction = 1.0,
+      benchmark = Seq("zzz yyy xxx www vvv").toDF("text"), decontamN = 5)
+    val rows2 = out2.select("doc_id", "texto_limpo", "n_emails", "n_ips")
+      .as[(Long, String, Long, Long)].collect()
+    graft.llm.CacheScope.releaseAll()
+    assert(rows2.length == 30, "nothing contaminated, nothing else filters")
+    rows2.foreach { case (id, texto, nEmails, nIps) =>
+      if (id % 3 == 0) {
+        assert(nEmails == 1 && nIps == 1, s"doc $id PII counts")
+        assert(texto.contains("<EMAIL>") && texto.contains("<IP>"))
+        assert(!texto.contains("@exemplo.com"), s"doc $id leaked an email")
+      } else assert(nEmails == 0 && nIps == 0)
+    }
+  }
+
   test("leakageSafeSplit keeps same-group near-dup pairs on one side; " +
       "doc-level split leaks") {
     // Near-dup pairs cluster within a site: 40 sites, each with a page and
