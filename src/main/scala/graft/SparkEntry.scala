@@ -1647,6 +1647,16 @@ object SparkEntry {
         minQuality = 0.19, spanWindow = 5, spanMaxDocs = 2,
         targetFraction = 0.5, benchmark = bench, decontamN = 5))
     },
+
+    // Embedding-space outlier gate: every vector scored by cosine to its
+    // OWN label's centroid (mislabeled/off-topic/garbage-encoding
+    // detection). Centroids broadcast, corpus never shuffles; all sums
+    // DECIMAL-exact so scores and flags replay bit-for-bit.
+    "q114_centroid_outliers" -> { (s, dir) =>
+      ordered(llm.Similarity.centroidOutliers(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        minCos = 0.0))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3885,6 +3895,32 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(tl,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
         |FROM dec
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Per-label centroid (q77's DECIMAL-exact mean), per-vector decimal
+    // dot and norms — the q38 idiom — then cosine-to-centroid + flag.
+    "q114_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS posicao,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label, posicao,
+        |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS valor
+        |  FROM e GROUP BY label, posicao),
+        |nv AS (SELECT vec_id,
+        |    sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        |  FROM e GROUP BY vec_id),
+        |nc AS (SELECT label,
+        |    sqrt(CAST(sum(CAST(valor * valor AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+        |  FROM c GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |    CAST(sum(CAST(e.v * c.valor AS DECIMAL(38,18))) AS DOUBLE) AS dot
+        |  FROM e JOIN c USING (label, posicao) GROUP BY 1, 2)
+        |SELECT d.vec_id, d.label,
+        |  d.dot / (nv.nrm * nc.nrm) AS cos_centroide,
+        |  d.dot / (nv.nrm * nc.nrm) < 0.0 AS atipico
+        |FROM d JOIN nv USING (vec_id) JOIN nc ON d.label = nc.label
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

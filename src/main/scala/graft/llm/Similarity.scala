@@ -223,4 +223,31 @@ object Similarity {
       // shortest-repr vs binary rounding) — SURVEY §4 / the q38 pattern
       .agg((sum(col("__v").cast("double").cast("decimal(38,18)")).cast("double") /
         count(lit(1)).cast("double")).as("valor"))
+
+  /** Embedding-space outlier filter: score every vector by its cosine to
+    * its OWN group's centroid and flag the ones below `minCos` — the
+    * prototype-distance quality gate of embedding pipelines (mislabeled /
+    * off-topic / garbage-encoding detection; the per-cluster analogue of
+    * SemDeDup's "far from every centroid" residue).
+    *
+    * Shape: the centroid table is [[groupCentroid]]'s one combinable
+    * aggregation (|groups|·dim rows), folded back into |groups| vectors
+    * and BROADCAST — the corpus never shuffles; the cosine is scan-level
+    * (native decimal-dot kernel, codegen'd). Every sum is
+    * DECIMAL(38,18)-exact, so scores and flags are bit-identical under
+    * any partitioning and to the SQL oracle.
+    */
+  def centroidOutliers(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      minCos: Double): DataFrame = {
+    val cvec = groupCentroid(df, groupCol, vecCol)
+      .groupBy(groupCol).agg(
+        transform(
+          array_sort(collect_list(struct(col("posicao"), col("valor")))),
+          s => s.getField("valor")).as("__cvec"))
+    df.join(broadcast(cvec), Seq(groupCol))
+      .withColumn("cos_centroide", cosine(col(vecCol), col("__cvec")))
+      .select(col(idCol), col(groupCol), col("cos_centroide"),
+        (col("cos_centroide") < minCos).as("atipico"))
+  }
 }

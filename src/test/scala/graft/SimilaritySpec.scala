@@ -273,4 +273,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = truth.count(ann.contains).toDouble / truth.size
     assert(recall >= 0.3, s"ANN recall@$k = $recall")
   }
+
+  test("centroidOutliers flags the planted anti-aligned vector only") {
+    // 9 tightly-clustered vectors around (1,0) plus ONE pointing the
+    // other way: the flipped vector scores negative against the group
+    // centroid, the cluster scores near 1 (its own small pull of the
+    // centroid toward the outlier is not enough to flip any sign).
+    val rows = (0 until 9).map { i =>
+      (i.toLong, "g", Array(1.0f, 0.01f * i))
+    } :+ (99L, "g", Array(-1.0f, 0.0f))
+    val df = rows.toDF("vec_id", "grp", "embedding")
+    val got = Similarity.centroidOutliers(df, "vec_id", "embedding", "grp",
+        minCos = 0.0)
+      .select("vec_id", "atipico").as[(Long, Boolean)].collect().toMap
+    assert(got(99L), "anti-aligned vector must be flagged")
+    (0 until 9).foreach(i => assert(!got(i.toLong), s"vector $i wrongly flagged"))
+    // deterministic under repartitioning (decimal sums are order-free)
+    val got7 = Similarity.centroidOutliers(df.repartition(7), "vec_id",
+        "embedding", "grp", minCos = 0.0)
+      .select("vec_id", "cos_centroide").as[(Long, Double)].collect().toMap
+    val got1 = Similarity.centroidOutliers(df.coalesce(1), "vec_id",
+        "embedding", "grp", minCos = 0.0)
+      .select("vec_id", "cos_centroide").as[(Long, Double)].collect().toMap
+    assert(got7 == got1, "scores must be bit-identical across partitionings")
+  }
 }
