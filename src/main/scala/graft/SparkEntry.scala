@@ -1657,6 +1657,17 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding", "label",
         minCos = 0.0))
     },
+
+    // Token-budget mixture planner (water-filling): one corpus
+    // aggregation -> |sources| availability rows, then the closed-form
+    // level: small sources taken whole, large ones capped at the common
+    // λ so allocations sum to the budget. At sf0.01 the 26000 budget
+    // lands λ between the source sizes, exercising both branches.
+    "q115_mixture_plan" -> { (s, dir) =>
+      ordered(llm.Curation.mixturePlan(
+        Tables.documents(s, dir), "source",
+        llm.TextAnalysis.wsTokenCount(col("text")), budget = 26000L))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3921,6 +3932,31 @@ object SparkEntry {
         |  d.dot / (nv.nrm * nc.nrm) AS cos_centroide,
         |  d.dot / (nv.nrm * nc.nrm) < 0.0 AS atipico
         |FROM d JOIN nv USING (vec_id) JOIN nc ON d.label = nc.label
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Water-filling replay: ascending availability order, whole-prefix
+    // test, then the common level for the capped tail.
+    "q115_mixture_plan" ->
+      """WITH a AS (SELECT source,
+        |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, c,
+        |    row_number() OVER (ORDER BY c, source) AS rk,
+        |    coalesce(sum(c) OVER (ORDER BY c, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |    count(*) OVER () AS n
+        |  FROM a),
+        |f AS (SELECT *, c * (n - rk + 1) + prefix <= 26000 AS inteiro FROM r),
+        |l AS (SELECT sum(CASE WHEN inteiro THEN c ELSE 0 END) AS wsum,
+        |    sum(CASE WHEN inteiro THEN 1 ELSE 0 END) AS k FROM f)
+        |SELECT source, c AS tokens_disponiveis, inteiro,
+        |  CASE WHEN inteiro THEN CAST(c AS DOUBLE)
+        |    ELSE CAST(26000 - l.wsum AS DOUBLE) / CAST(f.n - l.k AS DOUBLE)
+        |    END AS tokens_alocados,
+        |  least(1.0, CASE WHEN inteiro THEN 1.0
+        |    ELSE (CAST(26000 - l.wsum AS DOUBLE) / CAST(f.n - l.k AS DOUBLE))
+        |         / CAST(c AS DOUBLE) END) AS taxa
+        |FROM f, l
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -225,6 +225,63 @@ object Curation {
       .filter(pctHash(col(idCol)) < col("taxa_pct"))
   }
 
+  /** Token-budget mixture planner (water-filling): given per-source token
+    * availability and a GLOBAL token budget, allocate each source
+    * `min(c_s, λ)` with the water level λ chosen so the allocations sum
+    * to the budget — small sources are taken WHOLE, large ones are capped
+    * at a common level (the Pile/DoReMi-style mixture-planning step that
+    * decides per-source sampling rates BEFORE any data moves).
+    *
+    * Closed form, no iteration: sort sources ascending by availability;
+    * source i is whole iff `c_i·(n−i+1) + prefix_i ≤ B` (the whole-prefix
+    * property — monotone in i), then `λ = (B − Σ_whole c) / (n − k)`.
+    * Emits per source: `tokens_disponiveis`, `inteiro`,
+    * `tokens_alocados`, `taxa` (the sampling rate a downstream
+    * [[applyResample]]-style filter enforces).
+    *
+    * Shape: ONE map-side-combinable corpus aggregation produces the
+    * |sources|-row availability table; everything after runs on that
+    * REDUCED table (single-partition windows by design — mixture tables
+    * are hundreds of rows when the corpus is 100 TB). The corpus itself
+    * is touched once and never shuffled.
+    */
+  def mixturePlan(
+      df: DataFrame, domainCol: String, tokenCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    val avail = df.groupBy(col(domainCol))
+      .agg(sum(tokenCol).cast("long").as("tokens_disponiveis"))
+    val byC = Window.orderBy(col("tokens_disponiveis"), col(domainCol))
+    val ranked = avail
+      .withColumn("__rank", row_number().over(byC))
+      .withColumn("__prefix",
+        coalesce(sum(col("tokens_disponiveis"))
+          .over(byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val flagged = ranked
+      .withColumn("__n",
+        count(lit(1)).over(byC.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("inteiro",
+        col("tokens_disponiveis") * (col("__n") - col("__rank") + 1) +
+          col("__prefix") <= budget)
+    val lam = flagged.agg(
+      sum(when(col("inteiro"), col("tokens_disponiveis")).otherwise(0L))
+        .as("__wsum"),
+      sum(when(col("inteiro"), 1L).otherwise(0L)).as("__k"))
+    flagged.crossJoin(broadcast(lam))
+      .withColumn("__lambda",
+        when(col("__n") === col("__k"), lit(null).cast("double"))
+          .otherwise((lit(budget) - col("__wsum")).cast("double") /
+            (col("__n") - col("__k")).cast("double")))
+      .select(col(domainCol), col("tokens_disponiveis"), col("inteiro"),
+        when(col("inteiro"), col("tokens_disponiveis").cast("double"))
+          .otherwise(col("__lambda")).as("tokens_alocados"),
+        least(lit(1.0),
+          when(col("inteiro"), lit(1.0)).otherwise(
+            col("__lambda") / col("tokens_disponiveis").cast("double")))
+          .as("taxa"))
+  }
+
   /** C4-style repeated-span removal: break every document into fixed
     * non-overlapping `window`-token chunks, find chunk texts that occur
     * more than once ACROSS the corpus (boilerplate, licence blocks,

@@ -362,6 +362,31 @@ class CurationSpec extends SparkSpec {
     assert(got == "café x y")
   }
 
+  test("mixturePlan water-fills: allocations sum to budget, whole sources " +
+      "below the level, capped at a common λ") {
+    val docs = Seq(
+      ("a", 100L), ("b", 500L), ("c", 2000L), ("d", 9000L), ("e", 9000L),
+    ).toDF("src", "toks")
+    val plan = Curation.mixturePlan(docs, "src", col("toks"), budget = 5000L)
+      .select("src", "tokens_disponiveis", "inteiro", "tokens_alocados", "taxa")
+      .as[(String, Long, Boolean, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // level λ: a(100) + b(500) whole -> λ = (5000-600)/3 = 1466.67 < 2000 ✓
+    assert(plan("a")._3 && plan("b")._3, "small sources taken whole")
+    assert(!plan("c")._3 && !plan("d")._3 && !plan("e")._3)
+    val lam = (5000.0 - 600.0) / 3.0
+    Seq("c", "d", "e").foreach { s =>
+      assert(math.abs(plan(s)._4 - lam) < 1e-9, s"capped $s at λ")
+      assert(math.abs(plan(s)._5 - lam / plan(s)._2) < 1e-12)
+    }
+    assert(math.abs(plan.values.map(_._4).sum - 5000.0) < 1e-6,
+      "allocations must sum to the budget")
+    // budget >= total -> everything whole at rate 1
+    val all = Curation.mixturePlan(docs, "src", col("toks"), budget = 50000L)
+      .select("inteiro", "taxa").as[(Boolean, Double)].collect()
+    assert(all.forall(r => r._1 && r._2 == 1.0))
+  }
+
   test("TextCuration.runFull drops benchmark-contaminated docs and masks PII") {
     import graft.pipelines.TextCuration
     // Corpus where the chain's earlier stages are no-ops (all unique,
