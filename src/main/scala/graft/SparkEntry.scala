@@ -1668,6 +1668,16 @@ object SparkEntry {
         Tables.documents(s, dir), "source",
         llm.TextAnalysis.wsTokenCount(col("text")), budget = 26000L))
     },
+
+    // Hard-negative mining: per query, the 5 most-similar vectors with a
+    // DIFFERENT label (the contrastive near-misses). Broadcast queries,
+    // cross-label predicate before any dot product, per-query top-k.
+    "q116_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      ordered(llm.Similarity.hardNegatives(
+        emb, emb.filter(col("vec_id") % 25 === 0),
+        "vec_id", "embedding", "label", k = 5))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3958,6 +3968,33 @@ object SparkEntry {
         |         / CAST(c AS DOUBLE) END) AS taxa
         |FROM f, l
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q29's decimal-exact pair scoring restricted to CROSS-label pairs.
+    "q116_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    sqrt(CAST(list_aggregate(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE)) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE) AS dot
+        |  FROM (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+        |  JOIN embeddings c ON q.label <> c.label),
+        |s AS (
+        |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
+        |  FROM p
+        |  JOIN n nq ON p.query_id = nq.vec_id
+        |  JOIN n nc ON p.corpus_id = nc.vec_id)
+        |SELECT * FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -103,6 +103,38 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the `k` most-similar corpus vectors with a DIFFERENT
+    * label — the near-misses that teach a bi-encoder its decision
+    * boundary (in-batch random negatives are mostly easy; hard negatives
+    * are mined exactly like this, e.g. ANCE/DPR-style).
+    *
+    * Same shape as [[bruteForceTopK]] (broadcast queries, corpus never
+    * shuffles for the scoring, per-query top-k window) with the
+    * cross-label predicate applied BEFORE any dot product is computed —
+    * same-label pairs never cost a multiplication. Swap the corpus side
+    * for an [[graft.llm.Ivf]] index at production scale; the contract
+    * (cross-label, exact cosine, deterministic ties) is this operator.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn")))
+    val scored = Spread(corpus)
+      .select(col(idCol).as("corpus_id"), col(labelCol).as("__cl"),
+        col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+      .join(q, col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("corpus_id"),
+        (dotDecimal(col("__qv"), col("__cv")).cast("double") /
+          (col("__qn") * col("__cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component g(plane, dim) ∈
     * (-1, 1): a hash of the coordinates, scaled. Reproducible everywhere —
     * no RNG state shipped to executors.

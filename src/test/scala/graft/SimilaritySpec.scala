@@ -274,6 +274,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"ANN recall@$k = $recall")
   }
 
+  test("hardNegatives = per-query brute force over the cross-label corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+        "label", k = 3)
+      .select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Long)].collect().toSet
+    // no negative may share its query's label
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    got.foreach { case (q, c, _) =>
+      assert(labels(q) != labels(c), s"same-label pair ($q, $c) returned")
+    }
+    // per query, identical to brute force over the label-filtered corpus
+    queries.select("vec_id", "label").as[(Long, Int)].collect().foreach {
+      case (qid, qlabel) =>
+        val want = Similarity.bruteForceTopK(
+            emb.filter(col("label") =!= qlabel),
+            emb.filter(col("vec_id") === qid), "vec_id", "embedding", k = 3)
+          .select("query_id", "corpus_id", "rank")
+          .as[(Long, Long, Long)].collect().toSet
+        assert(got.filter(_._1 == qid) == want, s"query $qid mismatch")
+    }
+  }
+
   test("centroidOutliers flags the planted anti-aligned vector only") {
     // 9 tightly-clustered vectors around (1,0) plus ONE pointing the
     // other way: the flipped vector scores negative against the group
