@@ -1672,10 +1672,13 @@ object SparkEntry {
     // Hard-negative mining: per query, the 5 most-similar vectors with a
     // DIFFERENT label (the contrastive near-misses). Broadcast queries,
     // cross-label predicate before any dot product, per-query top-k.
+    // FIXED 20-query batch (the §4 retrieval discipline: a constant
+    // query load against a growing corpus — modulus selection would
+    // grow the batch with the corpus and turn the bench quadratic).
     "q116_hard_negatives" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       ordered(llm.Similarity.hardNegatives(
-        emb, emb.filter(col("vec_id") % 25 === 0),
+        emb, emb.orderBy("vec_id").limit(20),
         "vec_id", "embedding", "label", k = 5))
     },
   )
@@ -3982,7 +3985,7 @@ object SparkEntry {
         |    CAST(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
         |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
         |      'sum') AS DOUBLE) AS dot
-        |  FROM (SELECT * FROM embeddings WHERE vec_id % 25 = 0) q
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20) q
         |  JOIN embeddings c ON q.label <> c.label),
         |s AS (
         |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
