@@ -1681,6 +1681,27 @@ object SparkEntry {
         emb, emb.orderBy("vec_id").limit(20),
         "vec_id", "embedding", "label", k = 5))
     },
+
+    // Incremental ingestion gate: a new batch (exact copies at +3M,
+    // drop-first-token near-dups at +1M, token-reversed fresh docs at
+    // +2M) checked against the EXISTING corpus — exact content-hash
+    // semi-join + cross-corpus banded MinHash near-dups; candidates
+    // form only across the batch/corpus boundary, so pair volume is
+    // batch-bounded, never corpus². Oracle replays both checks.
+    "q117_ingest_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val toks = llm.TextAnalysis.tokens(col("text"))
+      val batch = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ", slice(toks, 2, 100000)).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat_ws(" ", reverse(toks)).as("text")))
+      ordered(llm.Dedup.ingestGate(batch, docs, "doc_id", "text",
+        threshold = 0.5))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3998,6 +4019,76 @@ object SparkEntry {
         |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
         |  FROM s)
         |WHERE rank <= 5 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q26's portable-MinHash replay with candidates restricted to the
+    // batch×corpus boundary, plus the exact text-membership check.
+    "q117_ingest_gate" -> {
+      val mins = (0 until 20).map(s =>
+        s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
+      val bands = (0 until 5).map { b =>
+        val cols = (0 until 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        if (b == 0)
+          s"SELECT id, side, 0 AS band, concat_ws(',', $cols) AS bhash FROM sigs"
+        else s"UNION ALL SELECT id, side, $b, concat_ws(',', $cols) FROM sigs"
+      }.mkString("\n|  ")
+      s"""WITH tok AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 3000000 AS id, text FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, array_to_string(tk[2:], ' ')
+        |  FROM tok WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, array_to_string(list_reverse(tk), ' ')
+        |  FROM tok WHERE doc_id % 7 = 0),
+        |alld AS (
+        |  SELECT id, text, 'n' AS side FROM batch
+        |  UNION ALL
+        |  SELECT doc_id, text, 'e' FROM documents),
+        |t AS (
+        |  SELECT id, side, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM alld),
+        |k AS (
+        |  SELECT id, side,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, side, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+        |             CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT id, side, md5(unnest(sh)) AS m FROM k)),
+        |sigs AS (
+        |  SELECT id, side,
+        |    $mins
+        |  FROM shrows GROUP BY id, side),
+        |buckets AS (
+        |  $bands),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_novo, b.id AS id_existente
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bhash = b.bhash
+        |   AND a.side = 'n' AND b.side = 'e'),
+        |vp AS (
+        |  SELECT id_novo, id_existente FROM (
+        |    SELECT c.id_novo, c.id_existente,
+        |      CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE) /
+        |      (CAST(len(ka.sh) AS DOUBLE) + CAST(len(kb.sh) AS DOUBLE)
+        |       - CAST(len(list_intersect(ka.sh, kb.sh)) AS DOUBLE)) AS jaccard
+        |    FROM cand c
+        |    JOIN k ka ON c.id_novo = ka.id AND ka.side = 'n'
+        |    JOIN k kb ON c.id_existente = kb.id AND kb.side = 'e')
+        |  WHERE jaccard >= 0.5),
+        |near AS (SELECT id_novo, CAST(count(*) AS BIGINT) AS n
+        |  FROM vp GROUP BY 1)
+        |SELECT batch.id AS doc_id,
+        |  batch.text IN (SELECT text FROM documents) AS exato,
+        |  coalesce(near.n, 0) AS n_quase_dups,
+        |  NOT batch.text IN (SELECT text FROM documents)
+        |    AND coalesce(near.n, 0) = 0 AS mantido
+        |FROM batch LEFT JOIN near ON batch.id = near.id_novo
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -168,6 +168,17 @@ object Dedup {
   def minhashNearDupsPortable(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
+    val (keyed, buckets) = portableBands(docs, idCol, textCol,
+      shingleN, numHashes, bands)
+    jaccardVerify(candidatePairs(buckets), keyed, threshold)
+  }
+
+  /** Shared portable-MinHash front half: sorted shingle sets and band
+    * buckets, both persisted (they each feed ≥ 2 consumers downstream).
+    */
+  private def portableBands(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val keyed = shingled(docs, idCol, textCol, shingleN)
       .transform(CacheScope.persistTracked)
@@ -185,7 +196,67 @@ object Dedup {
         }: _*)).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
       .transform(CacheScope.persistTracked)
-    jaccardVerify(candidatePairs(buckets), keyed, threshold)
+    (keyed, buckets)
+  }
+
+  /** Incremental cross-corpus near-dup pairs: every (new, existing) pair
+    * with exact Jaccard ≥ `threshold` — the ingestion-time discipline
+    * that keeps a GROWING corpus deduplicated without ever re-running the
+    * self-join over 100 TB of history. Same portable-MinHash banding as
+    * [[minhashNearDupsPortable]] on both sides, but candidates form only
+    * ACROSS the batch/corpus boundary: the batch's band buckets equi-join
+    * the corpus's (AQE skew-handled; a boilerplate-hot bucket is the q26
+    * skew case), so pair volume is batch-bounded, never corpus².
+    *
+    * The corpus-side bands are pure functions of the text — at production
+    * scale they are computed ONCE, persisted next to the corpus (the
+    * manifest pattern of Staging/Layout), and only the batch side is
+    * hashed per ingest.
+    */
+  def crossCorpusNearDups(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val (kb, bb) = portableBands(batch, idCol, textCol, shingleN, numHashes, bands)
+    val (kc, bc) = portableBands(corpus, idCol, textCol, shingleN, numHashes, bands)
+    val pairs = bb.select(col("__id").as("id_novo"), col("band"), col("bhash"))
+      .join(bc.select(col("__id").as("id_existente"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .select("id_novo", "id_existente").distinct()
+    pairs
+      .join(kb.select(col("__id").as("id_novo"), col("__sh").as("__sh_a")),
+        "id_novo")
+      .join(kc.select(col("__id").as("id_existente"), col("__sh").as("__sh_b")),
+        "id_existente")
+      .select(col("id_novo"), col("id_existente"),
+        jaccardSorted(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The ingestion gate over [[crossCorpusNearDups]]: per batch document,
+    * whether an EXACT copy exists in the corpus (content-hash semi-join,
+    * one shuffle on the 256-bit hash), how many corpus near-dups it has,
+    * and the keep verdict (`mantido` = neither). Batch-shaped output —
+    * the corpus contributes one distinct-hash pass and its band table.
+    */
+  def ingestGate(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val corpusHashes = corpus
+      .select(sha2(col(textCol).cast("binary"), 256).as("__ch")).distinct()
+      .withColumn("__exato", lit(true))
+    val near = crossCorpusNearDups(batch, corpus, idCol, textCol,
+        threshold, shingleN, numHashes, bands)
+      .groupBy("id_novo").agg(count(lit(1)).as("n_quase_dups"))
+    batch
+      .withColumn("__bh", sha2(col(textCol).cast("binary"), 256))
+      .join(corpusHashes, col("__bh") === col("__ch"), "left")
+      .join(near, col(idCol) === col("id_novo"), "left")
+      .select(col(idCol),
+        coalesce(col("__exato"), lit(false)).as("exato"),
+        coalesce(col("n_quase_dups"), lit(0L)).as("n_quase_dups"))
+      .withColumn("mantido", !col("exato") && col("n_quase_dups") === 0L)
   }
 
   /** Containment near-dup detection: pairs whose shingle OVERLAP covers

@@ -364,4 +364,37 @@ class DedupSpec extends SparkSpec {
     }.toSet
     assert(jaccardCaught.isEmpty)
   }
+
+  test("ingestGate: exact copies and near-dups blocked, fresh docs kept") {
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val toks = llm.TextAnalysis.tokens(col("text"))
+    val exactCopies = corpus.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+    val nearDups = corpus.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, 2, 100000)).as("text"))
+    val fresh = (0L until 5L).map(i =>
+        (2000000L + i, s"frase inedita numero $i sem par no corpus existente"))
+      .toDF("doc_id", "text")
+    val batch = exactCopies.unionByName(nearDups).unionByName(fresh)
+    val got = Dedup.ingestGate(batch, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id", "exato", "n_quase_dups", "mantido")
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    graft.llm.CacheScope.releaseAll()
+    val byId = got.map(r => r._1 -> r).toMap
+    got.filter(_._1 >= 3000000L).foreach { case (id, exato, _, mantido) =>
+      assert(exato && !mantido, s"exact copy $id must be blocked")
+    }
+    // drop-first-token variants keep high Jaccard -> near-dup blocked;
+    // LSH banding can miss individual pairs, so require the bulk
+    val near = got.filter(r => r._1 >= 1000000L && r._1 < 2000000L)
+    val caught = near.count(r => r._3 > 0 && !r._4)
+    assert(caught >= (near.length * 0.8).toInt,
+      s"only $caught/${near.length} near-dups blocked")
+    (0L until 5L).foreach { i =>
+      val r = byId(2000000L + i)
+      assert(!r._2 && r._3 == 0L && r._4, s"fresh doc ${r._1} must be kept")
+    }
+  }
 }
