@@ -1702,6 +1702,19 @@ object SparkEntry {
       ordered(llm.Dedup.ingestGate(batch, docs, "doc_id", "text",
         threshold = 0.5))
     },
+
+    // Reference-LM cross-scoring (CCNet's actual filter design): the
+    // bigram model fits on the 'en' slice (the clean reference) and
+    // scores every OTHER document — unseen grams fall back to the
+    // smoothing floor, so out-of-domain text scores low. The model
+    // tables are reference-only aggregations, reusable across batches.
+    "q118_lm_cross_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ordered(llm.TextAnalysis.bigramLmCrossScore(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4089,6 +4102,43 @@ object SparkEntry {
         |FROM batch LEFT JOIN near ON batch.id = near.id_novo
         |ORDER BY ALL NULLS FIRST""".stripMargin
     },
+
+    // q65's add-one bigram model with fit (reference = 'en') and apply
+    // (target = the rest) split; unseen grams coalesce to 0 counts.
+    "q118_lm_cross_score" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |tt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE lang <> 'en'),
+        |uni AS (SELECT u AS w, count(*) AS cu
+        |  FROM (SELECT unnest(tk) AS u FROM rt) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |cb AS (SELECT g, count(*) AS cb FROM (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM rt) GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM tt),
+        |p AS (SELECT doc_id,
+        |    CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
+        |    CAST(coalesce(uni.cu, 0) + v.v AS DOUBLE) AS p
+        |  FROM bg LEFT JOIN cb USING (g)
+        |  LEFT JOIN uni ON split_part(bg.g, ' ', 1) = uni.w
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigramas,
+        |    sum(CAST(p AS DECIMAL(38,18))) AS psum
+        |  FROM p GROUP BY 1)
+        |SELECT tt.doc_id,
+        |  CAST(coalesce(sc.n_bigramas, 0) AS BIGINT) AS n_bigramas,
+        |  coalesce(CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigramas AS DOUBLE), 0.0)
+        |    AS lm_score
+        |FROM tt LEFT JOIN sc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -272,13 +272,21 @@ object Similarity {
   def centroidOutliers(
       df: DataFrame, idCol: String, vecCol: String, groupCol: String,
       minCos: Double): DataFrame = {
+    // the centroid NORM is per-group — fold it into the broadcast table
+    // once instead of re-running the decimal dot per corpus row (same
+    // bits: identical expression over identical data)
     val cvec = groupCentroid(df, groupCol, vecCol)
       .groupBy(groupCol).agg(
         transform(
           array_sort(collect_list(struct(col("posicao"), col("valor")))),
           s => s.getField("valor")).as("__cvec"))
-    df.join(broadcast(cvec), Seq(groupCol))
-      .withColumn("cos_centroide", cosine(col(vecCol), col("__cvec")))
+      .withColumn("__cnorm", l2Norm(col("__cvec")))
+    // Spread: the per-row decimal dot is CPU-bound and a small parquet
+    // arrives as one byte-split — keep the scoring parallel
+    Spread(df).join(broadcast(cvec), Seq(groupCol))
+      .withColumn("cos_centroide",
+        dotDecimal(col(vecCol), col("__cvec")).cast("double") /
+          (l2Norm(col(vecCol)) * col("__cnorm")))
       .select(col(idCol), col(groupCol), col("cos_centroide"),
         (col("cos_centroide") < minCos).as("atipico"))
   }

@@ -197,6 +197,65 @@ object TextAnalysis {
           lit(0.0)).as("lm_score"))
   }
 
+  /** CCNet's ACTUAL filter design: a language model fit on a clean
+    * REFERENCE corpus (Wikipedia, in the paper) scores a noisy TARGET
+    * corpus (Common Crawl) — [[bigramLmScore]] fits and scores the same
+    * corpus, which ranks fluency but cannot express "looks like the
+    * reference". Same add-one-smoothed bigram model, split into fit and
+    * apply: `p(w₂|w₁) = (c_ref(w₁w₂)+1) / (c_ref(w₁)+V_ref)`; bigrams and
+    * words UNSEEN in the reference fall back to counts of 0 (left joins),
+    * so out-of-domain text scores low exactly as the smoothing intends.
+    *
+    * Shape: the model is two combinable aggregations over the reference
+    * (unigram and bigram count tables) + a 1-row vocab size — pure
+    * functions of the reference, computed once and REUSABLE across
+    * target batches (persist them next to the corpus; at 100 TB the
+    * reference is fit once, every ingest batch only joins). The target
+    * side joins on the gram keys (co-partitioned shuffle joins), one
+    * DECIMAL-exact per-doc fold — same tail as [[bigramLmScore]].
+    */
+  def bigramLmCrossScore(
+      reference: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val refTk = CacheScope.persistTracked(
+      Spread(reference.select(col(textCol)))
+        .select(tokens(col(textCol)).as("__tk")))
+    val uni = refTk.select(explode(col("__tk")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val cb = refTk
+      .select(explode(call_function("word_shingles_all", col("__tk"), lit(2)))
+        .as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val tgt = CacheScope.persistTracked(
+      Spread(target.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), tokens(col(textCol)).as("__tk")))
+    val bigrams = tgt.select(col("__id"),
+      explode(call_function("word_shingles_all", col("__tk"), lit(2)))
+        .as("__bg"))
+    val p = bigrams
+      .join(cb, Seq("__bg"), "left")
+      .join(uni, substring_index(col("__bg"), " ", 1) === col("__w"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        ((coalesce(col("__cb"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__cu"), lit(0L)) + col("__v")).cast("double"))
+          .as("__p"))
+    val scored = p.groupBy("__id").agg(
+      count(lit(1)).as("n_bigramas"),
+      sum(col("__p").cast("decimal(38,18)")).as("__psum"))
+    tgt.select(col("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_bigramas"), lit(0L)).as("n_bigramas"),
+        coalesce(
+          col("__psum").cast("double") / col("n_bigramas").cast("double"),
+          lit(0.0)).as("lm_score"))
+  }
+
   /** Global n-gram heavy hitters: the exact top-`k` most frequent word
     * `n`-grams with their occurrence and document counts — the mining pass
     * behind boilerplate blocklists, contamination watchlists and tokenizer

@@ -202,6 +202,31 @@ class FunctionsSpec extends SparkSpec {
     assert(got(2)._3 == 0.0, "no bigrams -> score 0")
   }
 
+  test("bigramLmCrossScore fits on the reference, scores the target, " +
+      "unseen grams hit the smoothing floor") {
+    import spark.implicits._
+    // reference: unigrams a=3 b=2 z=1 -> V=3; bigrams "a b"=2, "b a"=1
+    val ref = Seq((1L, "a b a"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val tgt = Seq(
+      (10L, "a b"),    // seen bigram: p = (2+1)/(3+3) = 0.5
+      (11L, "b z"),    // unseen bigram, seen w1: p = (0+1)/(2+3) = 0.2
+      (12L, "q q"),    // fully out-of-vocab: p = (0+1)/(0+3) = 1/3
+      (13L, "a"),      // no bigrams -> 0
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .bigramLmCrossScore(ref, tgt, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    graft.llm.CacheScope.releaseAll()
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((10L, 1L), (11L, 1L), (12L, 1L), (13L, 0L)))
+    assert(math.abs(got(0)._3 - 0.5) < 1e-15)
+    assert(math.abs(got(1)._3 - 0.2) < 1e-15)
+    assert(math.abs(got(2)._3 - 1.0 / 3.0) < 1e-15)
+    assert(got(3)._3 == 0.0)
+    // in-domain text outranks out-of-domain under the reference model
+    assert(got(0)._3 > got(1)._3)
+  }
+
   test("topNgrams returns the exact top-k with lexicographic tie-break") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x"), (2L, "x y q")).toDF("doc_id", "text")
