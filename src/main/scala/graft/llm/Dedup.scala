@@ -233,6 +233,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persisted corpus half of [[ingestGate]]: sorted shingle sets,
+    * band buckets and content hashes are pure functions of the corpus
+    * text, so they are computed ONCE, written next to the corpus, and
+    * every subsequent ingest batch joins against them without re-reading
+    * a byte of corpus text — the 100 TB contract (the Staging/Layout
+    * manifest pattern applied to dedup state). After an accepted batch
+    * is appended, append its OWN index rows the same way.
+    */
+  case class BandIndex(shingles: DataFrame, bands: DataFrame, hashes: DataFrame)
+
+  def writeBandIndex(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): Unit = {
+    val (keyed, buckets) = portableBands(corpus, idCol, textCol,
+      shingleN, numHashes, bands)
+    keyed.write.mode("overwrite").parquet(s"$path/shingles")
+    buckets.write.mode("overwrite").parquet(s"$path/bands")
+    corpus.select(sha2(col(textCol).cast("binary"), 256).as("__ch"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  def readBandIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): BandIndex =
+    BandIndex(
+      spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/hashes"))
+
+  /** [[ingestGate]] against a persisted [[BandIndex]] — identical
+    * verdicts (spec-proven), but the corpus contributes only its index
+    * scans: band equi-join, shingle join-back for the verify, hash
+    * semi-join. Only the BATCH is tokenized and hashed per ingest.
+    */
+  def ingestGateIndexed(
+      batch: DataFrame, index: BandIndex, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val (kb, bb) = portableBands(batch, idCol, textCol,
+      shingleN, numHashes, bands)
+    val pairs = bb.select(col("__id").as("id_novo"), col("band"), col("bhash"))
+      .join(index.bands
+          .select(col("__id").as("id_existente"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .select("id_novo", "id_existente").distinct()
+    val verified = pairs
+      .join(kb.select(col("__id").as("id_novo"), col("__sh").as("__sh_a")),
+        "id_novo")
+      .join(index.shingles
+          .select(col("__id").as("id_existente"), col("__sh").as("__sh_b")),
+        "id_existente")
+      .select(col("id_novo"),
+        jaccardSorted(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("id_novo").agg(count(lit(1)).as("n_quase_dups"))
+    batch
+      .withColumn("__bh", sha2(col(textCol).cast("binary"), 256))
+      .join(index.hashes.withColumn("__exato", lit(true)),
+        col("__bh") === col("__ch"), "left")
+      .join(verified, col(idCol) === col("id_novo"), "left")
+      .select(col(idCol),
+        coalesce(col("__exato"), lit(false)).as("exato"),
+        coalesce(col("n_quase_dups"), lit(0L)).as("n_quase_dups"))
+      .withColumn("mantido", !col("exato") && col("n_quase_dups") === 0L)
+  }
+
   /** The ingestion gate over [[crossCorpusNearDups]]: per batch document,
     * whether an EXACT copy exists in the corpus (content-hash semi-join,
     * one shuffle on the 256-bit hash), how many corpus near-dups it has,

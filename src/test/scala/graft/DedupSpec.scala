@@ -397,4 +397,30 @@ class DedupSpec extends SparkSpec {
       assert(!r._2 && r._3 == 0L && r._4, s"fresh doc ${r._1} must be kept")
     }
   }
+
+  test("ingestGateIndexed over a persisted band index equals the inline gate") {
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 200)
+    val toks = llm.TextAnalysis.tokens(col("text"))
+    val batch = corpus.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat_ws(" ", slice(toks, 2, 100000)).as("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bandindex").toString
+    Dedup.writeBandIndex(corpus, "doc_id", "text", dir)
+    graft.llm.CacheScope.releaseAll()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "exato", "n_quase_dups", "mantido")
+        .as[(Long, Boolean, Long, Boolean)].collect().toSet
+    val indexed = rows(Dedup.ingestGateIndexed(
+      batch, Dedup.readBandIndex(spark, dir), "doc_id", "text", 0.5))
+    graft.llm.CacheScope.releaseAll()
+    val inline = rows(Dedup.ingestGate(batch, corpus, "doc_id", "text", 0.5))
+    graft.llm.CacheScope.releaseAll()
+    assert(indexed == inline, "persisted-index gate must match inline gate")
+    assert(indexed.exists(r => r._2) && indexed.exists(r => r._3 > 0),
+      "plants must exercise both checks")
+  }
 }
