@@ -262,6 +262,58 @@ object Dedup {
       spark.read.parquet(s"$path/bands"),
       spark.read.parquet(s"$path/hashes"))
 
+  /** Extend a persisted index with an ACCEPTED batch's rows — the append
+    * half of the grow-a-deduplicated-corpus loop. Per-batch distinct
+    * hashes may repeat across appends; [[ingestGateIndexed]] probes the
+    * hash table through a distinct, so duplicates cost a dedup pass of
+    * the (tiny) hash table, never duplicated verdicts.
+    */
+  def appendBandIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): Unit = {
+    val (keyed, buckets) = portableBands(docs, idCol, textCol,
+      shingleN, numHashes, bands)
+    keyed.write.mode("append").parquet(s"$path/shingles")
+    buckets.write.mode("append").parquet(s"$path/bands")
+    docs.select(sha2(col(textCol).cast("binary"), 256).as("__ch"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Streaming twin of [[ingestGateIndexed]]: every micro-batch is gated
+    * against the persisted index, accepted rows are handed to
+    * `onAccepted` (write them to the corpus sink there) and the index is
+    * EXTENDED with their band/shingle/hash rows — so a duplicate arriving
+    * two micro-batches after its twin is rejected even though neither is
+    * in the original corpus. The micro-batch is `localCheckpoint`ed
+    * before the index append, cutting the lineage that reads the same
+    * parquet paths being appended. This is the foreachBatch production
+    * shape (the q111 CDC discipline): per-batch work is batch-bounded,
+    * corpus state stays on disk.
+    */
+  def ingestGateStream(
+      stream: DataFrame, indexPath: String, idCol: String, textCol: String,
+      threshold: Double, onAccepted: DataFrame => Unit,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val verdict = ingestGateIndexed(
+          batch, readBandIndex(s, indexPath), idCol, textCol,
+          threshold, shingleN, numHashes, bands)
+        val accepted = batch
+          .join(verdict.filter(col("mantido")).select(idCol), Seq(idCol))
+          .localCheckpoint()
+        CacheScope.releaseAll()
+        if (!accepted.isEmpty) {
+          appendBandIndex(accepted, idCol, textCol, indexPath,
+            shingleN, numHashes, bands)
+          CacheScope.releaseAll()
+        }
+        onAccepted(accepted)
+    }.start()
+
   /** [[ingestGate]] against a persisted [[BandIndex]] — identical
     * verdicts (spec-proven), but the corpus contributes only its index
     * scans: band equi-join, shingle join-back for the verify, hash
@@ -290,7 +342,8 @@ object Dedup {
       .groupBy("id_novo").agg(count(lit(1)).as("n_quase_dups"))
     batch
       .withColumn("__bh", sha2(col(textCol).cast("binary"), 256))
-      .join(index.hashes.withColumn("__exato", lit(true)),
+      // distinct: an appended index may carry a hash more than once
+      .join(index.hashes.distinct().withColumn("__exato", lit(true)),
         col("__bh") === col("__ch"), "left")
       .join(verified, col(idCol) === col("id_novo"), "left")
       .select(col(idCol),

@@ -339,4 +339,48 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"stream $got\nbatch $batch")
     } finally q.stop()
   }
+
+  test("streaming ingest gate self-extends the index: a twin arriving in " +
+      "a later micro-batch is rejected") {
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // 30 tokens: the drop-first-token variant changes ONE trigram of 28,
+    // so the banded signatures agree on (27/28)^4-ish per band — a miss
+    // on all 5 bands is ~0 and the md5 family makes the outcome a fixed
+    // function of this exact text (no RNG, deterministic forever)
+    val longDoc = (1 to 30).map(i => s"palavra$i").mkString(" ")
+    val corpus = Seq(
+      (1L, longDoc),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-gate").toString
+    Dedup.writeBandIndex(corpus, "doc_id", "text", dir)
+    graft.llm.CacheScope.releaseAll()
+    val accepted = scala.collection.mutable.ListBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.ingestGateStream(
+      mem.toDF.toDF("doc_id", "text"), dir, "doc_id", "text",
+      threshold = 0.5,
+      onAccepted = b =>
+        accepted.synchronized {
+          accepted ++= b.select("doc_id").as[Long](newLongEncoder).collect()
+        })
+    try {
+      // batch 1: a fresh doc + a near-dup of corpus doc 1 (drop first token)
+      mem.addData(Seq(
+        (10L, "frase totalmente nova sem nenhum par na base corrente"),
+        (11L, longDoc.split(" ").drop(1).mkString(" "))))
+      q.processAllAvailable()
+      // batch 2: an EXACT copy of the doc accepted in batch 1 (not in the
+      // original corpus!) + another fresh doc
+      mem.addData(Seq(
+        (20L, "frase totalmente nova sem nenhum par na base corrente"),
+        (21L, "conteudo inedito chegando depois com vocabulario proprio")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.toSet == Set(10L, 21L),
+      s"accepted ${accepted.toSet}: 11 is a corpus near-dup, 20 duplicates " +
+        "batch-1's accepted doc via the self-extended index")
+  }
 }
