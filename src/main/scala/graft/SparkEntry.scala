@@ -1715,6 +1715,19 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"),
         "doc_id", "text"))
     },
+
+    // Deterministic epoch reshuffle: shard membership fixed (files never
+    // move), within-shard read order re-derived per epoch from
+    // md5(epoch:id) — zero RNG state, reproducible on any worker/engine.
+    // Two epochs emitted side by side; the oracle replays both orders.
+    "q119_epoch_order" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val e0 = llm.Curation.epochOrder(docs.select("doc_id"), "doc_id",
+        epoch = 0, nShards = 8).withColumn("epoca", lit(0))
+      val e1 = llm.Curation.epochOrder(docs.select("doc_id"), "doc_id",
+        epoch = 1, nShards = 8).withColumn("epoca", lit(1))
+      ordered(e0.unionByName(e1))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4138,6 +4151,27 @@ object SparkEntry {
         |  coalesce(CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigramas AS DOUBLE), 0.0)
         |    AS lm_score
         |FROM tt LEFT JOIN sc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Fixed shard hash + per-epoch md5(epoch:id) order, ties by id.
+    "q119_epoch_order" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+        |      AS shard
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, shard, 0 AS epoca,
+        |    CAST(('0x' || substring(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, shard, 1,
+        |    CAST(('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  FROM d)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY epoca, shard
+        |    ORDER BY h, doc_id) AS BIGINT) AS posicao,
+        |  epoca
+        |FROM e
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -186,6 +186,29 @@ object Curation {
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long") % nShards
 
+  /** Deterministic per-epoch training order: shard membership stays FIXED
+    * across epochs ([[hashShard]] of the id — the exported files never
+    * move), while the read order WITHIN each shard reshuffles per epoch
+    * by hashing (epoch, id) — the epoch-reshuffle every training loop
+    * needs, with zero RNG state: any worker, any restart, any engine
+    * derives the same order. Ties (hash collisions) break by id.
+    *
+    * Shape: one shuffle on the shard key + per-shard sort — exactly the
+    * write layout the export already pays; nothing global is sorted.
+    */
+  def epochOrder(
+      df: DataFrame, idCol: String, epoch: Int, nShards: Int): DataFrame = {
+    val h = conv(substring(md5(
+        concat(lit(epoch.toString), lit(":"), col(idCol).cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long")
+    df.select(col(idCol), hashShard(col(idCol), nShards).as("shard"),
+        h.as("__ord"))
+      .withColumn("posicao",
+        row_number().over(Window.partitionBy("shard")
+          .orderBy(col("__ord"), col(idCol))).cast("long"))
+      .drop("__ord")
+  }
+
   /** Per-shard packing audit: doc count, token sum, id range — the
     * manifest a training job reads to plan epoch schedules. One map-side
     * combinable aggregation over the shard key.

@@ -362,6 +362,28 @@ class CurationSpec extends SparkSpec {
     assert(got == "café x y")
   }
 
+  test("epochOrder: fixed shards, per-epoch reshuffle, dense positions") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    def run(e: Int) = Curation.epochOrder(docs, "doc_id", e, nShards = 8)
+      .select("doc_id", "shard", "posicao")
+      .as[(Long, Long, Long)].collect()
+    val e0 = run(0)
+    val e1 = run(1)
+    // shard membership is epoch-independent
+    assert(e0.map(r => r._1 -> r._2).toMap == e1.map(r => r._1 -> r._2).toMap)
+    // positions are a dense 1..n permutation within every shard
+    e0.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // the order actually reshuffles between epochs
+    val moved = e0.map(r => (r._1, r._3)).toMap
+    assert(e1.count(r => moved(r._1) != r._3) > e1.length / 2,
+      "epoch 1 must reorder most documents")
+    // deterministic replay
+    assert(run(0).toSeq == e0.toSeq)
+  }
+
   test("mixturePlan water-fills: allocations sum to budget, whole sources " +
       "below the level, capped at a common λ") {
     val docs = Seq(
