@@ -1728,6 +1728,16 @@ object SparkEntry {
         epoch = 1, nShards = 8).withColumn("epoca", lit(1))
       ordered(e0.unionByName(e1))
     },
+
+    // T5 span corruption: 5-token blocks masked at 15% by the portable
+    // (id, block) percent-hash; input keeps one <extra_id_k> sentinel
+    // per masked block, target carries the sentinel-prefixed spans.
+    // Pure array expressions — scan-level, zero shuffles.
+    "q120_span_corrupt" -> { (s, dir) =>
+      ordered(llm.Curation.spanCorrupt(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", blockLen = 5, maskPct = 15))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4172,6 +4182,37 @@ object SparkEntry {
         |    ORDER BY h, doc_id) AS BIGINT) AS posicao,
         |  epoca
         |FROM e
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same (id, block) percent-hash mask, sentinel numbering by prefix
+    // count of masked blocks, block slices identical on both sides.
+    "q120_span_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk,
+        |    CAST(ceil(len(string_split_regex(trim(lower(text)), '\s+')) / 5.0) AS INT)
+        |      AS nb
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, tk, greatest(nb, 1) AS nb,
+        |    [CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15
+        |     for b in range(0, greatest(nb, 1))] AS masked
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    [CASE WHEN masked[b + 1]
+        |       THEN '<extra_id_' ||
+        |            CAST(len(list_filter(masked[1:b], x -> x)) AS VARCHAR) || '>'
+        |       ELSE array_to_string(tk[b * 5 + 1 : b * 5 + 5], ' ') END
+        |     for b in range(0, nb)], ' ') AS entrada,
+        |  coalesce(array_to_string(
+        |    ['<extra_id_' ||
+        |       CAST(len(list_filter(masked[1:b], x -> x)) AS VARCHAR) || '> ' ||
+        |       array_to_string(tk[b * 5 + 1 : b * 5 + 5], ' ')
+        |     for b in range(0, nb) if masked[b + 1]], ' '), '') AS alvo,
+        |  CAST(nb AS BIGINT) AS n_blocos,
+        |  CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_mascarados
+        |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 

@@ -209,6 +209,53 @@ object Curation {
       .drop("__ord")
   }
 
+  /** T5-style span-corruption example builder (Raffel 2020 §3.1.4): fixed
+    * `blockLen`-token blocks are masked with probability `maskPct`%, the
+    * input keeps unmasked text with one `<extra_id_k>` sentinel per
+    * masked block, and the target is the sentinel-prefixed masked spans —
+    * the denoising (input, target) pair every encoder-decoder pretraining
+    * pipeline materializes. Mask selection hashes (id, block) through the
+    * portable md5 percent-hash: deterministic, partition-independent,
+    * SQL-replayable — no RNG state on executors.
+    *
+    * Shape: pure ARRAY expressions over the token array — scan-level,
+    * ZERO shuffles at any corpus size. Sentinel numbering needs the count
+    * of masked blocks before each block (a prefix sum), computed with
+    * slice+filter per block: O(blocks²) per document inside one
+    * codegen'd projection — blocks = tokens/blockLen, so a 2k-token doc
+    * at blockLen 5 costs 160k cheap boolean reads, far below the regex
+    * tokenize that precedes it.
+    */
+  def spanCorrupt(
+      df: DataFrame, idCol: String, textCol: String, blockLen: Int,
+      maskPct: Int): DataFrame = {
+    require(blockLen >= 1 && maskPct >= 0 && maskPct <= 100)
+    val nb = ceil(size(col("__tk")).cast("double") / blockLen).cast("int")
+    val blocks = sequence(lit(0), greatest(nb - 1, lit(0)))
+    val maskedArr = transform(blocks, b =>
+      pctHash(concat(col(idCol).cast("string"), lit(":"), b.cast("string")))
+        < maskPct)
+    def isMasked(b: Column) = element_at(col("__masked"), b + 1)
+    def sentinel(b: Column) = concat(lit("<extra_id_"),
+      size(filter(slice(col("__masked"), lit(1), b), x => x)).cast("string"),
+      lit(">"))
+    def blockText(b: Column) =
+      concat_ws(" ", slice(col("__tk"), b * blockLen + 1, lit(blockLen)))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .withColumn("__masked", maskedArr)
+      .withColumn("__blocks", blocks)
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(col("__blocks"), b =>
+          when(isMasked(b), sentinel(b)).otherwise(blockText(b))))
+          .as("entrada"),
+        concat_ws(" ", transform(
+          filter(col("__blocks"), b => isMasked(b)),
+          b => concat(sentinel(b), lit(" "), blockText(b)))).as("alvo"),
+        size(col("__blocks")).cast("long").as("n_blocos"),
+        size(filter(col("__masked"), x => x)).cast("long").as("n_mascarados"))
+  }
+
   /** Per-shard packing audit: doc count, token sum, id range — the
     * manifest a training job reads to plan epoch schedules. One map-side
     * combinable aggregation over the shard key.

@@ -362,6 +362,31 @@ class CurationSpec extends SparkSpec {
     assert(got == "café x y")
   }
 
+  test("spanCorrupt: sentinels number in order and input+target round-trip " +
+      "to the original text") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 100)
+    val out = Curation.spanCorrupt(docs, "doc_id", "text",
+        blockLen = 5, maskPct = 15)
+      .join(docs, "doc_id")
+      .select("doc_id", "entrada", "alvo", "n_mascarados", "text")
+      .as[(Long, String, String, Long, String)].collect()
+    assert(out.exists(_._4 > 0) && out.exists(_._4 == 0),
+      "need both masked and untouched docs at 15%")
+    out.foreach { case (id, entrada, alvo, nMasked, text) =>
+      val spans = "<extra_id_(\\d+)> ((?:(?!<extra_id_)\\S+ ?)+)".r
+        .findAllMatchIn(alvo)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      assert(spans.size == nMasked, s"doc $id sentinel count")
+      assert(spans.keys.toSeq.sorted == (0 until nMasked.toInt),
+        s"doc $id sentinels must number 0..${nMasked - 1} in order")
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(entrada,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+      val original = text.trim.toLowerCase.split("\\s+").mkString(" ")
+      assert(rebuilt == original, s"doc $id round-trip failed")
+    }
+  }
+
   test("epochOrder: fixed shards, per-epoch reshuffle, dense positions") {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     def run(e: Int) = Curation.epochOrder(docs, "doc_id", e, nShards = 8)
