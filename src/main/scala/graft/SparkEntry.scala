@@ -1738,6 +1738,49 @@ object SparkEntry {
         Tables.documents(s, dir).select("doc_id", "text"),
         "doc_id", "text", blockLen = 5, maskPct = 15))
     },
+
+    // DSIR importance resampling (Xie et al. 2023): the 'en' slice is
+    // the target distribution, everything else the raw pool; hashed
+    // unigram+bigram bucket counts on both sides, per-doc mean of the
+    // smoothed p_target/p_raw bucket ratios (log-free, DECIMAL-exact),
+    // selecionado = more target-like than raw-like. The model is two
+    // 1024-row count tables — fit once, reusable across batches.
+    "q121_dsir_select" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ordered(llm.Curation.dsirScore(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text", buckets = 1024))
+    },
+
+    // Dictionary/taxonomy tagging: a phrase→label table (multi-word
+    // phrases match as contiguous bigrams) broadcast-joined against one
+    // scan-level 1..2-gram fan-out, one (doc, label) aggregation.
+    // Neutral demo taxonomy over the synthetic corpus vocabulary.
+    "q122_dict_tagging" -> { (s, dir) =>
+      import s.implicits._
+      val dict = Seq(
+        ("hash join", "joins"), ("merge join", "joins"), ("join", "joins"),
+        ("table scan", "scans"), ("scan", "scans"),
+        ("stream", "streaming"), ("window", "streaming"),
+        ("group", "olap"), ("agg", "olap"), ("sort", "olap"),
+      ).toDF("frase", "etiqueta")
+      ordered(llm.TextAnalysis.tagByDictionary(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        dict, "doc_id", "text", maxN = 2))
+    },
+
+    // Distributed classifier TRAINING (q109's fit half): 3 full-batch
+    // perceptron epochs over hashed unigram+bigram features, label
+    // +1 = 'en'. All-integer algebra — the oracle replays every epoch
+    // as an unrolled CTE chain, bit-for-bit. The corpus shuffles once
+    // (feature build); epochs move only bucket-level partials.
+    "q123_perceptron_train" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      ordered(llm.TextAnalysis.trainPerceptron(
+        docs, "doc_id", "text", "y", buckets = 256, epochs = 3))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4214,7 +4257,120 @@ object SparkEntry {
         |  CAST(len(list_filter(masked, x -> x)) AS BIGINT) AS n_mascarados
         |FROM m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same hashed unigram+bigram buckets as q109, same log-free ratio
+    // arithmetic: exact integer products, one IEEE division per bucket,
+    // DECIMAL(38,18) per-doc sum, one final mean division.
+    "q121_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, lang, unnest(tk) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, lang, unnest([array_to_string(tk[i:i+1], ' ')
+        |                               for i in range(1, len(tk))]) AS g
+        |  FROM t WHERE len(tk) >= 2),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM feats WHERE g <> ''),
+        |ct AS (SELECT bucket, count(*) AS c_t FROM b WHERE lang = 'en'
+        |       GROUP BY bucket),
+        |cr AS (SELECT bucket, count(*) AS c_r FROM b WHERE lang <> 'en'
+        |       GROUP BY bucket),
+        |tot AS (SELECT (SELECT CAST(sum(c_t) AS BIGINT) FROM ct) AS n_t,
+        |               (SELECT CAST(sum(c_r) AS BIGINT) FROM cr) AS n_r),
+        |ratio AS (
+        |  SELECT cr.bucket,
+        |    CAST((coalesce(ct.c_t, 0) + 1) * (tot.n_r + 1024) AS DOUBLE) /
+        |    CAST((cr.c_r + 1) * (tot.n_t + 1024) AS DOUBLE) AS r
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(CAST(r AS DECIMAL(38,18))) AS rsum
+        |  FROM b JOIN ratio USING (bucket)
+        |  WHERE lang <> 'en'
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        |  coalesce(CAST(s.rsum AS DOUBLE) / CAST(s.n_feats AS DOUBLE), 0.0)
+        |    AS dsir_score,
+        |  coalesce(CAST(s.rsum AS DOUBLE) / CAST(s.n_feats AS DOUBLE), 0.0) > 1.0
+        |    AS selecionado
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |WHERE d.lang <> 'en'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same 1..2-gram fan-out as q109/q121, inline VALUES dictionary.
+    "q122_dict_tagging" ->
+      """WITH dict(frase, etiqueta) AS (VALUES
+        |  ('hash join', 'joins'), ('merge join', 'joins'), ('join', 'joins'),
+        |  ('table scan', 'scans'), ('scan', 'scans'),
+        |  ('stream', 'streaming'), ('window', 'streaming'),
+        |  ('group', 'olap'), ('agg', 'olap'), ('sort', 'olap')),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(tk) AS gr FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |                         for i in range(1, len(tk))]) AS gr
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT doc_id, etiqueta,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(count(DISTINCT frase) AS BIGINT) AS n_frases
+        |FROM grams JOIN dict ON grams.gr = dict.frase AND gr <> ''
+        |GROUP BY doc_id, etiqueta
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q123_perceptron_train" -> perceptronOracle(buckets = 256, epochs = 3),
   )
+
+  /** q123's oracle, generated: each perceptron epoch unrolled as one CTE
+    * block — margins from the previous weight table, gradient over the
+    * misclassified docs, full-join accumulate. All-BIGINT algebra, so
+    * the chain replays the Spark training loop bit-for-bit.
+    */
+  private def perceptronOracle(buckets: Int, epochs: Int): String = {
+    val base = """WITH t AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    string_split_regex(trim(lower(text)), '\s+') AS tk
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, y, unnest(tk) AS g FROM t
+      |  UNION ALL
+      |  SELECT doc_id, y, unnest([array_to_string(tk[i:i+1], ' ')
+      |                            for i in range(1, len(tk))]) AS g
+      |  FROM t WHERE len(tk) >= 2),
+      |fc AS (
+      |  SELECT doc_id, y,
+      |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % {B} AS bucket,
+      |    count(*) AS c
+      |  FROM feats WHERE g <> '' GROUP BY ALL),
+      |w1 AS (SELECT bucket, CAST(sum(y * c) AS BIGINT) AS w
+      |       FROM fc GROUP BY bucket)""".stripMargin
+      .replace("{B}", buckets.toString)
+    val chain = (2 to epochs).map { e =>
+      s""",
+         |m$e AS (
+         |  SELECT doc_id, y, sum(c * coalesce(w, 0)) AS margin
+         |  FROM fc LEFT JOIN w${e - 1} USING (bucket) GROUP BY doc_id, y),
+         |g$e AS (
+         |  SELECT bucket, CAST(sum(y * c) AS BIGINT) AS g FROM fc
+         |  JOIN (SELECT doc_id FROM m$e WHERE y * margin <= 0) mm
+         |    USING (doc_id)
+         |  GROUP BY bucket),
+         |w$e AS (
+         |  SELECT coalesce(pw.bucket, pg.bucket) AS bucket,
+         |    CAST(coalesce(pw.w, 0) + coalesce(pg.g, 0) AS BIGINT) AS w
+         |  FROM w${e - 1} pw FULL JOIN g$e pg ON pw.bucket = pg.bucket)"""
+        .stripMargin
+    }.mkString
+    base + chain +
+      s"\nSELECT bucket, w FROM w$epochs ORDER BY ALL NULLS FIRST"
+  }
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact
     * wide-integer product and integral floor division — HUGEINT here,

@@ -637,4 +637,95 @@ object Curation {
     df.join(broadcast(probs), Seq(domainCol))
       .filter(u < col("p_keep"))
   }
+
+  /** DSIR importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate how
+    * target-like each RAW document is from the ratio of two hashed
+    * n-gram bag distributions — `p_target(b) / p_raw(b)` over word
+    * unigram+bigram features hashed into `buckets` slots with add-one
+    * smoothing — and keep documents whose score clears 1 (more
+    * target-like than raw-like). This is the published cheap
+    * alternative to model-based selection: two counting passes, no LM.
+    *
+    * Differs from [[TextAnalysis.bigramLmCrossScore]] (CCNet's design)
+    * exactly as the paper differs from CCNet: the statistic is an
+    * importance RATIO between two corpora over a FIXED hashed feature
+    * space, not a single reference LM's likelihood — a bucket frequent
+    * in the target but rare in the raw pool pushes the score up even
+    * when both probabilities are small.
+    *
+    * Shape at 100 TB: the model is two map-side-combinable bucket-count
+    * aggregations (≤ `buckets` rows each — fit once, REUSABLE across
+    * ingest batches) + two 1-row totals; scoring joins the raw corpus'
+    * feature stream against the tiny bucket→ratio table as a BROADCAST
+    * build side, then ONE per-doc aggregation. The corpus never
+    * shuffles for the lookup; the exchange carries (doc, partial)
+    * rows, not the exploded grams.
+    *
+    * Exactness (the q99 log-free discipline): the paper sums
+    * `log(p_t/p_r)` — `ln`'s last ulp is libm-dependent, so here each
+    * feature contributes the RATIO itself,
+    * `((c_t+1)·(N_r+B)) / ((c_r+1)·(N_t+B))` — exact long products
+    * (overflow at ~9.2e18: fine to ~10^9-token corpora per side; cast
+    * the products to DECIMAL(38,0) beyond that), ONE correctly-rounded
+    * IEEE division each, per-doc mean through a DECIMAL(38,18) sum —
+    * order-independent under any partitioning, so any engine replays
+    * the scores bit-for-bit. Same monotone intent (target-like > 1);
+    * swap in log-space sums when oracle hashability is not needed.
+    *
+    * Output: idCol, n_feats, dsir_score (mean ratio; 0 for featureless
+    * docs), selecionado (dsir_score > 1).
+    */
+  def dsirScore(
+      target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    def bucketsOf(df: DataFrame, keep: Seq[String]): DataFrame = {
+      val tk = TextAnalysis.tokens(col(textCol))
+      val cols = keep.map(col)
+      Spread(df)
+        .select(cols :+ explode(concat(tk,
+          call_function("word_shingles_all", tk, lit(2)))).as("__g"): _*)
+        .filter(col("__g") =!= "")
+        .select(cols :+
+          (conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % buckets).as("__b"): _*)
+    }
+    // the model: two bucket-count tables (≤ `buckets` rows) + totals —
+    // pure functions of the two corpora, computed once, reusable
+    val ct = bucketsOf(target.select(col(textCol)), Nil)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawB = CacheScope.persistTracked(
+      bucketsOf(raw.select(col(idCol).as("__id"), col(textCol)), Seq("__id")))
+    val cr = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val totals = ct.agg(sum(col("__ct")).as("__nt")).crossJoin(
+      cr.agg(sum(col("__cr")).as("__nr")))
+    // bucket → importance ratio: ≤ `buckets` rows, broadcastable; only
+    // buckets present in the raw corpus matter (every scored feature
+    // instance has c_r ≥ 1 by construction)
+    val ratio = cr
+      .join(ct, Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (((coalesce(col("__ct"), lit(0L)) + 1L) *
+            (col("__nr") + buckets)).cast("double") /
+          ((col("__cr") + 1L) * (col("__nt") + buckets)).cast("double"))
+          .as("__r"))
+    val scored = rawB
+      .join(broadcast(ratio), Seq("__b"))
+      .groupBy("__id").agg(
+        count(lit(1)).as("n_feats"),
+        sum(col("__r").cast("decimal(38,18)")).as("__rsum"))
+    raw.select(col(idCol).as("__id"))
+      .join(scored, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(
+          col("__rsum").cast("double") / col("n_feats").cast("double"),
+          lit(0.0)).as("dsir_score"))
+      .withColumn("selecionado", col("dsir_score") > 1.0)
+  }
 }

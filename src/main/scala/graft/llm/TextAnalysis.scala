@@ -390,4 +390,123 @@ object TextAnalysis {
         coalesce(col("margem_milli"), lit(0L)).as("margem_milli"))
       .withColumn("aprovado", col("margem_milli") > 0L)
   }
+
+  /** Dictionary/taxonomy tagging: label documents by a curated phrase
+    * dictionary (`frase` — 1..`maxN` lowercased space-joined words —
+    * → `etiqueta`), the domain/topic-tagging pass training-data
+    * pipelines run before mixture planning ("which docs are code / legal
+    * / medical"). Multi-word phrases match as CONTIGUOUS token n-grams,
+    * not bags — the FlashText/Aho-Corasick use case — and multiplicity
+    * is counted (`n_matches`), with the distinct phrases per label kept
+    * for audit (`n_frases`).
+    *
+    * Spark-first shape instead of a trie automaton: one scan-level
+    * tokenize + one `word_shingles_all` fan-out per gram size (all fused
+    * into the same whole-stage-codegen pass over the scan), then a
+    * BROADCAST hash join against the dictionary — a phrase table is
+    * ≤ thousands of rows versus the corpus, which never shuffles for
+    * the match — and ONE map-side-combinable (doc, label) aggregation.
+    * At 100 TB the per-executor cost is the same "scan once, probe a
+    * small hash table" an automaton pays, with no custom kernel to
+    * maintain; grams that match nothing die at the join.
+    *
+    * Output: idCol, etiqueta, n_matches, n_frases — one row per
+    * (document, label) with ≥ 1 match; unmatched docs emit nothing
+    * (tag tables are sparse by design — left-join downstream if every
+    * doc needs a row).
+    */
+  def tagByDictionary(
+      docs: DataFrame, dict: DataFrame, idCol: String, textCol: String,
+      maxN: Int): DataFrame = {
+    require(maxN >= 1, s"need maxN >= 1, got $maxN")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = tokens(col(textCol))
+    val grams = (1 to maxN).map {
+      case 1 => tk
+      case n => call_function("word_shingles_all", tk, lit(n))
+    }.reduceLeft(concat(_, _))
+    Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), explode(grams).as("__g"))
+      .filter(col("__g") =!= "")
+      .join(broadcast(dict.select(col("frase"), col("etiqueta"))),
+        col("__g") === col("frase"))
+      .groupBy(col("__id").as(idCol), col("etiqueta"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        count_distinct(col("frase")).as("n_frases"))
+  }
+
+  /** Distributed TRAINING of the [[linearTextScore]] model class: batch
+    * perceptron over hashed unigram+bigram features (Rosenblatt's rule
+    * in its full-batch form — the classical convergence-guaranteed
+    * linear trainer). Quality-filter pipelines fit these little linear
+    * models on labeled slices (CCNet/DCLM fit fastText) and then apply
+    * them corpus-wide with q109's inference join; this closes the loop
+    * so fit AND apply both run inside the engine.
+    *
+    * Per epoch: margin(d) = Σ_b c(d,b)·w(b); every doc with
+    * y·margin ≤ 0 is misclassified and contributes y·c(d,b) to the
+    * gradient; w ← w + gradient (learning rate 1 — perceptron updates
+    * are scale-invariant). Epoch 1 starts from w = 0, where every doc
+    * is misclassified, so w₁ is just Σ_docs y·c — one aggregation.
+    *
+    * Shape at 100 TB: the (doc, bucket, count) feature table is built
+    * ONCE (scan-level fan-out + one map-side-combinable aggregation)
+    * and persisted; each epoch is then one BROADCAST probe of the
+    * ≤ `buckets`-row weight table + two combinable aggregations
+    * (per-doc margins, per-bucket gradient). The corpus shuffles once
+    * for the feature build and never again — epochs reuse the persisted
+    * co-partitioned features, the classic iterative-ML-on-Spark layout.
+    *
+    * Exactness: counts, labels, margins and weights are ALL exact
+    * BIGINTs (perceptron needs no float) — every epoch is
+    * SQL-replayable bit-for-bit, unrolled as one CTE chain per epoch.
+    *
+    * `labelCol` must be ±1. Returns the final (bucket, w) table,
+    * one row per bucket touched by any update (w may be 0 by
+    * cancellation — kept, so the output is a pure function of the
+    * algebra, not of a sparsity cleanup).
+    */
+  def trainPerceptron(
+      docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+      buckets: Int, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"need epochs >= 1, got $epochs")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = tokens(col(textCol))
+    val fc = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(labelCol).as("__y"),
+          col(textCol)))
+        .select(col("__id"), col("__y"),
+          explode(concat(tk,
+            call_function("word_shingles_all", tk, lit(2)))).as("__g"))
+        .filter(col("__g") =!= "")
+        .select(col("__id"), col("__y"),
+          (conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+            .cast("long") % buckets).as("bucket"))
+        .groupBy("__id", "__y", "bucket").agg(count(lit(1)).as("__c"))
+        // partition by doc id: HashPartitioning(__id) satisfies BOTH the
+        // per-epoch margin groupBy(__id,__y) and the gradient's fc⋈miss
+        // join, so after this one exchange NO epoch shuffles the corpus
+        // again — only the ≤`buckets`-row gradient partials move
+        .repartition(col("__id")))
+    // epoch 1 from w = 0: every doc misclassified (y·0 ≤ 0)
+    val w1 = fc.groupBy("bucket")
+      .agg(sum(col("__y") * col("__c")).as("w"))
+    (2 to epochs).foldLeft(w1) { (w, _) =>
+      val miss = fc
+        .join(broadcast(w), Seq("bucket"), "left")
+        .groupBy("__id", "__y")
+        .agg(sum(col("__c") * coalesce(col("w"), lit(0L))).as("__margin"))
+        .filter(col("__y") * col("__margin") <= 0L)
+      val grad = fc
+        .join(miss.select("__id"), Seq("__id"))
+        .groupBy("bucket").agg(sum(col("__y") * col("__c")).as("__g"))
+      w.join(grad, Seq("bucket"), "full")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("__g"), lit(0L))).as("w"))
+    }
+  }
 }

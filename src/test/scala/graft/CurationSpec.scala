@@ -511,4 +511,36 @@ class CurationSpec extends SparkSpec {
     assert(leakedDoc > 0L,
       "doc-level split on this corpus should strand at least one twin pair")
   }
+
+  test("dsirScore ranks target-like raw docs above out-of-domain ones") {
+    // Target distribution: alpha/beta prose. Raw pool: half target-like,
+    // half from a disjoint vocabulary — DSIR must put the in-domain half
+    // above 1 (selected) and the out-of-domain half below.
+    val target = (0L until 20L)
+      .map(i => (i, "alpha beta alpha gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val raw = ((100L until 110L).map(i => (i, "alpha beta gamma alpha beta")) ++
+      (200L until 210L).map(i => (i, "zeta yota kappa zeta yota kappa")) :+
+      ((300L, " "))) // featureless: tokens of blank text filter out
+      .toDF("doc_id", "text")
+
+    val out = Curation.dsirScore(target, raw, "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+
+    assert(out.size == 21, s"every raw doc scored once, got ${out.size}")
+    val inDomain = (100L until 110L).map(out(_))
+    val outDomain = (200L until 210L).map(out(_))
+    assert(inDomain.forall(_._4), "in-domain raw docs must be selected")
+    assert(outDomain.forall(!_._4), "out-of-domain docs must not be selected")
+    assert(inDomain.map(_._3).min > outDomain.map(_._3).max,
+      "every in-domain score must clear every out-of-domain score")
+
+    // featureless doc: 0 features, score 0, not selected
+    assert(out(300L) == ((300L, 0L, 0.0, false)))
+
+    // deterministic replay (no RNG state anywhere)
+    val again = Curation.dsirScore(target, raw, "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }

@@ -227,6 +227,73 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0)._3 > got(1)._3)
   }
 
+  test("tagByDictionary matches contiguous phrases, counts multiplicity") {
+    import spark.implicits._
+    val dict = Seq(("hash join", "joins"), ("join", "joins"), ("scan", "scans"))
+      .toDF("frase", "etiqueta")
+    val docs = Seq(
+      (1L, "hash join beats scan but join hash is no phrase"),
+      (2L, "scan scan scan"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .tagByDictionary(docs, dict, "doc_id", "text", maxN = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    // doc 1: 'hash join' (1, contiguous only — 'join hash' must NOT hit)
+    // + unigram 'join' ×2 → joins: 3 matches over 2 distinct phrases
+    assert(got == Set(
+      (1L, "joins", 3L, 2L),
+      (1L, "scans", 1L, 1L),
+      (2L, "scans", 3L, 1L)))
+  }
+
+  test("trainPerceptron equals a single-node replay and separates a " +
+      "planted corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "good great good fine", 1L), (2L, "great good nice fine", 1L),
+      (3L, "bad awful bad poor", -1L), (4L, "awful bad worse poor", -1L),
+      (5L, "nice fine great", 1L), (6L, "worse poor awful", -1L))
+    val docs = rows.toDF("doc_id", "text", "y")
+    val buckets = 256
+    val got = graft.llm.TextAnalysis
+      .trainPerceptron(docs, "doc_id", "text", "y", buckets, epochs = 3)
+      .as[(Long, Long)].collect().toMap
+
+    // single-node replay: same features (unigrams + bigrams, md5
+    // bucket), same full-batch integer updates
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val fc = rows.map { case (id, text, y) =>
+      val tk = text.trim.toLowerCase.split("\\s+").toSeq
+      val grams = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (id, y, grams.filter(_.nonEmpty).groupBy(bucket).map {
+        case (b, gs) => b -> gs.size.toLong
+      })
+    }
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to 3) {
+      val miss = fc.filter { case (_, y, c) =>
+        y * c.map { case (b, n) => n * w(b) }.sum <= 0L
+      }
+      val grad = miss.flatMap { case (_, y, c) =>
+        c.map { case (b, n) => b -> y * n }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      w = w ++ grad.map { case (b, g) => b -> (w(b) + g) }
+    }
+    assert(got == w.filter { case _ => true }.toMap,
+      s"distributed training must replay the single-node algebra")
+
+    // the fitted model separates the planted train set
+    val margins = fc.map { case (id, y, c) =>
+      (id, y, c.map { case (b, n) => n * got.getOrElse(b, 0L) }.sum)
+    }
+    assert(margins.forall { case (_, y, m) => y * m > 0L },
+      s"3 epochs must separate the disjoint-vocab corpus, got $margins")
+  }
+
   test("topNgrams returns the exact top-k with lexicographic tie-break") {
     import spark.implicits._
     val docs = Seq((1L, "x y x y x"), (2L, "x y q")).toDF("doc_id", "text")
