@@ -1781,6 +1781,30 @@ object SparkEntry {
       ordered(llm.TextAnalysis.trainPerceptron(
         docs, "doc_id", "text", "y", buckets = 256, epochs = 3))
     },
+
+    // Perceptual-hash image dedup, oracle-exact END-TO-END through real
+    // PNG bytes: md5-pattern images (one per doc + a one-block-edited
+    // variant per doc_id%7) are ImageIO-encoded, decoded by the dHash56
+    // kernel, and near-dup'd by 14-bit pigeonhole bands + exact
+    // bit_count(xor) verify. The oracle predicts every hash bit from the
+    // same (seed, delta) columns — a kernel that mis-decodes one pixel
+    // block hash-mismatches.
+    "q124_image_phash_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+      val src = base
+        .select(col("doc_id"), col("doc_id").cast("string").as("seed"),
+          lit(0).as("delta"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("doc_id").cast("string").as("seed"), lit(8).as("delta")))
+      val blobbed = llm.Multimodal.encodePatternPng(
+        llm.Spread(src), "seed", "delta", "payload")
+      val hashed = llm.Multimodal.decodeBatches(
+        blobbed, "payload", kernel = llm.Multimodal.dHash56,
+        decodedSchema = llm.Multimodal.DHashSchema)
+      ordered(llm.Dedup.hammingNearDups(
+        hashed.select("doc_id", "dhash"), "doc_id", "dhash", maxDist = 4))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4326,6 +4350,42 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q123_perceptron_train" -> perceptronOracle(buckets = 256, epochs = 3),
+
+    // Every dHash bit predicted from the same md5 block pattern the PNGs
+    // were painted with; same 4×14-bit bands, same bit_count verify.
+    "q124_image_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS seed, 0 AS delta
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, CAST(doc_id AS VARCHAR), 8
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    flatten([[
+        |      (CAST(('0x' || substring(md5(seed || ':' || CAST(bx AS VARCHAR)
+        |         || ':' || CAST(by AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+        |       + CASE WHEN bx = 0 AND by = 0 THEN delta ELSE 0 END) % 256
+        |      for bx in range(0, 8)] for by in range(0, 8)]) AS v
+        |  FROM ids),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(flatten([[
+        |      CASE WHEN v[by * 8 + bx + 1] > v[by * 8 + bx + 2]
+        |           THEN (CAST(1 AS BIGINT) << (by * 7 + bx)) ELSE 0 END
+        |      for bx in range(0, 7)] for by in range(0, 8)])) AS BIGINT) AS h
+        |  FROM blocks),
+        |banded AS (
+        |  SELECT doc_id, h, band, (h >> (band * 14)) % 16384 AS bhash
+        |  FROM hashes, (SELECT unnest(range(0, 4)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.h AS ha, b.h AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q123's oracle, generated: each perceptron epoch unrolled as one CTE

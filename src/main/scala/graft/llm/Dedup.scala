@@ -811,4 +811,45 @@ object Dedup {
         // scores bit-identically
         jaccardSorted(col("__sh_a"), col("__sh_b")).as("jaccard"))
   }
+
+  /** Hamming near-dup pairs over a 56-bit perceptual hash column (the
+    * dedup step behind [[Multimodal.dHash56]]-style image fingerprints):
+    * pairs whose hashes differ in ≤ `maxDist` bits, found WITHOUT an
+    * all-pairs scan by the pigeonhole band trick — split the 56 bits
+    * into 4 bands of 14; any pair within distance ≤ maxDist (for
+    * maxDist ≤ 3, and overwhelmingly likely up to ~3·bands) shares at
+    * least one INTACT band, so candidates come from 4 equi-joins on
+    * (band, 14-bit value) and the exact `bit_count(xor)` verify runs
+    * per candidate only. Same scale shape as the MinHash/SimHash bands:
+    * bucket joins, no cartesian; near-uniform corpora (billions of
+    * blank images → one hot bucket) hit the SimHash hot-bucket problem —
+    * route those through [[tiledPairs]] exactly as [[simhashNearDups]]
+    * does if the corpus skews that way; AQE's skew-join split covers
+    * moderate cases.
+    *
+    * Output: (id_a < id_b, dist) — exact bit distance, deterministic.
+    */
+  def hammingNearDups(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
+    val keyed = hashed.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+    val banded = keyed.select(col("__id"), col("__h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            pmod(shiftright(col("__h"), b * 14), lit(16384)).as("bhash"))): _*))
+          .as("__bb"))
+      .select(col("__id"), col("__h"),
+        col("__bb.band").as("band"), col("__bb.bhash").as("bhash"))
+    val cand = banded.select(col("__id").as("id_a"), col("__h").as("__h_a"),
+        col("band"), col("bhash"))
+      .join(banded.select(col("__id").as("id_b"), col("__h").as("__h_b"),
+        col("band"), col("bhash")), Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__h_a", "__h_b").distinct()
+    cand
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__h_a").bitwiseXOR(col("__h_b"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

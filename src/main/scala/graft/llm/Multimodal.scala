@@ -468,6 +468,95 @@ object Multimodal {
     }(enc)
   }
 
+  /** Encode an 8×8-block gray pattern PNG per row: block (bx,by) has the
+    * deterministic md5-derived brightness
+    * `(md5("<seed>:<bx>:<by>")[0:8] % 256 + delta·[bx=by=0]) % 256`,
+    * rendered at `px`×`px` pixels per block — REAL `ImageIO.write`
+    * output whose perceptual content is PREDICTABLE from the (seed,
+    * delta) columns, so the [[dHash56]] pipeline downstream can be
+    * oracle-checked end-to-end (the q45 discipline, extended from
+    * metadata to perceptual structure). `delta` perturbs exactly one
+    * block — the "slightly edited image" a perceptual hash must still
+    * match.
+    */
+  def encodePatternPng(
+      df: DataFrame, seedCol: String, deltaCol: String, blobCol: String,
+      px: Int = 2): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val deltaIdx = df.schema.fieldIndex(deltaCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val seed = row.get(seedIdx).toString
+        val delta = row.getAs[Number](deltaIdx).intValue()
+        val side = 8 * px
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (by <- 0 until 8; bx <- 0 until 8) {
+          val hex = md.digest(s"$seed:$bx:$by".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val v = ((java.lang.Long.parseLong(hex, 16) % 256).toInt +
+            (if (bx == 0 && by == 0) delta else 0)) % 256
+          val rgb = (v << 16) | (v << 8) | v
+          for (y <- by * px until (by + 1) * px; x <- bx * px until (bx + 1) * px)
+            img.setRGB(x, y, rgb)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Schema of the [[dHash56]] output. */
+  val DHashSchema: StructType = StructType(Seq(
+    StructField("dhash", LongType)))
+
+  /** REAL perceptual difference-hash kernel (the classic dHash, Krawetz
+    * 2013): decode with pure-JDK ImageIO, reduce to an 8×8 grid of block
+    * luma sums, emit one bit per horizontally-adjacent pair —
+    * bit `by·7+bx` set when block (bx,by) is strictly brighter than
+    * (bx+1,by). 8 rows × 7 comparisons = 56 bits, so the hash stays a
+    * positive BIGINT in any engine. All arithmetic is exact integers:
+    * block sums are long sums of r+g+b, and "brighter" compares
+    * `sumL·areaR > sumR·areaL` (cross-multiplied, no float average) —
+    * block boundaries at `floor(i·dim/8)` handle any image size, and the
+    * hash is bit-identical wherever the same pixels are decoded.
+    */
+  def dHash56(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { payload =>
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"dHash needs >= 8x8 pixels, got ${w}x$h")
+    val sums = Array.ofDim[Long](8, 8)
+    val areas = Array.ofDim[Long](8, 8)
+    for (by <- 0 until 8; bx <- 0 until 8) {
+      val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+      val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val rgb = img.getRGB(x, y)
+          s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      sums(by)(bx) = s
+      areas(by)(bx) = (x1 - x0).toLong * (y1 - y0)
+    }
+    var hash = 0L
+    for (by <- 0 until 8; bx <- 0 until 7)
+      if (sums(by)(bx) * areas(by)(bx + 1) >
+          sums(by)(bx + 1) * areas(by)(bx))
+        hash |= 1L << (by * 7 + bx)
+    Row(hash)
+  }
+
   /** Batched partition-parallel decode harness: each partition iterates its
     * payloads in `batchSize` groups (the shape a vectorized/pandas-style
     * decode kernel wants), appending [[DecodedSchema]] columns. The kernel

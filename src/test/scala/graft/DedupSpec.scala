@@ -423,4 +423,37 @@ class DedupSpec extends SparkSpec {
     assert(indexed.exists(r => r._2) && indexed.exists(r => r._3 > 0),
       "plants must exercise both checks")
   }
+
+  test("dHash56 is resolution-invariant; hammingNearDups finds the " +
+      "one-block edit, not unrelated patterns") {
+    import graft.llm.Multimodal
+    def hashes(rows: Seq[(Long, String, Int)], px: Int): Map[Long, Long] = {
+      val src = rows.toDF("doc_id", "seed", "delta")
+      val blobbed = Multimodal.encodePatternPng(src, "seed", "delta",
+        "payload", px = px)
+      Multimodal.decodeBatches(blobbed, "payload",
+          kernel = Multimodal.dHash56, decodedSchema = Multimodal.DHashSchema)
+        .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    }
+    val base = (1L to 10L).map(i => (i, i.toString, 0))
+    val h2 = hashes(base, px = 2)
+    // perceptual property: the SAME pattern at 3x resolution hashes
+    // identically (dHash is a structure hash, not a byte hash)
+    val h3 = hashes(base, px = 3)
+    assert(h2 == h3, "dHash must be invariant to resolution")
+    // distinct md5 patterns land far apart
+    val dists = for (a <- 1L to 10L; b <- a + 1 to 10L)
+      yield java.lang.Long.bitCount(h2(a) ^ h2(b))
+    assert(dists.min > 4, s"unrelated patterns must be far apart, got $dists")
+
+    // one-block edit: ≤ 2 bits move (the two comparisons block (0,0)
+    // touches... it touches only (0,0)-(1,0) in the 7-per-row scheme)
+    val withEdit = hashes(base :+ ((101L, "1", 8)), px = 2)
+    val pairs = graft.llm.Dedup.hammingNearDups(
+      withEdit.toSeq.toDF("doc_id", "dhash"), "doc_id", "dhash", maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 101L)),
+      s"only the planted edit pair is a near-dup, got $pairs")
+    assert(pairs.head._3 <= 1L, "a one-block edit moves at most one bit")
+  }
 }
