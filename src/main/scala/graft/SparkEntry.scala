@@ -1805,6 +1805,23 @@ object SparkEntry {
       ordered(llm.Dedup.hammingNearDups(
         hashed.select("doc_id", "dhash"), "doc_id", "dhash", maxDist = 4))
     },
+
+    // Train→apply in ONE plan: the q123 perceptron's fitted weights feed
+    // q109's inference join over the whole corpus — the self-contained
+    // quality-filter loop (fit on the labeled slice, gate everything).
+    // The trained model is a ≤256-row broadcast; the corpus pays one
+    // feature fan-out per side.
+    "q125_selftrain_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = llm.TextAnalysis.trainPerceptron(
+        docs.select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
+        "doc_id", "text", "y", buckets = 256, epochs = 3)
+      ordered(llm.TextAnalysis.linearTextScore(
+        docs.select("doc_id", "text"),
+        w.select(col("bucket"), col("w").as("w_milli")),
+        "doc_id", "text", buckets = 256))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4386,6 +4403,8 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
   )
 
   /** q123's oracle, generated: each perceptron epoch unrolled as one CTE
@@ -4393,7 +4412,30 @@ object SparkEntry {
     * misclassified docs, full-join accumulate. All-BIGINT algebra, so
     * the chain replays the Spark training loop bit-for-bit.
     */
-  private def perceptronOracle(buckets: Int, epochs: Int): String = {
+  private def perceptronOracle(buckets: Int, epochs: Int): String =
+    perceptronCtes(buckets, epochs) +
+      s"\nSELECT bucket, w FROM w$epochs ORDER BY ALL NULLS FIRST"
+
+  /** q125's oracle: the q123 training chain, then the trained weight
+    * table applied back over the SAME feature counts — n_feats counts
+    * feature INSTANCES (Σc, matching linearTextScore's per-gram count),
+    * the margin is Σ c·w, approval is its sign.
+    */
+  private def selfTrainOracle(buckets: Int, epochs: Int): String =
+    perceptronCtes(buckets, epochs) +
+      s""",
+         |s AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS margem_milli
+         |  FROM fc LEFT JOIN w$epochs USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(s.margem_milli, 0) AS BIGINT) AS margem_milli,
+         |  coalesce(s.margem_milli, 0) > 0 AS aprovado
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  private def perceptronCtes(buckets: Int, epochs: Int): String = {
     val base = """WITH t AS (
       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
       |    string_split_regex(trim(lower(text)), '\s+') AS tk
@@ -4428,8 +4470,7 @@ object SparkEntry {
          |  FROM w${e - 1} pw FULL JOIN g$e pg ON pw.bucket = pg.bucket)"""
         .stripMargin
     }.mkString
-    base + chain +
-      s"\nSELECT bucket, w FROM w$epochs ORDER BY ALL NULLS FIRST"
+    base + chain
   }
 
   /** q95's oracle, generated: the same 16-bit min-max scale (exact

@@ -679,46 +679,80 @@ object Curation {
   def dsirScore(
       target: DataFrame, raw: DataFrame,
       idCol: String, textCol: String, buckets: Int): DataFrame = {
-    require(buckets > 0, s"need buckets > 0, got $buckets")
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.functions.GraftFunctions.register)
-    def bucketsOf(df: DataFrame, keep: Seq[String]): DataFrame = {
-      val tk = TextAnalysis.tokens(col(textCol))
-      val cols = keep.map(col)
-      Spread(df)
-        .select(cols :+ explode(concat(tk,
-          call_function("word_shingles_all", tk, lit(2)))).as("__g"): _*)
-        .filter(col("__g") =!= "")
-        .select(cols :+
-          (conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
-            .cast("long") % buckets).as("__b"): _*)
-    }
-    // the model: two bucket-count tables (≤ `buckets` rows) + totals —
-    // pure functions of the two corpora, computed once, reusable
-    val ct = bucketsOf(target.select(col(textCol)), Nil)
-      .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val rawB = CacheScope.persistTracked(
-      bucketsOf(raw.select(col(idCol).as("__id"), col(textCol)), Seq("__id")))
+    // fused fit+score: the raw corpus is tokenized ONCE — its persisted
+    // bucket stream feeds both the c_raw count table and the scoring
+    val rawB = CacheScope.persistTracked(dsirBuckets(
+      raw.select(col(idCol).as("__id"), col(textCol)),
+      textCol, buckets, Seq("__id")))
     val cr = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    dsirScoreBuckets(raw.select(col(idCol).as("__id")), rawB,
+      dsirRatio(target, cr, textCol, buckets), idCol)
+  }
+
+  /** The DSIR model: the bucket → importance-ratio table (≤ `buckets`
+    * rows). Split out so the ratios can be fit OFFLINE on reference
+    * corpora and applied elsewhere — including on a STREAM
+    * ([[dsirApply]] is stateless given the table, the
+    * [[keepProbabilities]]/[[applyResample]] production pattern).
+    */
+  def dsirFit(
+      target: DataFrame, raw: DataFrame,
+      textCol: String, buckets: Int): DataFrame = {
+    val cr = dsirBuckets(raw.select(col(textCol)), textCol, buckets, Nil)
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    dsirRatio(target, cr, textCol, buckets)
+  }
+
+  /** Score a document batch against a fitted [[dsirFit]] table: one
+    * scan-level feature fan-out, a BROADCAST ratio probe, one
+    * combinable per-doc aggregation. On a stream, call this inside
+    * `foreachBatch` against offline-fit ratios (the ingest-gate
+    * discipline — per-batch work is batch-bounded, the model stays a
+    * broadcast table; spec-proven equal to scoring the union in batch).
+    */
+  def dsirApply(
+      docs: DataFrame, ratios: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame =
+    dsirScoreBuckets(
+      docs.select(col(idCol).as("__id")),
+      dsirBuckets(docs.select(col(idCol).as("__id"), col(textCol)),
+        textCol, buckets, Seq("__id")),
+      ratios, idCol)
+
+  /** The ratio algebra shared by [[dsirFit]] and the fused
+    * [[dsirScore]]: add-one-smoothed `p_target/p_raw` per bucket from
+    * exact long products, one IEEE division each. The target side is
+    * one combinable ≤`buckets`-row aggregation; totals ride along as a
+    * broadcast 1-row cross join.
+    */
+  private def dsirRatio(
+      target: DataFrame, cr: DataFrame,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val ct = dsirBuckets(target.select(col(textCol)), textCol, buckets, Nil)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
     val totals = ct.agg(sum(col("__ct")).as("__nt")).crossJoin(
       cr.agg(sum(col("__cr")).as("__nr")))
-    // bucket → importance ratio: ≤ `buckets` rows, broadcastable; only
-    // buckets present in the raw corpus matter (every scored feature
-    // instance has c_r ≥ 1 by construction)
-    val ratio = cr
-      .join(ct, Seq("__b"), "left")
+    // only buckets present in the raw corpus matter (every scored
+    // feature instance has c_r ≥ 1 by construction)
+    cr.join(ct, Seq("__b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("__b"),
         (((coalesce(col("__ct"), lit(0L)) + 1L) *
             (col("__nr") + buckets)).cast("double") /
           ((col("__cr") + 1L) * (col("__nt") + buckets)).cast("double"))
           .as("__r"))
-    val scored = rawB
-      .join(broadcast(ratio), Seq("__b"))
+  }
+
+  private def dsirScoreBuckets(
+      ids: DataFrame, docB: DataFrame, ratios: DataFrame,
+      idCol: String): DataFrame = {
+    val scored = docB
+      .join(broadcast(ratios), Seq("__b"))
       .groupBy("__id").agg(
         count(lit(1)).as("n_feats"),
         sum(col("__r").cast("decimal(38,18)")).as("__rsum"))
-    raw.select(col(idCol).as("__id"))
+    ids
       .join(scored, Seq("__id"), "left")
       .select(
         col("__id").as(idCol),
@@ -727,5 +761,23 @@ object Curation {
           col("__rsum").cast("double") / col("n_feats").cast("double"),
           lit(0.0)).as("dsir_score"))
       .withColumn("selecionado", col("dsir_score") > 1.0)
+  }
+
+  /** Hashed unigram+bigram feature buckets (q109's feature space). */
+  private def dsirBuckets(
+      df: DataFrame, textCol: String, buckets: Int,
+      keep: Seq[String]): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = TextAnalysis.tokens(col(textCol))
+    val cols = keep.map(col)
+    val spread = if (df.isStreaming) df else Spread(df)
+    spread
+      .select(cols :+ explode(concat(tk,
+        call_function("word_shingles_all", tk, lit(2)))).as("__g"): _*)
+      .filter(col("__g") =!= "")
+      .select(cols :+
+        (conv(substring(md5(col("__g").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("__b"): _*)
   }
 }

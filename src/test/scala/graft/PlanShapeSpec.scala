@@ -355,4 +355,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"the single-aggregation form needs no join:\n$plan")
   }
+
+  test("q121 DSIR probes the ratio table by broadcast; no SortMergeJoin " +
+      "touches the corpus feature stream") {
+    val plan = planString(SparkEntry.queries("q121_dsir_select")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket→ratio probe must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"DSIR must never go cartesian:\n$plan")
+  }
+
+  test("q122 dictionary tagging broadcasts the phrase table — the corpus " +
+      "never shuffles for the match") {
+    val plan = planString(SparkEntry.queries("q122_dict_tagging")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase table must be the broadcast build side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to meet the dictionary:\n$plan")
+  }
+
+  test("trainPerceptron epochs reuse the feature table's doc partitioning " +
+      "— weight probes broadcast, corpus exchanges stay constant in epochs") {
+    def exchanges(epochs: Int): Int = {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val plan = planString(graft.llm.TextAnalysis.trainPerceptron(
+        docs, "doc_id", "text", "y", buckets = 64, epochs = epochs))
+      graft.llm.CacheScope.releaseAll()
+      "Exchange hashpartitioning".r.findAllIn(
+        plan.split("== Initial Plan ==").head).size
+    }
+    val (e2, e4) = (exchanges(2), exchanges(4))
+    // each extra epoch may only add bucket-level (≤`buckets`-row)
+    // exchanges — gradient + weight-accumulate — never a corpus shuffle;
+    // the corpus-sized feature build amortizes across all epochs via the
+    // one persisted repartition(__id)
+    assert(e4 - e2 <= 2 * 2,
+      s"epochs must not re-shuffle the corpus: 2 epochs=$e2, 4 epochs=$e4")
+  }
 }
