@@ -1822,6 +1822,19 @@ object SparkEntry {
         w.select(col("bucket"), col("w").as("w_milli")),
         "doc_id", "text", buckets = 256))
     },
+
+    // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
+    // vocab = the distinct tokens of the 'en' slice (the fit corpus),
+    // every other doc audited for out-of-vocabulary rate via one
+    // broadcast probe + one combinable aggregation.
+    "q126_vocab_coverage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.filter(col("lang") === "en")
+        .select(explode(llm.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct()
+      ordered(llm.TextAnalysis.vocabCoverage(
+        docs.filter(col("lang") =!= "en"), vocab, "doc_id", "text"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4405,6 +4418,29 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
+
+    "q126_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT DISTINCT unnest(tk) AS w FROM t WHERE lang = 'en'),
+        |words AS (
+        |  SELECT doc_id, unnest(tk) AS w FROM t WHERE lang <> 'en'),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM (SELECT * FROM words WHERE w <> '') words
+        |  LEFT JOIN (SELECT w FROM vocab WHERE w <> '') v USING (w)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov,
+        |  coalesce(CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE), 0.0)
+        |    AS oov_rate
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |WHERE d.lang <> 'en'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   )
 
   /** q123's oracle, generated: each perceptron epoch unrolled as one CTE
