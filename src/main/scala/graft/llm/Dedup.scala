@@ -829,18 +829,26 @@ object Dedup {
     *
     * Output: (id_a < id_b, dist) — exact bit distance, deterministic.
     */
-  def hammingNearDups(
-      hashed: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int): DataFrame = {
-    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
-    val keyed = hashed.select(col(idCol).as("__id"), col(hashCol).as("__h"))
-    val banded = keyed.select(col("__id"), col("__h"),
+  /** The 4×14-bit pigeonhole band fan-out shared by [[hammingNearDups]]
+    * and the image-hash index/gate: (id, hash) → (id, hash, band,
+    * bhash), four rows per input, all static shifts (scan-level).
+    */
+  private def banded56(
+      hashed: DataFrame, idCol: String, hashCol: String): DataFrame =
+    hashed.select(col(idCol).as("__id"), col(hashCol).as("__h"))
+      .select(col("__id"), col("__h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             pmod(shiftright(col("__h"), b * 14), lit(16384)).as("bhash"))): _*))
           .as("__bb"))
       .select(col("__id"), col("__h"),
         col("__bb.band").as("band"), col("__bb.bhash").as("bhash"))
+
+  def hammingNearDups(
+      hashed: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
+    val banded = banded56(hashed, idCol, hashCol)
     val cand = banded.select(col("__id").as("id_a"), col("__h").as("__h_a"),
         col("band"), col("bhash"))
       .join(banded.select(col("__id").as("id_b"), col("__h").as("__h_b"),
@@ -852,4 +860,72 @@ object Dedup {
         bit_count(col("__h_a").bitwiseXOR(col("__h_b"))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Persisted image-fingerprint index (the [[BandIndex]] pattern for
+    * [[Multimodal.dHash56]] hashes): the corpus's banded hashes are
+    * written ONCE, partitioned by band, and every subsequent ingest
+    * probes them with the BATCH side broadcast — the corpus index is
+    * scanned, never shuffled, and no image byte of the corpus is ever
+    * re-decoded. 16 bytes of state per corpus image ×4 band rows.
+    */
+  def writeImageHashIndex(
+      hashed: DataFrame, idCol: String, hashCol: String, path: String): Unit =
+    banded56(hashed, idCol, hashCol)
+      .write.partitionBy("band").mode("overwrite").parquet(path)
+
+  def appendImageHashIndex(
+      hashed: DataFrame, idCol: String, hashCol: String, path: String): Unit =
+    banded56(hashed, idCol, hashCol)
+      .write.partitionBy("band").mode("append").parquet(path)
+
+  /** Gate a batch of image fingerprints against a persisted index:
+    * verdict per batch id — `n_quase_dups` corpus images within
+    * `maxDist` bits, `mantido` when none. The batch's band rows
+    * broadcast into the index scan (4 rows per batch image — tiny), the
+    * candidate verify is the exact `bit_count(xor)`.
+    */
+  def imageIngestGate(
+      batchHashed: DataFrame, index: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
+    val bb = banded56(batchHashed, idCol, hashCol)
+      .select(col("__id").as("id_novo"), col("__h").as("__h_novo"),
+        col("band"), col("bhash"))
+    val dups = index
+      .join(broadcast(bb), Seq("band", "bhash"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__h_novo"))) <= maxDist)
+      .select(col("id_novo"), col("__id").as("id_existente")).distinct()
+      .groupBy("id_novo").agg(count(lit(1)).as("n_quase_dups"))
+    batchHashed.select(col(idCol).as("id_novo"))
+      .join(dups, Seq("id_novo"), "left")
+      .select(col("id_novo").as(idCol),
+        coalesce(col("n_quase_dups"), lit(0L)).as("n_quase_dups"))
+      .withColumn("mantido", col("n_quase_dups") === 0L)
+  }
+
+  /** Streaming image-dedup gate with a SELF-EXTENDING index (the
+    * [[ingestGateStream]] discipline for perceptual hashes): each
+    * micro-batch of (id, dhash) rows is gated against the persisted
+    * index, accepted rows go to `onAccepted` AND their band rows append
+    * to the index — a perceptual twin arriving two micro-batches after
+    * its original is rejected although neither was in the original
+    * corpus. localCheckpoint cuts the lineage reading the paths being
+    * appended; per-batch work is batch-bounded.
+    */
+  def imageGateStream(
+      stream: DataFrame, indexPath: String, idCol: String, hashCol: String,
+      maxDist: Int, onAccepted: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val verdict = imageIngestGate(
+          batch, s.read.parquet(indexPath), idCol, hashCol, maxDist)
+        val accepted = batch
+          .join(verdict.filter(col("mantido")).select(idCol), Seq(idCol))
+          .localCheckpoint()
+        if (!accepted.isEmpty)
+          appendImageHashIndex(accepted, idCol, hashCol, indexPath)
+        onAccepted(accepted)
+    }.start()
 }

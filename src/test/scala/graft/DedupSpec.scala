@@ -456,4 +456,50 @@ class DedupSpec extends SparkSpec {
       s"only the planted edit pair is a near-dup, got $pairs")
     assert(pairs.head._3 <= 1L, "a one-block edit moves at most one bit")
   }
+
+  test("image hash index gates batches; streaming gate self-extends " +
+      "(late perceptual twin rejected)") {
+    import graft.llm.Multimodal
+    def hashed(rows: Seq[(Long, String, Int)]) = {
+      val blobbed = Multimodal.encodePatternPng(
+        rows.toDF("doc_id", "seed", "delta"), "seed", "delta", "payload")
+      Multimodal.decodeBatches(blobbed, "payload",
+          kernel = Multimodal.dHash56, decodedSchema = Multimodal.DHashSchema)
+        .select("doc_id", "dhash")
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-imgindex").toString
+    // corpus: patterns 1..10
+    Dedup.writeImageHashIndex(
+      hashed((1L to 10L).map(i => (i, i.toString, 0))),
+      "doc_id", "dhash", dir)
+
+    // batch: an exact perceptual dup of 3, a one-block edit of 7, a fresh
+    val batch = hashed(Seq((103L, "3", 0), (107L, "7", 8), (200L, "200", 0)))
+    val verdict = Dedup.imageIngestGate(
+        batch, spark.read.parquet(dir), "doc_id", "dhash", maxDist = 4)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!verdict(103L)._3 && verdict(103L)._2 >= 1L, "exact dup rejected")
+    assert(!verdict(107L)._3, "one-block edit rejected")
+    assert(verdict(200L)._3 && verdict(200L)._2 == 0L, "fresh accepted")
+
+    // streaming: twin "300" arrives a micro-batch AFTER its original —
+    // neither is in the corpus; the self-extended index must reject it
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val accepted = scala.collection.mutable.Set.empty[Long]
+    val mem = MemoryStream[(Long, Long)]
+    val hashRows = hashed(Seq((300L, "300", 0), (301L, "300", 0)))
+      .as[(Long, Long)].collect().toMap
+    val q = Dedup.imageGateStream(
+      mem.toDF.toDF("doc_id", "dhash"), dir, "doc_id", "dhash", maxDist = 4,
+      b => accepted ++= b.select("doc_id").as[Long].collect())
+    try {
+      mem.addData(Seq((300L, hashRows(300L)))); q.processAllAvailable()
+      mem.addData(Seq((301L, hashRows(301L)))); q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.contains(300L), "first arrival is fresh")
+    assert(!accepted.contains(301L),
+      "the index must have self-extended to reject the late twin")
+  }
 }
