@@ -1823,6 +1823,20 @@ object SparkEntry {
         "doc_id", "text", buckets = 256))
     },
 
+    // Signature-only near-dup estimation (Broder's estimator): q26's
+    // planted corpus and band buckets, but the verify never rejoins the
+    // shingle sets — per pair it folds two 20-long signatures (the
+    // 100 TB audit shortcut: re-runs touch no corpus text).
+    "q127_minhash_estimate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      ordered(llm.Dedup.estimatedJaccardPairs(
+        docs.unionByName(variants), "doc_id", "text", threshold = 0.5))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4418,6 +4432,54 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
+
+    // q26's signature/bucket CTEs verbatim; the verify swaps the exact
+    // shingle intersection for per-component signature agreement / 20.
+    "q127_minhash_estimate" -> {
+      val mins = (0 until 20).map(s =>
+        s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
+      val bands = (0 until 5).map { b =>
+        val cols = (0 until 4).map(r => s"s${b * 4 + r}").mkString(", ")
+        if (b == 0) s"SELECT id, 0 AS band, concat_ws(',', $cols) AS bhash FROM sigs"
+        else s"UNION ALL SELECT id, $b, concat_ws(',', $cols) FROM sigs"
+      }.mkString("\n|  ")
+      val matches = (0 until 20)
+        .map(s => s"(CASE WHEN a.s$s = b.s$s THEN 1 ELSE 0 END)")
+        .mkString(" +\n|      ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[2:], ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT id,
+        |    list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |shrows AS (
+        |  SELECT id, CAST(('0x' || substring(m, 1, 8)) AS BIGINT) AS h1,
+        |             CAST(('0x' || substring(m, 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT id, md5(unnest(sh)) AS m FROM k)),
+        |sigs AS (
+        |  SELECT id,
+        |    $mins
+        |  FROM shrows GROUP BY id),
+        |buckets AS (
+        |  $bands),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id)
+        |SELECT id_a, id_b, jaccard_est FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST($matches AS DOUBLE) / 20.0 AS jaccard_est
+        |  FROM pairs p JOIN sigs a ON p.id_a = a.id JOIN sigs b ON p.id_b = b.id)
+        |WHERE jaccard_est >= 0.5
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+    },
 
     "q126_vocab_coverage" ->
       """WITH t AS (

@@ -199,6 +199,59 @@ object Dedup {
     (keyed, buckets)
   }
 
+  /** Signature-only near-dup pairs (Broder 1997's estimator): candidate
+    * pairs from the same portable-MinHash band buckets, but scored by
+    * SIGNATURE COMPONENT AGREEMENT — `|{s : sigA[s]=sigB[s]}| /
+    * numHashes`, an unbiased estimate of the Jaccard similarity — with
+    * NO join back to the shingle sets. This is the 100 TB shortcut the
+    * sketch exists for: the exact verify drags two full shingle arrays
+    * (often 10³ elements) through the pair join, the estimator joins
+    * two `numHashes`-long arrays (160 bytes at 20 hashes) and pays one
+    * codegen'd zip/fold per pair. Corpus text is touched exactly once
+    * (signature build) — with a persisted signature index (the
+    * [[BandIndex]] pattern) an audit re-run touches NO text at all.
+    * Trade-off: ±1/numHashes quantization and sketch noise, so use it
+    * for audit/triage joins and keep the exact verify for destructive
+    * dedup ([[minhashNearDupsPortable]]).
+    */
+  def estimatedJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val keyed = shingled(docs, idCol, textCol, shingleN)
+      .transform(CacheScope.persistTracked)
+    val (h1, h2) = md5Words(col("__shingle"))
+    val exploded = keyed.select(col("__id"), explode(col("__sh")).as("__shingle"))
+      .select(col("__id"), h1.as("__h1"), h2.as("__h2"))
+    val minCols = (0 until numHashes).map(s =>
+      min((col("__h1") + lit(s.toLong) * col("__h2")) % PortableMod).as(s"__h$s"))
+    // signatures feed the band fan-out AND both pair sides — persist the
+    // numHashes-column relation, not the corpus
+    val sigs = exploded.groupBy("__id").agg(minCols.head, minCols.tail: _*)
+      .transform(CacheScope.persistTracked)
+    val buckets = sigs.select(col("__id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until rowsPerBand).map(r =>
+              col(s"__h${b * rowsPerBand + r}")): _*).as("bhash"))
+        }: _*)).as("bb"))
+      .select(col("__id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+    val sigArr = sigs.select(col("__id"),
+      array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
+    candidatePairs(buckets)
+      .join(sigArr.select(col("__id").as("id_a"), col("__sig").as("__sig_a")),
+        "id_a")
+      .join(sigArr.select(col("__id").as("id_b"), col("__sig").as("__sig_b")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        (aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, v) => a + v).cast("double") / numHashes)
+          .as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+  }
+
   /** Incremental cross-corpus near-dup pairs: every (new, existing) pair
     * with exact Jaccard ≥ `threshold` — the ingestion-time discipline
     * that keeps a GROWING corpus deduplicated without ever re-running the

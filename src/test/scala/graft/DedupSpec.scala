@@ -457,6 +457,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 <= 1L, "a one-block edit moves at most one bit")
   }
 
+  test("estimatedJaccardPairs tracks the exact verify: high-similarity " +
+      "pairs survive the sketch at a slack threshold") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 300)
+    val toks = llm.TextAnalysis.tokens(col("text"))
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, 2, 100000)).as("text")))
+    val exact = Dedup.minhashNearDupsPortable(corpus, "doc_id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    val est = Dedup.estimatedJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.llm.CacheScope.releaseAll()
+    val estPairs = est.map(e => (e._1, e._2)).toSet
+    assert(exact.nonEmpty, "plants must produce exact pairs")
+    assert(exact.subsetOf(estPairs),
+      s"sketch at 0.5 must not lose exact>=0.7 pairs; missing ${exact -- estPairs}")
+    assert(est.forall(e => e._3 >= 0.5 && e._3 <= 1.0))
+  }
+
   test("image hash index gates batches; streaming gate self-extends " +
       "(late perceptual twin rejected)") {
     import graft.llm.Multimodal
