@@ -1823,6 +1823,27 @@ object SparkEntry {
         "doc_id", "text", buckets = 256))
     },
 
+    // Video near-dup through REAL AVI bytes: 4 md5-pattern DIB frames
+    // per doc (+ a per-frame one-block-edited variant per doc_id%9),
+    // per-frame dHash56 fingerprints, frame-vote aggregation — ≥3 of 4
+    // frames within 4 bits. Every frame hash is oracle-predicted from
+    // (seed, delta) through genuine encode→chunk-walk→decode.
+    "q128_video_phash_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+      val src = base
+        .select(col("doc_id"), col("doc_id").cast("string").as("seed"),
+          lit(0).as("delta"))
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("doc_id").cast("string").as("seed"), lit(8).as("delta")))
+      val blobbed = llm.Multimodal.encodeAviPattern(
+        llm.Spread(src), "seed", "delta", "payload", nFrames = 4)
+      val hashed = llm.Multimodal.frameHashesAvi(blobbed, "payload", stride = 1)
+      ordered(llm.Dedup.videoNearDups(
+        hashed.select("doc_id", "frame_indice", "dhash"),
+        "doc_id", "frame_indice", "dhash", maxDist = 4, minFrames = 3))
+    },
+
     // Signature-only near-dup estimation (Broder's estimator): q26's
     // planted corpus and band buckets, but the verify never rejoins the
     // shingle sets — per pair it folds two 20-long signatures (the
@@ -4432,6 +4453,44 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
+
+    // q124's block algebra with a frame key folded into the md5; same
+    // bands, same bit_count verify, one frame-vote aggregation on top.
+    "q128_video_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS seed, 0 AS delta
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, CAST(doc_id AS VARCHAR), 8
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |fv AS (
+        |  SELECT doc_id, f,
+        |    flatten([[
+        |      (CAST(('0x' || substring(md5(seed || ':' || CAST(f AS VARCHAR)
+        |         || ':' || CAST(bx AS VARCHAR) || ':' || CAST(by AS VARCHAR)),
+        |         1, 8)) AS BIGINT) % 256
+        |       + CASE WHEN bx = 0 AND by = 0 THEN delta ELSE 0 END) % 256
+        |      for bx in range(0, 8)] for by in range(0, 8)]) AS v
+        |  FROM ids, (SELECT unnest(range(0, 4)) AS f)),
+        |fh AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_sum(flatten([[
+        |      CASE WHEN v[by * 8 + bx + 1] > v[by * 8 + bx + 2]
+        |           THEN (CAST(1 AS BIGINT) << (by * 7 + bx)) ELSE 0 END
+        |      for bx in range(0, 7)] for by in range(0, 8)])) AS BIGINT) AS h
+        |  FROM fv),
+        |banded AS (
+        |  SELECT doc_id, f, h, band, (h >> (band * 14)) % 16384 AS bhash
+        |  FROM fh, (SELECT unnest(range(0, 4)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, a.f AS fa, a.h AS ha,
+        |    b.doc_id AS id_b, b.f AS fb, b.h AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(count(DISTINCT fa) AS BIGINT) AS n_frames_casados
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        |GROUP BY id_a, id_b HAVING count(DISTINCT fa) >= 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // q26's signature/bucket CTEs verbatim; the verify swaps the exact
     // shingle intersection for per-component signature agreement / 20.

@@ -914,6 +914,48 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Video near-duplicate pairs from per-frame perceptual hashes
+    * ([[Multimodal.frameDHashes]]): two videos are near-dups when at
+    * least `minFrames` of video A's sampled frames each have a frame of
+    * video B within `maxDist` hash bits — the frame-voting scheme
+    * practical video dedup uses (re-encodes, container changes and
+    * single-frame edits survive; unrelated footage does not).
+    *
+    * Shape: the SAME 4×14-bit pigeonhole banding as [[hammingNearDups]]
+    * but keyed per (video, frame); candidate frame pairs come from band
+    * equi-joins (never frames²), the exact `bit_count(xor)` verify runs
+    * per candidate, and one (video_a, video_b) aggregation counts
+    * distinct matched A-frames. Everything after the decode is bucket
+    * joins + one combinable aggregation — 100 TB-shaped.
+    */
+  def videoNearDups(
+      frames: DataFrame, idCol: String, frameCol: String, hashCol: String,
+      maxDist: Int, minFrames: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
+    require(minFrames >= 1, s"need minFrames >= 1, got $minFrames")
+    val keyed = frames.select(col(idCol).as("__v"), col(frameCol).as("__f"),
+      col(hashCol).as("__h"))
+    val banded = keyed.select(col("__v"), col("__f"), col("__h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            pmod(shiftright(col("__h"), b * 14), lit(16384)).as("bhash"))): _*))
+          .as("__bb"))
+      .select(col("__v"), col("__f"), col("__h"),
+        col("__bb.band").as("band"), col("__bb.bhash").as("bhash"))
+    val cand = banded.select(col("__v").as("id_a"), col("__f").as("__f_a"),
+        col("__h").as("__h_a"), col("band"), col("bhash"))
+      .join(banded.select(col("__v").as("id_b"), col("__f").as("__f_b"),
+        col("__h").as("__h_b"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "__f_a", "__h_a", "id_b", "__f_b", "__h_b").distinct()
+    cand
+      .filter(bit_count(col("__h_a").bitwiseXOR(col("__h_b"))) <= maxDist)
+      .groupBy("id_a", "id_b")
+      .agg(count_distinct(col("__f_a")).as("n_frames_casados"))
+      .filter(col("n_frames_casados") >= minFrames)
+  }
+
   /** Persisted image-fingerprint index (the [[BandIndex]] pattern for
     * [[Multimodal.dHash56]] hashes): the corpus's banded hashes are
     * written ONCE, partitioned by band, and every subsequent ingest

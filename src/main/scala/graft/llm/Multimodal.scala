@@ -528,7 +528,17 @@ object Multimodal {
   def dHash56(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { payload =>
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
-    val (w, h) = (img.getWidth, img.getHeight)
+    Row(dHashCore(img.getWidth, img.getHeight, (x, y) => {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+    }))
+  }
+
+  /** The 56-bit difference-hash core shared by [[dHash56]] (images) and
+    * [[frameDHashes]] (video frames): `luma(x, y)` must return the
+    * r+g+b sum of the TOP-DOWN logical pixel.
+    */
+  private def dHashCore(w: Int, h: Int, luma: (Int, Int) => Int): Long = {
     require(w >= 8 && h >= 8, s"dHash needs >= 8x8 pixels, got ${w}x$h")
     val sums = Array.ofDim[Long](8, 8)
     val areas = Array.ofDim[Long](8, 8)
@@ -539,11 +549,7 @@ object Multimodal {
       var y = y0
       while (y < y1) {
         var x = x0
-        while (x < x1) {
-          val rgb = img.getRGB(x, y)
-          s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-          x += 1
-        }
+        while (x < x1) { s += luma(x, y); x += 1 }
         y += 1
       }
       sums(by)(bx) = s
@@ -554,7 +560,153 @@ object Multimodal {
       if (sums(by)(bx) * areas(by)(bx + 1) >
           sums(by)(bx + 1) * areas(by)(bx))
         hash |= 1L << (by * 7 + bx)
-    Row(hash)
+    hash
+  }
+
+  /** Encode a pattern-frame AVI per row — [[encodeAvi]]'s genuine RIFF
+    * container, but frame `f` is painted with the [[encodePatternPng]]
+    * md5 block pattern keyed `"<seed>:<f>:<bx>:<by>"` (delta perturbs
+    * block (0,0) of EVERY frame), so each frame's perceptual hash is
+    * predictable from the (seed, delta) columns — the q124 discipline
+    * extended to video. DIB rows are written bottom-up per the spec;
+    * the pattern is painted in TOP-DOWN logical coordinates.
+    */
+  def encodeAviPattern(
+      df: DataFrame, seedCol: String, deltaCol: String, blobCol: String,
+      nFrames: Int, px: Int = 2): DataFrame = {
+    require(nFrames > 0 && px > 0, "bad AVI pattern params")
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val deltaIdx = df.schema.fieldIndex(deltaCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val seed = row.get(seedIdx).toString
+        val delta = row.getAs[Number](deltaIdx).intValue()
+        val (w, h) = (8 * px, 8 * px)
+        val rowBytes = (3 * w + 3) & ~3
+        val frameSize = rowBytes * h
+        val moviSize = 4 + nFrames * (8 + frameSize)
+        val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+        val out = java.nio.ByteBuffer.allocate(8 + riffSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(s: String): Unit = { out.put(s.getBytes("US-ASCII")); () }
+        fourcc("RIFF"); out.putInt(riffSize); fourcc("AVI ")
+        fourcc("LIST"); out.putInt(hdrlSize); fourcc("hdrl")
+        fourcc("avih"); out.putInt(56)
+        out.putInt(40000)
+          .putInt(frameSize * 25).putInt(0).putInt(0)
+          .putInt(nFrames).putInt(0).putInt(1).putInt(frameSize)
+          .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(4 + 64 + 48); fourcc("strl")
+        fourcc("strh"); out.putInt(56)
+        fourcc("vids"); fourcc("DIB ")
+        out.putInt(0).putShort(0).putShort(0).putInt(0)
+          .putInt(1).putInt(25).putInt(0).putInt(nFrames)
+          .putInt(frameSize).putInt(0).putInt(0)
+          .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+        fourcc("strf"); out.putInt(40)
+        out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+        fourcc("LIST"); out.putInt(moviSize); fourcc("movi")
+        for (f <- 0 until nFrames) {
+          fourcc("00db"); out.putInt(frameSize)
+          val v = Array.tabulate(8, 8) { (by, bx) =>
+            val hex = md.digest(s"$seed:$f:$bx:$by".getBytes("UTF-8"))
+              .take(4).map("%02x".format(_)).mkString
+            ((java.lang.Long.parseLong(hex, 16) % 256).toInt +
+              (if (bx == 0 && by == 0) delta else 0)) % 256
+          }
+          // DIB bottom-up: buffer row 0 is the BOTTOM logical row
+          for (yRaw <- 0 until h) {
+            val yLogical = h - 1 - yRaw
+            for (x <- 0 until w) {
+              val g = v(yLogical / px)(x / px).toByte
+              out.put(g).put(g).put(g)
+            }
+            var pad = rowBytes - 3 * w
+            while (pad > 0) { out.put(0.toByte); pad -= 1 }
+          }
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(enc)
+  }
+
+  /** Schema of the [[frameDHashes]] fan-out. */
+  val FrameHashSchema: StructType = StructType(Seq(
+    StructField("frame_indice", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** Per-frame perceptual hashes from a RIFF-AVI payload: the same chunk
+    * walk as [[decodeAviFrames]] (LIST recursion, avih header, 00db DIB
+    * and 00dc MJPEG frames), but each sampled frame reduces to its
+    * [[dHash56]] fingerprint instead of channel means — the front half
+    * of video near-duplicate detection ([[Dedup.videoNearDups]]). DIB
+    * rows are bottom-up, so logical pixel (x, y) reads buffer row
+    * h-1-y; MJPEG frames decode via pure-JDK ImageIO.
+    */
+  def frameDHashes(stride: Int)(p: Array[Byte]): Seq[Row] = {
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Int = u16(o) | (u16(o + 2) << 16)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+      "payload is not a RIFF/AVI file")
+    var (w, h) = (0, 0)
+    val frames = Seq.newBuilder[(Int, Int, Boolean)]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val (id, sz) = (tag(off), u32(off + 4))
+        require(sz >= 0 && off + 8 + sz <= to,
+          s"corrupt RIFF chunk size at offset $off")
+        if (id == "LIST") walk(off + 12, off + 8 + sz)
+        else if (id == "avih") { w = u32(off + 8 + 32); h = u32(off + 8 + 36) }
+        else if (id == "00db") frames += ((off + 8, sz, false))
+        else if (id == "00dc") frames += ((off + 8, sz, true))
+        off += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, p.length)
+    require(w > 0 && h > 0, "missing avih main header")
+    val rowBytes = (3 * w + 3) & ~3
+    frames.result().zipWithIndex.collect {
+      case ((dataOff, sz, isJpeg), idx) if idx % stride == 0 =>
+        val hash =
+          if (isJpeg) {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(p, dataOff, sz))
+            require(img != null, s"frame $idx is not a decodable JPEG")
+            dHashCore(img.getWidth, img.getHeight, (x, y) => {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            })
+          } else {
+            require(sz >= rowBytes * h, s"frame $idx truncated")
+            dHashCore(w, h, (x, y) => {
+              val o = dataOff + (h - 1 - y) * rowBytes + 3 * x
+              (p(o) & 0xFF) + (p(o + 1) & 0xFF) + (p(o + 2) & 0xFF)
+            })
+          }
+        Row(idx, hash)
+    }
+  }
+
+  /** Fan-out harness for [[frameDHashes]]: one row per sampled frame,
+    * appending [[FrameHashSchema]] columns.
+    */
+  def frameHashesAvi(df: DataFrame, blobCol: String, stride: Int): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ FrameHashSchema.fields)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val kernel = frameDHashes(stride) _
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        kernel(r.getAs[Array[Byte]](blobIdx)).map(d => Row.fromSeq(r.toSeq ++ d.toSeq))
+      }
+    }(enc)
   }
 
   /** Batched partition-parallel decode harness: each partition iterates its

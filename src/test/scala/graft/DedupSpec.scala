@@ -478,6 +478,25 @@ class DedupSpec extends SparkSpec {
     assert(est.forall(e => e._3 >= 0.5 && e._3 <= 1.0))
   }
 
+  test("frameDHashes + videoNearDups: the per-frame-edited variant wins " +
+      "the frame vote; unrelated videos never pair") {
+    import graft.llm.Multimodal
+    val src = ((1L to 10L).map(i => (i, i.toString, 0)) :+ ((101L, "1", 8)))
+      .toDF("doc_id", "seed", "delta")
+    val hashed = Multimodal.frameHashesAvi(
+      Multimodal.encodeAviPattern(src, "seed", "delta", "payload", nFrames = 4),
+      "payload", stride = 1)
+      .select("doc_id", "frame_indice", "dhash")
+    val pairs = Dedup.videoNearDups(hashed, "doc_id", "frame_indice",
+        "dhash", maxDist = 4, minFrames = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 101L, 4L)),
+      s"all 4 one-block-edited frames must vote for the planted pair, got $pairs")
+    // a stricter vote than the video has frames can never pass
+    assert(Dedup.videoNearDups(hashed, "doc_id", "frame_indice", "dhash",
+      maxDist = 4, minFrames = 5).isEmpty)
+  }
+
   test("image hash index gates batches; streaming gate self-extends " +
       "(late perceptual twin rejected)") {
     import graft.llm.Multimodal
