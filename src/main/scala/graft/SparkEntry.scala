@@ -1823,6 +1823,28 @@ object SparkEntry {
         "doc_id", "text", buckets = 256))
     },
 
+    // Audio near-dup through REAL WAV bytes: md5-pattern loudness
+    // envelopes (57 DC segments), the Haitsma-Kalker-family energy
+    // difference hash, pigeonhole bands + bit_count verify — every
+    // envelope bit oracle-predicted from (seed, delta) through genuine
+    // RIFF encode→parse. delta re-masters segment 0 (≤1 bit moves).
+    "q129_audio_phash_dedup" -> { (s, dir) =>
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+      val src = base
+        .select(col("doc_id"), col("doc_id").cast("string").as("seed"),
+          lit(0).as("delta"))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("doc_id").cast("string").as("seed"), lit(777).as("delta")))
+      val blobbed = llm.Multimodal.encodeWavPattern(
+        llm.Spread(src), "seed", "delta", "payload")
+      val hashed = llm.Multimodal.decodeBatches(
+        blobbed, "payload", kernel = llm.Multimodal.audioHash56,
+        decodedSchema = llm.Multimodal.AudioHashSchema)
+      ordered(llm.Dedup.hammingNearDups(
+        hashed.select("doc_id", "ahash"), "doc_id", "ahash", maxDist = 4))
+    },
+
     // Video near-dup through REAL AVI bytes: 4 md5-pattern DIB frames
     // per doc (+ a per-frame one-block-edited variant per doc_id%9),
     // per-frame dHash56 fingerprints, frame-vote aggregation — ≥3 of 4
@@ -4453,6 +4475,41 @@ object SparkEntry {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
+
+    // The 57-segment envelope algebra replayed: segment levels from the
+    // same md5, equal segment lengths so "louder" is a direct compare.
+    "q129_audio_phash_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS seed, 0 AS delta
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, CAST(doc_id AS VARCHAR), 777
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |env AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substring(md5(seed || ':' || CAST(s AS VARCHAR)),
+        |       1, 8)) AS BIGINT) % 16384
+        |     + CASE WHEN s = 0 THEN delta ELSE 0 END
+        |     for s in range(0, 57)] AS v
+        |  FROM ids),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([
+        |      CASE WHEN v[s + 1] > v[s + 2]
+        |           THEN (CAST(1 AS BIGINT) << s) ELSE 0 END
+        |      for s in range(0, 56)]) AS BIGINT) AS h
+        |  FROM env),
+        |banded AS (
+        |  SELECT doc_id, h, band, (h >> (band * 14)) % 16384 AS bhash
+        |  FROM hashes, (SELECT unnest(range(0, 4)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.h AS ha, b.h AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // q124's block algebra with a frame key folded into the md5; same
     // bands, same bit_count verify, one frame-vote aggregation on top.

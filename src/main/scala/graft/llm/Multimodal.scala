@@ -206,6 +206,117 @@ object Multimodal {
       if (n == 0) 0.0 else sumAbs.toDouble / n)
   }
 
+  /** Encode a pattern-envelope 16-bit mono PCM WAV per row: 57 segments
+    * of `segFrames` samples, segment `s` holding the constant DC level
+    * `md5("<seed>:<s>")[0:8] % 16384 + delta·[s=0]` — a genuine RIFF
+    * container whose LOUDNESS ENVELOPE is predictable from the (seed,
+    * delta) columns, so the [[audioHash56]] fingerprint downstream is
+    * oracle-checkable end-to-end (q124's discipline for audio; `delta`
+    * is the "slightly re-mastered first note" a robust fingerprint must
+    * still match).
+    */
+  def encodeWavPattern(
+      df: DataFrame, seedCol: String, deltaCol: String, blobCol: String,
+      segFrames: Int = 8): DataFrame = {
+    require(segFrames > 0, "bad segFrames")
+    val outSchema = StructType(df.schema.fields :+ StructField(blobCol, BinaryType))
+    val seedIdx = df.schema.fieldIndex(seedCol)
+    val deltaIdx = df.schema.fieldIndex(deltaCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val seed = row.get(seedIdx).toString
+        val delta = row.getAs[Number](deltaIdx).intValue()
+        val frames = 57 * segFrames
+        val dataLen = frames * 2
+        val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1).putInt(8000)
+          .putInt(8000 * 2).putShort(2).putShort(16)
+        out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        for (s <- 0 until 57) {
+          val hex = md.digest(s"$seed:$s".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString
+          val a = ((java.lang.Long.parseLong(hex, 16) % 16384).toInt +
+            (if (s == 0) delta else 0)).toShort
+          for (_ <- 0 until segFrames) out.putShort(a)
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(enc)
+  }
+
+  /** Schema of the [[audioHash56]] output. */
+  val AudioHashSchema: StructType = StructType(Seq(
+    StructField("ahash", LongType)))
+
+  /** REAL acoustic fingerprint kernel — the dHash idea on the loudness
+    * envelope (the energy-difference family Haitsma–Kalker 2002 built
+    * on): parse RIFF/PCM bytes directly (the [[decodeWav]] chunk walk —
+    * PCM 16/8-bit, any channel count, unknown chunks skipped), reduce
+    * the stream to 57 equal segments of summed |sample|, emit one bit
+    * per adjacent pair — bit `s` set when segment `s` is strictly
+    * louder than `s+1`. 56 bits, positive BIGINT anywhere. All exact
+    * integers: segment sums are longs, "louder" cross-multiplies
+    * `sumA·lenB > sumB·lenA` — no float RMS — so the hash is
+    * bit-identical wherever the same samples are decoded, and
+    * TEMPO-ROBUST the way dHash is resolution-robust (the same
+    * envelope at 2× sample rate hashes identically, spec-proven).
+    */
+  def audioHash56(batch: Seq[Array[Byte]]): Seq[Row] = batch.map { p =>
+    def u16(o: Int): Int = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = u16(o).toLong | (u16(o + 2).toLong << 16)
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    require(p.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "payload is not a RIFF/WAVE file")
+    var (channels, bits) = (0, 0)
+    var (dataOff, dataLen) = (-1, 0)
+    var off = 12
+    while (off + 8 <= p.length) {
+      val (id, sz) = (tag(off), u32(off + 4).toInt)
+      require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
+      if (id == "fmt ") {
+        require(u16(off + 8) == 1, "only PCM (format tag 1) is supported")
+        channels = u16(off + 10)
+        bits = u16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, p.length - dataOff)
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    require(channels > 0 && dataOff >= 0, "missing fmt /data chunk")
+    require(bits == 16 || bits == 8, s"unsupported bit depth $bits")
+    val bytesPer = bits / 8
+    val n = dataLen / bytesPer
+    require(n >= 57, s"audioHash needs >= 57 samples, got $n")
+    val sums = new Array[Long](57)
+    val lens = new Array[Long](57)
+    for (s <- 0 until 57) {
+      val (i0, i1) = (s * n / 57, (s + 1) * n / 57)
+      var sum = 0L
+      var i = i0
+      while (i < i1) {
+        val v =
+          if (bits == 16) u16(dataOff + i * 2).toShort.toInt
+          else (p(dataOff + i) & 0xFF) - 128
+        sum += math.abs(v)
+        i += 1
+      }
+      sums(s) = sum
+      lens(s) = (i1 - i0).toLong
+    }
+    var hash = 0L
+    for (s <- 0 until 56)
+      if (sums(s) * lens(s + 1) > sums(s + 1) * lens(s))
+        hash |= 1L << s
+    Row(hash)
+  }
+
   /** Encode a square-wave 16-bit PCM WAV per row from integer (sampleRate,
     * nFrames, channels, amplitude, halfPeriod) columns — a genuine RIFF
     * container around real sample data. Every |sample| equals `amplitude`,

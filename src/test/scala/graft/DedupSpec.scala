@@ -478,6 +478,31 @@ class DedupSpec extends SparkSpec {
     assert(est.forall(e => e._3 >= 0.5 && e._3 <= 1.0))
   }
 
+  test("audioHash56 is tempo-invariant; the re-mastered first segment " +
+      "stays a near-dup") {
+    import graft.llm.Multimodal
+    def hashes(rows: Seq[(Long, String, Int)], segFrames: Int) = {
+      val blobbed = Multimodal.encodeWavPattern(
+        rows.toDF("doc_id", "seed", "delta"), "seed", "delta", "payload",
+        segFrames = segFrames)
+      Multimodal.decodeBatches(blobbed, "payload",
+          kernel = Multimodal.audioHash56,
+          decodedSchema = Multimodal.AudioHashSchema)
+        .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    }
+    val base = (1L to 8L).map(i => (i, i.toString, 0))
+    val h8 = hashes(base, segFrames = 8)
+    // the SAME envelope at 2x duration hashes identically
+    assert(h8 == hashes(base, segFrames = 16),
+      "envelope hash must be tempo/duration-invariant")
+    // distinct envelopes land far apart; the delta edit moves <= 1 bit
+    val dists = for (a <- 1L to 8L; b <- a + 1 to 8L)
+      yield java.lang.Long.bitCount(h8(a) ^ h8(b))
+    assert(dists.min > 4, s"unrelated envelopes must be far apart: $dists")
+    val withEdit = hashes(base :+ ((101L, "1", 777)), segFrames = 8)
+    assert(java.lang.Long.bitCount(withEdit(1L) ^ withEdit(101L)) <= 1)
+  }
+
   test("frameDHashes + videoNearDups: the per-frame-edited variant wins " +
       "the frame vote; unrelated videos never pair") {
     import graft.llm.Multimodal
