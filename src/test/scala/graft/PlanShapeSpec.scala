@@ -356,6 +356,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the single-aggregation form needs no join:\n$plan")
   }
 
+  test("q127 sketch estimate never rejoins shingle sets — the exact " +
+      "verify does") {
+    val est = planString(SparkEntry.queries("q127_minhash_estimate")(spark, sfDir))
+    graft.llm.CacheScope.releaseAll()
+    // the estimator's verify folds signatures; the shingle merge-walk
+    // kernel appearing in its plan would mean text-sized arrays crossed
+    // the pair join after all
+    assert(!est.contains("sorted_intersect_count"),
+      s"sketch path must not touch shingle sets:\n${est.take(4000)}")
+    val exact = planString(SparkEntry.queries("q26_minhash_lsh")(spark, sfDir))
+    graft.llm.CacheScope.releaseAll()
+    assert(exact.contains("sorted_intersect_count"),
+      "control: the exact path does run the shingle merge-walk")
+  }
+
   test("q121 DSIR probes the ratio table by broadcast; no SortMergeJoin " +
       "touches the corpus feature stream") {
     val plan = planString(SparkEntry.queries("q121_dsir_select")(spark, sfDir))
