@@ -1880,6 +1880,28 @@ object SparkEntry {
         docs.unionByName(variants), "doc_id", "text", threshold = 0.5))
     },
 
+    // q127's audit replayed from a PERSISTED SignatureIndex: the closure
+    // builds the index once (signatures + band buckets, ~200 bytes/doc),
+    // then the pair scan reads ONLY the index — the scoring plan contains
+    // no document text at all (plan-asserted in DedupSpec). This is the
+    // recurring-audit shape at 100 TB: hash at ingest, every later
+    // similarity sweep costs index-scan time. Oracle: identical SQL to
+    // q127 — the parquet roundtrip is an identity over the signatures.
+    "q130_minhash_index_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-sigindex").toString
+      llm.Dedup.writeSignatureIndex(
+        docs.unionByName(variants), "doc_id", "text", idxDir)
+      llm.CacheScope.releaseAll()
+      ordered(llm.Dedup.estimatedJaccardPairsIndexed(
+        llm.Dedup.readSignatureIndex(s, idxDir), threshold = 0.5))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4551,7 +4573,14 @@ object SparkEntry {
 
     // q26's signature/bucket CTEs verbatim; the verify swaps the exact
     // shingle intersection for per-component signature agreement / 20.
-    "q127_minhash_estimate" -> {
+    "q127_minhash_estimate" -> minhashEstimateSql,
+
+    // identical audit through the persisted signature index — the index
+    // roundtrip is an identity, so the oracle is q127's SQL verbatim
+    "q130_minhash_index_audit" -> minhashEstimateSql,
+  ) ++ oracleSqlRest
+
+  private lazy val minhashEstimateSql: String = {
       val mins = (0 until 20).map(s =>
         s"min((h1 + $s*h2) % 4294967291) AS s$s").mkString(",\n|    ")
       val bands = (0 until 5).map { b =>
@@ -4595,7 +4624,9 @@ object SparkEntry {
         |  FROM pairs p JOIN sigs a ON p.id_a = a.id JOIN sigs b ON p.id_b = b.id)
         |WHERE jaccard_est >= 0.5
         |ORDER BY ALL NULLS FIRST""".stripMargin
-    },
+  }
+
+  private lazy val oracleSqlRest: Map[String, String] = Map(
 
     "q126_vocab_coverage" ->
       """WITH t AS (

@@ -217,27 +217,55 @@ object Dedup {
   def estimatedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val keyed = shingled(docs, idCol, textCol, shingleN)
+    // signatures feed the band fan-out AND both pair sides — persist the
+    // numHashes-column relation, not the corpus
+    val sigs = portableSignatures(docs, idCol, textCol, shingleN, numHashes)
       .transform(CacheScope.persistTracked)
+    estimatePairs(sigArray(sigs, numHashes), sigBands(sigs, numHashes, bands),
+      numHashes, threshold)
+  }
+
+  /** Wide portable-MinHash signature relation `(__id, __h0..__h{n-1})` —
+    * the corpus text is tokenized, shingled and hashed exactly once.
+    */
+  private def portableSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val keyed = shingled(docs, idCol, textCol, shingleN)
     val (h1, h2) = md5Words(col("__shingle"))
     val exploded = keyed.select(col("__id"), explode(col("__sh")).as("__shingle"))
       .select(col("__id"), h1.as("__h1"), h2.as("__h2"))
     val minCols = (0 until numHashes).map(s =>
       min((col("__h1") + lit(s.toLong) * col("__h2")) % PortableMod).as(s"__h$s"))
-    // signatures feed the band fan-out AND both pair sides — persist the
-    // numHashes-column relation, not the corpus
-    val sigs = exploded.groupBy("__id").agg(minCols.head, minCols.tail: _*)
-      .transform(CacheScope.persistTracked)
-    val buckets = sigs.select(col("__id"),
+    exploded.groupBy("__id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Band fan-out of a wide signature relation: `bands` rows per doc,
+    * bucket key = the concatenated signature components of the band.
+    */
+  private def sigBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(col("__id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             concat_ws(",", (0 until rowsPerBand).map(r =>
               col(s"__h${b * rowsPerBand + r}")): _*).as("bhash"))
         }: _*)).as("bb"))
       .select(col("__id"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
-    val sigArr = sigs.select(col("__id"),
+  }
+
+  /** Wide signature relation → `(__id, __sig array<long>)`. */
+  private def sigArray(sigs: DataFrame, numHashes: Int): DataFrame =
+    sigs.select(col("__id"),
       array((0 until numHashes).map(s => col(s"__h$s")): _*).as("__sig"))
+
+  /** The estimator's scoring core: band-bucket candidates scored by
+    * per-component signature agreement / numHashes. Shared by the
+    * from-scratch path and the persisted-index audit.
+    */
+  private def estimatePairs(
+      sigArr: DataFrame, buckets: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame =
     candidatePairs(buckets)
       .join(sigArr.select(col("__id").as("id_a"), col("__sig").as("__sig_a")),
         "id_a")
@@ -250,6 +278,100 @@ object Dedup {
           lit(0), (a, v) => a + v).cast("double") / numHashes)
           .as("jaccard_est"))
       .filter(col("jaccard_est") >= threshold)
+
+  /** Persisted MinHash-SIGNATURE index — the [[BandIndex]] pattern applied
+    * to the Broder estimator ([[estimatedJaccardPairs]]): signatures and
+    * band buckets are pure functions of the text, computed once and stored
+    * as `numHashes` longs plus `bands` bucket rows per document (~200
+    * bytes at 20 hashes). Unlike [[BandIndex]] there is NO shingle-set
+    * join-back — an audit over the index
+    * ([[estimatedJaccardPairsIndexed]]) or an ingest estimate gate
+    * ([[estimatedGateIndexed]]) touches no corpus text at all, and the
+    * state is ~10³× smaller than the shingle sets it replaces. Use it for
+    * recurring similarity audits and triage gates over an unchanged
+    * corpus; destructive dedup keeps the exact-verify [[BandIndex]] path.
+    */
+  case class SignatureIndex(sigs: DataFrame, bands: DataFrame)
+
+  def writeSignatureIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): Unit = {
+    val sigs = portableSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .transform(CacheScope.persistTracked)
+    sigArray(sigs, numHashes).write.mode("overwrite").parquet(s"$path/sigs")
+    sigBands(sigs, numHashes, bands).write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Extend a persisted signature index with an accepted batch's rows —
+    * same append discipline as [[appendBandIndex]].
+    */
+  def appendSignatureIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5): Unit = {
+    val sigs = portableSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .transform(CacheScope.persistTracked)
+    sigArray(sigs, numHashes).write.mode("append").parquet(s"$path/sigs")
+    sigBands(sigs, numHashes, bands).write.mode("append").parquet(s"$path/bands")
+  }
+
+  def readSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): SignatureIndex =
+    SignatureIndex(
+      spark.read.parquet(s"$path/sigs"),
+      spark.read.parquet(s"$path/bands"))
+
+  /** [[estimatedJaccardPairs]] replayed ENTIRELY from a persisted
+    * [[SignatureIndex]] — identical pairs and estimates (spec-proven),
+    * zero text reads: the audit scans `numHashes` longs per doc, bucket-
+    * joins the band rows and folds signature agreement per candidate.
+    * This is the recurring-audit shape at 100 TB: the corpus is hashed
+    * once at ingest, every later similarity sweep costs index-scan time.
+    */
+  def estimatedJaccardPairsIndexed(
+      index: SignatureIndex, threshold: Double,
+      numHashes: Int = 20): DataFrame =
+    estimatePairs(index.sigs, index.bands, numHashes, threshold)
+
+  /** Signature-only ingest gate: per batch doc, how many corpus docs have
+    * ESTIMATED Jaccard ≥ `threshold` against it, and the keep verdict.
+    * The corpus contributes only its signature index (no text, no
+    * shingles); only the batch is tokenized and hashed. Exact duplicates
+    * surface as estimate 1.0, so a separate content-hash check is not
+    * needed at thresholds ≤ 1. Triage twin of [[ingestGateIndexed]] —
+    * same verdict columns, sketch-precision instead of exact verify.
+    */
+  def estimatedGateIndexed(
+      batch: DataFrame, index: SignatureIndex, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 20,
+      bands: Int = 5): DataFrame = {
+    val bs = portableSignatures(batch, idCol, textCol, shingleN, numHashes)
+      .transform(CacheScope.persistTracked)
+    val pairs = sigBands(bs, numHashes, bands)
+      .select(col("__id").as("id_novo"), col("band"), col("bhash"))
+      .join(index.bands
+          .select(col("__id").as("id_existente"), col("band"), col("bhash")),
+        Seq("band", "bhash"))
+      .select("id_novo", "id_existente").distinct()
+    val est = pairs
+      .join(sigArray(bs, numHashes)
+          .select(col("__id").as("id_novo"), col("__sig").as("__sig_a")),
+        "id_novo")
+      .join(index.sigs
+          .select(col("__id").as("id_existente"), col("__sig").as("__sig_b")),
+        "id_existente")
+      .select(col("id_novo"),
+        (aggregate(
+          zip_with(col("__sig_a"), col("__sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (a, v) => a + v).cast("double") / numHashes)
+          .as("jaccard_est"))
+      .filter(col("jaccard_est") >= threshold)
+      .groupBy("id_novo").agg(count(lit(1)).as("n_quase_dups"))
+    batch.select(col(idCol).as("id_novo"))
+      .join(est, Seq("id_novo"), "left")
+      .select(col("id_novo").as(idCol),
+        coalesce(col("n_quase_dups"), lit(0L)).as("n_quase_dups"))
+      .withColumn("mantido", col("n_quase_dups") === 0L)
   }
 
   /** Incremental cross-corpus near-dup pairs: every (new, existing) pair

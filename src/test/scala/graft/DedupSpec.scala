@@ -567,4 +567,75 @@ class DedupSpec extends SparkSpec {
     assert(!accepted.contains(301L),
       "the index must have self-extended to reject the late twin")
   }
+
+  test("signature index: the persisted audit equals the from-scratch " +
+      "estimator, append covers growth, and the audit plan reads no text") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 300)
+    val toks = llm.TextAnalysis.tokens(col("text"))
+    val corpus = docs.unionByName(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat_ws(" ", slice(toks, 2, 100000)).as("text")))
+    val fromScratch = Dedup.estimatedJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigindex").toString
+    // write half, append the rest: the audit must see the grown index
+    Dedup.writeSignatureIndex(
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    graft.llm.CacheScope.releaseAll()
+    Dedup.appendSignatureIndex(
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+    graft.llm.CacheScope.releaseAll()
+
+    val audit = Dedup.estimatedJaccardPairsIndexed(
+      Dedup.readSignatureIndex(spark, dir), 0.5)
+    val scans = audit.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq(s"non-file relation: ${r.relation}")
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("graft-sigindex")),
+      s"the audit must scan ONLY the signature index, got $scans")
+    assert(audit.as[(Long, Long, Double)].collect().toSet == fromScratch,
+      "persisted audit must replay the from-scratch estimator exactly")
+
+    // the signature-only gate: batch of planted variants vs the corpus
+    // index — verdicts must agree with the cross-boundary slice of a
+    // from-scratch union audit over the same documents
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat_ws(" ", slice(toks, 2, 100000)).as("text"))
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir + "-full")
+    graft.llm.CacheScope.releaseAll()
+    val gate = Dedup.estimatedGateIndexed(
+        batch, Dedup.readSignatureIndex(spark, dir + "-full"),
+        "doc_id", "text", 0.5)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, kept) => id -> (n, kept) }.toMap
+    graft.llm.CacheScope.releaseAll()
+    val unionAudit = Dedup.estimatedJaccardPairs(
+        corpus.unionByName(batch), "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.llm.CacheScope.releaseAll()
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val expected = unionAudit
+      .map { case (a, b, _) => if (batchIds(a) && !batchIds(b)) (a, 1L)
+        else if (batchIds(b) && !batchIds(a)) (b, 1L) else (-1L, 0L) }
+      .filter(_._1 >= 0)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(gate.keySet == batchIds, "one verdict per batch doc")
+    for (id <- batchIds) {
+      val (n, kept) = gate(id)
+      assert(n == expected.getOrElse(id, 0L),
+        s"gate count for $id: got $n, want ${expected.getOrElse(id, 0L)}")
+      assert(kept == (n == 0L))
+    }
+    assert(gate.values.exists(!_._2), "plants must reject some batch docs")
+  }
 }
