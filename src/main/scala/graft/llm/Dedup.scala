@@ -466,28 +466,67 @@ object Dedup {
     * shape (the q111 CDC discipline): per-batch work is batch-bounded,
     * corpus state stays on disk.
     */
-  def ingestGateStream(
-      stream: DataFrame, indexPath: String, idCol: String, textCol: String,
-      threshold: Double, onAccepted: DataFrame => Unit,
-      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5)
+  /** The shared foreachBatch discipline behind EVERY self-extending
+    * ingest gate — text band-index ([[ingestGateStream]]), perceptual
+    * image hash ([[imageGateStream]]), signature-only triage
+    * ([[estimatedGateStream]]), or any future hash space: gate the
+    * micro-batch against persisted state (`gate` returns one verdict row
+    * per batch id with a boolean `mantido`), keep only accepted rows,
+    * `localCheckpoint` BEFORE the state append (the accepted plan reads
+    * the same paths being appended — the lineage must be cut first),
+    * extend the state with the accepted rows, hand them to the sink.
+    * Per-batch work is batch-bounded; corpus state stays on disk.
+    */
+  def hashGateStream(
+      stream: DataFrame, idCol: String,
+      gate: DataFrame => DataFrame,
+      appendState: DataFrame => Unit,
+      onAccepted: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val verdict = ingestGateIndexed(
-          batch, readBandIndex(s, indexPath), idCol, textCol,
-          threshold, shingleN, numHashes, bands)
+        val verdict = gate(batch)
         val accepted = batch
           .join(verdict.filter(col("mantido")).select(idCol), Seq(idCol))
           .localCheckpoint()
         CacheScope.releaseAll()
         if (!accepted.isEmpty) {
-          appendBandIndex(accepted, idCol, textCol, indexPath,
-            shingleN, numHashes, bands)
+          appendState(accepted)
           CacheScope.releaseAll()
         }
         onAccepted(accepted)
     }.start()
+
+  def ingestGateStream(
+      stream: DataFrame, indexPath: String, idCol: String, textCol: String,
+      threshold: Double, onAccepted: DataFrame => Unit,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hashGateStream(stream, idCol,
+      batch => ingestGateIndexed(
+        batch, readBandIndex(batch.sparkSession, indexPath), idCol, textCol,
+        threshold, shingleN, numHashes, bands),
+      accepted => appendBandIndex(accepted, idCol, textCol, indexPath,
+        shingleN, numHashes, bands),
+      onAccepted)
+
+  /** Streaming twin of [[estimatedGateIndexed]]: signature-only triage
+    * per micro-batch, the index self-extends with accepted rows — the
+    * [[ingestGateStream]] discipline at sketch precision and ~10³× less
+    * state IO (no shingle sets ever written or joined).
+    */
+  def estimatedGateStream(
+      stream: DataFrame, indexPath: String, idCol: String, textCol: String,
+      threshold: Double, onAccepted: DataFrame => Unit,
+      shingleN: Int = 3, numHashes: Int = 20, bands: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hashGateStream(stream, idCol,
+      batch => estimatedGateIndexed(
+        batch, readSignatureIndex(batch.sparkSession, indexPath), idCol,
+        textCol, threshold, shingleN, numHashes, bands),
+      accepted => appendSignatureIndex(accepted, idCol, textCol, indexPath,
+        shingleN, numHashes, bands),
+      onAccepted)
 
   /** [[ingestGate]] against a persisted [[BandIndex]] — identical
     * verdicts (spec-proven), but the corpus contributes only its index
@@ -1133,16 +1172,10 @@ object Dedup {
       stream: DataFrame, indexPath: String, idCol: String, hashCol: String,
       maxDist: Int, onAccepted: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val verdict = imageIngestGate(
-          batch, s.read.parquet(indexPath), idCol, hashCol, maxDist)
-        val accepted = batch
-          .join(verdict.filter(col("mantido")).select(idCol), Seq(idCol))
-          .localCheckpoint()
-        if (!accepted.isEmpty)
-          appendImageHashIndex(accepted, idCol, hashCol, indexPath)
-        onAccepted(accepted)
-    }.start()
+    hashGateStream(stream, idCol,
+      batch => imageIngestGate(
+        batch, batch.sparkSession.read.parquet(indexPath), idCol, hashCol,
+        maxDist),
+      accepted => appendImageHashIndex(accepted, idCol, hashCol, indexPath),
+      onAccepted)
 }

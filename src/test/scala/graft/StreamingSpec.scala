@@ -383,4 +383,45 @@ class StreamingSpec extends SparkSpec {
       s"accepted ${accepted.toSet}: 11 is a corpus near-dup, 20 duplicates " +
         "batch-1's accepted doc via the self-extended index")
   }
+
+  test("estimatedGateStream: signature-only triage rejects corpus " +
+      "near-dups and late twins through the self-extending index") {
+    import spark.implicits._
+    import graft.llm.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val longDoc = (1 to 30).map(i => s"palavra$i").mkString(" ")
+    val corpus = Seq(
+      (1L, longDoc),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sig-gate").toString
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir)
+    graft.llm.CacheScope.releaseAll()
+    val accepted = scala.collection.mutable.ListBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.estimatedGateStream(
+      mem.toDF.toDF("doc_id", "text"), dir, "doc_id", "text",
+      threshold = 0.5,
+      onAccepted = b =>
+        accepted.synchronized {
+          accepted ++= b.select("doc_id").as[Long](newLongEncoder).collect()
+        })
+    try {
+      // batch 1: fresh doc + a near-dup of corpus doc 1 (drop first token)
+      mem.addData(Seq(
+        (10L, "frase totalmente nova sem nenhum par na base corrente"),
+        (11L, longDoc.split(" ").drop(1).mkString(" "))))
+      q.processAllAvailable()
+      // batch 2: an EXACT copy of batch-1's accepted doc (estimate 1.0 —
+      // no separate content-hash check needed) + another fresh doc
+      mem.addData(Seq(
+        (20L, "frase totalmente nova sem nenhum par na base corrente"),
+        (21L, "conteudo inedito chegando depois com vocabulario proprio")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(accepted.toSet == Set(10L, 21L),
+      s"accepted ${accepted.toSet}: 11 is a sketch-caught corpus near-dup, " +
+        "20 duplicates batch-1's accepted doc via the self-extended index")
+  }
 }
