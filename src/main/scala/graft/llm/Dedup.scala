@@ -972,8 +972,22 @@ object Dedup {
       greatest(Similarity.l2Norm(col(vecCol)), lit(1e-12))))
     val unit = normed.withColumn("__unit",
       transform(col(vecCol), x => x.cast("double") / col("__nrm")))
-    Ivf.index(unit, idCol, "__unit", cells)
+    if (cells > FlatCellLimit) {
+      // web-scale SemDeDup runs tens of thousands of cells — above the
+      // flat fit's comfort zone (O(cells·dim) per row + the centroid
+      // matrix as a plan literal) switch to the two-level fit: per-row
+      // cost O(2√cells·dim), centroids in a joined DataFrame
+      val kc = math.ceil(math.sqrt(cells.toDouble)).toInt
+      val kf = math.ceil(cells.toDouble / kc).toInt
+      Ivf.indexHierarchical(unit, idCol, "__unit", kc, kf)
+    } else Ivf.index(unit, idCol, "__unit", cells)
   }
+
+  /** Above this cell count [[semanticDedupIndex]] fits hierarchically
+    * ([[Ivf.indexHierarchical]]): the flat fit's per-row argmin cost and
+    * its centroid plan-literal both grow linearly with the cell count.
+    */
+  val FlatCellLimit = 4096
 
   /** [[semanticDedup]] through a prebuilt [[semanticDedupIndex]] (or one
     * loaded back via [[Ivf.readIndex]]): identical output, no k-means fit.

@@ -69,6 +69,56 @@ object Ivf {
         .toDF("__cell", "__centroid"))
   }
 
+  /** [[index]] for LARGE cell counts through [[Kmeans.fitHierarchical]]:
+    * ~kCoarse·kFine total cells, with assignment = coarse argmin over a
+    * SMALL literal (kCoarse rows) + fine argmin against the
+    * broadcast-joined per-coarse-cell matrix — per-row cost
+    * O((kCoarse+kFine)·dim) instead of O(kCoarse·kFine·dim), and no
+    * 50 MB centroid literal in any plan. Flat cell id =
+    * `coarse·kFine + fine`; the returned [[IvfIndex]] is drop-in for
+    * every probe / append / write / semanticDedup path.
+    *
+    * A coarse cell that trapped no TRAINING row has no fine matrix;
+    * corpus rows routed there land in flat cell `coarse·kFine` and that
+    * cell's centroid is synthesized from the COARSE centroid, so the
+    * probe table covers every populated cell (spec-asserted — a silent
+    * gap would make those rows unreachable by any probe).
+    */
+  def indexHierarchical(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int, kFine: Int, samplePct: Int = 10): IvfIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val feat = Spread(corpus).select(col(idCol), col(vecCol))
+    val sampled = feat.filter(Curation.pctHash(col(idCol)) < samplePct)
+      .transform(CacheScope.persistTracked)
+    val trainSet =
+      if (sampled.count() >= kCoarse.toLong * kFine * 4L) sampled
+      else feat.transform(CacheScope.persistTracked)
+    val (coarse, fine) = Kmeans.fitHierarchical(
+      trainSet, idCol, vecCol, kCoarse, kFine)
+    val asDouble = transform(col(vecCol), _.cast("double"))
+    val assigned = feat
+      .withColumn("__coarse", Kmeans.nearestCell(asDouble, coarse))
+      .join(broadcast(fine), Seq("__coarse"), "left_outer")
+      .withColumn("__cell",
+        col("__coarse") * kFine +
+          coalesce(Kmeans.nearestCellCol(asDouble, col("__m")), lit(0)))
+      .select(col(idCol), col(vecCol), col("__cell"))
+    val fineCentroids = fine.select(col("__coarse"),
+        posexplode(col("__m")).as(Seq("__fine", "__centroid")))
+      .select((col("__coarse") * kFine + col("__fine")).as("__cell"),
+        col("__centroid"))
+    // synthesized rows for matrix-less coarse cells: their flat cell 0
+    // gets the coarse centroid itself
+    val coarseDf = coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("__coarse", "__centroid")
+    val orphans = coarseDf
+      .join(fine.select("__coarse"), Seq("__coarse"), "left_anti")
+      .select((col("__coarse") * kFine).as("__cell"), col("__centroid"))
+    IvfIndex(assigned, fineCentroids.unionByName(orphans))
+  }
+
   /** Squared euclidean distance between a float vector and a double
     * centroid — ranking-only (cells are a routing structure, not results),
     * so plain double accumulation is fine here.

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, partition-INDEPENDENT Lloyd k-means — the cell-routing
@@ -90,5 +91,100 @@ object Kmeans {
       }
     }
     centroids
+  }
+
+  /** [[nearestCell]] against a NON-LITERAL centroid-matrix column — the
+    * hierarchical fit joins per-coarse-cell matrices in from a DataFrame;
+    * a flat plan literal at 50k cells would be a ~50 MB constant
+    * serialized with every task.
+    */
+  def nearestCellCol(v: Column, matrix: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function("graft_nearest_cell", v, matrix)
+  }
+
+  /** Two-level Lloyd fit for LARGE cell counts — the 50k-cell IVF shape
+    * ([[Ivf.indexHierarchical]]). A flat fit at k cells costs O(k·dim)
+    * per row per round AND carries the whole centroid matrix as a plan
+    * literal; both stop scaling somewhere in the low thousands of cells.
+    * Here `kCoarse` coarse cells route rows first (O(kCoarse·dim)
+    * scan-level argmin over a small literal), then EVERY coarse cell's
+    * `kFine` fine centroids are fitted simultaneously — one broadcastable
+    * join plus one map-side-combinable aggregation per round, with the
+    * fine state living in a DATAFRAME of kCoarse (kFine×dim)-matrices
+    * that is joined per round and NEVER collected to the driver or
+    * inlined as a literal. Per-row assignment costs
+    * O((kCoarse+kFine)·dim); at kCoarse = kFine = √k that is 2√k/k of
+    * the flat cost (≈1/110 at 50k cells), and no driver structure ever
+    * holds k·dim doubles.
+    *
+    * Same determinism discipline as [[fit]]: md5 seeds, first-minimum
+    * tie-break, DECIMAL(38,12) mean accumulation (order-independent),
+    * empty cells keep their previous centroid — identical output under
+    * any partitioning/executor count (spec-proven).
+    *
+    * Returns the coarse matrix and the fine table `(__coarse, __m)`.
+    * Flat cell id = `coarse·kFine + fine` ([[Ivf.indexHierarchical]]).
+    */
+  def fitHierarchical(
+      df: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int, kFine: Int, iters: Int = 5)
+      : (Seq[Seq[Double]], DataFrame) = {
+    require(kCoarse >= 1 && kFine >= 1 && iters >= 1,
+      s"need kCoarse,kFine,iters >= 1; got $kCoarse/$kFine/$iters")
+    val coarse = fit(df, idCol, vecCol, kCoarse, iters)
+    // coarse routing is FIXED across the fine rounds: assign once and
+    // persist partitioned by coarse cell, so every round's matrix join
+    // reuses the layout instead of re-shuffling the training set
+    val assigned = df.select(
+        col(idCol).as("__id"),
+        transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__coarse", nearestCell(col("__v"), coarse))
+      .repartition(col("__coarse"))
+      .transform(CacheScope.persistTracked)
+    // seeds: per coarse cell, the kFine rows with the smallest
+    // (md5(id), id) — the same deterministic draw as the flat fit
+    val seedW = Window.partitionBy("__coarse")
+      .orderBy(md5(col("__id").cast("string").cast("binary")), col("__id"))
+    var fine = assigned
+      .withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= kFine)
+      .groupBy("__coarse")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__r"), col("__v")))),
+        s => s.getField("__v")).as("__m"))
+      .transform(CacheScope.persistTracked)
+    fine.count()
+    for (_ <- 0 until iters) {
+      val routed = assigned.join(fine, Seq("__coarse"))
+        .select(col("__coarse"),
+          nearestCellCol(col("__v"), col("__m")).as("__fine"),
+          posexplode(col("__v")).as(Seq("__dim", "__x")))
+      val means = routed.groupBy("__coarse", "__fine", "__dim")
+        .agg((sum(col("__x").cast("decimal(38,12)")) / count(lit(1)))
+          .cast("double").as("__c"))
+      // rebuild the matrices; empty fine cells keep their previous rows
+      val next = fine
+        .select(col("__coarse"),
+          posexplode(col("__m")).as(Seq("__fine", "__old")))
+        .select(col("__coarse"), col("__fine"),
+          posexplode(col("__old")).as(Seq("__dim", "__oldx")))
+        .join(means, Seq("__coarse", "__fine", "__dim"), "left_outer")
+        .select(col("__coarse"), col("__fine"), col("__dim"),
+          coalesce(col("__c"), col("__oldx")).as("__x"))
+        .groupBy("__coarse", "__fine")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__dim"), col("__x")))),
+          s => s.getField("__x")).as("__vc"))
+        .groupBy("__coarse")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__fine"), col("__vc")))),
+          s => s.getField("__vc")).as("__m"))
+        .transform(CacheScope.persistTracked)
+      next.count() // materialize: cuts the per-round recompute chain
+      fine = next
+    }
+    (coarse, fine)
   }
 }

@@ -321,4 +321,40 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "cos_centroide").as[(Long, Double)].collect().toMap
     assert(got7 == got1, "scores must be bit-identical across partitionings")
   }
+
+  test("hierarchical k-means/IVF: partition-independent, probe table " +
+      "covers every populated cell, drop-in for ivfTopK") {
+    import graft.llm.{Ivf, Kmeans}
+    val emb = Tables.embeddings(spark, sfDir)
+    def fitAt(parts: Int) = {
+      val (coarse, fine) = Kmeans.fitHierarchical(
+        emb.repartition(parts), "vec_id", "embedding", kCoarse = 3, kFine = 3)
+      val fineRows = fine
+        .as[(Int, Seq[Seq[Double]])].collect().sortBy(_._1).toSeq
+      graft.llm.CacheScope.releaseAll()
+      (coarse, fineRows)
+    }
+    val a = fitAt(3)
+    val b = fitAt(17)
+    assert(a == b,
+      "hierarchical centroids must not depend on the partition layout")
+
+    val idx = Ivf.indexHierarchical(
+      emb, "vec_id", "embedding", kCoarse = 3, kFine = 3)
+    // every populated cell must be probe-able: a flat cell holding corpus
+    // rows but missing from the centroid table would make those rows
+    // unreachable by ANY probe
+    val orphanCells = idx.assigned.select("__cell").distinct()
+      .join(idx.centroids.select("__cell"), Seq("__cell"), "left_anti")
+      .as[Int].collect()
+    assert(orphanCells.isEmpty,
+      s"populated cells missing from the probe table: ${orphanCells.toSeq}")
+    // drop-in: the standard probe path ranks self first with a wide probe
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val top1 = Ivf.ivfTopK(idx, q, "vec_id", "embedding", k = 1, nProbe = 9)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    graft.llm.CacheScope.releaseAll()
+    assert(top1.nonEmpty && top1.forall { case (qq, c) => qq == c },
+      "full-width probes over the hierarchical index must rank self first")
+  }
 }
