@@ -1902,6 +1902,21 @@ object SparkEntry {
         llm.Dedup.readSignatureIndex(s, idxDir), threshold = 0.5))
     },
 
+    // TF-IDF cosine retrieval, SMART lnc.ltc (Salton & Buckley) — the
+    // second lexical ranker next to q99's BM25: document vectors carry
+    // tf only (so the doc norm folds off the postings in one combinable
+    // aggregation — no vocabulary join), query vectors carry tf·(N/df)
+    // with the LOG-FREE idf; every score op is correctly-rounded IEEE
+    // (sqrt included) so DuckDB replays the cosine bit-for-bit.
+    // maxDfFraction lifted to 1.0 for the ~31-word synthetic vocabulary
+    // (same note as q99).
+    "q131_tfidf_retrieval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      ordered(llm.Retrieval.tfidfTopK(docs, queries, "doc_id", "text",
+        k = 5, maxDfFraction = 1.0))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4578,6 +4593,53 @@ object SparkEntry {
     // identical audit through the persisted signature index — the index
     // roundtrip is an identity, so the oracle is q127's SQL verbatim
     "q130_minhash_index_audit" -> minhashEstimateSql,
+
+    // lnc.ltc replay: tf-only doc norms, query-side log-free idf N/df,
+    // DECIMAL-accumulated dot products and norms, IEEE sqrt/÷ exact
+    "q131_tfidf_retrieval" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY term, doc_id),
+        |dnorm AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(CAST(sum(CAST(CAST(tf AS DOUBLE) * CAST(tf AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE)) AS dnorm
+        |  FROM post GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |qpost AS (
+        |  SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+        |  FROM (SELECT doc_id AS query_id,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8))
+        |  GROUP BY query_id, term),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qpost) GROUP BY term),
+        |qw AS (
+        |  SELECT query_id, term,
+        |    CAST(qtf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS wq
+        |  FROM qpost JOIN dfreq USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)),
+        |qnorm AS (
+        |  SELECT query_id,
+        |    sqrt(CAST(CAST(sum(CAST(wq * wq AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE)) AS qnorm
+        |  FROM qw GROUP BY query_id),
+        |scored AS (
+        |  SELECT query_id, p.doc_id,
+        |    CAST(CAST(sum(CAST(CAST(p.tf AS DOUBLE) * wq AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS DOUBLE) / (qnorm * dnorm) AS score
+        |  FROM qw JOIN post p USING (term) JOIN dnorm d ON p.doc_id = d.doc_id
+        |       JOIN qnorm USING (query_id)
+        |  GROUP BY query_id, p.doc_id, qnorm, dnorm)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
+        |FROM scored
+        |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   private lazy val minhashEstimateSql: String = {

@@ -136,6 +136,82 @@ object Retrieval {
       scored, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
   }
 
+  /** TF-IDF cosine top-k — the SMART `lnc.ltc` scheme (Salton & Buckley
+    * 1988; the Manning IR book's recommended practical weighting):
+    * document vectors carry tf only, query vectors carry tf·idf, score =
+    * cos(d, q). Putting idf on the QUERY side only is what makes the
+    * scale shape work: the document norm √Σtf² folds from the postings
+    * in ONE combinable aggregation (no vocabulary-wide df join), so
+    * norms are INDEX-BUILD state persisted next to the postings, and the
+    * per-query path is exactly [[bm25TopK]]'s — query terms df-capped
+    * then BROADCAST onto the postings scan, one combinable (query, doc)
+    * aggregation, bounded-heap top-k; no corpus-sized relation ever
+    * joins or shuffles per query batch.
+    *
+    * Engine-exactness (the q99 discipline): with `logWeights = false`
+    * weights are raw tf and the LOG-FREE idf `N/df` — every score op is
+    * a correctly-rounded IEEE `× / √` over exact integer counts (IEEE
+    * 754 requires correctly-rounded sqrt, unlike `ln`), and both dot
+    * products and norms accumulate through DECIMAL — bit-replayable by
+    * any engine. `logWeights = true` gives the classic `1+ln(tf)` /
+    * `ln(N/df)` form for production ranking at the cost of oracle
+    * hashability.
+    *
+    * Capped (near-stopword) terms leave the query VECTOR entirely —
+    * numerator and query norm stay consistent, and an over-cap term's
+    * posting list never enters any plan.
+    */
+  def tfidfTopK(
+      docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDfFraction: Double = 0.5,
+      logWeights: Boolean = false): DataFrame = {
+    def w(tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (logWeights) lit(1.0) + log(tf.cast("double")) else tf.cast("double")
+    val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
+    // doc norms: ONE map-side-combinable aggregation over the postings —
+    // possible only because the lnc doc side carries no idf; persisted
+    // as index state ON the postings rows so scoring needs no per-query
+    // corpus join
+    val dnorm = post.groupBy("doc_id")
+      .agg(sqrt(sum((w(col("tf")) * w(col("tf"))).cast("decimal(38,12)"))
+        .cast("double")).as("dnorm"))
+    val indexed = CacheScope.persistTracked(post.join(dnorm, "doc_id"))
+    // N: one row off the pre-explode doc scan (every doc tokenizes to
+    // ≥1 token, so this equals the postings' distinct doc count)
+    val stats = docs
+      .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1L)).as("n_docs"))
+    val qpost = postings(queries, idCol, textCol)
+      .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"))
+    val qdf = post
+      .join(broadcast(qpost.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1L)).as("df"))
+    val kept = qdf.crossJoin(broadcast(stats))
+      .filter(col("df").cast("double") <=
+        lit(maxDfFraction) * col("n_docs").cast("double"))
+    val idf =
+      if (logWeights)
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+      else col("n_docs").cast("double") / col("df").cast("double")
+    val qw = qpost.join(broadcast(kept), "term")
+      .withColumn("__wq", w(col("qtf")) * idf)
+    val qnorm = qw.groupBy("query_id")
+      .agg(sqrt(sum((col("__wq") * col("__wq")).cast("decimal(38,12)"))
+        .cast("double")).as("qnorm"))
+    val qcand = qw.join(broadcast(qnorm), "query_id")
+      .select("term", "query_id", "__wq", "qnorm")
+    val cand = indexed.join(broadcast(qcand), "term")
+    val scored = cand
+      .withColumn("__c", (w(col("tf")) * col("__wq")).cast("decimal(38,18)"))
+      .groupBy("query_id", "doc_id", "qnorm", "dnorm")
+      .agg(sum(col("__c")).cast("double").as("__dot"))
+      .select(col("query_id"), col("doc_id"),
+        (col("__dot") / (col("qnorm") * col("dnorm"))).as("score"))
+    TopK.groupTopKRows(
+      scored, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input ranking
     * contributes `1 / (k0 + rank)` for every (query, doc) it returned,

@@ -235,4 +235,55 @@ class RetrievalSpec extends SparkSpec {
     assert(got.map(_._1).toSet == qids && got.nonEmpty,
       "every query retrieves under log idf")
   }
+
+  test("tfidf lnc.ltc scores equal a hand computation; no-overlap docs " +
+      "never surface") {
+    // d1="a b a", d2="b c", d3="c c c"; query="a b":
+    //   post: d1{a:2,b:1} d2{b:1,c:1} d3{c:3}; N=3; df(a)=1 df(b)=2
+    //   dnorm: √5, √2, 3; wq(a)=1·(3/1)=3, wq(b)=1·(3/2)=1.5
+    //   qnorm=√11.25; dot(d1)=2·3+1·1.5=7.5, dot(d2)=1·1.5
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c"))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "a b")).toDF("doc_id", "text")
+    val got = graft.llm.Retrieval
+      .tfidfTopK(docs, q, "doc_id", "text", k = 5, maxDfFraction = 1.0)
+      .select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    graft.llm.CacheScope.releaseAll()
+    val qn = math.sqrt(11.25)
+    val want = Seq(
+      (100L, 1L, 7.5 / (qn * math.sqrt(5.0)), 1),
+      (100L, 2L, 1.5 / (qn * math.sqrt(2.0)), 2))
+    assert(got.length == 2, s"doc 3 shares no term with the query: $got")
+    got.zip(want).foreach { case ((gq, gd, gs, gp), (wq2, wd, ws, wp)) =>
+      assert(gq == wq2 && gd == wd && gp == wp, s"ranking mismatch: $got")
+      assert(math.abs(gs - ws) < 1e-12, s"score mismatch: got $gs want $ws")
+    }
+    // cosine bound: every score in (0, 1] — equality only for an
+    // identical DIRECTION, which idf-weighted queries rarely hit
+    assert(got.forall(r => r._3 > 0 && r._3 <= 1.0 + 1e-12))
+  }
+
+  test("tfidf over the corpus: deterministic, contiguous ranks, " +
+      "cosine in (0,1]") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val queries = docs.orderBy("doc_id").limit(8)
+    def run() = graft.llm.Retrieval
+      .tfidfTopK(docs, queries, "doc_id", "text", k = 5, maxDfFraction = 1.0)
+      .select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+      .toSeq
+    val a = run(); graft.llm.CacheScope.releaseAll()
+    val b = run(); graft.llm.CacheScope.releaseAll()
+    assert(a == b, "tfidf must be bit-deterministic across runs")
+    assert(a.nonEmpty)
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4) == (1 to rows.length), "ranks contiguous")
+      assert(rows.sliding(2).forall {
+        case Seq(x, y) => x._3 >= y._3; case _ => true
+      }, "scores non-increasing in rank")
+    }
+    assert(a.forall(r => r._3 > 0 && r._3 <= 1.0 + 1e-12),
+      "cosine scores must lie in (0, 1]")
+  }
 }
