@@ -1917,6 +1917,31 @@ object SparkEntry {
         k = 5, maxDfFraction = 1.0))
     },
 
+    // Mergeable count-min frequency sketch (Cormode–Muthukrishnan) over
+    // token bigrams: ≤ depth·width (4×256) rows of state no matter the
+    // corpus size — exact n-gram counts need vocabulary-sized state; the
+    // sketch builds in ONE combinable aggregation and merges across
+    // shards by cell addition (spec-proven equal to the whole-corpus
+    // build). Heavy hitters = broadcast-probe estimates (min over 4
+    // cells) joined to exact counts: est ≥ cnt always, collisions only
+    // add. The portable-md5 hash family keeps the sketch replayable in
+    // any engine — the oracle rebuilds every cell and probe bit-for-bit.
+    "q132_countmin_bigrams" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val bigrams = docs
+        .select(llm.TextAnalysis.tokens(col("text")).as("__toks"))
+        .select(explode(llm.TextAnalysis.shingles(col("__toks"), 2))
+          .as("bigram"))
+      val sketch = operators.Incremental.cmsBuild(
+        bigrams, "bigram", depth = 4, width = 256)
+      val exact = bigrams.groupBy("bigram").agg(count(lit(1L)).as("cnt"))
+      ordered(operators.Incremental
+        .cmsEstimate(sketch, exact, "bigram", depth = 4, width = 256)
+        .join(exact, "bigram")
+        .filter(col("est") >= 50)
+        .select(col("bigram"), col("cnt"), col("est")))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4639,6 +4664,45 @@ object SparkEntry {
         |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
         |FROM scored
         |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the sketch replayed cell-for-cell: same md5 h1/h2 split as q127,
+    // rows i=0..3 via a cross-joined range, j = ((h1+i·h2) mod P) mod 256
+    "q132_countmin_bigrams" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest([tk[i] || ' ' || tk[i+1]
+        |                 for i in range(1, len(tk))]) AS bigram
+        |  FROM tk),
+        |h AS (
+        |  SELECT bigram,
+        |    CAST(('0x' || substring(md5(bigram), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substring(md5(bigram), 9, 8)) AS BIGINT) AS h2
+        |  FROM bg),
+        |cells AS (
+        |  SELECT u.i, ((h1 + u.i * h2) % 4294967291) % 256 AS j
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS i) u),
+        |sketch AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY i, j),
+        |exact AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY bigram),
+        |probes AS (
+        |  SELECT e.bigram, u.i,
+        |    ((CAST(('0x' || substring(md5(e.bigram), 1, 8)) AS BIGINT) +
+        |      u.i * CAST(('0x' || substring(md5(e.bigram), 9, 8)) AS BIGINT))
+        |     % 4294967291) % 256 AS j
+        |  FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) u),
+        |est AS (
+        |  SELECT bigram, min(coalesce(c, 0)) AS est
+        |  FROM probes p LEFT JOIN sketch s ON p.i = s.i AND p.j = s.j
+        |  GROUP BY bigram)
+        |SELECT bigram, cnt, est
+        |FROM est JOIN exact USING (bigram)
+        |WHERE est >= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

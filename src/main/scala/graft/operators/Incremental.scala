@@ -124,4 +124,69 @@ object Incremental {
 
   /** Read a sketch column back as an approximate distinct count. */
   def sketchEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Largest 32-bit prime — the portable-md5 hash family's modulus (the
+    * same one the MinHash signatures use), so the sketch is reproducible
+    * in any engine with md5.
+    */
+  val CmsMod = 4294967291L
+
+  private def cmsBuckets(key: Column): (Column, Column) = {
+    val m = md5(key.cast("string").cast("binary"))
+    (conv(substring(m, 1, 8), 16, 10).cast("long"),
+      conv(substring(m, 9, 8), 16, 10).cast("long"))
+  }
+
+  private def cmsProbe(depth: Int, width: Int): Column =
+    posexplode(array((0 until depth).map(i =>
+      pmod(pmod(col("__h1") + lit(i.toLong) * col("__h2"), lit(CmsMod)),
+        lit(width.toLong))): _*))
+
+  /** Mergeable count-min sketch (Cormode & Muthukrishnan 2005) over a key
+    * column: `depth` portable-md5 hash rows × `width` buckets in SPARSE
+    * relational form `(i, j, c)` — at most depth·width rows of state no
+    * matter how many keys stream through, which is the whole point: exact
+    * per-key counts need vocabulary-sized state (a shuffle keyed by a
+    * 100 TB corpus's n-gram vocabulary), the sketch needs a few thousand
+    * rows that build in ONE map-side-combinable aggregation (each scan
+    * split emits ≤ depth·width partial rows), merge across
+    * shards/micro-batches by `(i,j)` addition ([[cmsMerge]] — spec proves
+    * split-and-merge equals the whole-corpus build EXACTLY), and answer
+    * point queries by a broadcast probe ([[cmsEstimate]]).
+    *
+    * Estimates are one-sided: `est ≥ true count` always (collisions only
+    * ADD), with the classic ε·N overestimation bound at e/width. Hashes
+    * are the engine-portable md5 family `(h1 + i·h2) mod P mod width`, so
+    * an external engine replays the sketch bit-for-bit (the q26/q127
+    * discipline applied to frequency state).
+    */
+  def cmsBuild(df: DataFrame, keyCol: String, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth,width >= 1; got $depth/$width")
+    val (h1, h2) = cmsBuckets(col(keyCol))
+    df.select(h1.as("__h1"), h2.as("__h2"))
+      .select(cmsProbe(depth, width).as(Seq("i", "j")))
+      .groupBy("i", "j").agg(count(lit(1L)).as("c"))
+  }
+
+  /** Add two sketches built with the same (depth, width): counters sum
+    * cell-wise — the merge is one aggregation over ≤ 2·depth·width rows.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("i", "j").agg(sum(col("c")).as("c"))
+
+  /** Point-estimate the count of every key in `keys`: min over the
+    * `depth` probed cells (absent cell = 0). The sketch side is bounded
+    * by depth·width rows and BROADCASTS — the probe never shuffles.
+    */
+  def cmsEstimate(
+      sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val (h1, h2) = cmsBuckets(col(keyCol))
+    keys.select(col(keyCol), h1.as("__h1"), h2.as("__h2"))
+      .select(col(keyCol), cmsProbe(depth, width).as(Seq("i", "j")))
+      .join(broadcast(sketch), Seq("i", "j"), "left")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
 }

@@ -763,4 +763,31 @@ class OperatorSpec extends SparkSpec {
     assert(byJob == Map(
       "a" -> ((2L, 1L, 10L)), "b" -> ((1L, 0L, 20L)), "c" -> ((2L, 1L, 30L))))
   }
+
+  test("count-min sketch: est >= exact everywhere, split-and-merge equals " +
+      "the whole build exactly, state bounded by depth*width") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), graft.llm.TextAnalysis.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), explode(col("__t")).as("w"))
+    val (d, w) = (4, 64) // narrow width: force real collisions on 31 keys
+    val whole = Incremental.cmsBuild(toks, "w", d, w)
+    assert(whole.count() <= d.toLong * w,
+      "sketch state must stay within depth*width cells")
+    val exact = toks.groupBy("w").agg(count(lit(1L)).as("cnt"))
+    val est = Incremental.cmsEstimate(whole, exact, "w", d, w)
+      .join(exact, "w").select("w", "est", "cnt")
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (_, e, c) => e >= c },
+      "count-min estimates are one-sided: never below the true count")
+    // mergeability — cell-for-cell EXACT equality, not approximate
+    val a = Incremental.cmsBuild(toks.filter(col("doc_id") % 2 === 0), "w", d, w)
+    val b = Incremental.cmsBuild(toks.filter(col("doc_id") % 2 === 1), "w", d, w)
+    val merged = Incremental.cmsMerge(a, b)
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = whole.as[(Int, Long, Long)].collect().toSet
+    assert(merged == direct,
+      "merging shard sketches must equal the whole-corpus build cell-for-cell")
+  }
 }
