@@ -189,4 +189,28 @@ object Incremental {
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  /** Streaming twin of [[cmsBuild]]: every micro-batch reduces to its own
+    * batch-sized sketch, [[cmsMerge]]s into the persisted sketch and
+    * overwrites it — frequency state over an UNBOUNDED stream in
+    * ≤ depth·width rows, with the exactness [[cmsMerge]]'s spec proves:
+    * after any number of micro-batches the persisted sketch is
+    * cell-for-cell identical to a batch build over everything seen. The
+    * merged result is `localCheckpoint`ed BEFORE the overwrite — the
+    * merge plan reads the same files being replaced.
+    */
+  def cmsStream(
+      stream: DataFrame, keyCol: String, depth: Int, width: Int,
+      sketchPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val batchSketch = cmsBuild(batch, keyCol, depth, width)
+        val merged =
+          if (new java.io.File(sketchPath).exists())
+            cmsMerge(s.read.parquet(sketchPath), batchSketch)
+          else batchSketch
+        merged.localCheckpoint()
+          .write.mode("overwrite").parquet(sketchPath)
+    }.start()
 }

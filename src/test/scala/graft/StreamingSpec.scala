@@ -424,4 +424,29 @@ class StreamingSpec extends SparkSpec {
       s"accepted ${accepted.toSet}: 11 is a sketch-caught corpus near-dup, " +
         "20 duplicates batch-1's accepted doc via the self-extended index")
   }
+
+  test("cmsStream: the persisted sketch after N micro-batches equals the " +
+      "batch build over everything seen, cell for cell") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cms-stream").toString + "/sketch"
+    val b1 = Seq("a", "b", "a", "c", "a")
+    val b2 = Seq("b", "d", "d", "a")
+    val mem = MemoryStream[String]
+    val q = Incremental.cmsStream(
+      mem.toDF.toDF("w"), "w", depth = 3, width = 16, sketchPath = dir)
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(dir)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = Incremental.cmsBuild(
+        (b1 ++ b2).toDF("w"), "w", depth = 3, width = 16)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == whole,
+      "streamed sketch must equal the whole-history batch build exactly")
+  }
 }
