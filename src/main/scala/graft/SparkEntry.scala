@@ -1942,6 +1942,26 @@ object SparkEntry {
         .select(col("bigram"), col("cnt"), col("est")))
     },
 
+    // Content-defined chunking + chunk-hash dedup (the LBFS/Venti
+    // storage-dedup discipline on text): boundaries where the local
+    // 3-token shingle hash ≡ 0 mod 16, so an inserted PREFIX only
+    // perturbs the first chunk and the chunking re-synchronizes —
+    // planted prefix-shifted twins share most chunks with their
+    // originals, which whole-doc exact dedup and fixed-offset windows
+    // both miss. Per doc: chunk count, chunks also present in another
+    // doc, duplicated fraction. Oracle replays shingle hashes, the
+    // cumulative boundary window and the hash spread exactly.
+    "q133_cdc_chunk_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val prefixed = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("prefixo deslocador inserido aqui "), col("text"))
+            .as("text"))
+      ordered(llm.Dedup.cdcSharedStats(
+        llm.Dedup.cdcChunks(docs.unionByName(prefixed), "doc_id", "text"),
+        "doc_id"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4703,6 +4723,53 @@ object SparkEntry {
         |SELECT bigram, cnt, est
         |FROM est JOIN exact USING (bigram)
         |WHERE est >= 50
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // boundary after token p (p>=3) iff md5-h1 of the 3-shingle ending at
+    // p is = 0 mod 16; chunk id = exclusive running boundary count; chunk
+    // text reassembled in position order, spread counted by content hash
+    "q133_cdc_chunk_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'prefixo deslocador inserido aqui ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM all_docs),
+        |rows_ AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(tk) + 1)) AS pos,
+        |    unnest(tk) AS tok,
+        |    unnest([p >= 3 AND
+        |        (CAST(('0x' || substring(
+        |           md5(array_to_string(tk[p-2:p], ' ')), 1, 8)) AS BIGINT)
+        |         % 16) = 0
+        |      for p in range(1, len(tk) + 1)]) AS b
+        |  FROM t),
+        |cid AS (
+        |  SELECT doc_id, pos, tok,
+        |    coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM rows_),
+        |chunks AS (
+        |  SELECT doc_id, chunk,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |  FROM cid GROUP BY doc_id, chunk),
+        |spread AS (
+        |  SELECT chunk_hash, count(DISTINCT doc_id) AS docs FROM chunks
+        |  GROUP BY chunk_hash)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_compartilhados,
+        |  CAST(CAST(sum(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+        |    AS frac_compartilhada
+        |FROM chunks JOIN spread USING (chunk_hash)
+        |GROUP BY doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

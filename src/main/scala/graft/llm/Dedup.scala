@@ -592,6 +592,79 @@ object Dedup {
       .withColumn("mantido", !col("exato") && col("n_quase_dups") === 0L)
   }
 
+  /** Content-defined chunking (the LBFS/Venti storage-dedup discipline
+    * applied to text, token-level): a chunk boundary falls after token
+    * `t` wherever the portable-md5 hash of the `window`-token shingle
+    * ending at `t` is ≡ 0 mod `divisor` — a pure function of the LOCAL
+    * content, so an edit or an inserted prefix only perturbs the chunks
+    * it touches and the chunking RE-SYNCHRONIZES on the next boundary
+    * (fixed-offset chunking misaligns everything after an insertion;
+    * spec-proven). Average chunk length ≈ `divisor` tokens.
+    *
+    * Output: one row per (doc, chunk) with the chunk's index, text and
+    * content hash. Cost: one scan-level shingle-hash pass (O(window) per
+    * token), one per-doc cumulative-sum window for chunk ids and one
+    * (doc, chunk) aggregation — the doc-keyed shuffles are intra-doc
+    * bounded; nothing is corpus-quadratic.
+    */
+  def cdcChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, divisor: Int = 16): DataFrame = {
+    require(window >= 1 && divisor >= 1,
+      s"need window,divisor >= 1; got $window/$divisor")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // boundary flag per shingle (= per token position >= window), padded
+    // with `false` for the first window-1 positions so the flag array
+    // aligns with the token array
+    val bmap = transform(TextAnalysis.shingles(toks, window), s =>
+      pmod(conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"),
+        lit(divisor.toLong)) === 0)
+    val keyed = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), toks.as("__toks"), bmap.as("__bm"))
+      .select(col("__id"),
+        posexplode(arrays_zip(
+          col("__toks").as("t"),
+          slice(concat(array_repeat(lit(false), window - 1), col("__bm")),
+            lit(1), greatest(size(col("__toks")), lit(1))).as("b")))
+          .as(Seq("__pos", "__z")))
+      .select(col("__id"), col("__pos"),
+        col("__z.t").as("__tok"),
+        coalesce(col("__z.b"), lit(false)).as("__b"))
+    // chunk id = boundaries strictly BEFORE this token (exclusive cumsum)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("__chunk",
+        coalesce(sum(when(col("__b"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col("__id"), col("__chunk"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+          s => s.getField("__tok"))).as("chunk_text"))
+      .select(col("__id").as(idCol), col("__chunk").as("chunk_idx"),
+        col("chunk_text"), md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+  }
+
+  /** Cross-document duplicated-content stats over [[cdcChunks]]: per doc,
+    * how many of its chunks also occur (by content hash) in ANOTHER doc,
+    * and the duplicated fraction — the storage-dedup view of corpus
+    * redundancy, robust to shifted/prefixed copies that whole-doc exact
+    * dedup and fixed-window fingerprints miss. One hash aggregation
+    * (map-side combinable) + one join back; never pairwise.
+    */
+  def cdcSharedStats(chunks: DataFrame, idCol: String): DataFrame = {
+    val spreadCount = chunks.groupBy("chunk_hash")
+      .agg(count_distinct(col(idCol)).as("__docs"))
+    chunks
+      .join(spreadCount, Seq("chunk_hash"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1L)).as("n_chunks"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_compartilhados"))
+      .withColumn("frac_compartilhada",
+        col("n_compartilhados").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Containment near-dup detection: pairs whose shingle OVERLAP covers
     * most of the SMALLER document — `|A∩B| / min(|A|,|B|) ≥ threshold` —
     * the asymmetric relation Jaccard-based dedup structurally misses. A

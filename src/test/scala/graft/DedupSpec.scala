@@ -638,4 +638,60 @@ class DedupSpec extends SparkSpec {
     }
     assert(gate.values.exists(!_._2), "plants must reject some batch docs")
   }
+
+  test("content-defined chunking: chunks reassemble the doc, an inserted " +
+      "prefix re-synchronizes, fixed-offset chunking would not") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") < 120)
+    val prefixed = docs
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("prefixo deslocador inserido aqui "), col("text")).as("text"))
+    val both = docs.unionByName(prefixed)
+    val chunks = Dedup.cdcChunks(both, "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_hash")
+      .as[(Long, Long, String, String)].collect()
+
+    // losslessness: chunk texts in order reassemble the token stream
+    val reassembled = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString(" ")
+    }
+    val want = both
+      .select(col("doc_id"), concat_ws(" ",
+        graft.llm.TextAnalysis.tokens(col("text"))).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(reassembled == want, "chunks must reassemble every document")
+
+    // re-synchronization: each prefixed twin shares at least half of the
+    // ORIGINAL's chunks by content hash (a fixed-offset chunker shares
+    // none once every offset shifts by the prefix length)
+    val byDoc = chunks.groupBy(_._1)
+      .map { case (id, cs) => id -> cs.map(_._4).toSet }
+    val origIds = byDoc.keySet.filter(_ < 1000000)
+    assert(origIds.nonEmpty)
+    val resync = origIds.count { id =>
+      byDoc.get(id + 1000000).exists { twin =>
+        val orig = byDoc(id)
+        (orig & twin).size * 2 >= orig.size
+      }
+    }
+    assert(resync * 10 >= origIds.size * 8,
+      s"only $resync/${origIds.size} twins re-synchronized to >=half shared")
+
+    // determinism under partitioning
+    val again = Dedup.cdcChunks(both.repartition(17), "doc_id", "text")
+      .select("doc_id", "chunk_idx", "chunk_hash")
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == chunks.map(c => (c._1, c._2, c._4)).toSet)
+
+    // shared stats mark every twin-covered doc as partially duplicated
+    val stats = Dedup.cdcSharedStats(
+        Dedup.cdcChunks(both, "doc_id", "text"), "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    origIds.foreach { id =>
+      val (_, n, shared, frac) = stats(id)
+      assert(n >= 1 && shared >= 0 && frac >= 0.0 && frac <= 1.0)
+    }
+    assert(stats.values.exists(_._3 > 0), "plants must share chunks")
+  }
 }
