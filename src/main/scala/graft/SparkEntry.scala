@@ -1962,6 +1962,29 @@ object SparkEntry {
         "doc_id"))
     },
 
+    // Calibration/reliability audit of the self-trained gate: q125's
+    // train→score pipeline, then per (sign, margin-magnitude) bin the
+    // population, observed positive rate and mean margin — the
+    // reliability-diagram table that says WHERE the classifier's scores
+    // can be trusted as a curation threshold. Bins are scan-level
+    // (sign × decimal digit count — exact in any engine), never a
+    // global ntile sort. Oracle chains the full training replay into
+    // the binning.
+    "q134_calibration_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val w = llm.TextAnalysis.trainPerceptron(
+        labeled, "doc_id", "text", "y", buckets = 256, epochs = 3)
+      val scoredDocs = llm.TextAnalysis.linearTextScore(
+        docs.select("doc_id", "text"),
+        w.select(col("bucket"), col("w").as("w_milli")),
+        "doc_id", "text", buckets = 256)
+      ordered(llm.TextAnalysis.calibrationAudit(
+        scoredDocs.join(labeled.select("doc_id", "y"), "doc_id"),
+        "margem_milli", "y"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4771,7 +4794,40 @@ object SparkEntry {
         |FROM chunks JOIN spread USING (chunk_hash)
         |GROUP BY doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q125's training replay chained into the sign×digit-count binning
+    "q134_calibration_audit" -> calibrationOracle(buckets = 256, epochs = 3),
   ) ++ oracleSqlRest
+
+  private def calibrationOracle(buckets: Int, epochs: Int): String =
+    perceptronCtes(buckets, epochs) +
+      s""",
+         |s AS (
+         |  SELECT doc_id, CAST(sum(c * coalesce(w, 0)) AS BIGINT) AS m
+         |  FROM fc LEFT JOIN w$epochs USING (bucket) GROUP BY doc_id),
+         |lbl AS (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |sm AS (
+         |  SELECT lbl.doc_id, CAST(coalesce(s.m, 0) AS BIGINT) AS m, y
+         |  FROM lbl LEFT JOIN s USING (doc_id))
+         |SELECT
+         |  CAST(CASE WHEN m > 0 THEN 1 WHEN m < 0 THEN -1 ELSE 0 END AS INT)
+         |    AS sinal,
+         |  CAST(CASE WHEN m = 0 THEN 0
+         |            ELSE length(CAST(abs(m) AS VARCHAR)) END AS INT) AS ordem,
+         |  CAST(CASE WHEN m = 0 THEN 0
+         |            ELSE CAST(substring(CAST(abs(m) AS VARCHAR), 1, 1) AS INT)
+         |       END AS INT) AS primeiro_digito,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS taxa_pos,
+         |  CAST(CAST(sum(CAST(m AS DECIMAL(38,0))) AS DECIMAL(38,0))
+         |    AS DOUBLE) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+         |    AS margem_media
+         |FROM sm GROUP BY sinal, ordem, primeiro_digito
+         |ORDER BY ALL NULLS FIRST""".stripMargin
 
   private lazy val minhashEstimateSql: String = {
       val mins = (0 until 20).map(s =>

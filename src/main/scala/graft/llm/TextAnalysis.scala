@@ -391,6 +391,43 @@ object TextAnalysis {
       .withColumn("aprovado", col("margem_milli") > 0L)
   }
 
+  /** Calibration/reliability audit of a scored+labeled corpus — the
+    * table behind a reliability diagram, run after training
+    * ([[trainPerceptron]]) and before trusting the scores as a curation
+    * gate: per score bin, the population, the observed positive rate and
+    * the mean margin. A well-calibrated gate shows taxa_pos rising
+    * monotonically with the margin bins; a flat band means the scores
+    * carry no signal there and the gate threshold must avoid it.
+    *
+    * Bins are (sign, decimal order of magnitude of the margin) — i.e.
+    * `sinal × length(str(|margin|))` — rather than equal-population
+    * ntiles: ntile needs a GLOBAL sort (one partition holds the whole
+    * corpus ordering), while sign/magnitude is a scan-level expression
+    * into one map-side-combinable aggregation, and the digit count of an
+    * integer is exact in any engine (a float log2 is not); the LEADING
+    * digit (substring of the decimal string — equally exact) sub-divides
+    * each order into nine log-uniform bins for resolution. Output:
+    * (sinal, ordem, primeiro_digito, n, n_pos, taxa_pos, margem_media).
+    */
+  def calibrationAudit(
+      scored: DataFrame, marginCol: String, labelCol: String): DataFrame =
+    scored.select(
+        when(col(marginCol) > 0, 1).when(col(marginCol) < 0, -1)
+          .otherwise(0).as("sinal"),
+        when(col(marginCol) === 0, 0)
+          .otherwise(length(abs(col(marginCol)).cast("string"))).as("ordem"),
+        when(col(marginCol) === 0, 0)
+          .otherwise(substring(abs(col(marginCol)).cast("string"), 1, 1)
+            .cast("int")).as("primeiro_digito"),
+        col(labelCol).as("__y"), col(marginCol).as("__m"))
+      .groupBy("sinal", "ordem", "primeiro_digito").agg(
+        count(lit(1L)).as("n"),
+        sum(when(col("__y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        (sum(when(col("__y") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1L)).cast("double")).as("taxa_pos"),
+        (sum(col("__m").cast("decimal(38,0)")).cast("double") /
+          count(lit(1L)).cast("double")).as("margem_media"))
+
   /** Dictionary/taxonomy tagging: label documents by a curated phrase
     * dictionary (`frase` — 1..`maxN` lowercased space-joined words —
     * → `etiqueta`), the domain/topic-tagging pass training-data

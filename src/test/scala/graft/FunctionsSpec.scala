@@ -361,4 +361,23 @@ class FunctionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
       s"expected codegen'd project:\n$plan")
   }
+
+  test("calibrationAudit bins by sign, digit count and leading digit " +
+      "with exact rates and mean margins") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 250L, 1L), (2L, 290L, -1L), (3L, 30L, 1L),
+      (4L, -7L, -1L), (5L, 0L, 1L), (6L, -7000L, -1L),
+    ).toDF("doc_id", "margem_milli", "y")
+    val got = graft.llm.TextAnalysis
+      .calibrationAudit(scored, "margem_milli", "y")
+      .as[(Int, Int, Int, Long, Long, Double, Double)].collect().toSet
+    val want = Set(
+      (1, 3, 2, 2L, 1L, 0.5, 270.0),  // 250, 290
+      (1, 2, 3, 1L, 1L, 1.0, 30.0),   // 30
+      (-1, 1, 7, 1L, 0L, 0.0, -7.0),  // -7
+      (-1, 4, 7, 1L, 0L, 0.0, -7000.0),
+      (0, 0, 0, 1L, 1L, 1.0, 0.0))
+    assert(got == want, s"got $got")
+  }
 }
