@@ -1985,6 +1985,34 @@ object SparkEntry {
         "margem_milli", "y"))
     },
 
+    // Cross-modal consistency audit (paired text+image curation, the
+    // LAION discipline) — oracle-exact END-TO-END through real PNG
+    // bytes: every doc gets an md5-pattern image keyed by its TEXT;
+    // %6 plants are true multimodal duplicates (same text, same image),
+    // %9 plants are caption-dup/image-mismatch rows (same text, an
+    // unrelated pattern). Pairs form only within exact-text groups; the
+    // verdict is one bit_count(xor) per pair. The oracle predicts every
+    // image hash from the seed algebra and replays the text grouping.
+    "q135_crossmodal_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      def withSeed(d: DataFrame, shift: Long, seedSuffix: String) =
+        d.select((col("doc_id") + shift).as("doc_id"), col("text"),
+          concat(md5(col("text").cast("binary")), lit(seedSuffix)).as("seed"),
+          lit(0).as("delta"))
+      val src = withSeed(docs, 0L, "")
+        .unionByName(withSeed(docs.filter(col("doc_id") % 6 === 0), 1000000L, ""))
+        .unionByName(withSeed(docs.filter(col("doc_id") % 9 === 0), 2000000L, "x"))
+      val blobbed = llm.Multimodal.encodePatternPng(
+        llm.Spread(src), "seed", "delta", "payload")
+      val hashed = llm.Multimodal.decodeBatches(
+        blobbed, "payload", kernel = llm.Multimodal.dHash56,
+        decodedSchema = llm.Multimodal.DHashSchema)
+      val paired = hashed.select("doc_id", "dhash")
+        .join(src.select("doc_id", "text"), "doc_id")
+      ordered(llm.Dedup.crossModalConsistency(
+        paired, "doc_id", "text", "dhash", maxDist = 4))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4797,6 +4825,37 @@ object SparkEntry {
 
     // q125's training replay chained into the sign×digit-count binning
     "q134_calibration_audit" -> calibrationOracle(buckets = 256, epochs = 3),
+
+    // q124's dHash block algebra (delta = 0), seeds derived from md5 of
+    // the TEXT; pairs from exact-text groups, verdict = bit_count(xor)
+    "q135_crossmodal_audit" ->
+      """WITH ids AS (
+        |  SELECT doc_id, text, md5(text) AS seed FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, md5(text)
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, md5(text) || 'x'
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |blocks AS (
+        |  SELECT doc_id, text,
+        |    flatten([[
+        |      CAST(('0x' || substring(md5(seed || ':' || CAST(bx AS VARCHAR)
+        |         || ':' || CAST(by AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+        |      for bx in range(0, 8)] for by in range(0, 8)]) AS v
+        |  FROM ids),
+        |hashes AS (
+        |  SELECT doc_id, text,
+        |    CAST(list_sum(flatten([[
+        |      CASE WHEN v[by * 8 + bx + 1] > v[by * 8 + bx + 2]
+        |           THEN (CAST(1 AS BIGINT) << (by * 7 + bx)) ELSE 0 END
+        |      for bx in range(0, 7)] for by in range(0, 8)])) AS BIGINT) AS h
+        |  FROM blocks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS dist,
+        |  bit_count(xor(a.h, b.h)) <= 4 AS consistente
+        |FROM hashes a JOIN hashes b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   private def calibrationOracle(buckets: Int, epochs: Int): String =

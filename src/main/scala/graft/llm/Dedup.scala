@@ -1204,6 +1204,36 @@ object Dedup {
       .filter(col("n_frames_casados") >= minFrames)
   }
 
+  /** Cross-modal consistency audit for PAIRED text+image datasets (the
+    * LAION-style curation check): for every pair of documents whose TEXT
+    * is an exact duplicate (same sha-256 content hash), the perceptual
+    * distance of their images and a consistency verdict. Caption
+    * duplicates whose images disagree are mislabeled/placeholder pairs
+    * that joint (caption, image) dedup must NOT collapse to one row;
+    * consistent pairs are true multimodal duplicates and can collapse.
+    *
+    * Shape: pairs form only WITHIN a text-hash bucket (exact-dedup's one
+    * hash aggregation — never all-pairs; a boilerplate caption that goes
+    * hot is the q26 skew case and routes through [[tiledPairs]] the same
+    * way), and the image verdict is one exact `bit_count(xor)` per pair.
+    * Output: (id_a < id_b, dist, consistente).
+    */
+  def crossModalConsistency(
+      df: DataFrame, idCol: String, textCol: String, hashCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 56, s"need 0 <= maxDist < 56, got $maxDist")
+    val keyed = df.select(col(idCol).as("__id"),
+      sha2(col(textCol).cast("binary"), 256).as("__th"),
+      col(hashCol).as("__h"))
+    keyed.select(col("__th"), col("__id").as("id_a"), col("__h").as("__h_a"))
+      .join(keyed.select(col("__th"), col("__id").as("id_b"),
+        col("__h").as("__h_b")), Seq("__th"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__h_a").bitwiseXOR(col("__h_b"))).cast("long").as("dist"))
+      .withColumn("consistente", col("dist") <= maxDist)
+  }
+
   /** Persisted image-fingerprint index (the [[BandIndex]] pattern for
     * [[Multimodal.dHash56]] hashes): the corpus's banded hashes are
     * written ONCE, partitioned by band, and every subsequent ingest

@@ -639,6 +639,22 @@ class DedupSpec extends SparkSpec {
     assert(gate.values.exists(!_._2), "plants must reject some batch docs")
   }
 
+  test("crossModalConsistency: pairs only within exact-text groups, " +
+      "image distance splits true duplicates from mismatches") {
+    val df = Seq(
+      (1L, "same caption", 0x7FL), // vs 2: dist 2 (consistent duplicate)
+      (2L, "same caption", 0x7CL),
+      (3L, "same caption", 0x0L),  // vs 1: dist 7, vs 2: dist 5 (mismatch)
+      (4L, "other caption", 0x7FL), // different text: never paired
+    ).toDF("doc_id", "text", "dhash")
+    val got = Dedup.crossModalConsistency(df, "doc_id", "text", "dhash", 4)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L, true),
+      (1L, 3L, 7L, false),
+      (2L, 3L, 5L, false)), s"got $got")
+  }
+
   test("content-defined chunking: chunks reassemble the doc, an inserted " +
       "prefix re-synchronizes, fixed-offset chunking would not") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
