@@ -2013,6 +2013,25 @@ object SparkEntry {
         paired, "doc_id", "text", "dhash", maxDist = 4))
     },
 
+    // q99's BM25 replayed from a PERSISTED postings index built in TWO
+    // appends: write half the corpus, fold the other half in
+    // (postings append + exact-integer stats merge), query off the
+    // index alone — no tokenization in the scoring plan, scores
+    // bit-identical to the from-scratch path. Oracle: q99's SQL verbatim.
+    "q136_bm25_indexed" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-postidx").toString
+      llm.Retrieval.writePostingsIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxDir)
+      llm.Retrieval.appendPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", idxDir)
+      val queries = docs.orderBy("doc_id").limit(8)
+      ordered(llm.Retrieval.bm25TopKIndexed(
+        llm.Retrieval.readPostingsIndex(s, idxDir), queries,
+        "doc_id", "text", k = 5, maxDfFraction = 1.0))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -3547,45 +3566,7 @@ object SparkEntry {
     // expression tree (constants combined IN the engine — `1.2 + 1.0`
     // mirrors Spark's lit(k1) + lit(1.0)); per-term contributions sum in
     // DECIMAL(38,18) on both sides.
-    "q99_bm25_retrieval" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
-        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
-        |         FROM tok GROUP BY term, doc_id),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(CAST(sum(dl) AS HUGEINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-        |  FROM dl),
-        |q AS (
-        |  SELECT doc_id AS query_id,
-        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
-        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8)),
-        |cand AS (
-        |  SELECT q.query_id, q.term, p.doc_id, p.tf, d.dl
-        |  FROM q JOIN post p USING (term) JOIN dl d USING (doc_id)),
-        |dfreq AS (
-        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        |  FROM cand GROUP BY term),
-        |scored AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(CAST(sum(CAST(
-        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
-        |       (CAST(df AS DOUBLE) + 0.5))
-        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
-        |         (CAST(tf AS DOUBLE) +
-        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
-        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
-        |  FROM cand JOIN dfreq USING (term), stats
-        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
-        |  GROUP BY query_id, doc_id)
-        |SELECT query_id, doc_id, score,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
-        |FROM scored
-        |QUALIFY posicao <= 5
-        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q99_bm25_retrieval" -> bm25Sql,
 
     "q98_cdc_apply" ->
       """WITH ch AS (
@@ -4856,7 +4837,52 @@ object SparkEntry {
         |  bit_count(xor(a.h, b.h)) <= 4 AS consistente
         |FROM hashes a JOIN hashes b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // the persisted-index roundtrip is score-identical — q99's replay
+    "q136_bm25_indexed" -> bm25Sql,
   ) ++ oracleSqlRest
+
+  // q99's BM25 replay, shared with q136 (the persisted postings
+  // index scores bit-identically to tokenizing from scratch)
+  private lazy val bm25Sql: String =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(dl) AS HUGEINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8)),
+        |cand AS (
+        |  SELECT q.query_id, q.term, p.doc_id, p.tf, d.dl
+        |  FROM q JOIN post p USING (term) JOIN dl d USING (doc_id)),
+        |dfreq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cand GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(CAST(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM cand JOIN dfreq USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
+        |  GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
+        |FROM scored
+        |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin
 
   private def calibrationOracle(buckets: Int, epochs: Int): String =
     perceptronCtes(buckets, epochs) +

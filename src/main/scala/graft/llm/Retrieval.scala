@@ -84,12 +84,31 @@ object Retrieval {
     // just to recover it would shuffle the whole posting table). Every
     // document tokenizes to ≥1 token (split of "" is [""]), so counting
     // the doc scan equals counting distinct postings doc_ids.
-    val stats = docs
+    val stats = rawStats(docs, textCol)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    bm25Core(post, stats, queries, idCol, textCol, k, k1, b,
+      maxDfFraction, logIdf)
+  }
+
+  /** The exact-integer corpus stats row (doc count + DECIMAL token-length
+    * sum) — stored by the persisted index and folded inline by the
+    * direct path; `avgdl` derives from it with ONE double division, so
+    * the two paths score bit-identically.
+    */
+  private def rawStats(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
       .where(col("dl") > 0)
       .agg(count(lit(1L)).as("n_docs"),
-        (sum(col("dl").cast("decimal(38,0)")).cast("double") /
-          count(lit(1L)).cast("double")).as("avgdl"))
+        sum(col("dl").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sum_dl"))
+
+  private def bm25Core(
+      post: DataFrame, stats: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double, b: Double,
+      maxDfFraction: Double, logIdf: Boolean): DataFrame = {
     val qterms = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
     // document frequency for the QUERY's vocabulary, computed from the
@@ -134,6 +153,68 @@ object Retrieval {
       .agg(sum(col("__c")).cast("double").as("score"))
     TopK.groupTopKRows(
       scored, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
+  }
+
+  /** Persisted inverted index — the BandIndex discipline applied to
+    * retrieval state: postings and the exact-integer corpus stats are
+    * pure functions of the corpus, computed ONCE at ingest and stored
+    * next to it; every query batch then runs off index scans alone
+    * ([[bm25TopKIndexed]]), and an accepted ingest batch APPENDS its own
+    * postings and FOLDS its delta into the stats row
+    * ([[appendPostingsIndex]]) — no corpus text is ever re-tokenized.
+    * Because the stats are exact integers (count + DECIMAL length sum),
+    * the indexed path scores BIT-IDENTICALLY to tokenizing the whole
+    * corpus from scratch, even after any number of appends (spec-proven;
+    * q136's oracle is q99's SQL verbatim).
+    */
+  case class PostingsIndex(postings: DataFrame, stats: DataFrame)
+
+  def writePostingsIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    postings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    rawStats(docs, textCol)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Fold an ingest batch in: postings rows append (they are per-doc
+    * functions — disjoint doc sets produce disjoint rows), the stats row
+    * merges by exact addition and overwrites (localCheckpoint first: the
+    * merge plan reads the file being replaced).
+    */
+  def appendPostingsIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    postings(docs, idCol, textCol)
+      .write.mode("append").parquet(s"$path/postings")
+    spark.read.parquet(s"$path/stats")
+      .unionByName(rawStats(docs, textCol))
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("decimal(38,0)").as("sum_dl"))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  def readPostingsIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): PostingsIndex =
+    PostingsIndex(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"))
+
+  /** [[bm25TopK]] over a persisted [[PostingsIndex]]: identical scores
+    * (the stats fold is exact-integer), zero tokenization — the
+    * recurring-query shape at 100 TB: tokenize at ingest, every query
+    * batch costs index-scan + broadcast-probe time.
+    */
+  def bm25TopKIndexed(
+      index: PostingsIndex, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFraction: Double = 0.5, logIdf: Boolean = false): DataFrame = {
+    val stats = index.stats.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .as("avgdl"))
+    bm25Core(CacheScope.persistTracked(index.postings), stats, queries,
+      idCol, textCol, k, k1, b, maxDfFraction, logIdf)
   }
 
   /** TF-IDF cosine top-k — the SMART `lnc.ltc` scheme (Salton & Buckley

@@ -236,6 +236,43 @@ class RetrievalSpec extends SparkSpec {
       "every query retrieves under log idf")
   }
 
+  test("persisted postings index: write+append scores bit-identical to " +
+      "from-scratch bm25; the scoring plan reads only the index") {
+    import graft.llm.Retrieval
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val queries = docs.orderBy("doc_id").limit(8)
+      .as[(Long, String)].collect().toSeq.toDF("doc_id", "text")
+    val inline = Retrieval
+      .bm25TopK(docs, queries, "doc_id", "text", 5, maxDfFraction = 1.0)
+      .select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-postidx").toString
+    Retrieval.writePostingsIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    Retrieval.appendPostingsIndex(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", dir)
+    val indexed = Retrieval.bm25TopKIndexed(
+      Retrieval.readPostingsIndex(spark, dir), queries, "doc_id", "text", 5,
+      maxDfFraction = 1.0)
+    val scans = indexed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq(s"non-file relation: ${r.relation}")
+        }
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(_.contains("graft-postidx")),
+      s"the indexed query must scan ONLY the postings index, got $scans")
+    val got = indexed.select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    assert(got == inline,
+      "two-append indexed scores must equal the from-scratch path exactly")
+  }
+
   test("tfidf lnc.ltc scores equal a hand computation; no-overlap docs " +
       "never surface") {
     // d1="a b a", d2="b c", d3="c c c"; query="a b":
