@@ -96,7 +96,8 @@ object GraftFunctions {
     romanToIntDescriptor, VectorDotDecimal.descriptor, VectorDotDouble.descriptor,
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
     WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
-    NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor)
+    NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor,
+    SqDistDouble.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

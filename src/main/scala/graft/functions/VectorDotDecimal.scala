@@ -89,6 +89,26 @@ object VectorOps {
     java.lang.Double.valueOf(sum)
   }
 
+  /** Plain-double squared euclidean distance — left-to-right, the same
+    * fold order as the `aggregate` expression it replaces ([[SqDistDouble]]).
+    */
+  def sqDistDouble(
+      a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      sum += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
   def dotDecimal(
       a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Decimal = {
     val n = a.numElements()

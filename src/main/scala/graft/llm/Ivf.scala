@@ -121,15 +121,17 @@ object Ivf {
 
   /** Squared euclidean distance between a float vector and a double
     * centroid — ranking-only (cells are a routing structure, not results),
-    * so plain double accumulation is fine here.
+    * so plain double accumulation is fine here. Native codegen'd kernel
+    * ([[graft.functions.SqDistDouble]], bit-identical fold order): the HOF
+    * form is CodegenFallback and runs once per (query, centroid) — the
+    * routing product pins executors once the cell count grows (the
+    * recurring §4 HOF lesson).
     */
-  private def sqDist(v: Column, centroid: Column): Column =
-    aggregate(
-      zip_with(v, centroid, (x, c) => {
-        val d = x.cast("double") - c
-        d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+  private def sqDist(v: Column, centroid: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    call_function("graft_sqdist", v, centroid)
+  }
 
   /** ANN top-k through a prebuilt (reusable) index. */
   def ivfTopK(

@@ -362,6 +362,29 @@ class FunctionsSpec extends SparkSpec {
       s"expected codegen'd project:\n$plan")
   }
 
+  test("graft_sqdist equals the zip_with/aggregate fold bit-for-bit and " +
+      "mirrors its null semantics") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0f, 2.5f, -3.0f), Seq(0.5, 2.5, 1.0)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.30000001, 0.2, 0.1)),
+    ).toDF("v", "c")
+    val hof = df.select(aggregate(
+      zip_with(col("v"), col("c"), (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }), lit(0.0), (a, x) => a + x)).as[Double].collect().toSeq
+    val native = df.select(call_function("graft_sqdist", col("v"), col("c")))
+      .as[Double].collect().toSeq
+    assert(native == hof, "kernel must replay the fold bit-for-bit")
+    // mismatched lengths → null, like zip_with's null padding
+    val mm = Seq((Seq(1.0f, 2.0f), Seq(1.0)))
+      .toDF("v", "c")
+      .select(call_function("graft_sqdist", col("v"), col("c")))
+      .as[Option[Double]].head()
+    assert(mm.isEmpty, "length mismatch must yield null")
+  }
+
   test("calibrationAudit bins by sign, digit count and leading digit " +
       "with exact rates and mean margins") {
     import spark.implicits._
