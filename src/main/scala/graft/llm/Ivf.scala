@@ -86,9 +86,44 @@ object Ivf {
     */
   def indexHierarchical(
       corpus: DataFrame, idCol: String, vecCol: String,
-      kCoarse: Int, kFine: Int, samplePct: Int = 10): IvfIndex = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      kCoarse: Int, kFine: Int, samplePct: Int = 10): IvfIndex =
+    indexHierarchicalFactored(corpus, idCol, vecCol, kCoarse, kFine,
+      samplePct).toIvf
+
+  /** The two-level index WITH its factorization kept (coarse matrix +
+    * per-coarse fine table): [[ivfTopKHierarchical]] routes queries
+    * coarse→fine over it in O((kCoarse + probed·kFine)·dim) per query,
+    * where the flattened [[IvfIndex]] pays O(kCoarse·kFine·dim) against
+    * the full centroid table. `toIvf` flattens for every existing
+    * probe/write/dedup path.
+    */
+  final case class HierIvfIndex(
+      assigned: DataFrame, coarse: Seq[Seq[Double]], fine: DataFrame,
+      kFine: Int) {
+
+    /** Flat view: centroid rows per (coarse, fine) cell; coarse cells
+      * with no fine matrix get their coarse centroid as the probe row —
+      * without it, rows routed there would be unreachable by any probe.
+      */
+    def toIvf: IvfIndex = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      val fineCentroids = fine.select(col("__coarse"),
+          posexplode(col("__m")).as(Seq("__fine", "__centroid")))
+        .select((col("__coarse") * kFine + col("__fine")).as("__cell"),
+          col("__centroid"))
+      val coarseDf = coarse.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("__coarse", "__centroid")
+      val orphans = coarseDf
+        .join(fine.select("__coarse"), Seq("__coarse"), "left_anti")
+        .select((col("__coarse") * kFine).as("__cell"), col("__centroid"))
+      IvfIndex(assigned, fineCentroids.unionByName(orphans))
+    }
+  }
+
+  def indexHierarchicalFactored(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      kCoarse: Int, kFine: Int, samplePct: Int = 10): HierIvfIndex = {
     val feat = Spread(corpus).select(col(idCol), col(vecCol))
     val sampled = feat.filter(Curation.pctHash(col(idCol)) < samplePct)
       .transform(CacheScope.persistTracked)
@@ -105,18 +140,57 @@ object Ivf {
         col("__coarse") * kFine +
           coalesce(Kmeans.nearestCellCol(asDouble, col("__m")), lit(0)))
       .select(col(idCol), col(vecCol), col("__cell"))
-    val fineCentroids = fine.select(col("__coarse"),
-        posexplode(col("__m")).as(Seq("__fine", "__centroid")))
-      .select((col("__coarse") * kFine + col("__fine")).as("__cell"),
-        col("__centroid"))
-    // synthesized rows for matrix-less coarse cells: their flat cell 0
-    // gets the coarse centroid itself
-    val coarseDf = coarse.zipWithIndex
-      .map { case (v, i) => (i, v) }.toDF("__coarse", "__centroid")
-    val orphans = coarseDf
-      .join(fine.select("__coarse"), Seq("__coarse"), "left_anti")
-      .select((col("__coarse") * kFine).as("__cell"), col("__centroid"))
-    IvfIndex(assigned, fineCentroids.unionByName(orphans))
+    HierIvfIndex(assigned, coarse, fine, kFine)
+  }
+
+  /** Hierarchical ANN probing over a factored two-level index: each
+    * query ranks the SMALL coarse table first (|q|·kCoarse codegen'd
+    * distances), opens its `nProbeCoarse` nearest coarse cells, ranks
+    * only THOSE cells' fine centroids (≤ nProbeCoarse·kFine distances —
+    * the fine matrices ride the broadcast fine table, never a flat
+    * 50k-row centroid relation) and scores corpus vectors in the
+    * `nProbeFine` best flat cells. Routing cost per query drops from
+    * O(kCoarse·kFine·dim) to O((kCoarse + nProbeCoarse·kFine)·dim) —
+    * ~100× at 50k cells with √k probing. Recall: coarse pruning can
+    * hide a near fine cell behind a far coarse centroid — the standard
+    * two-level IVF trade; the spec proves full-width probing degenerates
+    * to the flat path's exact probe set.
+    */
+  def ivfTopKHierarchical(
+      idx: HierIvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbeCoarse: Int, nProbeFine: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val coarseDf = idx.coarse.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("__coarse", "__cc")
+    val cW = Window.partitionBy("query_id")
+      .orderBy(col("__cd").asc, col("__coarse").asc)
+    val probedCoarse = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        Similarity.l2Norm(col(vecCol)).as("__qn"))
+      .crossJoin(broadcast(coarseDf))
+      .withColumn("__cd", sqDist(col("__qv"), col("__cc")))
+      .withColumn("__cr", row_number().over(cW))
+      .filter(col("__cr") <= nProbeCoarse)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__coarse"),
+        col("__cd"))
+    val fW = Window.partitionBy("query_id")
+      .orderBy(col("__fd").asc, col("__cell").asc)
+    val probes = probedCoarse
+      .join(broadcast(idx.fine), Seq("__coarse"), "left_outer")
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__coarse"),
+        col("__cd"), posexplode_outer(col("__m")).as(Seq("__fine", "__fc")))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        (col("__coarse") * idx.kFine + coalesce(col("__fine"), lit(0)))
+          .as("__cell"),
+        // a matrix-less coarse cell's flat probe row IS the coarse
+        // centroid (toIvf's orphan rule) — its distance is __cd, so
+        // full-width hierarchical probing equals the flat probe exactly
+        coalesce(sqDist(col("__qv"), col("__fc")), col("__cd")).as("__fd"))
+      .withColumn("__fr", row_number().over(fW))
+      .filter(col("__fr") <= nProbeFine)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__cell"))
+    topKInCells(idx.assigned, probes, idCol, vecCol, k)
   }
 
   /** Squared euclidean distance between a float vector and a double
@@ -214,8 +288,13 @@ object Ivf {
     */
   private def topKInProbedCells(
       idx: IvfIndex, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    topKInCells(idx.assigned, probes, idCol, vecCol, k)
+
+  private def topKInCells(
+      assigned: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val cells = idx.assigned.select(
+    val cells = assigned.select(
       col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
       Similarity.l2Norm(col(vecCol)).as("__cn"), col("__cell"))
     val scored = cells.join(broadcast(probes), Seq("__cell"))

@@ -357,4 +357,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.nonEmpty && top1.forall { case (qq, c) => qq == c },
       "full-width probes over the hierarchical index must rank self first")
   }
+
+  test("hierarchical PROBING: full-width equals the flat probe exactly, " +
+      "narrow coarse->fine probes still rank self first") {
+    import graft.llm.Ivf
+    val emb = Tables.embeddings(spark, sfDir)
+    val hier = Ivf.indexHierarchicalFactored(
+      emb, "vec_id", "embedding", kCoarse = 3, kFine = 3)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    val flat = rows(Ivf.ivfTopK(
+      hier.toIvf, q, "vec_id", "embedding", 5, nProbe = 9))
+    val full = rows(Ivf.ivfTopKHierarchical(
+      hier, q, "vec_id", "embedding", 5, nProbeCoarse = 3, nProbeFine = 9))
+    assert(full == flat,
+      "full-width hierarchical probing must equal the flat probe exactly")
+    val narrow = Ivf.ivfTopKHierarchical(
+        hier, q, "vec_id", "embedding", 1, nProbeCoarse = 1, nProbeFine = 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    graft.llm.CacheScope.releaseAll()
+    assert(narrow.nonEmpty && narrow.forall { case (qq, c) => qq == c },
+      "the assignment path and the probe path must agree on the own cell")
+  }
 }
