@@ -167,26 +167,44 @@ object Retrieval {
     * corpus from scratch, even after any number of appends (spec-proven;
     * q136's oracle is q99's SQL verbatim).
     */
-  case class PostingsIndex(postings: DataFrame, stats: DataFrame)
+  case class PostingsIndex(
+      postings: DataFrame, stats: DataFrame, norms: DataFrame)
+
+  /** Per-doc tf-only norms (`√Σtf²` — the lnc doc side): per-doc
+    * functions, so appends of disjoint doc sets are plain row appends.
+    * Stored log-free (the oracle-exact form); `logWeights` querying
+    * recomputes its own norms.
+    */
+  private def tfNorms(
+      post: DataFrame, logWeights: Boolean = false): DataFrame = {
+    val w =
+      if (logWeights) lit(1.0) + log(col("tf").cast("double"))
+      else col("tf").cast("double")
+    post.groupBy("doc_id")
+      .agg(sqrt(sum((w * w).cast("decimal(38,12)")).cast("double"))
+        .as("dnorm"))
+  }
 
   def writePostingsIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    postings(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/postings")
+    val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
+    post.write.mode("overwrite").parquet(s"$path/postings")
+    tfNorms(post).write.mode("overwrite").parquet(s"$path/norms")
     rawStats(docs, textCol)
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
-  /** Fold an ingest batch in: postings rows append (they are per-doc
-    * functions — disjoint doc sets produce disjoint rows), the stats row
-    * merges by exact addition and overwrites (localCheckpoint first: the
-    * merge plan reads the file being replaced).
+  /** Fold an ingest batch in: postings and norm rows append (they are
+    * per-doc functions — disjoint doc sets produce disjoint rows), the
+    * stats row merges by exact addition and overwrites (localCheckpoint
+    * first: the merge plan reads the file being replaced).
     */
   def appendPostingsIndex(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
-    postings(docs, idCol, textCol)
-      .write.mode("append").parquet(s"$path/postings")
+    val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
+    post.write.mode("append").parquet(s"$path/postings")
+    tfNorms(post).write.mode("append").parquet(s"$path/norms")
     spark.read.parquet(s"$path/stats")
       .unionByName(rawStats(docs, textCol))
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
@@ -199,7 +217,25 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String): PostingsIndex =
     PostingsIndex(
       spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/stats"))
+      spark.read.parquet(s"$path/stats"),
+      spark.read.parquet(s"$path/norms"))
+
+  /** Streaming accumulator for the index — the ingest side of a
+    * continuously-queryable corpus: each micro-batch's postings and
+    * norms append, its stats fold in exactly. After any number of
+    * micro-batches, indexed scores equal a batch build over everything
+    * seen bit-for-bit (spec-proven).
+    */
+  def postingsIndexStream(
+      stream: DataFrame, idCol: String, textCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (new java.io.File(s"$path/postings").exists())
+          appendPostingsIndex(batch, idCol, textCol, path)
+        else writePostingsIndex(batch, idCol, textCol, path)
+        CacheScope.releaseAll()
+    }.start()
 
   /** [[bm25TopK]] over a persisted [[PostingsIndex]]: identical scores
     * (the stats fold is exact-integer), zero tokenization — the
@@ -246,26 +282,52 @@ object Retrieval {
       docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       k: Int, maxDfFraction: Double = 0.5,
       logWeights: Boolean = false): DataFrame = {
-    def w(tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      if (logWeights) lit(1.0) + log(tf.cast("double")) else tf.cast("double")
     val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
     // doc norms: ONE map-side-combinable aggregation over the postings —
     // possible only because the lnc doc side carries no idf; persisted
     // as index state ON the postings rows so scoring needs no per-query
     // corpus join
-    val dnorm = post.groupBy("doc_id")
-      .agg(sqrt(sum((w(col("tf")) * w(col("tf"))).cast("decimal(38,12)"))
-        .cast("double")).as("dnorm"))
-    val indexed = CacheScope.persistTracked(post.join(dnorm, "doc_id"))
+    val indexed = CacheScope.persistTracked(
+      post.join(tfNorms(post, logWeights), "doc_id"))
     // N: one row off the pre-explode doc scan (every doc tokenizes to
     // ≥1 token, so this equals the postings' distinct doc count)
     val stats = docs
       .select(size(TextAnalysis.tokens(col(textCol))).as("dl"))
       .where(col("dl") > 0)
       .agg(count(lit(1L)).as("n_docs"))
+    tfidfCore(indexed, stats, queries, idCol, textCol, k,
+      maxDfFraction, logWeights)
+  }
+
+  /** [[tfidfTopK]] over a persisted [[PostingsIndex]]: the stored
+    * postings and tf-only norms serve the log-free (oracle-exact) form
+    * directly; `logWeights = true` recomputes its norms from the stored
+    * postings (still zero tokenization). Identical scores to the
+    * from-scratch path — the same index serves BOTH rankers, which is
+    * the point: one ingest-time tokenize, any number of BM25/TF-IDF
+    * query batches.
+    */
+  def tfidfTopKIndexed(
+      index: PostingsIndex, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDfFraction: Double = 0.5,
+      logWeights: Boolean = false): DataFrame = {
+    val indexed = CacheScope.persistTracked(
+      if (logWeights)
+        index.postings.join(tfNorms(index.postings, logWeights), "doc_id")
+      else index.postings.join(index.norms, "doc_id"))
+    tfidfCore(indexed, index.stats.select(col("n_docs")), queries, idCol,
+      textCol, k, maxDfFraction, logWeights)
+  }
+
+  private def tfidfCore(
+      indexed: DataFrame, stats: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int, maxDfFraction: Double,
+      logWeights: Boolean): DataFrame = {
+    def w(tf: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (logWeights) lit(1.0) + log(tf.cast("double")) else tf.cast("double")
     val qpost = postings(queries, idCol, textCol)
       .select(col("doc_id").as("query_id"), col("term"), col("tf").as("qtf"))
-    val qdf = post
+    val qdf = indexed
       .join(broadcast(qpost.select("term").distinct()), "term")
       .groupBy("term").agg(count(lit(1L)).as("df"))
     val kept = qdf.crossJoin(broadcast(stats))

@@ -271,6 +271,20 @@ class RetrievalSpec extends SparkSpec {
     graft.llm.CacheScope.releaseAll()
     assert(got == inline,
       "two-append indexed scores must equal the from-scratch path exactly")
+    // the SAME index serves the tfidf ranker: stored tf-only norms
+    val tfInline = Retrieval
+      .tfidfTopK(docs, queries, "doc_id", "text", 5, maxDfFraction = 1.0)
+      .select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    val tfIndexed = Retrieval.tfidfTopKIndexed(
+        Retrieval.readPostingsIndex(spark, dir), queries, "doc_id", "text",
+        5, maxDfFraction = 1.0)
+      .select("query_id", "doc_id", "score", "posicao")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    assert(tfIndexed == tfInline && tfIndexed.nonEmpty,
+      "indexed tfidf must equal the from-scratch path exactly")
   }
 
   test("tfidf lnc.ltc scores equal a hand computation; no-overlap docs " +

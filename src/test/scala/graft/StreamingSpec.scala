@@ -449,4 +449,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == whole,
       "streamed sketch must equal the whole-history batch build exactly")
   }
+
+  test("postingsIndexStream: indexed BM25 after two micro-batches equals " +
+      "a from-scratch build over everything seen, bit for bit") {
+    import spark.implicits._
+    import graft.llm.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-post-stream").toString + "/idx"
+    val b1 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+    val b2 = Seq((3L, "alpha delta delta"), (4L, "gamma gamma beta"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Retrieval.postingsIndexStream(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text", dir)
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val docs = (b1 ++ b2).toDF("doc_id", "text")
+    val queries = Seq((100L, "alpha gamma")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score", "posicao")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val streamed = rows(Retrieval.bm25TopKIndexed(
+      Retrieval.readPostingsIndex(spark, dir), queries, "doc_id", "text",
+      k = 3, maxDfFraction = 1.0))
+    graft.llm.CacheScope.releaseAll()
+    val scratch = rows(Retrieval.bm25TopK(
+      docs, queries, "doc_id", "text", k = 3, maxDfFraction = 1.0))
+    graft.llm.CacheScope.releaseAll()
+    assert(streamed == scratch && streamed.nonEmpty,
+      "stream-accumulated index must score bit-identically")
+  }
 }
