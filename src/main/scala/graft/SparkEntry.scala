@@ -2032,6 +2032,36 @@ object SparkEntry {
         "doc_id", "text", k = 5, maxDfFraction = 1.0))
     },
 
+    // Per-group trend fitting: OLS slope/intercept of order value over
+    // time per market segment — grouped regression as ONE combinable
+    // aggregation of exact-DECIMAL sufficient statistics (the only
+    // shape grouped model fitting can take at 100 TB; collect-and-solve
+    // caps at executor memory). The closed form runs per group ROW in
+    // IEEE doubles over the exact sums — DuckDB replays it bit-for-bit.
+    "q137_group_linear_fit" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1992-01-01"))).as("x"),
+          col("o_totalprice").as("y"))
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      ordered(operators.Stats.groupLinearFit(
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"), "x", "y"))
+    },
+
+    // Johnson-Lindenstrauss random projection (Achlioptas ±1 signs from
+    // portable md5 — no stored matrix, engine-identical, append-
+    // consistent): the cheap distance-preserving screen in front of
+    // exact cosine. DECIMAL-accumulated per (id, output dim) so the
+    // projected space is partition-independent; the oracle rebuilds
+    // every sign and sum exactly.
+    "q138_random_projection" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      ordered(llm.Similarity.randomProject(emb, "vec_id", "embedding",
+        outDims = 8))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4840,6 +4870,64 @@ object SparkEntry {
 
     // the persisted-index roundtrip is score-identical — q99's replay
     "q136_bm25_indexed" -> bm25Sql,
+
+    // OLS closed form over exact DECIMAL sufficient statistics; the
+    // doubles divide in the same order as the Spark expression
+    "q137_group_linear_fit" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS INT) AS x,
+        |    o_totalprice AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |agg AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS sxy,
+        |    CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx
+        |  FROM j GROUP BY c_mktsegment),
+        |d AS (
+        |  SELECT c_mktsegment, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+        |    CAST(sxx AS DOUBLE) AS sxxd
+        |  FROM agg)
+        |SELECT c_mktsegment, n,
+        |  CASE WHEN n >= 2 AND (nd * sxxd - sxd * sxd) <> 0.0
+        |       THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        |  END AS inclinacao,
+        |  CASE WHEN n >= 2 AND (nd * sxxd - sxd * sxd) <> 0.0
+        |       THEN (syd - ((nd * sxyd - sxd * syd) /
+        |                    (nd * sxxd - sxd * sxd)) * sxd) / nd
+        |  END AS intercepto
+        |FROM d
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // every ±1 sign from md5(i:j), element casts and the DECIMAL sum
+    // replayed exactly; parallel unnests zip (pos, value)
+    "q138_random_projection" ->
+      """WITH sub AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        |el AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS i,
+        |    unnest(embedding) AS x
+        |  FROM sub),
+        |c AS (
+        |  SELECT vec_id, CAST(jt.j AS INT) AS j,
+        |    CAST(CAST(x AS DOUBLE) *
+        |      (CASE WHEN CAST(('0x' || substring(
+        |           md5(CAST(i AS VARCHAR) || ':' || CAST(jt.j AS VARCHAR)),
+        |           1, 8)) AS BIGINT) % 2 = 0
+        |            THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,18)) AS c
+        |  FROM el CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jt)
+        |SELECT vec_id, j,
+        |  CAST(CAST(sum(c) AS DECIMAL(38,18)) AS DOUBLE) AS valor
+        |FROM c GROUP BY vec_id, j
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   // q99's BM25 replay, shared with q136 (the persisted postings

@@ -290,4 +290,37 @@ object Similarity {
       .select(col(idCol), col(groupCol), col("cos_centroide"),
         (col("cos_centroide") < minCos).as("atipico"))
   }
+
+  /** Johnson–Lindenstrauss random projection with Rademacher ±1 signs
+    * (Achlioptas 2001's database-friendly projections — ±1 entries
+    * satisfy the JL lemma) derived from portable md5 of (input dim,
+    * output dim): there is NO stored projection matrix, the map is
+    * identical on any engine and across any ingest batch. `outDims` =
+    * O(ln n / ε²) preserves pairwise distances within 1±ε — the cheap
+    * screen in front of exact cosine at 100 TB (rank candidates in k
+    * dims, re-rank survivors in full dimension).
+    *
+    * Shape: posexplode the vector, fan each element out over the tiny
+    * broadcast output-dim table, ONE map-side-combinable DECIMAL
+    * aggregation per (id, output dim) — order-independent under any
+    * partitioning (a double sum would make the projected space depend on
+    * the cluster layout), oracle-exact. Output: flat (id, j, valor).
+    */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+    require(outDims >= 1, s"need outDims >= 1, got $outDims")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = (0 until outDims).toDF("j")
+    val sign = when(
+      conv(substring(md5(concat(col("__i").cast("string"), lit(":"),
+        col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, 1.0).otherwise(-1.0)
+    Spread(df).select(col(idCol), posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      .crossJoin(broadcast(dims))
+      .select(col(idCol), col("j"),
+        (col("__x").cast("double") * sign).cast("decimal(38,18)").as("__c"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("__c")).cast("double").as("valor"))
+  }
 }

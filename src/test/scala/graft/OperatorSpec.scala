@@ -764,6 +764,23 @@ class OperatorSpec extends SparkSpec {
       "a" -> ((2L, 1L, 10L)), "b" -> ((1L, 0L, 20L)), "c" -> ((2L, 1L, 30L))))
   }
 
+  test("groupLinearFit: exact line recovered, degenerate groups yield " +
+      "null coefficients") {
+    val df = Seq(
+      ("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 5.0), // y = 1 + 2x exactly
+      ("b", 7, 9.0),                               // n < 2
+      ("c", 4, 1.0), ("c", 4, 9.0),                // zero x-variance
+    ).toDF("g", "x", "y")
+    val got = Stats.groupLinearFit(df, Seq("g"), "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a")._2 == 3L && got("a")._3.contains(2.0) &&
+      got("a")._4.contains(1.0), s"exact fit: ${got("a")}")
+    assert(got("b")._3.isEmpty && got("b")._4.isEmpty, "n<2 must be null")
+    assert(got("c")._3.isEmpty && got("c")._4.isEmpty,
+      "zero x-variance must be null")
+  }
+
   test("count-min sketch: est >= exact everywhere, split-and-merge equals " +
       "the whole build exactly, state bounded by depth*width") {
     val docs = graft.sources.Tables.documents(spark, sfDir)

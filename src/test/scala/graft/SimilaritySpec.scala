@@ -358,6 +358,34 @@ class SimilaritySpec extends SparkSpec {
       "full-width probes over the hierarchical index must rank self first")
   }
 
+  test("randomProject: values equal an independent JVM md5-sign replay; " +
+      "partition-independent") {
+    val df = Seq((1L, Array(1.0f, -2.0f, 3.5f)), (2L, Array(0.5f, 0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    def run(parts: Int) = Similarity
+      .randomProject(df.repartition(parts), "vec_id", "embedding", 4)
+      .as[(Long, Int, Double)].collect().toSet
+    val got = run(2)
+    assert(got == run(7), "projection must not depend on partitioning")
+    // independent replay: sign(i,j) from the first 8 md5 hex chars of
+    // "i:j" (mod 2), value = decimal-accumulated signed sum
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    val vecs = Map(1L -> Seq(1.0f, -2.0f, 3.5f), 2L -> Seq(0.5f, 0.0f, -1.0f))
+    got.foreach { case (id, j, valor) =>
+      val want = vecs(id).zipWithIndex.map { case (x, i) =>
+        java.math.BigDecimal.valueOf(x.toDouble * sign(i, j))
+          .setScale(18, java.math.RoundingMode.HALF_UP)
+      }.reduce(_ add _)
+      assert(math.abs(valor - want.doubleValue) < 1e-12,
+        s"($id,$j): got $valor want $want")
+    }
+  }
+
   test("hierarchical PROBING: full-width equals the flat probe exactly, " +
       "narrow coarse->fine probes still rank self first") {
     import graft.llm.Ivf
