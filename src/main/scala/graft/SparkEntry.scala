@@ -2062,6 +2062,20 @@ object SparkEntry {
         outDims = 8))
     },
 
+    // The two-stage ANN q138's projection exists for: screen all pairs
+    // in 8 projected dims (8× less pair work than full-dim), bounded-
+    // heap keep 50 candidates per query, exact-decimal cosine re-rank
+    // the survivors only. Deterministic end to end, so the oracle
+    // replays BOTH stages — projections, screen ranks, and the exact
+    // re-rank — bit-for-bit. Recall vs brute force is the JL trade
+    // (spec-measured); self matches always survive.
+    "q139_screened_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.orderBy("vec_id").limit(32)
+      ordered(llm.Similarity.screenedTopK(emb, q, "vec_id", "embedding",
+        k = 10, outDims = 8, screen = 50))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -4928,6 +4942,65 @@ object SparkEntry {
         |  CAST(CAST(sum(c) AS DECIMAL(38,18)) AS DOUBLE) AS valor
         |FROM c GROUP BY vec_id, j
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // both stages replayed: unit-normalize (guarded norm), project with
+    // md5 signs, screen rank at 50, exact decimal cosine re-rank at 10
+    "q139_screened_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id,
+        |    greatest(sqrt(CAST(list_aggregate(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE)), 1e-12) AS nrm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE) / nrm) AS u
+        |  FROM embeddings e JOIN n USING (vec_id)),
+        |qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 32),
+        |el AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(u))) AS i,
+        |    unnest(u) AS x
+        |  FROM u),
+        |proj AS (
+        |  SELECT vec_id, jt.j,
+        |    CAST(CAST(sum(CAST(x * (CASE WHEN CAST(('0x' || substring(
+        |        md5(CAST(i AS VARCHAR) || ':' || CAST(jt.j AS VARCHAR)), 1, 8))
+        |        AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS valor
+        |  FROM el CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jt
+        |  GROUP BY vec_id, jt.j),
+        |dots AS (
+        |  SELECT qp.vec_id AS query_id, cp.vec_id AS corpus_id,
+        |    CAST(CAST(sum(CAST(qp.valor * cp.valor AS DECIMAL(38,18)))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS screen
+        |  FROM proj qp JOIN proj cp USING (j)
+        |  WHERE qp.vec_id IN (SELECT vec_id FROM qids)
+        |  GROUP BY query_id, corpus_id),
+        |cand AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY screen DESC, corpus_id ASC) AS r
+        |    FROM dots) WHERE r <= 50),
+        |p AS (
+        |  SELECT c.query_id, c.corpus_id,
+        |    CAST(list_aggregate(list_transform(list_zip(qe.embedding, ce.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE) AS dot
+        |  FROM cand c
+        |  JOIN embeddings qe ON c.query_id = qe.vec_id
+        |  JOIN embeddings ce ON c.corpus_id = ce.vec_id),
+        |s AS (
+        |  SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine
+        |  FROM p JOIN n nq ON p.query_id = nq.vec_id
+        |         JOIN n nc ON p.corpus_id = nc.vec_id)
+        |SELECT * FROM (
+        |  SELECT query_id, corpus_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
+        |  FROM s)
+        |WHERE rank <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   // q99's BM25 replay, shared with q136 (the persisted postings

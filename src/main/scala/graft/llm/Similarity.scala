@@ -306,6 +306,64 @@ object Similarity {
     * partitioning (a double sum would make the projected space depend on
     * the cluster layout), oracle-exact. Output: flat (id, j, valor).
     */
+  /** JL-screened exact-cosine top-k — the production two-stage ANN
+    * shape: SCREEN every (query, corpus) pair in the `outDims`-dim
+    * projected space (vectors are unit-normalized first, so the
+    * projected inner product tracks cosine within the JL 1±ε), keep
+    * `screen` candidates per query through the bounded-heap top-k, then
+    * exact-cosine re-rank ONLY the survivors in full dimension. Pair
+    * scoring cost drops dim/outDims× and the exact decimal path touches
+    * screen·|queries| vectors instead of |corpus|·|queries|. Both stages
+    * are deterministic (DECIMAL-accumulated projections and dots, id
+    * tie-breaks), so the ENTIRE two-stage path is oracle-replayable
+    * (q139). Recall < 1 is the JL trade — the spec measures it against
+    * [[bruteForceTopK]]; self-matches always survive (a unit vector's
+    * projected self-dot is its projected squared norm, the maximum the
+    * screen can see for that query's direction).
+    */
+  def screenedTopK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, outDims: Int = 8, screen: Int = 50): DataFrame = {
+    // unit-normalize with a PERSISTED norm branch point (the q54 trap:
+    // referenced inside the transform lambda, CollapseProject would
+    // inline the decimal dot once per ELEMENT — O(dim²) per row)
+    def unit(df: DataFrame) = CacheScope.persistTracked(
+      df.select(col(idCol), col(vecCol))
+        .withColumn("__nrm", greatest(l2Norm(col(vecCol)), lit(1e-12))))
+      .withColumn("__u",
+        transform(col(vecCol), _.cast("double") / col("__nrm")))
+    val cu = unit(corpus)
+    val qu = unit(queries)
+    val cp = randomProject(cu, idCol, "__u", outDims)
+    val qp = randomProject(qu, idCol, "__u", outDims)
+    val dots = cp.join(
+        broadcast(qp.select(col(idCol).as("query_id"), col("j"),
+          col("valor").as("__qj"))), Seq("j"))
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        (col("__qj") * col("valor")).cast("decimal(38,18)").as("__c"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(col("__c")).cast("double").as("__screen"))
+    val cands = graft.operators.TopK.groupTopKRows(
+        dots, Seq("query_id"),
+        Seq(("__screen", false), ("corpus_id", true)), screen)
+      .select("query_id", "corpus_id")
+    // exact re-rank: candidates broadcast INTO the corpus scan (the
+    // corpus never shuffles), full-dim decimal cosine, per-query window
+    val scored = Spread(cu)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"),
+        col("__nrm").as("__cn"))
+      .join(broadcast(cands), Seq("corpus_id"))
+      .join(broadcast(qu.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), col("__nrm").as("__qn"))), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (dotDecimal(col("__qv"), col("__cv")).cast("double") /
+          (col("__qn") * col("__cn"))).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def randomProject(
       df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
     require(outDims >= 1, s"need outDims >= 1, got $outDims")

@@ -358,6 +358,33 @@ class SimilaritySpec extends SparkSpec {
       "full-width probes over the hierarchical index must rank self first")
   }
 
+  test("screenedTopK: self always survives the screen, recall against " +
+      "brute force is substantial, widening the screen converges to exact") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.orderBy("vec_id").limit(32)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    graft.llm.CacheScope.releaseAll()
+    val screened = Similarity.screenedTopK(
+      emb, q, "vec_id", "embedding", k = 10, outDims = 8, screen = 50)
+    val got = pairs(screened)
+    graft.llm.CacheScope.releaseAll()
+    val self = screened.filter(col("rank") === 1)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall { case (a, b) => a == b },
+      "the screen must never lose the self match")
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"JL screen recall@10 (outDims=8, screen=50): $recall%.3f")
+    assert(recall >= 0.2, f"recall collapsed: $recall%.3f")
+    // widening the screen to the corpus degenerates to exact brute force
+    val n = emb.count().toInt
+    val wide = pairs(Similarity.screenedTopK(
+      emb, q, "vec_id", "embedding", k = 10, outDims = 8, screen = n))
+    graft.llm.CacheScope.releaseAll()
+    assert(wide == exact, "screen >= |corpus| must equal brute force")
+  }
+
   test("randomProject: values equal an independent JVM md5-sign replay; " +
       "partition-independent") {
     val df = Seq((1L, Array(1.0f, -2.0f, 3.5f)), (2L, Array(0.5f, 0.0f, -1.0f)))
