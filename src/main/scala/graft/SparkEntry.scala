@@ -2076,6 +2076,25 @@ object SparkEntry {
         k = 10, outDims = 8, screen = 50))
     },
 
+    // PageRank over the supplier->part->customer supply graph (3 fixed
+    // power iterations, damping 0.85, dangling mass redistributed) —
+    // the graph-centrality signal web curation weights crawl priors by
+    // (Common Crawl's per-host centrality). Per iteration: one edge join
+    // + one combinable DECIMAL mass sum; state = one row per node. The
+    // oracle unrolls the iterations as CTEs and replays every rank
+    // bit-for-bit (the q123 discipline for iterative fitting).
+    "q140_pagerank" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val e1 = li.select((-col("l_suppkey")).as("src"),
+        col("l_partkey").as("dst"))
+      val e2 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("src"),
+          (col("o_custkey") + 1000000000L).as("dst"))
+      ordered(llm.Components.pageRank(
+        e1.unionByName(e2), "src", "dst", iters = 3))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5001,7 +5020,54 @@ object SparkEntry {
         |      ORDER BY cosine DESC, corpus_id ASC) AS BIGINT) AS rank
         |  FROM s)
         |WHERE rank <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q140_pagerank" -> pageRankOracle(iters = 3),
   ) ++ oracleSqlRest
+
+  /** PageRank unrolled: iteration k = a dangling scalar, a per-dest
+    * DECIMAL contribution sum, the damped update — same IEEE op order as
+    * the engine expression.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val base = """WITH e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT -l_suppkey AS src, l_partkey AS dst FROM lineitem
+      |    UNION ALL
+      |    SELECT l_partkey, 1000000000 + o_custkey
+      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+      |v AS (SELECT DISTINCT n FROM
+      |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+      |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS outd
+      |        FROM e GROUP BY src),
+      |base AS (
+      |  SELECT v.n, coalesce(deg.outd, 0) AS outd
+      |  FROM v LEFT JOIN deg USING (n)),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM base),
+      |r0 AS (SELECT n, outd, 1.0 / n_nodes AS r FROM base, nn)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""",
+         |d$k AS (
+         |  SELECT coalesce(CAST(sum(CAST(r AS DECIMAL(38,18)))
+         |    AS DECIMAL(38,18)), CAST(0 AS DECIMAL(38,18))) AS dang
+         |  FROM r${k - 1} WHERE outd = 0),
+         |c$k AS (
+         |  SELECT e.dst AS n,
+         |    CAST(sum(CAST(p.r / CAST(p.outd AS DOUBLE) AS DECIMAL(38,18)))
+         |      AS DECIMAL(38,18)) AS cin
+         |  FROM r${k - 1} p JOIN e ON p.n = e.src
+         |  WHERE p.outd > 0 GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT base.n, base.outd,
+         |    ((1.0 - 0.85) / n_nodes) + 0.85 *
+         |      (CAST(coalesce(cin, CAST(0 AS DECIMAL(38,18))) AS DOUBLE) +
+         |       CAST(dang AS DOUBLE) / n_nodes) AS r
+         |  FROM base LEFT JOIN c$k USING (n), d$k, nn)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT n AS vertice, r AS rank FROM r$iters
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
 
   // q99's BM25 replay, shared with q136 (the persisted postings
   // index scores bit-identically to tokenizing from scratch)

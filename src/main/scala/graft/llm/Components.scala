@@ -137,4 +137,61 @@ object Components {
         col(s"__w.$scoreCol").as(scoreCol),
         col("membros"))
   }
+
+  /** PageRank (damping `d`, a FIXED number of power iterations) over a
+    * directed edge list — the graph-centrality signal web-scale curation
+    * actually uses (Common Crawl publishes per-host harmonic/PageRank
+    * centrality; crawl frequency and quality priors weight by it).
+    *
+    * Per iteration: every node sends `rank/outdeg` along its out-edges
+    * (ONE join of the rank table with the edge list + one combinable sum
+    * per destination — shuffle linear in |E|, state linear in |V|);
+    * DANGLING mass (nodes without out-edges) redistributes uniformly via
+    * one scalar aggregate cross-joined back — the classical correction,
+    * so total mass is conserved every round. Rank-mass sums accumulate
+    * in DECIMAL(38,18): order-independent, so ranks are identical under
+    * any partitioning AND SQL-replayable — the oracle unrolls the
+    * iterations as CTEs (the q123 perceptron discipline for iterative
+    * fitting). `localCheckpoint` per round cuts the iterative lineage
+    * exactly as [[connectedComponents]] does.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1,
+      s"need iters >= 1 and 0 < damping < 1; got $iters/$damping")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct()
+      .transform(CacheScope.persistTracked)
+    val nodes = e.select(col("__s").as("__n"))
+      .unionByName(e.select(col("__d").as("__n"))).distinct()
+    val outdeg = e.groupBy(col("__s").as("__n")).agg(count(lit(1L)).as("__out"))
+    val base = nodes.join(outdeg, Seq("__n"), "left")
+      .select(col("__n"), coalesce(col("__out"), lit(0L)).as("__out"))
+      .transform(CacheScope.persistTracked)
+    val nCount = base.count()
+    val zeroDec = lit(0).cast("decimal(38,18)")
+    var ranks = base.select(col("__n"), col("__out"),
+      (lit(1.0) / nCount).as("__r"))
+    for (_ <- 0 until iters) {
+      val dangling = ranks.filter(col("__out") === 0L)
+        .agg(coalesce(sum(col("__r").cast("decimal(38,18)")), zeroDec)
+          .as("__dang"))
+      val contrib = ranks.filter(col("__out") > 0L)
+        .join(e, col("__n") === col("__s"))
+        .select(col("__d").as("__n"),
+          (col("__r") / col("__out").cast("double"))
+            .cast("decimal(38,18)").as("__c"))
+        .groupBy("__n").agg(sum(col("__c")).cast("decimal(38,18)").as("__in"))
+      ranks = base
+        .join(contrib, Seq("__n"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("__n"), col("__out"),
+          (lit((1.0 - damping) / nCount) + lit(damping) *
+            (coalesce(col("__in"), zeroDec).cast("double") +
+              col("__dang").cast("double") / nCount)).as("__r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("__n").as("vertice"), col("__r").as("rank"))
+  }
 }

@@ -92,4 +92,33 @@ class ComponentsSpec extends SparkSpec {
     assert(out.count() == 30L)
     assert(out.select("doc_id").distinct().count() == 30L)
   }
+
+  test("pageRank: symmetric cycle stays uniform, hubs outrank leaves, " +
+      "mass conserved, partition-independent") {
+    import spark.implicits._
+    // 3-cycle: perfectly symmetric, every iteration keeps rank = 1/3
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cr = Components.pageRank(cycle, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    graft.llm.CacheScope.releaseAll()
+    assert(cr.size == 3 && cr.values.forall(r => math.abs(r - 1.0 / 3) < 1e-15),
+      s"symmetry must keep the cycle uniform: $cr")
+
+    // star: every leaf points at the hub; hub must outrank all leaves,
+    // and total mass stays 1 (dangling hub redistributes)
+    val star = (2L to 9L).map(l => (l, 1L)).toDF("src", "dst")
+    val sr = Components.pageRank(star, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    graft.llm.CacheScope.releaseAll()
+    assert(sr(1L) > sr(2L), s"hub must outrank leaves: $sr")
+    assert((2L to 9L).map(sr).toSet.size == 1, "leaves are symmetric")
+    assert(math.abs(sr.values.sum - 1.0) < 1e-9,
+      s"mass must be conserved, got ${sr.values.sum}")
+
+    // bit-determinism under partitioning
+    val a = Components.pageRank(star.repartition(7), "src", "dst", 3)
+      .as[(Long, Double)].collect().toSet
+    graft.llm.CacheScope.releaseAll()
+    assert(a == sr.toSet, "ranks must not depend on partition layout")
+  }
 }
