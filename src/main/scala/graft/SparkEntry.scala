@@ -2095,6 +2095,24 @@ object SparkEntry {
         e1.unionByName(e2), "src", "dst", iters = 3))
     },
 
+    // Retrieval evaluation in-engine: q99's BM25 ranking scored against
+    // an exact-duplicate relevance set (every doc sharing the query's
+    // text is relevant — including the query itself, which a sane
+    // lexical ranker must retrieve). Per query: relevant count, hits,
+    // recall@5 and reciprocal rank — the offline gate a retriever
+    // change passes before production. Oracle nests q99's replay as a
+    // CTE and replays the eval arithmetic exactly.
+    "q141_retrieval_eval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      val ranking = llm.Retrieval.bm25TopK(docs, queries, "doc_id", "text",
+        k = 5, maxDfFraction = 1.0)
+      val rel = queries.select(col("doc_id").as("query_id"), col("text"))
+        .join(docs, "text")
+        .select("query_id", "doc_id")
+      ordered(llm.Retrieval.evalRanking(ranking, rel, k = 5))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5022,6 +5040,37 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q140_pagerank" -> pageRankOracle(iters = 3),
+
+    // q99's replay nested as a CTE (ORDER BY stripped), exact-duplicate
+    // relevance, integer-ratio eval arithmetic
+    "q141_retrieval_eval" ->
+      s"""WITH ranked AS (
+${bm25Sql.replace("ORDER BY ALL NULLS FIRST", "")}),
+rel AS (
+  SELECT q.doc_id AS query_id, d.doc_id
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8) q
+  JOIN documents d ON d.text = q.text),
+relcount AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevantes
+  FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.doc_id, r.posicao,
+    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h
+  FROM ranked r LEFT JOIN rel
+    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  WHERE r.posicao <= 5),
+per AS (
+  SELECT query_id,
+    CAST(sum(h) AS BIGINT) AS n_acertos,
+    min(CASE WHEN h = 1 THEN posicao END) AS first_rel
+  FROM hits GROUP BY query_id)
+SELECT rc.query_id, rc.n_relevantes,
+  CAST(coalesce(p.n_acertos, 0) AS BIGINT) AS n_acertos,
+  CAST(CAST(coalesce(p.n_acertos, 0) AS BIGINT) AS DOUBLE) /
+    CAST(rc.n_relevantes AS DOUBLE) AS recall,
+  coalesce(1.0 / CAST(p.first_rel AS DOUBLE), 0.0) AS rr
+FROM relcount rc LEFT JOIN per p USING (query_id)
+ORDER BY ALL NULLS FIRST""",
   ) ++ oracleSqlRest
 
   /** PageRank unrolled: iteration k = a dangling scalar, a per-dest

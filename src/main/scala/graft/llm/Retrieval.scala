@@ -355,6 +355,39 @@ object Retrieval {
       scored, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
   }
 
+  /** In-engine retrieval evaluation: given a RANKING (query_id, doc_id,
+    * posicao — the output shape of [[bm25TopK]]/[[tfidfTopK]]/[[rrfFuse]]
+    * and the ANN top-k family) and a RELEVANCE table (query_id, doc_id),
+    * the per-query eval row behind offline retrieval gates: relevant
+    * count, hits in the top `k`, recall@k and the reciprocal rank of the
+    * first relevant hit (0.0 when none — MRR@k is the mean of this
+    * column). Every value is an exact integer or one IEEE division —
+    * SQL-replayable bit-for-bit (NDCG's log discount is the one metric
+    * deliberately left to the non-oracle path).
+    *
+    * Shape: rankings are k-bounded per query (tiny versus any corpus),
+    * so the whole evaluation is two broadcastable joins and two
+    * combinable aggregations — an eval sweep over thousands of query
+    * sets costs nothing at any corpus scale.
+    */
+  def evalRanking(
+      ranking: DataFrame, relevance: DataFrame, k: Int,
+      posCol: String = "posicao"): DataFrame = {
+    val hits = ranking.filter(col(posCol) <= k)
+      .join(relevance.select(col("query_id"), col("doc_id"), lit(1).as("__h")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id").agg(
+        sum(coalesce(col("__h"), lit(0))).cast("long").as("n_acertos"),
+        min(when(col("__h") === 1, col(posCol))).as("__first"))
+    relevance.groupBy("query_id").agg(count(lit(1L)).as("n_relevantes"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevantes"),
+        coalesce(col("n_acertos"), lit(0L)).as("n_acertos"),
+        (coalesce(col("n_acertos"), lit(0L)).cast("double") /
+          col("n_relevantes").cast("double")).as("recall"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("rr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
     * the standard hybrid-retrieval combiner: each input ranking
     * contributes `1 / (k0 + rank)` for every (query, doc) it returned,

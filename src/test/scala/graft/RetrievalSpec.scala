@@ -287,6 +287,23 @@ class RetrievalSpec extends SparkSpec {
       "indexed tfidf must equal the from-scratch path exactly")
   }
 
+  test("evalRanking: exact recall and reciprocal rank per query, " +
+      "unranked queries score zero") {
+    val ranking = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2),
+    ).toDF("query_id", "doc_id", "posicao")
+    val rel = Seq(
+      (1L, 11L), (1L, 99L), (2L, 20L), (2L, 21L), (3L, 5L),
+    ).toDF("query_id", "doc_id")
+    val got = graft.llm.Retrieval.evalRanking(ranking, rel, k = 5)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5, 0.5)), s"q1: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 2L, 1.0, 1.0)), s"q2: ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 0L, 0.0, 0.0)), s"q3: ${got(3L)}")
+  }
+
   test("tfidf lnc.ltc scores equal a hand computation; no-overlap docs " +
       "never surface") {
     // d1="a b a", d2="b c", d3="c c c"; query="a b":
