@@ -2113,6 +2113,28 @@ object SparkEntry {
       ordered(llm.Retrieval.evalRanking(ranking, rel, k = 5))
     },
 
+    // Blocked fuzzy record linkage: planted one-char-deletion typo
+    // variants of customer names matched back by exact Levenshtein ≤ 1.
+    // Id-like names make every key except the numeric SUFFIX degenerate
+    // (all 150k share "customer#000…" — a prefix or middle key is one
+    // hot block, corpus² in disguise), so the query blocks on the
+    // suffix-4 alone: selective at every scale, and the planted
+    // deletion (before the last 5 chars) always preserves it. Edits
+    // INSIDE the suffix escape — the documented blocking-coverage
+    // trade; the spec demonstrates the multi-pass prefix+suffix form on
+    // human-like names. Oracle replays normalization, the pass and the
+    // exact edit distance.
+    "q142_fuzzy_linkage" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+      val variants = c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 12),
+            substring(col("c_name"), 14, 100000)).as("c_name"))
+      ordered(operators.Linkage.fuzzyPairs(
+        c.unionByName(variants), "c_custkey", "c_name", maxDist = 1,
+        blockKeys = Seq(nm => substring(nm, -4, 4))))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5071,6 +5093,29 @@ SELECT rc.query_id, rc.n_relevantes,
   coalesce(1.0 / CAST(p.first_rel AS DOUBLE), 0.0) AS rr
 FROM relcount rc LEFT JOIN per p USING (query_id)
 ORDER BY ALL NULLS FIRST""",
+
+    // normalization, the two blocking passes and the exact edit
+    // distance replayed; Spark's substring(-n) = DuckDB len(nm)-n+1
+    "q142_fuzzy_linkage" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id, lower(trim(c_name)) AS nm FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |    lower(trim(substring(c_name, 1, 12) || substring(c_name, 14)))
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |keys AS (
+        |  SELECT id, nm, 0 AS pass, substring(nm, len(nm) - 3, 4) AS key
+        |  FROM base),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    a.nm AS nm_a, b.nm AS nm_b
+        |  FROM keys a JOIN keys b
+        |    ON a.pass = b.pass AND a.key = b.key AND a.id < b.id
+        |  WHERE a.key IS NOT NULL AND a.key <> '')
+        |SELECT id_a, id_b, CAST(levenshtein(nm_a, nm_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(nm_a, nm_b) <= 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   /** PageRank unrolled: iteration k = a dangling scalar, a per-dest

@@ -764,6 +764,29 @@ class OperatorSpec extends SparkSpec {
       "a" -> ((2L, 1L, 10L)), "b" -> ((1L, 0L, 20L)), "c" -> ((2L, 1L, 30L))))
   }
 
+  test("fuzzyPairs: multi-pass prefix+suffix blocking catches edits " +
+      "either key alone would lose; distance bound is exact") {
+    val people = Seq(
+      (1L, "Maria Silva"),
+      (2L, "Maria Silvq"),   // substitution at the END: escapes suffix-4
+      (3L, "Mqria Silva"),   // substitution at the FRONT: escapes prefix-4
+      (4L, "Maria  Silva"),  // inserted space mid-name: both keys intact
+      (5L, "Joana Prado"),   // unrelated: shares no block
+    ).toDF("id", "nome")
+    val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(nm => substring(nm, 1, 4), nm => substring(nm, -4, 4))
+    val got = Linkage.fuzzyPairs(people, "id", "nome", maxDist = 1, keys)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)),
+      s"got $got") // (3,4) is distance 2 (sub + insert) — correctly excluded
+    // single-pass SUFFIX blocking loses the end-substitution pair —
+    // exactly the coverage gap the multi-pass union exists to close
+    val suffixOnly = Linkage.fuzzyPairs(people, "id", "nome", 1,
+        Seq(nm => substring(nm, -4, 4)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!suffixOnly.contains((1L, 2L, 1L)) && suffixOnly.contains((1L, 3L, 1L)))
+  }
+
   test("groupLinearFit: exact line recovered, degenerate groups yield " +
       "null coefficients") {
     val df = Seq(
