@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.TopK
@@ -386,6 +387,39 @@ object Retrieval {
         (coalesce(col("n_acertos"), lit(0L)).cast("double") /
           col("n_relevantes").cast("double")).as("recall"),
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("rr"))
+  }
+
+  /** NDCG@k with GRADED relevance (query_id, doc_id, ganho) — the
+    * ranking-quality twin of [[evalRanking]]: DCG = Σ gain/log2(1+rank)
+    * over the top k, normalized by the ideal ordering's DCG (gains
+    * sorted descending). The log2 discount is why this is the one
+    * metric kept OFF the oracle path (`ln`'s last ulp varies across
+    * libm implementations — the q99 idf lesson); the spec pins hand
+    * values instead. Same two-broadcast-join shape as [[evalRanking]].
+    */
+  def evalNdcg(
+      ranking: DataFrame, relevance: DataFrame, k: Int,
+      posCol: String = "posicao"): DataFrame = {
+    val dcg = ranking.filter(col(posCol) <= k)
+      .join(relevance.select(col("query_id"), col("doc_id"), col("ganho")),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("ganho"), lit(0.0)) /
+        log2(col(posCol).cast("double") + lit(1.0))).as("dcg"))
+    // ideal ordering: gains descending, same discount
+    val iw = Window.partitionBy("query_id")
+      .orderBy(col("ganho").desc, col("doc_id").asc)
+    val idcg = relevance
+      .withColumn("__r", row_number().over(iw))
+      .filter(col("__r") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("ganho") / log2(col("__r").cast("double") + lit(1.0)))
+        .as("idcg"))
+    idcg.join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        when(col("idcg") > 0.0, coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(0.0).as("ndcg"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) —
