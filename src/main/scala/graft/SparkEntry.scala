@@ -2135,6 +2135,23 @@ object SparkEntry {
         blockKeys = Seq(nm => substring(nm, -4, 4))))
     },
 
+    // MMR diversified re-rank (Carbonell-Goldstein): brute-force cosine
+    // top-20 candidates per query, then 5 greedy rounds of
+    // λ·rel − (1−λ)·max-sim-to-selected — the de-redundancy step
+    // between retrieval and a RAG context window. k is constant, so the
+    // loop is k engine rounds (broadcast join + bounded-heap argmax),
+    // all queries advancing in parallel; the oracle unrolls the rounds
+    // as CTEs and replays every selection exactly.
+    "q143_mmr_diversify" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.orderBy("vec_id").limit(8)
+      val cand = llm.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("corpus_id"), col("cosine").as("rel"))
+      ordered(llm.Similarity.mmrSelect(
+        cand, emb, "vec_id", "embedding", k = 5, lambda = 0.7))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5116,7 +5133,75 @@ ORDER BY ALL NULLS FIRST""",
         |FROM cand
         |WHERE levenshtein(nm_a, nm_b) <= 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q143_mmr_diversify" -> mmrOracle(k = 5),
   ) ++ oracleSqlRest
+
+  /** MMR unrolled: q29's brute-force CTEs produce the candidate pool,
+    * then one (max-sim, argmax) CTE pair per greedy round — same IEEE op
+    * order as the engine (0.7·rel − (1.0 − 0.7)·ms).
+    */
+  private def mmrOracle(k: Int): String = {
+    val pairCos =
+      """CAST(list_aggregate(list_transform(list_zip(ec.embedding, es.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+        |      'sum') AS DOUBLE) / (nc.nrm * ns.nrm)""".stripMargin
+    val base = """WITH n AS (
+      |  SELECT vec_id,
+      |    sqrt(CAST(list_aggregate(list_transform(embedding,
+      |      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,18))),
+      |      'sum') AS DOUBLE)) AS nrm
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    CAST(list_aggregate(list_transform(list_zip(q.embedding, c.embedding),
+      |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE) AS DECIMAL(38,18))),
+      |      'sum') AS DOUBLE) AS dot
+      |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8) q
+      |  CROSS JOIN embeddings c),
+      |cand AS (
+      |  SELECT query_id, corpus_id, cosine AS rel FROM (
+      |    SELECT query_id, corpus_id, p.dot / (nq.nrm * nc.nrm) AS cosine,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY p.dot / (nq.nrm * nc.nrm) DESC, corpus_id ASC) AS r
+      |    FROM p JOIN n nq ON p.query_id = nq.vec_id
+      |           JOIN n nc ON p.corpus_id = nc.vec_id)
+      |  WHERE r <= 20),
+      |su1 AS (
+      |  SELECT query_id, corpus_id, 1 AS ordem FROM (
+      |    SELECT query_id, corpus_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rel DESC, corpus_id ASC) AS r
+      |    FROM cand) WHERE r = 1)""".stripMargin
+    val rounds = (2 to k).map { t =>
+      s""",
+         |ms$t AS (
+         |  SELECT c.query_id, c.corpus_id, c.rel,
+         |    max($pairCos) AS ms
+         |  FROM cand c
+         |  JOIN su${t - 1} s ON c.query_id = s.query_id
+         |  JOIN embeddings ec ON c.corpus_id = ec.vec_id
+         |  JOIN embeddings es ON s.corpus_id = es.vec_id
+         |  JOIN n nc ON c.corpus_id = nc.vec_id
+         |  JOIN n ns ON s.corpus_id = ns.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM su${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.corpus_id = c.corpus_id)
+         |  GROUP BY c.query_id, c.corpus_id, c.rel),
+         |su$t AS (
+         |  SELECT * FROM su${t - 1}
+         |  UNION ALL
+         |  SELECT query_id, corpus_id, $t FROM (
+         |    SELECT query_id, corpus_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY (0.7 * rel - (1.0 - 0.7) * ms) DESC,
+         |                 corpus_id ASC) AS r
+         |    FROM ms$t) WHERE r = 1)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"""
+         |SELECT query_id, corpus_id, CAST(ordem AS INT) AS ordem
+         |FROM su$k ORDER BY ALL NULLS FIRST""".stripMargin
+  }
 
   /** PageRank unrolled: iteration k = a dangling scalar, a per-dest
     * DECIMAL contribution sum, the damped update — same IEEE op order as

@@ -306,6 +306,71 @@ object Similarity {
     * partitioning (a double sum would make the projected space depend on
     * the cluster layout), oracle-exact. Output: flat (id, j, valor).
     */
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    * diversified re-rank: greedily select `k` results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` — the standard
+    * de-redundancy step between retrieval and a RAG context window
+    * (plain top-k returns near-duplicate passages together and wastes
+    * the window; MMR penalizes each candidate by its similarity to what
+    * is ALREADY selected).
+    *
+    * The greedy loop is inherently sequential in k — but k is a
+    * CONSTANT (a context window holds a handful of passages), so the
+    * engine runs k fixed rounds, each one broadcast join (candidates ×
+    * the ≤(t−1)-row selected set per query) plus one bounded-heap
+    * argmax per query; every query advances in parallel inside each
+    * round and the round count never depends on data size. Cosines run
+    * through the exact DECIMAL dot; ties break on ids — deterministic
+    * and SQL-replayable (q143's oracle unrolls the rounds as CTEs, the
+    * q123/q140 discipline for fixed iteration counts).
+    *
+    * `candidates` = (query_id, corpus_id, rel) — the output of any
+    * retriever ([[bruteForceTopK]] cosine, BM25 scores, fused RRF);
+    * `vectors` supplies the candidate embeddings. Output:
+    * (query_id, corpus_id, ordem) with ordem = selection order 1..k.
+    */
+  def mmrSelect(
+      candidates: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda >= 0.0 && lambda <= 1.0,
+      s"need k >= 1 and lambda in [0,1]; got $k/$lambda")
+    val cand = CacheScope.persistTracked(
+      candidates.join(vectors.select(col(idCol).as("corpus_id"),
+          col(vecCol).as("__v")), Seq("corpus_id"))
+        .withColumn("__n", greatest(l2Norm(col("__v")), lit(1e-12))))
+    var selected = graft.operators.TopK.groupTopKRows(
+        cand.select(col("query_id"), col("corpus_id"), col("rel")),
+        Seq("query_id"), Seq(("rel", false), ("corpus_id", true)), 1)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("ordem"))
+      .transform(CacheScope.persistTracked)
+    for (t <- 2 to k) {
+      val selVec = selected.join(
+        cand.select(col("query_id"), col("corpus_id"),
+          col("__v").as("__sv"), col("__n").as("__sn")),
+        Seq("query_id", "corpus_id"))
+      val remaining = cand.join(selected.select("query_id", "corpus_id"),
+        Seq("query_id", "corpus_id"), "left_anti")
+      val scored = remaining.join(
+          broadcast(selVec.select(col("query_id"), col("__sv"), col("__sn"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"), col("rel"),
+          (dotDecimal(col("__v"), col("__sv")).cast("double") /
+            (col("__n") * col("__sn"))).as("__cos"))
+        .groupBy("query_id", "corpus_id", "rel")
+        .agg(max(col("__cos")).as("__ms"))
+        .select(col("query_id"), col("corpus_id"),
+          (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__ms"))
+            .as("__score"))
+      val picked = graft.operators.TopK.groupTopKRows(
+          scored, Seq("query_id"),
+          Seq(("__score", false), ("corpus_id", true)), 1)
+        .select(col("query_id"), col("corpus_id"), lit(t).as("ordem"))
+      selected = selected.unionByName(picked)
+        .transform(CacheScope.persistTracked)
+    }
+    selected
+  }
+
   /** JL-screened exact-cosine top-k — the production two-stage ANN
     * shape: SCREEN every (query, corpus) pair in the `outDims`-dim
     * projected space (vectors are unit-normalized first, so the

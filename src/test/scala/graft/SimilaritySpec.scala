@@ -385,6 +385,30 @@ class SimilaritySpec extends SparkSpec {
     assert(wide == exact, "screen >= |corpus| must equal brute force")
   }
 
+  test("mmrSelect: a redundant high-rel candidate is deferred below an " +
+      "orthogonal lower-rel one; lambda = 1 degenerates to plain top-k") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.99f, 0.141f)), // near-duplicate of 10
+      (12L, Array(0.0f, 1.0f)),    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val cand = Seq(
+      (1L, 10L, 0.90), (1L, 11L, 0.89), (1L, 12L, 0.50),
+    ).toDF("query_id", "corpus_id", "rel")
+    val mmr = graft.llm.Similarity
+      .mmrSelect(cand, vecs, "vec_id", "embedding", k = 3, lambda = 0.7)
+      .as[(Long, Long, Int)].collect().sortBy(_._3).map(_._2).toSeq
+    graft.llm.CacheScope.releaseAll()
+    assert(mmr == Seq(10L, 12L, 11L),
+      s"diversification must promote the orthogonal doc, got $mmr")
+    val plain = graft.llm.Similarity
+      .mmrSelect(cand, vecs, "vec_id", "embedding", k = 3, lambda = 1.0)
+      .as[(Long, Long, Int)].collect().sortBy(_._3).map(_._2).toSeq
+    graft.llm.CacheScope.releaseAll()
+    assert(plain == Seq(10L, 11L, 12L),
+      s"lambda = 1 must reduce to relevance order, got $plain")
+  }
+
   test("randomProject: values equal an independent JVM md5-sign replay; " +
       "partition-independent") {
     val df = Seq((1L, Array(1.0f, -2.0f, 3.5f)), (2L, Array(0.5f, 0.0f, -1.0f)))
