@@ -143,6 +143,38 @@ object Ivf {
     HierIvfIndex(assigned, coarse, fine, kFine)
   }
 
+  /** Persist the FACTORED form: cells partitioned by flat id (the same
+    * probe-time pruning layout as [[writeIndex]]), the fine table, the
+    * coarse matrix and kFine as tiny side relations — so a loaded index
+    * serves [[ivfTopKHierarchical]]'s cheap coarse→fine routing, not
+    * just the flattened probe path.
+    */
+  def writeIndexFactored(idx: HierIvfIndex, path: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    idx.assigned.write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/cells")
+    idx.fine.write.mode("overwrite").parquet(s"$path/fine")
+    idx.coarse.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("__coarse", "__cc")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    Seq(idx.kFine).toDF("kFine").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readIndexFactored(
+      spark: org.apache.spark.sql.SparkSession, path: String): HierIvfIndex = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .orderBy("__coarse").collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val kFine = spark.read.parquet(s"$path/meta")
+      .head().getInt(0)
+    HierIvfIndex(
+      spark.read.parquet(s"$path/cells"),
+      coarse,
+      spark.read.parquet(s"$path/fine"),
+      kFine)
+  }
+
   /** Hierarchical ANN probing over a factored two-level index: each
     * query ranks the SMALL coarse table first (|q|·kCoarse codegen'd
     * distances), opens its `nProbeCoarse` nearest coarse cells, ranks

@@ -459,5 +459,18 @@ class SimilaritySpec extends SparkSpec {
     graft.llm.CacheScope.releaseAll()
     assert(narrow.nonEmpty && narrow.forall { case (qq, c) => qq == c },
       "the assignment path and the probe path must agree on the own cell")
+
+    // factored persistence: the loaded index routes identically and
+    // keeps the cell-partitioned pruning layout
+    val dir = s"${graft.GraftSession.scratchRoot}/hier-ivf"
+    Ivf.writeIndexFactored(hier, dir)
+    val loaded = Ivf.readIndexFactored(spark, dir)
+    assert(loaded.coarse == hier.coarse && loaded.kFine == hier.kFine)
+    assert(new java.io.File(s"$dir/cells").listFiles()
+      .exists(_.getName.startsWith("__cell=")), "pruning layout preserved")
+    val viaLoaded = rows(Ivf.ivfTopKHierarchical(
+      loaded, q, "vec_id", "embedding", 5, nProbeCoarse = 3, nProbeFine = 9))
+    graft.llm.CacheScope.releaseAll()
+    assert(viaLoaded == full, "loaded factored index must route identically")
   }
 }
