@@ -2152,6 +2152,26 @@ object SparkEntry {
         cand, emb, "vec_id", "embedding", k = 5, lambda = 0.7))
     },
 
+    // Calendar gap-fill + forward-fill: per-customer monthly order
+    // totals with every month of each customer's span PRESENT (absent
+    // months get null value + presence flag + the carried last value) —
+    // the panel normalization the reference's per-competencia tables
+    // assume upstream. Per-group calendars explode from per-group
+    // bounds (rows = group spans, never groups × global calendar); the
+    // carry is one running ignore-nulls window per group. Oracle
+    // replays the calendar, the join and the carry exactly.
+    "q144_gap_fill" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          to_date(date_trunc("MONTH", col("o_orderdate"))).as("mes"),
+          col("o_totalprice"))
+        .groupBy("o_custkey", "mes")
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+          .as("valor"))
+      ordered(operators.Timeseries.gapFillMonthly(
+        o, Seq("o_custkey"), "mes", "valor"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5135,6 +5155,29 @@ ORDER BY ALL NULLS FIRST""",
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q143_mmr_diversify" -> mmrOracle(k = 5),
+
+    // each group's own month calendar, the left join back and the
+    // running ignore-nulls carry replayed exactly
+    "q144_gap_fill" ->
+      """WITH m AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS mes,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS valor
+        |  FROM orders GROUP BY o_custkey, mes),
+        |b AS (
+        |  SELECT o_custkey, min(mes) AS mn, max(mes) AS mx
+        |  FROM m GROUP BY o_custkey),
+        |cal AS (
+        |  SELECT o_custkey,
+        |    CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS mes
+        |  FROM b)
+        |SELECT cal.o_custkey, cal.mes, m.valor,
+        |  m.valor IS NOT NULL AS presente,
+        |  last_value(m.valor IGNORE NULLS) OVER (
+        |    PARTITION BY cal.o_custkey ORDER BY cal.mes
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS valor_carregado
+        |FROM cal LEFT JOIN m ON cal.o_custkey = m.o_custkey AND cal.mes = m.mes
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   /** MMR unrolled: q29's brute-force CTEs produce the candidate pool,

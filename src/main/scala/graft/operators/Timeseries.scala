@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped time-series normalization.
+  *
+  * Reference analogue: the reference's per-competencia report tables
+  * (sisab_*: one row per municipality per AAAAMM) silently SKIP months
+  * with no reported rows, and its trailing-13-months rollup
+  * (datasus_ftp_metadados — q22 here) walks whatever months exist. A
+  * time-series consumer needs the month PRESENT (absent ≠ unreported ≠
+  * zero) — the calendar gap-fill below is that normalization,
+  * re-expressed Spark-first.
+  */
+object Timeseries {
+
+  /** Calendar gap-fill + forward-fill for grouped MONTHLY series: for
+    * every group, every month between that group's first and last
+    * observation exists in the output, with the actual value, a
+    * presence flag and the forward-carried value (`last` observation on
+    * or before the month).
+    *
+    * Shape: per-group (min, max) bounds from ONE combinable
+    * aggregation; `sequence()` explodes each group's own calendar —
+    * output rows = Σ group-spans, never groups × global calendar; the
+    * actuals LEFT-join back on (group, month); the carried value is ONE
+    * `last(_, ignoreNulls)` running window per group — the only
+    * per-group sort, bounded by the group's calendar length, never by
+    * the corpus. Input contract: one row per (group, month).
+    */
+  def gapFillMonthly(
+      df: DataFrame, keyCols: Seq[String], monthCol: String,
+      valueCol: String): DataFrame = {
+    val k = keyCols.map(col)
+    val bounds = df.groupBy(k: _*)
+      .agg(min(col(monthCol)).as("__mn"), max(col(monthCol)).as("__mx"))
+    val cal = bounds.select(k :+
+      explode(sequence(col("__mn"), col("__mx"),
+        expr("interval 1 month"))).as(monthCol): _*)
+    val w = Window.partitionBy(k: _*).orderBy(col(monthCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(df, keyCols :+ monthCol, "left")
+      .select(k ++ Seq(col(monthCol),
+        col(valueCol),
+        col(valueCol).isNotNull.as("presente"),
+        last(col(valueCol), ignoreNulls = true).over(w)
+          .as("valor_carregado")): _*)
+  }
+}

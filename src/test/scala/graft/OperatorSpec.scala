@@ -764,6 +764,26 @@ class OperatorSpec extends SparkSpec {
       "a" -> ((2L, 1L, 10L)), "b" -> ((1L, 0L, 20L)), "c" -> ((2L, 1L, 30L))))
   }
 
+  test("gapFillMonthly: missing months appear with carried values; " +
+      "spans are per group") {
+    val df = Seq(
+      ("a", "1992-01-01", 5.0), ("a", "1992-04-01", 9.0),
+      ("b", "1995-06-01", 2.0),
+    ).toDF("g", "mes", "valor")
+      .withColumn("mes", to_date(col("mes")))
+    val got = Timeseries.gapFillMonthly(df, Seq("g"), "mes", "valor")
+      .select(col("g"), date_format(col("mes"), "yyyy-MM").as("m"),
+        col("valor"), col("presente"), col("valor_carregado"))
+      .as[(String, String, Option[Double], Boolean, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("a", "1992-01", Some(5.0), true, 5.0),
+      ("a", "1992-02", None, false, 5.0),
+      ("a", "1992-03", None, false, 5.0),
+      ("a", "1992-04", Some(9.0), true, 9.0),
+      ("b", "1995-06", Some(2.0), true, 2.0)), s"got $got")
+  }
+
   test("fuzzyPairs: multi-pass prefix+suffix blocking catches edits " +
       "either key alone would lose; distance bound is exact") {
     val people = Seq(
