@@ -2172,6 +2172,19 @@ object SparkEntry {
         o, Seq("o_custkey"), "mes", "valor"))
     },
 
+    // Cohort retention matrix: customers grouped by first-order month,
+    // activity counted per (cohort, month offset) — the longitudinal
+    // panel question (of month-X entrants, how many are active at
+    // X+k?). One min-aggregation, one entity-keyed join, one exact
+    // distinct count per cell; the month offset is exactly integral on
+    // truncated dates. Oracle replays all three steps.
+    "q145_cohort_retention" -> { (s, dir) =>
+      val a = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          to_date(date_trunc("MONTH", col("o_orderdate"))).as("mes"))
+      ordered(operators.Timeseries.cohortRetention(a, "o_custkey", "mes"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5177,6 +5190,19 @@ ORDER BY ALL NULLS FIRST""",
         |    PARTITION BY cal.o_custkey ORDER BY cal.mes
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS valor_carregado
         |FROM cal LEFT JOIN m ON cal.o_custkey = m.o_custkey AND cal.mes = m.mes
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q145_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mes
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(mes) AS cohorte FROM a GROUP BY o_custkey)
+        |SELECT cohorte,
+        |  CAST(date_diff('month', cohorte, mes) AS INT) AS offset_meses,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS entidades_ativas
+        |FROM a JOIN c USING (o_custkey)
+        |GROUP BY cohorte, offset_meses
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

@@ -48,4 +48,35 @@ object Timeseries {
         last(col(valueCol), ignoreNulls = true).over(w)
           .as("valor_carregado")): _*)
   }
+
+  /** Cohort retention matrix: entities grouped by their FIRST active
+    * month (the cohort), activity counted per (cohort, month offset) —
+    * the standard behavioral-retention table, and the longitudinal
+    * question the reference's per-competencia municipality panels exist
+    * to answer ("of the municipalities that first reported in month X,
+    * how many still report at X+k?").
+    *
+    * Shape: cohorts are one combinable min-aggregation per entity; the
+    * join back is entity-keyed (both sides shuffle ONCE on the entity —
+    * no window, no per-entity sort); the matrix is one exact
+    * count-distinct aggregation over (cohort, offset) — cells, not
+    * entities, reach the driver. `months_between` on month-truncated
+    * dates is exactly integral, so the offset is engine-exact.
+    *
+    * Input contract: (entity, month) activity rows; duplicates are fine
+    * (the count is distinct). Output: (cohorte, offset_meses,
+    * entidades_ativas).
+    */
+  def cohortRetention(
+      df: DataFrame, entityCol: String, monthCol: String): DataFrame = {
+    val cohorts = df.groupBy(col(entityCol))
+      .agg(min(col(monthCol)).as("cohorte"))
+    df.join(cohorts, Seq(entityCol))
+      .select(col("cohorte"),
+        months_between(col(monthCol), col("cohorte")).cast("int")
+          .as("offset_meses"),
+        col(entityCol))
+      .groupBy("cohorte", "offset_meses")
+      .agg(count_distinct(col(entityCol)).as("entidades_ativas"))
+  }
 }

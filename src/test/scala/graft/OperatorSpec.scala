@@ -784,6 +784,24 @@ class OperatorSpec extends SparkSpec {
       ("b", "1995-06", Some(2.0), true, 2.0)), s"got $got")
   }
 
+  test("cohortRetention: offsets anchor at each entity's first month, " +
+      "duplicates count once") {
+    val df = Seq(
+      (1L, "1992-01-01"), (1L, "1992-03-01"), (1L, "1992-03-01"), // dup row
+      (2L, "1992-01-01"),
+      (3L, "1992-03-01"), (3L, "1992-04-01"),
+    ).toDF("e", "mes").withColumn("mes", to_date(col("mes")))
+    val got = Timeseries.cohortRetention(df, "e", "mes")
+      .select(date_format(col("cohorte"), "yyyy-MM"), col("offset_meses"),
+        col("entidades_ativas"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("1992-01", 0, 2L), // entities 1 and 2 enter in January
+      ("1992-01", 2, 1L), // only entity 1 is active two months later
+      ("1992-03", 0, 1L), // entity 3's own cohort
+      ("1992-03", 1, 1L)), s"got $got")
+  }
+
   test("fuzzyPairs: multi-pass prefix+suffix blocking catches edits " +
       "either key alone would lose; distance bound is exact") {
     val people = Seq(
