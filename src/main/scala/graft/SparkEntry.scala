@@ -2185,6 +2185,23 @@ object SparkEntry {
       ordered(operators.Timeseries.cohortRetention(a, "o_custkey", "mes"))
     },
 
+    // Per-vertex triangle counting over the supplier co-supply graph
+    // (suppliers sharing a part; parts sampled %10 to bound wedge
+    // volume): canonical a<b<c wedges from two edge self-joins — each
+    // triangle generated exactly once — then one combinable per-vertex
+    // count. Completes the graph trio (components, PageRank,
+    // triangles). Oracle replays edge building and both joins.
+    "q146_triangle_count" -> { (s, dir) =>
+      val ps = Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = ps.select(col("p"), col("sup").as("s1"))
+        .join(ps.select(col("p"), col("sup").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1").as("src"), col("s2").as("dst")).distinct()
+      ordered(llm.Components.triangleCount(edges, "src", "dst"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5203,6 +5220,26 @@ ORDER BY ALL NULLS FIRST""",
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS entidades_ativas
         |FROM a JOIN c USING (o_custkey)
         |GROUP BY cohorte, offset_meses
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q146_triangle_count" ->
+      """WITH ps AS (
+        |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |e AS (
+        |  SELECT DISTINCT a.sup AS a, b.sup AS b
+        |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup),
+        |wedge AS (
+        |  SELECT e1.a, e1.b AS m, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |tri AS (
+        |  SELECT w.a, w.m AS b, w.c
+        |  FROM wedge w JOIN e ON w.a = e.a AND w.c = e.b)
+        |SELECT vertice, CAST(count(*) AS BIGINT) AS triangulos FROM (
+        |  SELECT a AS vertice FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY vertice
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

@@ -121,4 +121,21 @@ class ComponentsSpec extends SparkSpec {
     graft.llm.CacheScope.releaseAll()
     assert(a == sr.toSet, "ranks must not depend on partition layout")
   }
+
+  test("triangleCount: K4 has 3 triangles per vertex; paths have none; " +
+      "reversed/duplicate/self-loop edges are normalized away") {
+    import spark.implicits._
+    val k4 = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), // reversed dup of (1,2)
+      (2L, 3L), (2L, 4L), (3L, 4L), (3L, 3L), // self-loop
+    ).toDF("src", "dst")
+    val got = Components.triangleCount(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    graft.llm.CacheScope.releaseAll()
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Components.triangleCount(path, "src", "dst").count() == 0L,
+      "a path holds no triangles")
+    graft.llm.CacheScope.releaseAll()
+  }
 }
