@@ -2202,6 +2202,35 @@ object SparkEntry {
       ordered(llm.Components.triangleCount(edges, "src", "dst"))
     },
 
+    // ABC/Pareto classification: customers ranked by total spend within
+    // their market segment, cumulative DECIMAL share of the segment
+    // total, classic A/B/C bands — the prioritization table operational
+    // reports end in. Runs over grouped aggregates (entities, not
+    // facts), so the per-group sort is entity-bounded. Oracle replays
+    // the running share and band cuts bit-for-bit.
+    "q147_pareto_abc" -> { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+          .as("gasto"))
+      ordered(operators.Stats.paretoClass(
+        spend, Seq("c_mktsegment"), "o_custkey", "gasto"))
+    },
+
+    // Contiguous dense ids in a total order WITHOUT the global-window
+    // single-partition collapse: range-repartition + per-partition sort
+    // + the two-phase zipWithIndex offset — ids are a pure function of
+    // the total order, identical under any partitioning. Oracle: the
+    // naive row_number()-1 (fine for DuckDB, the exact plan Spark must
+    // NOT use at 100 TB).
+    "q148_contiguous_ids" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      ordered(operators.Ids.contiguousIds(o, Seq(("o_orderkey", true))))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5241,6 +5270,35 @@ ORDER BY ALL NULLS FIRST""",
         |  UNION ALL SELECT c FROM tri)
         |GROUP BY vertice
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q147_pareto_abc" ->
+      """WITH spend AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS gasto
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment, o_custkey),
+        |s AS (
+        |  SELECT c_mktsegment, o_custkey, gasto,
+        |    CAST(CAST(sum(CAST(gasto AS DECIMAL(38,6))) OVER (
+        |      PARTITION BY c_mktsegment ORDER BY gasto DESC, o_custkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(38,6)) AS DOUBLE) /
+        |    CAST(CAST(sum(CAST(gasto AS DECIMAL(38,6))) OVER (
+        |      PARTITION BY c_mktsegment) AS DECIMAL(38,6)) AS DOUBLE)
+        |      AS share_acumulada
+        |  FROM spend)
+        |SELECT c_mktsegment, o_custkey, gasto, share_acumulada,
+        |  CASE WHEN share_acumulada <= 0.8 THEN 'A'
+        |       WHEN share_acumulada <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS classe
+        |FROM s
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q148_contiguous_ids" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS seq_id
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   /** MMR unrolled: q29's brute-force CTEs produce the candidate pool,

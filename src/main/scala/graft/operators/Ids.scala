@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Surrogate-id operator.
   *
@@ -38,5 +39,37 @@ object Ids {
       coalesce(escaped, lit(NullSentinel))
     }
     sha2(concat_ws(sep, parts: _*), 256)
+  }
+
+  /** Contiguous dense 0-based ids in a TOTAL order — the "number every
+    * row" primitive (training-example ids, stable shard offsets) that
+    * has no scalable expression form: `row_number()` over a global
+    * window collapses the corpus into ONE partition, and
+    * `monotonically_increasing_id` is neither contiguous nor
+    * order-related. The scalable shape is the classic two-phase
+    * assignment: range-repartition + intra-partition sort gives the
+    * global order across partitions, then `zipWithIndex` counts each
+    * partition once and offsets by the prefix sums — two passes, no
+    * single-partition stage. (One of the few justified RDD drops: the
+    * per-partition offset arithmetic is genuinely imperative.)
+    *
+    * `orderCols` must be a TOTAL order (include a unique tie-break):
+    * ids are then a pure function of the data — identical under any
+    * partitioning (the range partitioner's sampled boundaries move, the
+    * sorted sequence doesn't) and reproducible by a SQL
+    * `row_number() - 1`.
+    */
+  def contiguousIds(
+      df: DataFrame, orderCols: Seq[(String, Boolean)],
+      idName: String = "seq_id"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val sortExprs = orderCols.map { case (c, asc) =>
+      if (asc) col(c).asc else col(c).desc }
+    val sorted = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val schema = sorted.schema.add(StructField(idName, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 }

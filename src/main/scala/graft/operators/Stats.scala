@@ -58,4 +58,44 @@ object Stats {
       when(col("n") >= 2 && denom =!= 0.0, (sy - b * sx) / n)
         .as("intercepto")): _*)
   }
+
+  /** ABC / Pareto classification: rank each group's members by value,
+    * accumulate their share of the group total, and label the classic
+    * A/B/C bands (top ~80 % of value, next ~15 %, tail) — the
+    * prioritization table every operational report ends in ("which
+    * municipalities carry 80 % of the volume?").
+    *
+    * Exactness: cumulative and total sums accumulate in DECIMAL (the
+    * running sum must not depend on partitioning), the share is ONE
+    * double division, band predicates compare those exact doubles —
+    * SQL-replayable bit-for-bit. Shape: one ranking window + one total
+    * window per group — a per-group sort bounded by GROUP size; ABC runs
+    * over grouped AGGREGATES (members per group ≤ entity cardinality),
+    * not raw events — callers aggregate first (the q137 discipline), so
+    * the sorted partition is the entity list, never the fact table.
+    *
+    * Input contract: one row per (group, member) with the member's
+    * aggregated value. Output adds (share_acumulada, classe).
+    */
+  def paretoClass(
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      valueCol: String, aShare: Double = 0.80,
+      bShare: Double = 0.95): DataFrame = {
+    require(0 < aShare && aShare <= bShare && bShare <= 1,
+      s"need 0 < aShare <= bShare <= 1; got $aShare/$bShare")
+    val k = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(k: _*)
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tw = org.apache.spark.sql.expressions.Window.partitionBy(k: _*)
+    val share =
+      sum(col(valueCol).cast("decimal(38,6)")).over(w).cast("double") /
+        sum(col(valueCol).cast("decimal(38,6)")).over(tw).cast("double")
+    df.select(k ++ Seq(col(idCol), col(valueCol),
+      share.as("share_acumulada"),
+      when(share <= aShare, "A").when(share <= bShare, "B").otherwise("C")
+        .as("classe")): _*)
+  }
 }

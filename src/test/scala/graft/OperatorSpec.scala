@@ -784,6 +784,35 @@ class OperatorSpec extends SparkSpec {
       ("b", "1995-06", Some(2.0), true, 2.0)), s"got $got")
   }
 
+  test("paretoClass: cumulative shares and A/B/C bands are exact") {
+    val df = Seq(
+      ("g", 1L, 50.0), ("g", 2L, 30.0), ("g", 3L, 15.0), ("g", 4L, 5.0),
+      ("h", 9L, 7.0),
+    ).toDF("seg", "id", "v")
+    val got = Stats.paretoClass(df, Seq("seg"), "id", "v")
+      .as[(String, Long, Double, Double, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    assert(got(("g", 1L)) == ((0.5, "A")))
+    assert(got(("g", 2L)) == ((0.8, "A")))
+    assert(got(("g", 3L)) == ((0.95, "B")))
+    assert(got(("g", 4L)) == ((1.0, "C")))
+    assert(got(("h", 9L)) == ((1.0, "C")), "a sole member is the whole tail")
+  }
+
+  test("contiguousIds: dense 0..n-1 in total order, identical under any " +
+      "partitioning, no global-window single partition") {
+    val df = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey")
+    def ids(parts: Int) = Ids
+      .contiguousIds(df.repartition(parts), Seq(("o_orderkey", true)))
+      .select("o_orderkey", "seq_id").as[(Long, Long)].collect().sortBy(_._2)
+    val a = ids(3)
+    assert(a.map(_._2).toSeq == (0L until a.length).toSeq, "dense 0..n-1")
+    assert(a.map(_._1).toSeq == a.map(_._1).sorted.toSeq,
+      "ids must follow the total order")
+    assert(ids(17).toSeq == a.toSeq, "partition-independent")
+  }
+
   test("cohortRetention: offsets anchor at each entity's first month, " +
       "duplicates count once") {
     val df = Seq(
