@@ -2231,6 +2231,33 @@ object SparkEntry {
       ordered(operators.Ids.contiguousIds(o, Seq(("o_orderkey", true))))
     },
 
+    // Right-to-erasure propagation audit (the LGPD/GDPR cascade the
+    // reference's subject data would owe): per registered table, one
+    // broadcast-probe pass counting rows the erasure touches and rows
+    // remaining — the before/after proof a deletion job ships. Oracle
+    // replays both table probes.
+    "q149_erasure_audit" -> { (s, dir) =>
+      val keys = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 13 === 0).select("c_custkey")
+      ordered(llm.Privacy.erasureReport(Seq(
+        ("customer", Tables.customer(s, dir), "c_custkey"),
+        ("orders", Tables.orders(s, dir), "o_custkey")),
+        keys, "c_custkey"))
+    },
+
+    // Per-group z-score anomaly detection: μ/σ from exact DECIMAL
+    // sufficient statistics broadcast back onto the scan (the fact
+    // table never shuffles), rows flagged at |x−μ| > 3σ. Flags are
+    // partition-independent by construction; the oracle replays the
+    // statistics and every flag bit-for-bit.
+    "q150_zscore_anomalies" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select("event_id", "event_type", "value")
+      ordered(operators.Stats.zScoreFlags(e, Seq("event_type"), "value")
+        .filter(col("atipico"))
+        .select("event_id", "event_type", "value", "media", "desvio",
+          "z_score"))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5299,6 +5326,46 @@ ORDER BY ALL NULLS FIRST""",
       """SELECT o_orderkey, o_custkey,
         |  CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS seq_id
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q149_erasure_audit" ->
+      """WITH k AS (
+        |  SELECT DISTINCT c_custkey AS kk FROM customer
+        |  WHERE c_custkey % 13 = 0),
+        |c AS (
+        |  SELECT 'customer' AS tabela, CAST(count(*) AS BIGINT) AS n_linhas,
+        |    CAST(sum(CASE WHEN kk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_apagar
+        |  FROM customer LEFT JOIN k ON c_custkey = kk),
+        |o AS (
+        |  SELECT 'orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN kk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders LEFT JOIN k ON o_custkey = kk)
+        |SELECT tabela, n_linhas, n_apagar,
+        |  n_linhas - n_apagar AS n_restantes
+        |FROM (SELECT * FROM c UNION ALL SELECT * FROM o)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q150_zscore_anomalies" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS sxx
+        |  FROM events GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS media,
+        |    sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS desvio
+        |  FROM s)
+        |SELECT event_id, event_type, value, media, desvio,
+        |  CASE WHEN desvio > 0.0 THEN abs(value - media) / desvio
+        |       ELSE 0.0 END AS z_score
+        |FROM events JOIN st USING (event_type)
+        |WHERE (CASE WHEN desvio > 0.0 THEN abs(value - media) / desvio
+        |            ELSE 0.0 END) > 3.0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
   /** MMR unrolled: q29's brute-force CTEs produce the candidate pool,

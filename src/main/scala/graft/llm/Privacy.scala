@@ -75,6 +75,33 @@ object Privacy {
     * pre-fingerprint cleanup; byte-identical to DuckDB's
     * `nfc_normalize` + the same two regex rewrites.
     */
+  /** Right-to-erasure propagation audit (the LGPD/GDPR cascade): given a
+    * table of subject keys to erase, report — per registered table — how
+    * many rows the erasure touches and how many remain, in ONE pass per
+    * table. The erase-key set rides BROADCAST into every table scan
+    * (subject lists are small; the fact tables never shuffle), and the
+    * counts are a single combinable aggregation per table — the audit a
+    * deletion job runs BEFORE and AFTER to prove the cascade covered
+    * every table that references the subject. The cleaned tables
+    * themselves are one `left_anti` each (same broadcast).
+    *
+    * Output: (tabela, n_linhas, n_apagar, n_restantes).
+    */
+  def erasureReport(
+      tables: Seq[(String, DataFrame, String)], keys: DataFrame,
+      keyCol: String): DataFrame = {
+    require(tables.nonEmpty, "need at least one table to audit")
+    val k = broadcast(keys.select(col(keyCol).as("__k")).distinct())
+    tables.map { case (name, df, c) =>
+      df.join(k, col(c) === col("__k"), "left")
+        .agg(
+          count(lit(1L)).as("n_linhas"),
+          sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_apagar"))
+        .select(lit(name).as("tabela"), col("n_linhas"), col("n_apagar"),
+          (col("n_linhas") - col("n_apagar")).as("n_restantes"))
+    }.reduce(_ unionByName _)
+  }
+
   def normalizeText(text: Column): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.GraftFunctions.register)

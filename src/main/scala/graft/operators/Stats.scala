@@ -59,6 +59,38 @@ object Stats {
         .as("intercepto")): _*)
   }
 
+  /** Per-group z-score anomaly detection: μ and population σ from EXACT
+    * DECIMAL sufficient statistics (Σx, Σx² — one combinable
+    * aggregation, the q137/154 discipline), the tiny per-group stats
+    * table broadcast back onto the scan (the fact table never
+    * shuffles), and a row flagged when `|x − μ| > z·σ`. Every step is
+    * IEEE correctly-rounded arithmetic over exact sums (σ via
+    * `√max(Σx²/n − μ², 0)` — the max guards the tiny negative rounding
+    * residue of a constant series) — SQL-replayable bit-for-bit, and
+    * the flags are identical under any partitioning (a double-summed μ
+    * would flip borderline rows with the cluster layout).
+    */
+  def zScoreFlags(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      zThresh: Double = 3.0): DataFrame = {
+    val k = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val agg = df.groupBy(k: _*).agg(
+      count(lit(1L)).as("__n"),
+      sum(x.cast("decimal(38,12)")).cast("decimal(38,12)").as("__sx"),
+      sum((x * x).cast("decimal(38,12)")).cast("decimal(38,12)").as("__sxx"))
+    val n = col("__n").cast("double")
+    val mu = col("__sx").cast("double") / n
+    val sigma = sqrt(greatest(
+      col("__sxx").cast("double") / n - mu * mu, lit(0.0)))
+    val stats = agg.select(k ++ Seq(mu.as("media"), sigma.as("desvio")): _*)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z_score",
+        when(col("desvio") > 0.0, abs(x - col("media")) / col("desvio"))
+          .otherwise(lit(0.0)))
+      .withColumn("atipico", col("z_score") > zThresh)
+  }
+
   /** ABC / Pareto classification: rank each group's members by value,
     * accumulate their share of the group total, and label the classic
     * A/B/C bands (top ~80 % of value, next ~15 %, tail) — the

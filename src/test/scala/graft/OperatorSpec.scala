@@ -784,6 +784,37 @@ class OperatorSpec extends SparkSpec {
       ("b", "1995-06", Some(2.0), true, 2.0)), s"got $got")
   }
 
+  test("zScoreFlags: exact mean/sigma, outliers flagged, constant series " +
+      "never flag") {
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 1.0), ("a", 4L, 1.0),
+      ("a", 5L, 100.0),
+      ("c", 9L, 7.0), ("c", 10L, 7.0), // constant: sigma = 0
+    ).toDF("g", "id", "v")
+    val got = Stats.zScoreFlags(df, Seq("g"), "v", zThresh = 1.5)
+      .select("g", "id", "media", "desvio", "z_score", "atipico")
+      .as[(String, Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    val mu = 104.0 / 5
+    val sd = math.sqrt((4 * 1.0 + 100.0 * 100.0) / 5 - mu * mu)
+    assert(math.abs(got(5L)._3 - mu) < 1e-12)
+    assert(math.abs(got(5L)._4 - sd) < 1e-12)
+    assert(got(5L)._6, "the planted outlier must flag")
+    assert(!got(1L)._6 && math.abs(got(1L)._5 - (mu - 1.0) / sd) < 1e-12)
+    assert(!got(9L)._6 && got(9L)._5 == 0.0,
+      "constant series: sigma 0, z 0, never flagged")
+  }
+
+  test("erasureReport: per-table touch counts from one broadcast probe") {
+    val t1 = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val t2 = Seq(2L, 2L, 9L).toDF("fk")
+    val keys = Seq(2L, 4L, 77L).toDF("id")
+    val got = graft.llm.Privacy.erasureReport(
+        Seq(("t1", t1, "id"), ("t2", t2, "fk")), keys, "id")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("t1", 5L, 2L, 3L), ("t2", 3L, 2L, 1L)), s"got $got")
+  }
+
   test("paretoClass: cumulative shares and A/B/C bands are exact") {
     val df = Seq(
       ("g", 1L, 50.0), ("g", 2L, 30.0), ("g", 3L, 15.0), ("g", 4L, 5.0),
