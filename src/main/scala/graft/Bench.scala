@@ -87,7 +87,11 @@ object Bench {
       if (p.matches("q\\d+") && short0.valuesIterator.count(_ == p) == 1) p
       else name
     }
-    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString // locale-safe
+    // centisecond precision: at 150 queries the millisecond form grew the
+    // line to ~1930 chars against the harness's ~2000-char capture window
+    // (the r8 parsed:null failure mode); two decimals buys ~150 chars of
+    // headroom and the sidecar keeps full precision
+    def ms(v: Double): String = (math.round(v * 100) / 100.0).toString // locale-safe
     val qsShort = results.map { case (k, v) => Json.quote(shortKey(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errShort = errors.map { case (k, v) =>

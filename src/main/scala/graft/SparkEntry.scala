@@ -2186,13 +2186,15 @@ object SparkEntry {
     },
 
     // Per-vertex triangle counting over the supplier co-supply graph
-    // (suppliers sharing a part; parts sampled %10 to bound wedge
-    // volume): canonical a<b<c wedges from two edge self-joins — each
+    // (suppliers sharing a part; parts sampled %20 to bound wedge
+    // volume — Σdeg² grows quadratically in supplier degree, the
+    // declared skew lever): canonical a<b<c wedges from two edge
+    // self-joins — each
     // triangle generated exactly once — then one combinable per-vertex
     // count. Completes the graph trio (components, PageRank,
     // triangles). Oracle replays edge building and both joins.
     "q146_triangle_count" -> { (s, dir) =>
-      val ps = Tables.lineitem(s, dir).filter(col("l_partkey") % 10 === 0)
+      val ps = Tables.lineitem(s, dir).filter(col("l_partkey") % 20 === 0)
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
         .distinct()
       val edges = ps.select(col("p"), col("sup").as("s1"))
@@ -5281,7 +5283,7 @@ ORDER BY ALL NULLS FIRST""",
     "q146_triangle_count" ->
       """WITH ps AS (
         |  SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
-        |  FROM lineitem WHERE l_partkey % 10 = 0),
+        |  FROM lineitem WHERE l_partkey % 20 = 0),
         |e AS (
         |  SELECT DISTINCT a.sup AS a, b.sup AS b
         |  FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup),
