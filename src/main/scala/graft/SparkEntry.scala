@@ -2260,6 +2260,44 @@ object SparkEntry {
           "z_score"))
     },
 
+    // Golden-record construction (MDM survivorship) — the full record-
+    // linkage deliverable in one engine: q142's blocking + exact
+    // Levenshtein pairs → connected components → one canonical row per
+    // entity (longest name survives with deterministic ties, best
+    // balance wins, canonical id = cluster minimum). Oracle replays the
+    // blocking and the DP, closes the clusters by recursive CTE (the
+    // q52 pattern) and ranks the survivorship deterministically.
+    "q151_golden_record" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val variants = c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 12),
+            substring(col("c_name"), 14, 100000)).as("c_name"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"))
+      val rec = c.unionByName(variants)
+      val pairs = operators.Linkage.fuzzyPairs(rec, "c_custkey", "c_name",
+        maxDist = 1, blockKeys = Seq(nm => substring(nm, -4, 4)))
+      val labels = llm.Components.connectedComponents(pairs, "id_a", "id_b")
+      val labeled = rec.join(labels,
+          rec("c_custkey") === labels("doc_id"), "left")
+        .select(coalesce(col("cluster_id"), col("c_custkey"))
+            .as("cluster_id"),
+          col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(length(col("c_name")).desc, col("c_name").desc,
+          col("c_custkey").asc)
+      ordered(labeled
+        .withColumn("__r", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1L)).as("membros"),
+          min(col("c_custkey")).as("id_canonico"),
+          max(when(col("__r") === 1, col("c_name"))).as("nome_canonico"),
+          max(col("c_acctbal")).as("saldo_max")))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5367,6 +5405,48 @@ ORDER BY ALL NULLS FIRST""",
         |FROM events JOIN st USING (event_type)
         |WHERE (CASE WHEN desvio > 0.0 THEN abs(value - media) / desvio
         |            ELSE 0.0 END) > 3.0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q142's blocking+DP, q52's recursive closure, deterministic
+    // survivorship rank — the whole golden-record path replayed
+    "q151_golden_record" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id, c_name AS nome, c_acctbal AS saldo
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |    substring(c_name, 1, 12) || substring(c_name, 14),
+        |    c_acctbal + 100.0
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |keyed AS (SELECT id, lower(trim(nome)) AS nm FROM base),
+        |e AS (
+        |  SELECT DISTINCT a.id AS a, b.id AS b
+        |  FROM keyed a JOIN keyed b
+        |    ON substring(a.nm, len(a.nm) - 3, 4) =
+        |       substring(b.nm, len(b.nm) - 3, 4)
+        |   AND a.id < b.id
+        |  WHERE levenshtein(a.nm, b.nm) <= 1),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |reach(n, r) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+        |lab AS (SELECT n AS id, LEAST(n, MIN(r)) AS cluster_id
+        |        FROM reach GROUP BY n),
+        |full_ AS (
+        |  SELECT coalesce(lab.cluster_id, base.id) AS cluster_id,
+        |    base.id, base.nome, base.saldo
+        |  FROM base LEFT JOIN lab ON base.id = lab.id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY len(nome) DESC, nome DESC, id ASC) AS r
+        |  FROM full_)
+        |SELECT cluster_id,
+        |  CAST(count(*) AS BIGINT) AS membros,
+        |  min(id) AS id_canonico,
+        |  max(CASE WHEN r = 1 THEN nome END) AS nome_canonico,
+        |  max(saldo) AS saldo_max
+        |FROM rk GROUP BY cluster_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 
