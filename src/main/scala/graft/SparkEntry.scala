@@ -2298,6 +2298,20 @@ object SparkEntry {
           max(col("c_acctbal")).as("saldo_max")))
     },
 
+    // Market-basket association rules over order line items (parts
+    // bucketed into 100 pseudo-categories so co-occurrence is dense
+    // enough to rank): support/confidence/lift per ordered category
+    // pair, candidates only WITHIN a basket (never catalog²), rare
+    // pairs cut before the metric math. All three metrics are exact
+    // integer ratios — the oracle replays every one.
+    "q152_basket_rules" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("pedido"),
+          pmod(col("l_partkey"), lit(100)).as("categoria"))
+      ordered(operators.Basket.pairRules(li, "pedido", "categoria",
+        minPairs = 5L))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5447,6 +5461,29 @@ ORDER BY ALL NULLS FIRST""",
         |  max(CASE WHEN r = 1 THEN nome END) AS nome_canonico,
         |  max(saldo) AS saldo_max
         |FROM rk GROUP BY cluster_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q152_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+        |  FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM items),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+        |        FROM items GROUP BY i),
+        |pairs AS (
+        |  SELECT a.i AS item_a, b.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ambos
+        |  FROM items a JOIN items b ON a.b = b.b AND a.i <> b.i
+        |  GROUP BY item_a, item_b
+        |  HAVING count(*) >= 5)
+        |SELECT item_a, item_b, n_ambos,
+        |  CAST(n_ambos AS DOUBLE) / CAST(n AS DOUBLE) AS suporte,
+        |  CAST(n_ambos AS DOUBLE) / CAST(sa.ni AS DOUBLE) AS confianca,
+        |  (CAST(n_ambos AS DOUBLE) / CAST(sa.ni AS DOUBLE)) /
+        |    (CAST(sb.ni AS DOUBLE) / CAST(n AS DOUBLE)) AS lift
+        |FROM pairs
+        |JOIN sup sa ON pairs.item_a = sa.i
+        |JOIN sup sb ON pairs.item_b = sb.i, nb
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

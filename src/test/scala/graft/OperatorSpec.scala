@@ -784,6 +784,26 @@ class OperatorSpec extends SparkSpec {
       ("b", "1995-06", Some(2.0), true, 2.0)), s"got $got")
   }
 
+  test("pairRules: support/confidence/lift exact, within-basket dups " +
+      "count once, minPairs cuts") {
+    val tx = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"), // duplicate x counts once
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y"),
+    ).toDF("b", "i")
+    val got = Basket.pairRules(tx, "b", "i")
+      .select("item_a", "item_b", "n_ambos", "suporte", "confianca", "lift")
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("x", "y")) == ((2L, 0.5, 2.0 / 3, (2.0 / 3) / (3.0 / 4))),
+      s"x->y: ${got(("x", "y"))}")
+    assert(got(("z", "x")) == ((1L, 0.25, 1.0, 1.0 / (3.0 / 4))))
+    val cut = Basket.pairRules(tx, "b", "i", minPairs = 2L)
+      .select("item_a", "item_b").as[(String, String)].collect().toSet
+    assert(cut == Set(("x", "y"), ("y", "x")), "minPairs must cut rare pairs")
+  }
+
   test("zScoreFlags: exact mean/sigma, outliers flagged, constant series " +
       "never flag") {
     val df = Seq(
