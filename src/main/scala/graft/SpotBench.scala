@@ -41,6 +41,76 @@ object SpotBench {
       llm.Dedup.simhashPairsPortable(
         docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
         maxBlock = Int.MaxValue)
+    },
+    // q146's wedge stage ALONE (ordering filter applied, closing join
+    // dropped, wedges counted): attributes the query's cost between
+    // O(E^1.5) pair generation and the closing probe
+    "q146_wedges_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val ps = Tables.lineitem(s, dir).filter(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val und = ps.select(col("p"), col("sup").as("s1"))
+        .join(ps.select(col("p"), col("sup").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1").as("a"), col("s2").as("b")).distinct()
+      val deg = und.select(col("a").as("__v"))
+        .unionByName(und.select(col("b").as("__v")))
+        .groupBy("__v").agg(count(lit(1L)).as("__deg"))
+      val withDeg = und
+        .join(deg.select(col("__v").as("a"), col("__deg").as("__da")), Seq("a"))
+        .join(deg.select(col("__v").as("b"), col("__deg").as("__db")), Seq("b"))
+      val aFirst = col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
+      val wedge = oriented.select(col("u"), col("w").as("x"), col("__dw").as("__dx"))
+        .join(oriented.select(col("u"), col("w").as("y"), col("__dw").as("__dy")),
+          Seq("u"))
+        .filter(col("__dx") < col("__dy") ||
+          (col("__dx") === col("__dy") && col("x") < col("y")))
+      wedge.agg(count(lit(1L)).as("wedges"))
+    },
+    // q146 through the closing probe but WITHOUT the per-vertex
+    // explode+count: isolates the probe from the credit aggregation
+    "q146_probe_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val ps = Tables.lineitem(s, dir).filter(col("l_partkey") % 20 === 0)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val und = ps.select(col("p"), col("sup").as("s1"))
+        .join(ps.select(col("p"), col("sup").as("s2")), Seq("p"))
+        .filter(col("s1") < col("s2"))
+        .select(col("s1").as("a"), col("s2").as("b")).distinct()
+      val deg = und.select(col("a").as("__v"))
+        .unionByName(und.select(col("b").as("__v")))
+        .groupBy("__v").agg(count(lit(1L)).as("__deg"))
+      val withDeg = und
+        .join(deg.select(col("__v").as("a"), col("__deg").as("__da")), Seq("a"))
+        .join(deg.select(col("__v").as("b"), col("__deg").as("__db")), Seq("b"))
+      val aFirst = col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("a") < col("b"))
+      val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("__dw"))
+        .transform(llm.CacheScope.persistTracked)
+      val wedge = oriented.select(col("u"), col("w").as("x"), col("__dw").as("__dx"))
+        .join(oriented.select(col("u"), col("w").as("y"), col("__dw").as("__dy")),
+          Seq("u"))
+        .filter(col("__dx") < col("__dy") ||
+          (col("__dx") === col("__dy") && col("x") < col("y")))
+      val close = oriented.select(
+        xxhash64(col("u"), col("w")).as("__ck"),
+        col("u").as("__cx"), col("w").as("__cy"))
+      wedge.withColumn("__ck", xxhash64(col("x"), col("y")))
+        .join(broadcast(close), Seq("__ck"))
+        .filter(col("__cx") === col("x") && col("__cy") === col("y"))
+        .agg(count(lit(1L)).as("triangles"))
     })
 
   def main(args: Array[String]): Unit = {

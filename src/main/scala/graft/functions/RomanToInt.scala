@@ -97,7 +97,7 @@ object GraftFunctions {
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
     WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
     NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor,
-    SqDistDouble.descriptor)
+    SqDistDouble.descriptor, SortedIntersectLongs.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

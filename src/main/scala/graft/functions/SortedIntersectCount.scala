@@ -49,6 +49,58 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** A ∩ B as an array<long> for two SORTED-ascending, distinct, null-free
+  * long arrays — the single merge walk again, but keeping the ELEMENTS.
+  * This is the closing kernel of the adjacency-intersection triangle
+  * count (`Components.triangleCount`): per oriented edge (p→q) the
+  * common out-neighbors adj(p) ∩ adj(q) are exactly the third vertices
+  * of the triangles whose two lowest-rank members are p and q, and a
+  * sequential merge over two cache-resident arrays beats an O(E^1.5)
+  * stream of random hash-map probes on memory locality alone (measured
+  * ×3 at sf1 on the dense co-supply graph).
+  *
+  * PRECONDITION (caller-enforced): both arrays sorted ascending with
+  * distinct non-null elements — `sort_array(collect_list(..))` over a
+  * distinct edge set satisfies it. Unsorted input silently undercounts.
+  */
+case class SortedIntersectLongs(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect_longs"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.sortedIntersectLongs(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArrayOps.sortedIntersectLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectLongs {
+  private[functions] val descriptor = (
+    FunctionIdentifier("sorted_intersect_longs"),
+    new ExpressionInfo(classOf[SortedIntersectLongs].getName, "sorted_intersect_longs"),
+    (children: Seq[Expression]) =>
+      SortedIntersectLongs(children.head, children(1)): Expression,
+  )
+}
+
 /** Static kernel (separate object so codegen sees a Java static call). */
 object ArrayOps {
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
@@ -63,6 +115,23 @@ object ArrayOps {
       else j += 1
     }
     n
+  }
+
+  def sortedIntersectLongs(a: ArrayData, b: ArrayData): ArrayData = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { out(n) = va; n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, n))
   }
 }
 

@@ -763,6 +763,72 @@ object Curation {
       .withColumn("selecionado", col("dsir_score") > 1.0)
   }
 
+  /** Probability-proportional-to-size SYSTEMATIC sampling (Madow 1949 —
+    * the survey-statistics workhorse): pick `n` selection points at
+    * positions k·(W/n), k = 1..n, along the cumulative weight axis of a
+    * deterministically shuffled corpus and keep the document whose
+    * weight interval owns each point. Every document's inclusion
+    * probability is proportional to its weight — the sampling design
+    * quality-weighted corpus thinning actually wants (a Bernoulli keep
+    * per row, q102's shape, only matches it in expectation and has
+    * O(√n) size variance; systematic PPS hits the target count
+    * deterministically).
+    *
+    * Scale shape: the global running weight would naively be ONE
+    * window over a total order (the q148 single-partition trap).
+    * Here it decomposes: the traversal order is (md5(id), id), whose
+    * first byte also defines 256 ORDER-PREFIX buckets — so per-bucket
+    * window cumsums (bounded partitions) plus a broadcast 256-row
+    * exclusive-prefix offset table reassemble the exact global
+    * cumulative. Two corpus shuffles (bucket totals, bucket-local
+    * windows), no global sort, no driver state.
+    *
+    * Exactness: weights go through DECIMAL(38,6) so every cumulative
+    * is order-independent and engine-exact; the selection test
+    * compares `floor(cum·n / W)` across the interval's two ends with
+    * ONE IEEE multiply + divide + floor per end — identical doubles on
+    * any engine, so the kept SET (and each row's `pontos` multiplicity
+    * — a document heavier than W/n owns several selection points)
+    * replays bit-for-bit. The float boundary can shift the very last
+    * selection point by one ulp, so |sample| lands in {n-1, n} — the
+    * documented tail of trading `ln`-free portability for exact count
+    * invariance (spec-pinned).
+    *
+    * Contract: weights must be non-negative; zero-weight rows own an
+    * empty interval and are never selected. Output: the input columns
+    * of every selected row + `pontos`.
+    */
+  def ppsSample(
+      df: DataFrame, idCol: String, weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val h = md5(col(idCol).cast("string").cast("binary"))
+    val withB = df
+      .withColumn("__h", h)
+      .withColumn("__bk", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__wd", col(weightCol).cast("decimal(38,6)"))
+    val zeroDec = lit(0).cast("decimal(38,6)")
+    val bkTotals = withB.groupBy("__bk").agg(sum(col("__wd")).as("__bw"))
+    // exclusive prefix over ≤256 rows — the mixturePlan discipline: every
+    // window here runs on the reduced table, never the corpus
+    val wOff = Window.orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bkTotals.select(col("__bk"),
+      coalesce(sum(col("__bw")).over(wOff), zeroDec).as("__off"))
+    val total = bkTotals.agg(sum(col("__bw")).as("__tot"))
+    val wc = Window.partitionBy("__bk").orderBy(col("__h"), col(idCol))
+    val cum = withB
+      .join(broadcast(offsets), Seq("__bk"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum", col("__off") + sum(col("__wd")).over(wc))
+      .withColumn("__prev", col("__cum") - col("__wd"))
+    val points =
+      floor(col("__cum").cast("double") * n / col("__tot").cast("double")) -
+        floor(col("__prev").cast("double") * n / col("__tot").cast("double"))
+    cum.withColumn("pontos", points.cast("long"))
+      .filter(col("pontos") > 0L)
+      .select(df.columns.map(col) :+ col("pontos"): _*)
+  }
+
   /** Hashed unigram+bigram feature buckets (q109's feature space). */
   private def dsirBuckets(
       df: DataFrame, textCol: String, buckets: Int,

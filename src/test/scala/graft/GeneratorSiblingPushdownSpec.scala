@@ -9,25 +9,13 @@ import graft.plans.GeneratorSiblingPushdown
 
 /** [[GeneratorSiblingPushdown]]: expressions shared between a generator
   * and its sibling projections must evaluate once per input row (below
-  * the Generate), not once per emitted row. Attached via
-  * `extraOptimizations` like the other rule specs (the shared test
-  * session has no GraftExtensions).
+  * the Generate), not once per emitted row. The shared fixture injects
+  * GraftExtensions, so the rule is active engine-wide here exactly as in
+  * production sessions.
   */
 class GeneratorSiblingPushdownSpec extends SparkSpec {
 
   import spark.implicits._
-
-  override def beforeAll(): Unit = {
-    super.beforeAll()
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ GeneratorSiblingPushdown
-  }
-
-  override def afterAll(): Unit = {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == GeneratorSiblingPushdown)
-    super.afterAll()
-  }
 
   private def docs: DataFrame =
     Seq((1L, "a b c"), (2L, "d e"), (3L, "")).toDF("doc_id", "text")
@@ -49,15 +37,17 @@ class GeneratorSiblingPushdownSpec extends SparkSpec {
     }
     assert(aboveOk.nonEmpty && aboveOk.forall(identity),
       s"split still evaluated above a Generate:\n$plan")
-    // below some Generate: exactly one materialized split alias
-    val belowAliases = plan.collect { case g: Generate =>
-      g.child.collect { case Project(pl, _) =>
-        pl.count(ne => ne.isInstanceOf[Alias] &&
-          ne.exists(_.isInstanceOf[StringSplit]))
-      }.sum
+    // at most one split evaluation in the WHOLE plan — one materialized
+    // alias below the Generate, or zero when ConvertToLocalRelation has
+    // already folded the materialized projection into the local relation
+    // (the engine-wide injected rule runs early enough for that on
+    // literal test data; either way the split never re-runs per emitted
+    // row)
+    val totalSplits = plan.collect { case n =>
+      n.expressions.map(_.collect { case s: StringSplit => s }.size).sum
     }.sum
-    assert(belowAliases == 1,
-      s"expected one materialized split below the Generate, got $belowAliases:\n$plan")
+    assert(totalSplits <= 1,
+      s"expected at most one split evaluation in the plan, got $totalSplits:\n$plan")
   }
 
   test("rewritten plan returns identical rows to the rule-off plan") {

@@ -9,6 +9,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    // the production session injects the graft registry/rules via
+    // GraftSession; the shared fixture must match or a suite run in
+    // isolation resolves `call_function("graft_*", ...)` only when some
+    // OTHER suite happened to create the session first
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
