@@ -2312,6 +2312,20 @@ object SparkEntry {
         minPairs = 5L))
     },
 
+    // PPS systematic sampling: n selection points along the cumulative
+    // weight axis of an md5-shuffled corpus — inclusion probability
+    // proportional to n_chars, sample size hit deterministically (a
+    // Bernoulli keep only matches the target in expectation). The
+    // global cumulative decomposes into 256 order-prefix buckets
+    // (bounded windows + a broadcast offset table — never a
+    // single-partition sort); DECIMAL cumsums and one IEEE
+    // multiply/divide/floor per interval end make the kept set and each
+    // row's point multiplicity engine-exact.
+    "q153_pps_sample" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      ordered(llm.Curation.ppsSample(d, "doc_id", "n_chars", n = 60))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5484,6 +5498,32 @@ ORDER BY ALL NULLS FIRST""",
         |FROM pairs
         |JOIN sup sa ON pairs.item_a = sa.i
         |JOIN sup sb ON pairs.item_b = sb.i, nb
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the systematic-PPS walk globally (the engine's 256
+    // order-prefix buckets reassemble exactly this order): DECIMAL
+    // cumulative weights over (md5(id), id), selection points at
+    // k·(W/60) via the identical double multiply/divide/floor per
+    // interval end.
+    "q153_pps_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(n_chars AS DECIMAL(38,6)) AS wd
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars, wd,
+        |    SUM(wd) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(wd) OVER () AS tot
+        |  FROM w)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(floor(CAST(cum AS DOUBLE) * 60 / CAST(tot AS DOUBLE)) -
+        |       floor(CAST(cum - wd AS DOUBLE) * 60 / CAST(tot AS DOUBLE))
+        |    AS BIGINT) AS pontos
+        |FROM c
+        |WHERE floor(CAST(cum AS DOUBLE) * 60 / CAST(tot AS DOUBLE)) >
+        |      floor(CAST(cum - wd AS DOUBLE) * 60 / CAST(tot AS DOUBLE))
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

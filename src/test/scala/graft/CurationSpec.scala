@@ -584,4 +584,40 @@ class CurationSpec extends SparkSpec {
     assert(got.toSet == want,
       "per-micro-batch scoring must equal batch scoring of the union")
   }
+
+  test("ppsSample: uniform weights hit the target count with multiplicity 1; " +
+      "a heavy row owns proportionally many points; zero weights never " +
+      "selected; deterministic under repartition") {
+    val uniform = (1L to 100L).map(i => (i, 5.0)).toDF("id", "w")
+    val u = Curation.ppsSample(uniform, "id", "w", n = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(u.length == 10 && u.forall(_._3 == 1L),
+      s"uniform weights: want 10 singleton picks, got ${u.toSeq}")
+
+    // one row carries 60% of the mass -> ~6 of 10 points land on it;
+    // total points telescope to floor(W·n/W) which the double boundary
+    // can leave at n-1 (documented tail)
+    val heavy = ((1L to 40L).map(i => (i, 1.0)) :+ (99L, 60.0))
+      .toDF("id", "w")
+    val h = Curation.ppsSample(heavy, "id", "w", n = 10)
+      .as[(Long, Double, Long)].collect()
+    val heavyPick = h.find(_._1 == 99L)
+    assert(heavyPick.exists(_._3 >= 5L),
+      s"heavy row must own >= 5 of the 10 points, got $heavyPick")
+    val totalPoints = h.map(_._3).sum
+    assert(totalPoints == 10L || totalPoints == 9L,
+      s"points must telescope to n (n-1 at the float boundary), got $totalPoints")
+
+    val withZero = ((1L to 50L).map(i => (i, 2.0)) ++
+      Seq((900L, 0.0), (901L, 0.0))).toDF("id", "w")
+    val z = Curation.ppsSample(withZero, "id", "w", n = 8)
+      .as[(Long, Double, Long)].collect()
+    assert(!z.exists(r => r._1 == 900L || r._1 == 901L),
+      "zero-weight rows own an empty interval and must never be selected")
+
+    val again = Curation.ppsSample(heavy.repartition(7), "id", "w", n = 10)
+      .as[(Long, Double, Long)].collect()
+    assert(h.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "selection must be a pure function of (id, weight), not partitioning")
+  }
 }
