@@ -2326,6 +2326,16 @@ object SparkEntry {
       ordered(llm.Curation.ppsSample(d, "doc_id", "n_chars", n = 60))
     },
 
+    // PMI collocation extraction: adjacent token pairs that co-occur far
+    // beyond their unigram frequencies — ranked by the exact PMI RATIO
+    // (log-free: integer DECIMAL products + one IEEE division), support
+    // cut applied to the counted bigram table before any join. Feeds
+    // the q122 phrase-table tagger.
+    "q154_collocations" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.collocations(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5524,6 +5534,36 @@ ORDER BY ALL NULLS FIRST""",
         |FROM c
         |WHERE floor(CAST(cum AS DOUBLE) * 60 / CAST(tot AS DOUBLE)) >
         |      floor(CAST(cum - wd AS DOUBLE) * 60 / CAST(tot AS DOUBLE))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays tokenize -> unigram/bigram counts -> support cut -> the
+    // exact DECIMAL PMI-ratio products and the single IEEE division.
+    "q154_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM t)
+        |  WHERE w <> '' GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_par
+        |       FROM bg GROUP BY 1),
+        |nb AS (SELECT CAST(sum(n_par) AS BIGINT) AS b FROM cb)
+        |SELECT split_part(g, ' ', 1) AS token_a,
+        |  split_part(g, ' ', 2) AS token_b,
+        |  n_par, ua.c AS n_a, ub.c AS n_b,
+        |  CAST(CAST(n_par AS DECIMAL(38,0)) * n * n AS DOUBLE) /
+        |    CAST(CAST(b AS DECIMAL(38,0)) * ua.c * ub.c AS DOUBLE) AS lift
+        |FROM cb
+        |JOIN uni ua ON split_part(g, ' ', 1) = ua.w
+        |JOIN uni ub ON split_part(g, ' ', 2) = ub.w, nt, nb
+        |WHERE n_par >= 8
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

@@ -580,4 +580,69 @@ object TextAnalysis {
           (coalesce(col("w"), lit(0L)) + coalesce(col("__g"), lit(0L))).as("w"))
     }
   }
+
+  /** Collocation extraction by pointwise mutual information — which
+    * adjacent token pairs co-occur far more than their unigram
+    * frequencies predict ("new york", "machine learning"): the corpus
+    * phrase-discovery pass that feeds phrase tables (row 137's
+    * dictionary tagging consumes exactly this output) and tokenizer
+    * pre-merges.
+    *
+    * The statistic is the PMI RATIO itself, not its log (the q99/q121
+    * log-free discipline): `lift = p(ab) / (p(a)·p(b)) =
+    * (c_ab·N²) / (B·c_a·c_b)` with p(ab) = c_ab/B over bigram events
+    * and p(a) = c_a/N over token events. Numerator and denominator are
+    * exact DECIMAL(38,0) integer products and the lift is ONE
+    * correctly-rounded IEEE division — bit-identical on any engine,
+    * and monotone in PMI, so ranking by lift IS ranking by PMI.
+    *
+    * Shape at 100 TB: unigram and bigram counts are two map-side-
+    * combinable aggregations (Zipf skew collapses in the combiner); the
+    * `minCount` support cut applies to the COUNTED bigram table before
+    * any join (rare-pair noise — PMI's known failure mode — never
+    * reaches the metric math, and the joined table is vocabulary-sized,
+    * not corpus-sized); the two unigram joins stream each surviving
+    * bigram past single-row build sides (the q55 skew argument). The
+    * corpus is touched twice (token pass, bigram pass), shuffled never.
+    *
+    * Output: (token_a, token_b, n_par, n_a, n_b, lift) for bigrams with
+    * n_par ≥ minCount.
+    */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val tk = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), tokens(col(textCol)).as("__tk")))
+    val uni = tk.select(explode(col("__tk")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1L)).as("__cu"))
+      .transform(CacheScope.persistTracked)
+    val nTok = uni.agg(sum(col("__cu")).as("__n"))
+    val biAll = tk
+      .select(explode(call_function("word_shingles_all", col("__tk"), lit(2)))
+        .as("__g"))
+      .groupBy("__g").agg(count(lit(1L)).as("n_par"))
+      .transform(CacheScope.persistTracked)
+    val nBi = biAll.agg(sum(col("n_par")).as("__b"))
+    val parts = biAll.filter(col("n_par") >= minCount)
+      .select(col("n_par"),
+        element_at(split(col("__g"), " "), 1).as("token_a"),
+        element_at(split(col("__g"), " "), 2).as("token_b"))
+    parts
+      .join(uni.select(col("__w").as("token_a"), col("__cu").as("n_a")),
+        Seq("token_a"))
+      .join(uni.select(col("__w").as("token_b"), col("__cu").as("n_b")),
+        Seq("token_b"))
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("token_a"), col("token_b"), col("n_par"), col("n_a"),
+        col("n_b"),
+        ((col("n_par").cast("decimal(38,0)") * col("__n") * col("__n"))
+          .cast("double") /
+          (col("__b").cast("decimal(38,0)") * col("n_a") * col("n_b"))
+            .cast("double")).as("lift"))
+  }
 }

@@ -403,4 +403,19 @@ class FunctionsSpec extends SparkSpec {
       (0, 0, 0, 1L, 1L, 1.0, 0.0))
     assert(got == want, s"got $got")
   }
+
+  test("collocations: exact PMI-ratio lift by hand; support cut drops " +
+      "rare pairs before the metric") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "new york"), (2L, "new york"), (3L, "new haven"), (4L, "old york"))
+      .toDF("doc_id", "text")
+    // unigrams: new=3 york=3 haven=1 old=1, N=8; bigrams: B=4
+    // lift(new york) = (2 * 8^2) / (4 * 3 * 3) = 128/36
+    val got = graft.llm.TextAnalysis.collocations(
+        docs, "doc_id", "text", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(got == List(("new", "york", 2L, 3L, 3L, 128.0 / 36.0)),
+      s"got $got")
+  }
 }
