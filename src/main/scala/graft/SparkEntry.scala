@@ -2336,6 +2336,21 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Declarative data-contract validation (the reference's validar_pa
+    // generalized to a dbt-test-style suite): all row-local checks fold
+    // into ONE conditional-count scan, uniqueness is one combinable
+    // groupBy, referential integrity one broadcast left-join pass
+    // counting probes and misses together. One report row per check.
+    "q155_expectations" -> { (s, dir) =>
+      import operators.Expectations._
+      ordered(operators.Expectations.validate(Tables.orders(s, dir), Seq(
+        NotNull("o_custkey"),
+        Accepted("o_orderstatus", Seq("F", "O")),
+        InRange("o_totalprice", 1000.0, 300000.0),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.customer(s, dir), "c_custkey"))))
+    },
+
     // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
     // vocab = the distinct tokens of the 'en' slice (the fit corpus),
     // every other doc audited for out-of-vocabulary rate via one
@@ -5564,6 +5579,45 @@ ORDER BY ALL NULLS FIRST""",
         |JOIN uni ua ON split_part(g, ' ', 1) = ua.w
         |JOIN uni ub ON split_part(g, ' ', 2) = ub.w, nt, nb
         |WHERE n_par >= 8
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // One row per declared expectation: row-local checks from one
+    // conditional-count pass, uniqueness from grouped counts, RI from a
+    // left join over non-null FKs.
+    "q155_expectations" ->
+      """WITH loc AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS total,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F','O') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_av,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 1000.0 OR o_totalprice > 300000.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_ir
+        |  FROM orders),
+        |uq AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS v,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+        |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)),
+        |ri AS (
+        |  SELECT
+        |    CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1
+        |      ELSE 0 END), 0) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_custkey IS NOT NULL)
+        |SELECT 'not_null:o_custkey' AS verificacao, v_nn AS violacoes,
+        |  total FROM loc
+        |UNION ALL SELECT 'accepted_values:o_orderstatus', v_av, total
+        |  FROM loc
+        |UNION ALL SELECT 'in_range:o_totalprice', v_ir, total FROM loc
+        |UNION ALL SELECT 'unique:o_orderkey', v, total FROM uq
+        |UNION ALL SELECT 'ref_integrity:o_custkey', v, total FROM ri
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

@@ -948,4 +948,30 @@ class OperatorSpec extends SparkSpec {
     assert(merged == direct,
       "merging shard sketches must equal the whole-corpus build cell-for-cell")
   }
+
+  test("Expectations.validate counts every planted violation exactly; " +
+      "null FKs are NotNull's job, not RefIntegrity's") {
+    import Expectations._
+    val facts = Seq(
+      (1L, Option(10L), Option("F"), Option(50.0)),   // clean
+      (2L, Option(10L), Option("X"), Option(50.0)),   // bad status
+      (2L, Option(99L), Option("O"), Option(500.0)),  // dup key + dangling FK + range
+      (3L, None, Option("F"), None),                  // null FK (NotNull, not RI)
+      (4L, Option(11L), None, Option(-1.0)))          // null status ok; range
+      .toDF("id", "fk", "status", "preco")
+    val dim = Seq(10L, 11L).toDF("k")
+    val got = Expectations.validate(facts, Seq(
+        NotNull("fk"),
+        Accepted("status", Seq("F", "O")),
+        InRange("preco", 0.0, 100.0),
+        Unique(Seq("id")),
+        RefIntegrity("fk", dim, "k")))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("not_null:fk", 1L, 5L),
+      ("accepted_values:status", 1L, 5L),
+      ("in_range:preco", 2L, 5L),
+      ("unique:id", 1L, 5L),
+      ("ref_integrity:fk", 1L, 4L)), s"got $got")
+  }
 }
