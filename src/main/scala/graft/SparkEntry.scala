@@ -2336,6 +2336,20 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Exact phrase search over positional postings: a k-term phrase
+    // matches at position p iff term_i sits at p+i for all i — one
+    // broadcast of the exploded phrase terms onto the positional
+    // posting scan, one combinable per-(doc, phrase, start) count
+    // equal to the phrase length, one count per (phrase, doc). The
+    // primitive the term-bag rankers (q99/q131) cannot express.
+    "q156_phrase_search" -> { (s, dir) =>
+      import s.implicits._
+      val phrases = Seq("hash join", "table scan", "sort merge", "the row")
+        .toDF("frase")
+      ordered(llm.Retrieval.phraseSearch(
+        Tables.documents(s, dir), "doc_id", "text", phrases, "frase"))
+    },
+
     // Declarative data-contract validation (the reference's validar_pa
     // generalized to a dbt-test-style suite): all row-local checks fold
     // into ONE conditional-count scan, uniqueness is one combinable
@@ -5618,6 +5632,38 @@ ORDER BY ALL NULLS FIRST""",
         |UNION ALL SELECT 'in_range:o_totalprice', v_ir, total FROM loc
         |UNION ALL SELECT 'unique:o_orderkey', v, total FROM uq
         |UNION ALL SELECT 'ref_integrity:o_custkey', v, total FROM ri
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays positional postings (lateral generate_series = the
+    // posexplode), the phrase-term fan-out, candidate starts and both
+    // exact counts.
+    "q156_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, tk[g.i] AS term, g.i - 1 AS pos
+        |  FROM t, LATERAL unnest(generate_series(1, len(tk))) g(i)
+        |  WHERE tk[g.i] <> ''),
+        |phl AS (
+        |  SELECT frase, string_split_regex(trim(lower(frase)), '\s+') AS ptk
+        |  FROM (VALUES ('hash join'), ('table scan'), ('sort merge'),
+        |        ('the row')) p(frase)),
+        |ph AS (
+        |  SELECT frase, ptk[g.i] AS term, g.i - 1 AS i
+        |  FROM phl, LATERAL unnest(generate_series(1, len(ptk))) g(i)
+        |  WHERE ptk[g.i] <> ''),
+        |pl AS (SELECT frase, CAST(count(*) AS BIGINT) AS len
+        |       FROM ph GROUP BY 1),
+        |cand AS (
+        |  SELECT post.doc_id, ph.frase, post.pos - ph.i AS s, pl.len
+        |  FROM post JOIN ph ON post.term = ph.term JOIN pl USING (frase)),
+        |hit AS (
+        |  SELECT doc_id, frase
+        |  FROM cand GROUP BY doc_id, frase, s, len
+        |  HAVING count(*) = len AND s >= 0)
+        |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
+        |FROM hit GROUP BY 1, 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

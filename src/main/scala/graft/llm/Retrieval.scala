@@ -464,4 +464,57 @@ object Retrieval {
     TopK.groupTopKRows(
       fused, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
   }
+
+  /** Exact phrase search over POSITIONAL postings — the search-engine
+    * primitive the term-bag rankers (BM25/TF-IDF) cannot express: a
+    * k-term phrase matches at document position p iff term_i sits at
+    * p+i for every i. This is the classic positional-intersection
+    * query, run as ONE broadcast join + ONE combinable aggregation:
+    *
+    * - positional postings = scan-level `posexplode` of the tokenized
+    *   corpus (doc, pos, term) — per-doc functions, so they append
+    *   incrementally and persist next to the BM25 index (row 153's
+    *   discipline; production engines store positions in the same
+    *   posting lists);
+    * - the phrase batch explodes to (frase, i, termo, len) and
+    *   BROADCASTS onto the postings scan — only postings of terms that
+    *   appear in some phrase survive the join, each contributing a
+    *   candidate start `pos − i`;
+    * - a start is a match iff all `len` offsets hit: one
+    *   map-side-combinable count per (doc, frase, start) equals `len`
+    *   (each (doc, start, i) can match at most once — position start+i
+    *   holds one token), then one count per (frase, doc).
+    *
+    * Join volume = Σ posting lists of the phrase's terms — a phrase
+    * containing a near-stopword drags its list exactly as in BM25;
+    * production orders the intersection rarest-term-first (semi-join
+    * candidate docs on the rarest term, then run the full positional
+    * check on that slice), which composes here as a `docs` pre-filter.
+    *
+    * Output: (frase, doc_id, ocorrencias) for every document containing
+    * the phrase at least once. Everything is integer-exact.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      phrases: DataFrame, phraseCol: String): DataFrame = {
+    val tk = TextAnalysis.tokens(col(textCol))
+    val post = Spread(docs)
+      .select(col(idCol).as("doc_id"), posexplode(tk).as(Seq("__pos", "__t")))
+      .filter(col("__t") =!= "")
+    val pterms = phrases
+      .select(col(phraseCol).as("frase"),
+        posexplode(TextAnalysis.tokens(col(phraseCol)))
+          .as(Seq("__i", "__t")))
+      .filter(col("__t") =!= "")
+    val plens = pterms.groupBy("frase").agg(count(lit(1L)).as("__len"))
+    val cand = post.join(
+      broadcast(pterms.join(plens, Seq("frase"))), Seq("__t"))
+    cand
+      .groupBy(col("doc_id"), col("frase"),
+        (col("__pos") - col("__i")).as("__start"), col("__len"))
+      .agg(count(lit(1L)).as("__hits"))
+      .filter(col("__hits") === col("__len") && col("__start") >= 0L)
+      .groupBy("frase", "doc_id")
+      .agg(count(lit(1L)).as("ocorrencias"))
+  }
 }

@@ -378,4 +378,20 @@ class RetrievalSpec extends SparkSpec {
     assert(a.forall(r => r._3 > 0 && r._3 <= 1.0 + 1e-12),
       "cosine scores must lie in (0, 1]")
   }
+
+  test("phraseSearch: overlapping occurrences counted, repeated-term " +
+      "phrases need every offset, absent phrases emit nothing") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b" at 0 and 2; "b a" at 1 and 3
+      (2L, "a a a"),       // "a a" at 0 and 1 (overlap); never "a b"
+      (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val phrases = Seq("a b", "a a", "b a b a", "q z").toDF("frase")
+    val got = graft.llm.Retrieval.phraseSearch(docs, "doc_id", "text", phrases, "frase")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a b", 1L, 2L),
+      ("a a", 2L, 2L),
+      ("b a b a", 1L, 1L)), s"got $got")
+  }
 }
