@@ -2336,6 +2336,24 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Changelog extraction (q98's inverse): two full snapshots reduce
+    // through multiset exceptAll FIRST, so the insert/delete/update
+    // classification join runs at churn volume, never table volume —
+    // the "generate a change feed from full reloads" path full-dump
+    // sources (the reference's FTP extracts) need.
+    "q157_cdc_extract" -> { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val oldSnap = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val newSnap = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("o_totalprice") + 1.0).otherwise(col("o_totalprice")))
+      ordered(operators.Cdc.extractChangelog(
+        oldSnap, newSnap, Seq("o_orderkey")))
+    },
+
     // Exact phrase search over positional postings: a k-term phrase
     // matches at position p iff term_i sits at p+i for all i — one
     // broadcast of the exploded phrase terms onto the positional
@@ -5664,6 +5682,32 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays both snapshot derivations, the two EXCEPT ALL reductions
+    // and the churn-volume classification join.
+    "q157_cdc_extract" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |oldt AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+        |newt AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 0),
+        |rem AS (
+        |  SELECT o_orderkey, 1 AS was FROM
+        |    (SELECT * FROM oldt EXCEPT ALL SELECT * FROM newt)),
+        |add_ AS (
+        |  SELECT *, 1 AS isnew FROM
+        |    (SELECT * FROM newt EXCEPT ALL SELECT * FROM oldt))
+        |SELECT coalesce(rem.o_orderkey, add_.o_orderkey) AS o_orderkey,
+        |  CASE WHEN rem.was IS NULL THEN 'I'
+        |       WHEN add_.isnew IS NULL THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  add_.o_custkey, add_.o_orderstatus, add_.o_totalprice
+        |FROM rem FULL OUTER JOIN add_ ON rem.o_orderkey = add_.o_orderkey
         |ORDER BY ALL NULLS FIRST""".stripMargin,
   ) ++ oracleSqlRest
 

@@ -100,4 +100,43 @@ object Cdc {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Changelog EXTRACTION — [[applyChangelog]]'s inverse, the diff→CDC
+    * step that turns two table snapshots into the keyed change events a
+    * downstream consumer replays (the lakehouse "generate change feed
+    * from full reloads" path: sources that only hand over full dumps —
+    * the reference's FTP extracts are exactly that — still need to feed
+    * incremental consumers).
+    *
+    * Scale shape: classification joins run at CHANGE volume, not table
+    * volume — both snapshots first reduce through multiset `exceptAll`
+    * (the q85 hash-aggregate discipline: one full-row hash aggregate +
+    * join per side, nothing driver-side), and only the churn-sized
+    * difference sets meet in the full-outer key join that labels each
+    * key insert / delete / update. A 100 TB table with 0.1% churn pays
+    * two scans + a 100 GB-scale classify, never a table-vs-table outer
+    * join.
+    *
+    * Contract: `keyCols` unique within each snapshot. Output: keyCols +
+    * `op` ∈ {I, U, D} + the new snapshot's non-key columns (null for
+    * deletes). Unchanged rows emit nothing.
+    */
+  def extractChangelog(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshots must share a schema, got ${oldSnap.columns.toSeq} vs " +
+        s"${newSnap.columns.toSeq}")
+    val payload = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    val removed = oldSnap.exceptAll(newSnap)
+      .select(keyCols.map(col) :+ lit(1).as("__was"): _*)
+    val added = newSnap.exceptAll(oldSnap)
+      .select((keyCols ++ payload).map(col) :+ lit(1).as("__is"): _*)
+    removed.join(added, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        Seq(when(col("__was").isNull, "I")
+          .when(col("__is").isNull, "D")
+          .otherwise("U").as("op")) ++
+        payload.map(col): _*)
+  }
 }

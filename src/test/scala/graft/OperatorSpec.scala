@@ -688,6 +688,28 @@ class OperatorSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"changelog must not window-sort:\n$plan")
   }
 
+  test("extractChangelog labels churn I/U/D at change volume; applying " +
+      "the extracted log to the old snapshot rebuilds the new one") {
+    import graft.operators.Cdc
+    val oldSnap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val newSnap = Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal")
+    val log = Cdc.extractChangelog(oldSnap, newSnap, Seq("k"))
+    val got = log.as[(Long, String, Option[String], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      (2L, "U", Some("b2"), Some(21.0)),
+      (3L, "D", None, None),
+      (4L, "I", Some("d"), Some(40.0))), s"got $got")
+    // roundtrip: old + extracted log == new (unchanged rows pass through)
+    val rebuilt = Cdc.applyChangelog(
+        oldSnap, log.withColumn("seq", lit(1L)), Seq("k"), "seq", "op")
+      .as[(Long, String, Double)].collect().toSet
+    val want = newSnap.as[(Long, String, Double)].collect().toSet
+    assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
+  }
+
   test("scd2Delta emits exactly the changes scd2Apply makes") {
     import graft.operators.Scd
     val history = Seq(
