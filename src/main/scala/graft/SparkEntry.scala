@@ -2336,6 +2336,31 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // SCD2 point-in-time lookup: which dimension version was true when
+    // the fact happened — ONE native as-of pass (history keyed on
+    // valid_from), then already-expired matches nulled so history gaps
+    // yield nulls instead of stale versions. Customers %10==0 have no
+    // second version: their post-1995 orders exercise the gap path.
+    "q158_scd2_lookup" -> { (s, dir) =>
+      val cust = Tables.customer(s, dir)
+      // o_orderdate reads as TIMESTAMP_NTZ from parquet; the synthetic
+      // versions match that type so the as-of sides agree
+      val v1 = cust.select(col("c_custkey"),
+        concat(lit("OLD:"), col("c_mktsegment")).as("segmento"),
+        lit("1992-01-01 00:00:00").cast("timestamp_ntz").as("valid_from"),
+        lit("1995-06-17 00:00:00").cast("timestamp_ntz").as("valid_to"))
+      val v2 = cust.filter(pmod(col("c_custkey"), lit(10)) =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segmento"),
+          lit("1995-06-17 00:00:00").cast("timestamp_ntz").as("valid_from"),
+          lit(null).cast("timestamp_ntz").as("valid_to"))
+      val facts = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_orderdate"))
+      ordered(operators.Scd.scd2Lookup(
+        facts, v1.unionByName(v2), Seq("c_custkey"), "o_orderdate",
+        Seq("segmento")))
+    },
+
     // Changelog extraction (q98's inverse): two full snapshots reduce
     // through multiset exceptAll FIRST, so the insert/delete/update
     // classification join runs at churn volume, never table volume —
@@ -5682,6 +5707,29 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the synthetic two-version history, DuckDB's native ASOF
+    // LEFT JOIN on valid_from, and the expiry null-out for gap keys.
+    "q158_scd2_lookup" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, 'OLD:' || c_mktsegment AS segmento,
+        |    TIMESTAMP '1992-01-01' AS valid_from,
+        |    TIMESTAMP '1995-06-17' AS valid_to
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_mktsegment AS segmento,
+        |    TIMESTAMP '1995-06-17' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer WHERE c_custkey % 10 <> 0),
+        |hist AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+        |f AS (SELECT o_orderkey, o_custkey AS c_custkey, o_orderdate
+        |      FROM orders)
+        |SELECT f.o_orderkey, f.c_custkey, f.o_orderdate,
+        |  CASE WHEN h.valid_to IS NOT NULL AND f.o_orderdate >= h.valid_to
+        |       THEN NULL ELSE h.segmento END AS dim_segmento
+        |FROM f ASOF LEFT JOIN hist h
+        |  ON f.c_custkey = h.c_custkey AND f.o_orderdate >= h.valid_from
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays both snapshot derivations, the two EXCEPT ALL reductions

@@ -151,4 +151,38 @@ object Scd {
 
     closes.unionByName(opens)
   }
+
+  /** Point-in-time dimension lookup against an SCD2 history — "which
+    * version of this dimension row was true when the fact happened", the
+    * query a versioned history (row 76) exists to answer and the
+    * warehouse generalization of the reference's period-dimension joins.
+    *
+    * Runs as ONE pass of the native as-of operator (row 92): the history
+    * keyed on `valid_from` is the dim side of a backward as-of on
+    * (keyCols, tsCol) — latest version opened at-or-before the fact —
+    * then matches whose `valid_to` has already passed are nulled out, so
+    * HISTORY GAPS (a key deleted for a period and later re-inserted)
+    * yield nulls instead of leaking the stale version. Inherits the
+    * operator's planner contracts: sorts elide on bucketed-sorted
+    * inputs, the fact-side partitioning is reusable downstream, one held
+    * dim row of state per key.
+    *
+    * Output: every fact row + `prefix`-ed payload columns (null when no
+    * version was valid at the fact's ts).
+    */
+  def scd2Lookup(
+      fact: DataFrame, history: DataFrame, keyCols: Seq[String],
+      tsCol: String, payloadCols: Seq[String],
+      prefix: String = "dim_"): DataFrame = {
+    val dim = history.withColumn(tsCol, col("valid_from"))
+    val joined = AsOf.asOfJoinNativeKeys(
+      fact, dim, keyCols, tsCol, payloadCols :+ "valid_to", prefix)
+    val invalid = col(s"${prefix}valid_to").isNotNull &&
+      col(tsCol) >= col(s"${prefix}valid_to")
+    payloadCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"$prefix$c",
+        when(invalid, lit(null).cast(joined.schema(s"$prefix$c").dataType))
+          .otherwise(col(s"$prefix$c")))
+    }.drop(s"${prefix}valid_to", s"$prefix$tsCol")
+  }
 }

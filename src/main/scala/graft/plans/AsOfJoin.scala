@@ -127,7 +127,7 @@ class AsOfMerger(
   // timestamps, days for dates)
   if (nearest || tolerance >= 0L) {
     import org.apache.spark.sql.types._
-    require(Seq(LongType, IntegerType, TimestampType, DateType)
+    require(Seq(LongType, IntegerType, TimestampType, TimestampNTZType, DateType)
       .exists(_ == lTs.dataType),
       s"nearest/tolerance as-of needs an integral/timestamp ts, got ${lTs.dataType}")
   }
@@ -143,7 +143,8 @@ class AsOfMerger(
     // nearest-direction delta arithmetic (types pre-checked in the ctor)
     def tsValue(r: InternalRow): Long = tsType match {
       case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.TimestampType => r.getLong(0)
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => r.getLong(0)
       case _ => r.getInt(0).toLong
     }
     val factKeyProj = UnsafeProjection.create(lKeys, leftOutput)

@@ -710,6 +710,28 @@ class OperatorSpec extends SparkSpec {
     assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
   }
 
+  test("scd2Lookup: version valid at fact time; boundary goes to the new " +
+      "version; gaps and pre-history facts yield null") {
+    import graft.operators.Scd
+    val hist = Seq(
+      (1L, "a1", 10L, Some(20L)), (1L, "a2", 20L, None),
+      (2L, "b1", 10L, Some(20L))) // key 2 closed at 20, never reopened
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq((101L, 1L, 5L), (102L, 1L, 15L), (103L, 1L, 20L),
+      (104L, 1L, 99L), (105L, 2L, 15L), (106L, 2L, 25L))
+      .toDF("fid", "k", "ts")
+    val got = Scd.scd2Lookup(facts, hist, Seq("k"), "ts", Seq("attr"))
+      .as[(Long, Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (101L, 1L, 5L, None),          // before any version
+      (102L, 1L, 15L, Some("a1")),
+      (103L, 1L, 20L, Some("a2")),   // boundary: new version opens AT 20
+      (104L, 1L, 99L, Some("a2")),
+      (105L, 2L, 15L, Some("b1")),
+      (106L, 2L, 25L, None)),        // history gap: expired, no successor
+      s"got $got")
+  }
+
   test("scd2Delta emits exactly the changes scd2Apply makes") {
     import graft.operators.Scd
     val history = Seq(
