@@ -2336,6 +2336,28 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // First/last-touch conversion attribution: one user-keyed interval
+    // join (lookback-bounded, per-user pair space) + one combinable
+    // struct-min/max aggregation per conversion — no per-conversion
+    // window sort. Unattributed conversions kept with null credit.
+    "q159_attribution" -> { (s, dir) =>
+      ordered(streaming.Events.attribution(
+        Tables.events(s, dir), convType = "purchase",
+        touchTypes = Seq("view", "click"), lookback = "2 days"))
+    },
+
+    // Exact rolling active users (DAU + trailing-7-day window): distinct
+    // counts don't decompose over sliding windows, so activity dedups to
+    // (user, day) first, then each deduped row fans out to the 7 window
+    // ends it feeds — constant fan-out of the DEDUPED volume, two
+    // combinable distinct counts, no window sort.
+    "q160_active_users" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("dia"))
+      ordered(operators.Timeseries.rollingActive(ev, "user_id", "dia",
+        window = 7))
+    },
+
     // SCD2 point-in-time lookup: which dimension version was true when
     // the fact happened — ONE native as-of pass (history keyed on
     // valid_from), then already-expired matches nulled so history gaps
@@ -5707,6 +5729,57 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the lookback interval join and picks first/last touch by
+    // the same (ts, id, type) ordering (window form — the engine's
+    // struct-min/max is the sort-free equivalent).
+    "q159_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conversao_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS tuid, ts AS tts, event_id AS tid,
+        |    event_type AS ttype
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        |  SELECT c.conversao_id, c.user_id, t.tts, t.tid, t.ttype
+        |  FROM conv c LEFT JOIN touch t
+        |    ON c.user_id = t.tuid AND t.tts < c.cts
+        |    AND t.tts >= c.cts - INTERVAL 2 DAY),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY conversao_id
+        |      ORDER BY tts ASC, tid ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY conversao_id
+        |      ORDER BY tts DESC, tid DESC) AS rl
+        |  FROM pairs)
+        |SELECT conversao_id, user_id,
+        |  CAST(count(tid) AS BIGINT) AS n_toques,
+        |  max(CASE WHEN rf = 1 THEN tid END) AS primeiro_id,
+        |  max(CASE WHEN rf = 1 THEN ttype END) AS primeiro_tipo,
+        |  max(CASE WHEN rl = 1 THEN tid END) AS ultimo_id,
+        |  max(CASE WHEN rl = 1 THEN ttype END) AS ultimo_tipo
+        |FROM rk GROUP BY conversao_id, user_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the (user, day) dedup, the 7-window fan-out and both
+    // distinct counts.
+    "q160_active_users" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |daily AS (
+        |  SELECT d AS dia, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS ativos_dia
+        |  FROM ed GROUP BY 1),
+        |win AS (
+        |  SELECT g.dia, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS ativos_janela
+        |  FROM ed, LATERAL unnest(generate_series(d, d + 6,
+        |    INTERVAL 1 DAY)) g(dia)
+        |  GROUP BY 1)
+        |SELECT daily.dia, ativos_dia, ativos_janela
+        |FROM daily JOIN win ON daily.dia = win.dia
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the synthetic two-version history, DuckDB's native ASOF

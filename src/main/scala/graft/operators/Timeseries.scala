@@ -79,4 +79,41 @@ object Timeseries {
       .groupBy("cohorte", "offset_meses")
       .agg(count_distinct(col(entityCol)).as("entidades_ativas"))
   }
+
+  /** Exact rolling active-entity counts (DAU/WAU-class): distinct
+    * entities per day and per trailing `window` days — the engagement
+    * panel every event pipeline reports.
+    *
+    * Distinct counts do NOT decompose over sliding windows (yesterday's
+    * users ∪ today's ≠ sum), so the trailing count CANNOT be a windowed
+    * sum of dailies. The exact decomposition used here: dedup activity
+    * to (entity, day) FIRST (one combinable aggregation — volume drops
+    * to entity-days), then each (entity, day) contributes to the
+    * `window` trailing windows ending on day..day+window−1 — a
+    * scan-level `sequence` explode (constant ×window fan-out of the
+    * DEDUPED rows, not the raw events) and a second distinct count per
+    * window end. Days with zero activity are absent; window ends beyond
+    * the last active day are clipped by the inner join with the daily
+    * side. The sketch alternative for huge windows is row 108's
+    * mergeable HLL.
+    *
+    * Output: (dia, ativos_dia, ativos_janela).
+    */
+  def rollingActive(
+      df: DataFrame, entityCol: String, dayCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val ed = df.select(col(entityCol).as("__e"), col(dayCol).as("__d"))
+      .distinct()
+      .transform(graft.llm.CacheScope.persistTracked)
+    val daily = ed.groupBy(col("__d").as("dia"))
+      .agg(count_distinct(col("__e")).as("ativos_dia"))
+    val windowed = ed
+      .select(col("__e"),
+        explode(sequence(col("__d"), date_add(col("__d"), window - 1)))
+          .as("dia"))
+      .groupBy("dia")
+      .agg(count_distinct(col("__e")).as("ativos_janela"))
+    daily.join(windowed, Seq("dia"))
+  }
 }

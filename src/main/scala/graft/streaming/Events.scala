@@ -149,6 +149,51 @@ object Events {
     firsts.select(col("user_id"), depth.cast("int").as("etapas"))
   }
 
+  /** First/last-touch conversion attribution — which touchpoint
+    * (view/click) gets credit for each conversion, the question every
+    * event pipeline's marketing/funnel consumer asks next after
+    * [[funnelDepth]].
+    *
+    * Shape: ONE user-keyed interval join (conversions × touches bounded
+    * by the lookback window — per-user pair space, the [[intervalJoin]]
+    * argument) and ONE combinable aggregation per conversion: first and
+    * last touch fall out of `min`/`max` over (ts, id, type) STRUCTS
+    * (field-by-field ordering — deterministic ties by event id), so no
+    * per-conversion window sort exists anywhere. A LEFT join keeps
+    * unattributed conversions (no touch in the window) with null credit
+    * and `n_toques = 0`.
+    *
+    * `lookback` is an interval literal ("3 days"). Touches strictly
+    * BEFORE the conversion instant count; the conversion's own instant
+    * does not (a same-instant touch is not a cause).
+    */
+  def attribution(
+      events: DataFrame, convType: String, touchTypes: Seq[String],
+      lookback: String): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("conversao_id"), col("user_id"),
+        col("ts").as("__cts"))
+    val touch = events.filter(col("event_type").isInCollection(touchTypes))
+      .select(col("user_id").as("__tuid"), col("ts").as("__tts"),
+        col("event_id").as("__tid"), col("event_type").as("__ttype"))
+    conv.join(touch,
+        col("user_id") === col("__tuid") &&
+          col("__tts") < col("__cts") &&
+          col("__tts") >= col("__cts") - expr(s"INTERVAL $lookback"),
+        "left")
+      .groupBy("conversao_id", "user_id")
+      .agg(
+        count(col("__tid")).as("n_toques"),
+        min(struct(col("__tts"), col("__tid"), col("__ttype"))).as("__first"),
+        max(struct(col("__tts"), col("__tid"), col("__ttype"))).as("__last"))
+      .select(col("conversao_id"), col("user_id"), col("n_toques"),
+        col("__first.__tid").as("primeiro_id"),
+        col("__first.__ttype").as("primeiro_tipo"),
+        col("__last.__tid").as("ultimo_id"),
+        col("__last.__ttype").as("ultimo_tipo"))
+  }
+
   /** Streaming twin of [[intervalJoin]] — the canonical stream-stream join:
     * watermarks on BOTH sides plus the time-range condition let Spark
     * bound join state (each side's buffered rows expire once the other

@@ -710,6 +710,49 @@ class OperatorSpec extends SparkSpec {
     assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
   }
 
+  test("attribution: first/last touch inside the lookback, same-instant " +
+      "touches excluded, unattributed conversions kept with zero touches") {
+    import graft.streaming.Events
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L, "view", 0.0),
+      (2L, t("2024-01-02 09:00:00"), 7L, "click", 0.0),
+      (3L, t("2024-01-02 12:00:00"), 7L, "purchase", 9.0), // conv: first=1 last=2
+      (4L, t("2023-12-01 00:00:00"), 8L, "view", 0.0),     // outside lookback
+      (5L, t("2024-01-05 00:00:00"), 8L, "purchase", 1.0), // conv: nothing in window
+      (6L, t("2024-01-06 00:00:00"), 9L, "view", 0.0),
+      (7L, t("2024-01-06 00:00:00"), 9L, "purchase", 1.0)) // same instant: no credit
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.attribution(events, "purchase", Seq("view", "click"),
+        lookback = "2 days")
+      .as[(Long, Long, Long, Option[Long], Option[String], Option[Long],
+        Option[String])].collect().toSet
+    assert(got == Set(
+      (3L, 7L, 2L, Some(1L), Some("view"), Some(2L), Some("click")),
+      (5L, 8L, 0L, None, None, None, None),
+      (7L, 9L, 0L, None, None, None, None)), s"got $got")
+  }
+
+  test("rollingActive: trailing window counts distinct entities, not " +
+      "summed dailies; zero-activity days absent") {
+    import graft.operators.Timeseries
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // user 1 active on days 1 and 2 (must count ONCE in the window),
+    // user 2 only day 1, user 3 only day 8 (outside day 2's window)
+    val act = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-02")), (1L, d("2024-01-01")),
+      (2L, d("2024-01-01")), (3L, d("2024-01-08")))
+      .toDF("u", "dia")
+    val got = Timeseries.rollingActive(act, "u", "dia", window = 7)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2, r._3)).toSet
+    assert(got == Set(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 2L),   // window [27th..2nd]: users 1,2 -> 2, NOT 3
+      ("2024-01-08", 1L, 2L)),  // window [2nd..8th]: users 1,3
+      s"got $got")
+  }
+
   test("scd2Lookup: version valid at fact time; boundary goes to the new " +
       "version; gaps and pre-history facts yield null") {
     import graft.operators.Scd
