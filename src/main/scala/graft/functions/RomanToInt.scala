@@ -97,7 +97,8 @@ object GraftFunctions {
     MightContain.descriptor, SortedIntersectCount.descriptor, WordShingles.descriptor,
     WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
     NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor,
-    SqDistDouble.descriptor, SortedIntersectLongs.descriptor)
+    SqDistDouble.descriptor, SortedIntersectLongs.descriptor,
+    HeavyHitters.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

@@ -213,4 +213,46 @@ object Incremental {
         merged.localCheckpoint()
           .write.mode("overwrite").parquet(sketchPath)
     }.start()
+
+  /** Misra–Gries heavy-hitter summary over a column: ≤ k (item,
+    * contagem) rows NO MATTER the vocabulary — the bounded-state
+    * frequent-item SET next to [[distinctSketch]] (HLL distincts) and
+    * [[cmsBuild]] (point frequencies). Runs as the native
+    * `graft_heavy_hitters` TypedImperativeAggregate: map-side partials
+    * hold k counters each and MERGE by the Agarwal et al. rule, so the
+    * exchange carries ≤ k·partitions rows where the exact q70 form
+    * shuffles the whole gram table. Guarantees (spec-pinned): every item
+    * with true frequency > N/(k+1) is retained; counters never
+    * overcount and undercount ≤ N/(k+1). Counter VALUES are
+    * order-dependent (any MG is) — the retained set and bounds are the
+    * contract, hence spec-only.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    df.agg(call_function("graft_heavy_hitters", col(itemCol), lit(k))
+        .as("__mg"))
+      .select(explode(col("__mg")).as("__e"))
+      .select(col("__e.item").as("item"), col("__e.contagem").as("contagem"))
+  }
+
+  /** Merge two [[heavyHitters]] summaries built with the same k: add
+    * counters, then subtract the (k+1)-th largest sum from all and keep
+    * the positive remainder — the mergeable-summaries trim. Inputs are
+    * ≤ k rows each, so the window here orders ≤ 2k rows, never data.
+    */
+  def heavyHittersMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val summed = a.unionByName(b)
+      .groupBy("item").agg(sum(col("contagem")).as("contagem"))
+    val ranked = summed.withColumn("__r",
+      row_number().over(Window.orderBy(col("contagem").desc, col("item"))))
+    val cut = ranked.agg(
+      coalesce(max(when(col("__r") === k + 1, col("contagem"))), lit(0L))
+        .as("__cut"))
+    ranked.crossJoin(broadcast(cut))
+      .select(col("item"), (col("contagem") - col("__cut")).as("contagem"))
+      .filter(col("contagem") > 0L)
+  }
 }

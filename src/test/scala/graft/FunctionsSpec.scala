@@ -404,6 +404,41 @@ class FunctionsSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("graft_heavy_hitters: Misra-Gries guarantees — every item above " +
+      "N/(k+1) retained, counters never overcount, undercount bounded; " +
+      "merged shard summaries keep the same bounds") {
+    import spark.implicits._
+    import graft.operators.Incremental
+    // N = 1200: "hot"×500, "warm"×300, 400 distinct singletons
+    // k = 9 -> error bound N/(k+1) = 120
+    val words = Seq.fill(500)("hot") ++ Seq.fill(300)("warm") ++
+      (1 to 400).map(i => s"rare$i")
+    val df = words.toDF("w").repartition(7)
+    val got = Incremental.heavyHitters(df, "w", k = 9)
+      .as[(String, Long)].collect().toMap
+    assert(got.size <= 9, s"at most k counters, got ${got.size}")
+    assert(got.contains("hot") && got.contains("warm"),
+      s"items above N/(k+1) must be retained: $got")
+    assert(got("hot") <= 500L && got("hot") >= 500L - 120L,
+      s"hot miscounted: ${got("hot")}")
+    assert(got("warm") <= 300L && got("warm") >= 300L - 120L,
+      s"warm miscounted: ${got("warm")}")
+
+    // shard → summarize → merge: the mergeable-summaries bound holds
+    // against the WHOLE corpus (error ≤ (N1+N2)/(k+1) = 120)
+    val (w1, w2) = words.splitAt(words.length / 2)
+    val m = Incremental.heavyHittersMerge(
+        Incremental.heavyHitters(w1.toDF("w").repartition(3), "w", 9),
+        Incremental.heavyHitters(w2.toDF("w").repartition(5), "w", 9),
+        k = 9)
+      .as[(String, Long)].collect().toMap
+    assert(m.size <= 9, s"merged summary exceeds k: ${m.size}")
+    assert(m.contains("hot") && m.contains("warm"),
+      s"merge lost a heavy hitter: $m")
+    assert(m("hot") <= 500L && m("hot") >= 500L - 120L, s"hot: ${m("hot")}")
+    assert(m("warm") <= 300L && m("warm") >= 300L - 120L, s"warm: ${m("warm")}")
+  }
+
   test("collocations: exact PMI-ratio lift by hand; support cut drops " +
       "rare pairs before the metric") {
     import spark.implicits._
