@@ -2336,6 +2336,26 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // k-core decomposition of the supplier co-supply graph: iterative
+    // peeling to the exact fixpoint (cascades included) — one degree
+    // aggregation + two semi-joins per round. Not SQL-expressible
+    // (non-monotone fixpoint) -> rows-only; KCore spec pins cascades
+    // and K4-with-pendants by hand.
+    "q161_kcore" -> { (s, dir) =>
+      // parts co-purchased within an order: sparse enough (degrees
+      // 42-206 at sf0.01) that k=82 peels a quarter of the graph with
+      // real cascades while the core survives (the collapse threshold
+      // sits at ~84 - quasi-random graphs die sharply)
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = ps.select(col("o"), col("p").as("p1"))
+        .join(ps.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+      ordered(llm.Components.kCore(edges, "src", "dst", k = 82))
+    },
+
     // First/last-touch conversion attribution: one user-keyed interval
     // join (lookback-bounded, per-user pair space) + one combinable
     // struct-min/max aggregation per conversion — no per-conversion

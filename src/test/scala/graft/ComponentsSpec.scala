@@ -122,6 +122,29 @@ class ComponentsSpec extends SparkSpec {
     assert(a == sr.toSet, "ranks must not depend on partition layout")
   }
 
+  test("kCore: pendants peel, cascades propagate, empty core when k " +
+      "exceeds every subgraph's cohesion") {
+    // K4 on {1,2,3,4} with pendants 5-1 and 6-2: the 3-core is exactly K4
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 2L)).toDF("src", "dst")
+    val core3 = Components.kCore(k4, "src", "dst", k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core3 == Set((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)),
+      s"3-core of K4+pendants must be K4: $core3")
+
+    // triangle {1,2,3} + chain 3-4-5: for k=2 vertex 5 peels first, THEN
+    // 4 falls below — the cascade must run to the fixpoint
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core2 = Components.kCore(chain, "src", "dst", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(core2 == Set((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"cascade must peel 5 then 4, leaving the triangle: $core2")
+
+    assert(Components.kCore(k4, "src", "dst", k = 4).isEmpty,
+      "no 4-core exists in K4 + pendants")
+  }
+
   test("triangleCount: K4 has 3 triangles per vertex; paths have none; " +
       "reversed/duplicate/self-loop edges are normalized away") {
     import spark.implicits._
