@@ -2336,6 +2336,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Exact per-group weighted median: smallest value whose DECIMAL
+    // cumulative weight reaches half the group total — equal values
+    // collapse before the window so the per-group sort runs on the
+    // reduced table, and the halfway test is pure DECIMAL (no division,
+    // no doubles).
+    "q162_weighted_median" -> { (s, dir) =>
+      ordered(operators.Stats.weightedMedian(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+        "l_quantity"))
+    },
+
     // k-core decomposition of the supplier co-supply graph: iterative
     // peeling to the exact fixpoint (cascades included) — one degree
     // aggregation + two semi-joins per round. Not SQL-expressible
@@ -5749,6 +5760,25 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the value-collapse, the DECIMAL cumulative, the 2·cum >=
+    // tot test and both aggregates.
+    "q162_weighted_median" ->
+      """WITH bv AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM bv)
+        |SELECT l_returnflag, min(v) AS mediana_ponderada,
+        |  CAST(min(tot) AS DECIMAL(38,6)) AS peso_total
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the lookback interval join and picks first/last touch by

@@ -130,4 +130,47 @@ object Stats {
       when(share <= aShare, "A").when(share <= bShare, "B").otherwise("C")
         .as("classe")): _*)
   }
+
+  /** Exact per-group WEIGHTED median — the robust center the reference's
+    * per-group mean reductions lack: the smallest value whose cumulative
+    * weight reaches half the group total (the lower weighted median, the
+    * survey-statistics convention; with unit weights it degenerates to
+    * the classic lower median).
+    *
+    * Shape: one window cumsum per group ordered by value (the q68
+    * argument — the per-group sort is the price of an EXACT order
+    * statistic; `percentile_approx`/KLL is the declared sketch path when
+    * the tail precision isn't worth sorting at 100 TB), then one
+    * combinable `min` per group over the qualifying rows. Weights
+    * accumulate in DECIMAL(38,6) so the halfway test is
+    * order-independent and engine-exact: the comparison is
+    * `2·cum ≥ total` in DECIMAL — no division, no doubles anywhere.
+    *
+    * Contract: weights non-negative (zero-weight rows can never qualify
+    * — their interval is empty). Ties on value collapse into one
+    * cumulative step, so duplicated values cannot make the pick
+    * order-dependent. Output: (groupCols…, mediana_ponderada,
+    * peso_total).
+    */
+  def weightedMedian(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val wd = col(weightCol).cast("decimal(38,6)")
+    // collapse equal values first: the cumulative then steps once per
+    // distinct value and the window sort runs on the reduced table
+    val byValue = df.groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(wd).as("__w"))
+    val win = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(g: _*)
+    val cum = byValue
+      .withColumn("__cum", sum(col("__w")).over(win))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+    cum.filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(min(col("__v")).as("mediana_ponderada"),
+        min(col("__tot")).as("peso_total"))
+  }
 }

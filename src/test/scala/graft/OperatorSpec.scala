@@ -710,6 +710,29 @@ class OperatorSpec extends SparkSpec {
     assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
   }
 
+  test("weightedMedian: lower weighted median by hand; unit weights " +
+      "degenerate to the classic lower median; zero weights never pick") {
+    import graft.operators.Stats
+    val w = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 3.0),
+      ("g", 4.0, 1.0)).toDF("grp", "v", "w")
+    val got = Stats.weightedMedian(w, Seq("grp"), "v", "w")
+      .select(col("grp"), col("mediana_ponderada"),
+        col("peso_total").cast("double"))
+      .as[(String, Double, Double)].collect().toList
+    assert(got == List(("g", 3.0, 6.0)), s"got $got") // cum at 3 is 5, 2*5>=6
+
+    val unit = Seq(("u", 1.0, 1.0), ("u", 2.0, 1.0), ("u", 3.0, 1.0),
+      ("u", 4.0, 1.0)).toDF("grp", "v", "w")
+    val lower = Stats.weightedMedian(unit, Seq("grp"), "v", "w")
+      .select("mediana_ponderada").as[Double].head()
+    assert(lower == 2.0, s"unit weights must give the lower median, got $lower")
+
+    val zero = Seq(("z", 0.0, 0.0), ("z", 9.0, 1.0)).toDF("grp", "v", "w")
+    val zm = Stats.weightedMedian(zero, Seq("grp"), "v", "w")
+      .select("mediana_ponderada").as[Double].head()
+    assert(zm == 9.0, s"zero-weight value must never be picked, got $zm")
+  }
+
   test("attribution: first/last touch inside the lookback, same-instant " +
       "touches excluded, unattributed conversions kept with zero touches") {
     import graft.streaming.Events
