@@ -2336,6 +2336,17 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Pre-join skew/cost diagnostics: per-side key counts, hottest keys
+    // (per-partition heaps, no global sort) and the EXACT join output
+    // cardinality sum(c_l*c_r) — the report the q146 wedge join should
+    // be sized from before it runs. Diagnoses the lineitem×lineitem
+    // self-join on l_partkey (the co-purchase pair volume).
+    "q163_join_diagnostics" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      ordered(operators.Profile.joinDiagnostics(
+        li, li, "l_partkey", "l_partkey", topK = 5))
+    },
+
     // Exact per-group weighted median: smallest value whose DECIMAL
     // cumulative weight reaches half the group total — equal values
     // collapse before the window so the per-group sort runs on the
@@ -5760,6 +5771,35 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays per-side counts, the top-5 hottest keys with the
+    // (count DESC, key ASC) tie-break, and the exact product-sum join
+    // cardinality.
+    "q163_join_diagnostics" ->
+      """WITH cl AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS chave,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |summ AS (
+        |  SELECT 'linhas_esq' AS metrica, CAST(NULL AS VARCHAR) AS chave,
+        |    CAST(sum(c) AS DECIMAL(38,0)) AS valor FROM cl
+        |  UNION ALL
+        |  SELECT 'chaves_esq', NULL, CAST(count(*) AS DECIMAL(38,0)) FROM cl
+        |  UNION ALL
+        |  SELECT 'linhas_dir', NULL, CAST(sum(c) AS DECIMAL(38,0)) FROM cl
+        |  UNION ALL
+        |  SELECT 'chaves_dir', NULL, CAST(count(*) AS DECIMAL(38,0)) FROM cl
+        |  UNION ALL
+        |  SELECT 'linhas_juncao', NULL,
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) FROM cl),
+        |hot AS (
+        |  SELECT chave, c FROM cl ORDER BY c DESC, chave LIMIT 5)
+        |SELECT metrica, chave, valor FROM summ
+        |UNION ALL
+        |SELECT 'quente_esq', chave, CAST(c AS DECIMAL(38,0)) FROM hot
+        |UNION ALL
+        |SELECT 'quente_dir', chave, CAST(c AS DECIMAL(38,0)) FROM hot
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, the DECIMAL cumulative, the 2·cum >=

@@ -33,4 +33,60 @@ object Profile {
       col(s"__max_$c").as("maximo"))): _*)
     row.select(explode(stacked).as("__p")).select("__p.*")
   }
+
+  /** Pre-join skew/cost diagnostics — the report an operator like the
+    * q146 wedge join or any fact-fact equi-join should be sized from
+    * BEFORE it runs: per-side key counts, the hottest keys, and the
+    * EXACT output cardinality Σ_k c_left(k)·c_right(k) (which is also
+    * the Σdeg² wedge-volume term when diagnosing a self-join).
+    *
+    * Shape: one map-side-combinable count per side (key tables are
+    * vocabulary-sized, facts are never rejoined); the hottest keys come
+    * from `orderBy().limit()` → TakeOrderedAndProject (per-partition
+    * heaps, the q70 discipline — no global sort); the cardinality
+    * estimate is one join of the two COUNT tables + one sum of exact
+    * DECIMAL(38,0) products. Everything integer-exact.
+    *
+    * Output rows (metrica, chave, valor): `linhas_esq/linhas_dir`
+    * (row counts), `chaves_esq/chaves_dir` (distinct keys),
+    * `linhas_juncao` (exact join output rows), and topK
+    * `quente_esq/quente_dir` rows carrying the hottest keys and their
+    * counts.
+    */
+  def joinDiagnostics(
+      left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val cl = graft.llm.CacheScope.persistTracked(
+      left.groupBy(col(leftKey).cast("string").as("chave"))
+        .agg(count(lit(1L)).as("__c")))
+    val cr = graft.llm.CacheScope.persistTracked(
+      right.groupBy(col(rightKey).cast("string").as("chave"))
+        .agg(count(lit(1L)).as("__c")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def summary(df: DataFrame, rowsName: String, keysName: String) =
+      df.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("__rows"),
+        count(lit(1L)).as("__keys"))
+        .select(explode(map(
+          lit(rowsName), dec(col("__rows")),
+          lit(keysName), dec(col("__keys"))))
+          .as(Seq("metrica", "valor")))
+        .select(col("metrica"), lit(null).cast("string").as("chave"),
+          col("valor"))
+    def hot(df: DataFrame, name: String) =
+      df.orderBy(col("__c").desc, col("chave")).limit(topK)
+        .select(lit(name).as("metrica"), col("chave"), dec(col("__c")).as("valor"))
+    val est = cl.withColumnRenamed("__c", "__cl")
+      .join(cr.withColumnRenamed("__c", "__cr"), Seq("chave"))
+      .agg(coalesce(sum(dec(col("__cl")) * dec(col("__cr"))),
+        lit(0).cast("decimal(38,0)")).as("valor"))
+      .select(lit("linhas_juncao").as("metrica"),
+        lit(null).cast("string").as("chave"), dec(col("valor")).as("valor"))
+    summary(cl, "linhas_esq", "chaves_esq")
+      .unionByName(summary(cr, "linhas_dir", "chaves_dir"))
+      .unionByName(est)
+      .unionByName(hot(cl, "quente_esq"))
+      .unionByName(hot(cr, "quente_dir"))
+  }
 }

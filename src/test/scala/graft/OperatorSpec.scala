@@ -710,6 +710,22 @@ class OperatorSpec extends SparkSpec {
     assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
   }
 
+  test("joinDiagnostics: exact product-sum cardinality, hottest keys, " +
+      "per-side totals") {
+    val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Seq("a", "a", "c", "c", "c", "c", "d").toDF("k")
+    val got = Profile.joinDiagnostics(l, r, "k", "k", topK = 2)
+      .as[(String, Option[String], java.math.BigDecimal)].collect()
+      .map(t => (t._1, t._2, t._3.longValueExact())).toSet
+    assert(got == Set(
+      ("linhas_esq", None, 6L), ("chaves_esq", None, 3L),
+      ("linhas_dir", None, 7L), ("chaves_dir", None, 3L),
+      ("linhas_juncao", None, 3L * 2 + 1L * 4),  // a: 3*2, c: 1*4, b/d: 0
+      ("quente_esq", Some("a"), 3L), ("quente_esq", Some("b"), 2L),
+      ("quente_dir", Some("c"), 4L), ("quente_dir", Some("a"), 2L)),
+      s"got ${got.toSeq.sortBy(_._1)}")
+  }
+
   test("weightedMedian: lower weighted median by hand; unit weights " +
       "degenerate to the classic lower median; zero weights never pick") {
     import graft.operators.Stats
