@@ -710,6 +710,48 @@ class OperatorSpec extends SparkSpec {
     assert(rebuilt == want, s"roundtrip broke: $rebuilt vs $want")
   }
 
+  test("Versioned: commits are atomic snapshots, time travel reads old " +
+      "versions, orphan dirs are unreachable, vacuum keeps the newest") {
+    import graft.sources.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-versioned")
+      .toString + "/tabela"
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "val")
+    val b = Seq((1L, "a2"), (3L, "c")).toDF("id", "val")
+    assert(Versioned.commitVersion(a, dir) == 1)
+    assert(Versioned.commitVersion(b, dir) == 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    assert(rows(Versioned.readVersion(spark, dir)) == Set((1L, "a2"), (3L, "c")),
+      "head must read the latest commit")
+    assert(rows(Versioned.readVersion(spark, dir, Some(1))) ==
+      Set((1L, "a"), (2L, "b")), "time travel must read version 1 unchanged")
+    assert(Versioned.listVersions(spark, dir) == Seq(1, 2))
+
+    // an orphan data dir (failed commit: data written, head never
+    // flipped) must not be reachable through the read API
+    a.write.parquet(s"$dir/v00003")
+    assert(rows(Versioned.readVersion(spark, dir)) == Set((1L, "a2"), (3L, "c")),
+      "head must ignore the orphan")
+    intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, dir, Some(3))
+    }
+
+    // crash recovery: the next commit takes v3, clobbering the orphan
+    // (it was never visible), and the head flips to it
+    assert(Versioned.commitVersion(a, dir) == 3)
+    assert(rows(Versioned.readVersion(spark, dir)) == Set((1L, "a"), (2L, "b")),
+      "recovered commit must be readable at the head")
+
+    Versioned.vacuum(spark, dir, keep = 1)
+    assert(Versioned.listVersions(spark, dir) == Seq(3),
+      "vacuum keeps only the newest data dirs")
+    intercept[Exception] { // vacuumed version: directory gone
+      Versioned.readVersion(spark, dir, Some(1)).collect()
+    }
+    assert(rows(Versioned.readVersion(spark, dir)) == Set((1L, "a"), (2L, "b")),
+      "the head survives vacuum")
+  }
+
   test("joinDiagnostics: exact product-sum cardinality, hottest keys, " +
       "per-side totals") {
     val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
