@@ -2336,6 +2336,38 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Recency-weighted engagement: per-user decayed activity score at a
+    // reference day, halving per elapsed week — the weight is an EXACT
+    // power-of-two division (1/(1<<weeks), no libm pow), terms sum
+    // through DECIMAL. One combinable aggregation.
+    "q164_decayed_engagement" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("dia"), col("value"))
+      ordered(operators.Timeseries.decayedScore(
+        ev, "user_id", "dia", "value", refDay = "2024-02-01"))
+    },
+
+    // First-order event transition matrix (the Markov what-happens-after
+    // table): one per-user lead window, one combinable pair count, row
+    // totals broadcast back, each probability one IEEE division of
+    // exact longs.
+    "q165_transitions" -> { (s, dir) =>
+      ordered(streaming.Events.transitionMatrix(Tables.events(s, dir)))
+    },
+
+    // Feature scaling as offline-fit/online-apply (the train/serve-skew
+    // guard): per-column sufficient statistics in ONE pass, model
+    // broadcast back, z-score and min-max features each two
+    // correctly-rounded IEEE ops. Degenerate columns scale to null.
+    "q166_feature_scaling" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val model = operators.Stats.scalerFit(
+        li, Seq("l_quantity", "l_extendedprice"))
+      ordered(operators.Stats.scalerApply(
+        li, model, Seq("l_quantity", "l_extendedprice")))
+    },
+
     // Pre-join skew/cost diagnostics: per-side key counts, hottest keys
     // (per-partition heaps, no global sort) and the EXACT join output
     // cardinality sum(c_l*c_r) — the report the q146 wedge join should
@@ -5771,6 +5803,74 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the week binning, the exact 1/(1<<w) weights and the
+    // DECIMAL term sum.
+    "q164_decayed_engagement" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(date_diff('day', CAST(ts AS DATE),
+        |      DATE '2024-02-01') / 7.0) AS INT) AS wk
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS atividade,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) *
+        |    CAST(CASE WHEN wk > 18 THEN 0.0
+        |      ELSE 1.0 / CAST(1::BIGINT << wk AS DOUBLE) END
+        |      AS DECIMAL(19,18))) AS DECIMAL(38,24)) AS score_decaido
+        |FROM e GROUP BY user_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-user lead, the pair counts and the single IEEE
+    // division per probability.
+    "q165_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS de,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS para
+        |  FROM events),
+        |cnt AS (
+        |  SELECT de, para, CAST(count(*) AS BIGINT) AS transicoes
+        |  FROM nxt WHERE para IS NOT NULL GROUP BY de, para),
+        |tot AS (SELECT de, CAST(sum(transicoes) AS BIGINT) AS t
+        |        FROM cnt GROUP BY de)
+        |SELECT cnt.de, para, transicoes,
+        |  CAST(transicoes AS DOUBLE) / CAST(t AS DOUBLE) AS probabilidade
+        |FROM cnt JOIN tot ON cnt.de = tot.de
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the one-pass DECIMAL statistics and both transforms.
+    "q166_feature_scaling" ->
+      """WITH st AS (
+        |  SELECT
+        |    CAST(count(l_quantity) AS DOUBLE) AS nq,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,6)) *
+        |      CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qq,
+        |    CAST(min(l_quantity) AS DOUBLE) AS loq,
+        |    CAST(max(l_quantity) AS DOUBLE) AS hiq,
+        |    CAST(count(l_extendedprice) AS DOUBLE) AS ne,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS se,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)) *
+        |      CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS qe,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS loe,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS hie
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT sq / nq AS muq, sqrt(greatest(qq / nq - (sq/nq)*(sq/nq), 0.0)) AS sdq,
+        |    loq, hiq,
+        |    se / ne AS mue, sqrt(greatest(qe / ne - (se/ne)*(se/ne), 0.0)) AS sde,
+        |    loe, hie
+        |  FROM st)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  CASE WHEN sdq > 0.0 THEN (l_quantity - muq) / sdq END AS l_quantity_z,
+        |  CASE WHEN hiq > loq THEN (l_quantity - loq) / (hiq - loq) END
+        |    AS l_quantity_mm,
+        |  CASE WHEN sde > 0.0 THEN (l_extendedprice - mue) / sde END
+        |    AS l_extendedprice_z,
+        |  CASE WHEN hie > loe THEN (l_extendedprice - loe) / (hie - loe) END
+        |    AS l_extendedprice_mm
+        |FROM lineitem, m
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays per-side counts, the top-5 hottest keys with the

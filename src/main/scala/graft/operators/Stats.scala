@@ -131,6 +131,75 @@ object Stats {
         .as("classe")): _*)
   }
 
+  /** Feature-scaler FIT: per-column sufficient statistics for
+    * standardization and min-max scaling, in ONE aggregation pass over
+    * all columns (the q87 discipline — never a job per column), emitted
+    * long-format so the model is a ≤|cols|-row table a training
+    * pipeline persists and reuses (the q121/q125 offline-fit /
+    * online-apply split applied to numeric features — fitting on train
+    * and applying to serve is what prevents train/serve skew).
+    *
+    * Exactness: sums and sum-of-squares accumulate in DECIMAL(38,6)
+    * (order-independent); μ is one IEEE division, σ =
+    * `sqrt(max(E[x²]−μ², 0))` with correctly-rounded sqrt (the row-167
+    * zScore discipline — the max guards constant-column rounding
+    * residue). Output: (coluna, n, media, sigma, vmin, vmax).
+    */
+  def scalerFit(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    val aggs = columns.flatMap { c =>
+      val d = col(c).cast("decimal(38,6)")
+      Seq(
+        count(col(c)).as(s"__n_$c"),
+        coalesce(sum(d), lit(0).cast("decimal(38,6)")).as(s"__s_$c"),
+        coalesce(sum(d * d), lit(0).cast("decimal(38,6)")).as(s"__q_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      val n = col(s"__n_$c").cast("double")
+      val mean = col(s"__s_$c").cast("double") / n
+      val ex2 = col(s"__q_$c").cast("double") / n
+      struct(
+        lit(c).as("coluna"),
+        col(s"__n_$c").as("n"),
+        mean.as("media"),
+        sqrt(greatest(ex2 - mean * mean, lit(0.0))).as("sigma"),
+        col(s"__min_$c").as("vmin"),
+        col(s"__max_$c").as("vmax"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** Feature-scaler APPLY: broadcast the fitted model onto the scan and
+    * emit `<col>_z = (x−μ)/σ` and `<col>_mm = (x−min)/(max−min)` per
+    * requested column — each two correctly-rounded IEEE ops, so scaled
+    * features replay bit-for-bit on any engine. Degenerate columns
+    * (σ = 0 or min = max) scale to null rather than ±Inf. STATELESS
+    * like [[graft.llm.Curation.applyResample]] — the same call serves a
+    * stream.
+    */
+  def scalerApply(
+      df: DataFrame, model: DataFrame, columns: Seq[String]): DataFrame = {
+    val m = columns.foldLeft(df) { (d, c) =>
+      d.crossJoin(
+        broadcast(model.filter(col("coluna") === c)
+          .select(col("media").as(s"__mu_$c"), col("sigma").as(s"__sd_$c"),
+            col("vmin").as(s"__lo_$c"), col("vmax").as(s"__hi_$c"))))
+    }
+    columns.foldLeft(m) { (d, c) =>
+      d.withColumn(s"${c}_z",
+          when(col(s"__sd_$c") > 0.0,
+            (col(c) - col(s"__mu_$c")) / col(s"__sd_$c")))
+        .withColumn(s"${c}_mm",
+          when(col(s"__hi_$c") > col(s"__lo_$c"),
+            (col(c) - col(s"__lo_$c")) /
+              (col(s"__hi_$c") - col(s"__lo_$c"))))
+    }.drop(columns.flatMap(c =>
+      Seq(s"__mu_$c", s"__sd_$c", s"__lo_$c", s"__hi_$c")): _*)
+  }
+
   /** Exact per-group WEIGHTED median — the robust center the reference's
     * per-group mean reductions lack: the smallest value whose cumulative
     * weight reaches half the group total (the lower weighted median, the

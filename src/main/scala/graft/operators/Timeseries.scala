@@ -80,6 +80,48 @@ object Timeseries {
       .agg(count_distinct(col(entityCol)).as("entidades_ativas"))
   }
 
+  /** Recency-weighted (exponentially decayed) per-entity score — the
+    * engagement/freshness feature every behavioral model consumes:
+    * `score(e) = Σ value · 2^(−age_weeks)` at a reference day, halving
+    * per elapsed week.
+    *
+    * Engine-exactness is why the decay base is 2 and the exponent is an
+    * integer: `1/2^w` has EXACTLY w decimal digits, so for w ≤ 18 the
+    * weight is exactly representable at DECIMAL scale 18 and every term
+    * is an EXACT DECIMAL(18,6) × DECIMAL(19,18) product (precision 38,
+    * scale 24 — no rounding anywhere, no libm `pow`). A double-typed
+    * term would die in the double→decimal cast: the product's binary
+    * value rounds differently into a decimal across engines (measured:
+    * last-digit mismatches at sf0.01). Ages beyond 18 weeks get weight
+    * 0 — an explicit decay floor at 2⁻¹⁸ ≈ 4·10⁻⁶, below any feature's
+    * meaningful contribution. The score is RETURNED as the exact
+    * DECIMAL(38,24): a final cast to double would re-introduce the
+    * engine dependence (DuckDB's wide-decimal→double conversion is one
+    * ulp off correctly-rounded — measured), and consumers wanting a
+    * double can cast at the edge. One combinable aggregation; the
+    * corpus never shuffles twice.
+    *
+    * Output: (entityCol, atividade, score_decaido) — raw event count
+    * and the decayed sum.
+    */
+  def decayedScore(
+      df: DataFrame, entityCol: String, dayCol: String, valueCol: String,
+      refDay: String): DataFrame = {
+    val ageDays = datediff(lit(refDay).cast("date"), col(dayCol))
+    val weeks = floor(ageDays.cast("double") / 7.0).cast("int")
+    // 1/2^w as a double is exact, and for w <= 18 its decimal image at
+    // scale 18 is exact too — the cast below is lossless on both engines
+    val weight = when(col("__wk") > 18, lit(0.0))
+      .otherwise(lit(1.0) / expr("shiftleft(1L, __wk)").cast("double"))
+      .cast("decimal(19,18)")
+    df.withColumn("__wk", weeks)
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1L)).as("atividade"),
+        sum(col(valueCol).cast("decimal(18,6)") * weight)
+          .cast("decimal(38,24)").as("score_decaido"))
+  }
+
   /** Exact rolling active-entity counts (DAU/WAU-class): distinct
     * entities per day and per trailing `window` days — the engagement
     * panel every event pipeline reports.

@@ -149,6 +149,37 @@ object Events {
     firsts.select(col("user_id"), depth.cast("int").as("etapas"))
   }
 
+  /** First-order event transition matrix — the Markov "what happens
+    * after X" table (page-path analysis, funnel leak hunting): counts
+    * and conditional probabilities of each (event_type → next
+    * event_type) transition within a user's ordered stream.
+    *
+    * Shape: one per-user `lead` window ordered by (ts, event_id) —
+    * per-user bounded, the [[rollingAgg]] cost argument — then one
+    * combinable count per (from, to) pair and a broadcast of the
+    * ≤|types|-row totals back onto the ≤|types|²-row matrix. Each
+    * probability is ONE correctly-rounded IEEE division of exact longs
+    * (the q65 discipline), so the whole matrix replays bit-for-bit.
+    *
+    * Output: (de, para, transicoes, probabilidade).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__next", lead(col("event_type"), 1).over(w))
+      .filter(col("__next").isNotNull)
+    val cnt = pairs
+      .groupBy(col("event_type").as("de"), col("__next").as("para"))
+      .agg(count(lit(1L)).as("transicoes"))
+    val totals = cnt.groupBy("de").agg(sum(col("transicoes")).as("__tot"))
+    cnt.join(broadcast(totals), Seq("de"))
+      .select(col("de"), col("para"), col("transicoes"),
+        (col("transicoes").cast("double") / col("__tot").cast("double"))
+          .as("probabilidade"))
+  }
+
   /** First/last-touch conversion attribution — which touchpoint
     * (view/click) gets credit for each conversion, the question every
     * event pipeline's marketing/funnel consumer asks next after

@@ -752,6 +752,56 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("decayedScore: per-week halving exact in decimal; beyond the " +
+      "18-week floor contributes zero") {
+    import graft.operators.Timeseries
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val act = Seq(
+      (1L, d("2024-01-31"), 8.0),  // age 1d  -> week 0 -> weight 1
+      (1L, d("2024-01-20"), 8.0),  // age 12d -> week 1 -> weight 1/2
+      (2L, d("2020-01-01"), 99.0)) // age >18 weeks -> weight 0
+      .toDF("u", "dia", "v")
+    val got = Timeseries.decayedScore(act, "u", "dia", "v", "2024-02-01")
+      .select(col("u"), col("atividade"), col("score_decaido").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 12.0), (2L, 1L, 0.0)), s"got $got")
+  }
+
+  test("transitionMatrix: counts per ordered (from, to) pair and exact " +
+      "conditional probabilities") {
+    import graft.streaming.Events
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 7L, "A", 0.0), (2L, t(2), 7L, "B", 0.0), (3L, t(3), 7L, "A", 0.0),
+      (4L, t(1), 8L, "A", 0.0), (5L, t(2), 8L, "B", 0.0),
+      (6L, t(1), 9L, "A", 0.0), (7L, t(2), 9L, "A", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.transitionMatrix(ev)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("A", "B", 2L, 2.0 / 3.0),
+      ("A", "A", 1L, 1.0 / 3.0),
+      ("B", "A", 1L, 1.0)), s"got $got")
+  }
+
+  test("scaler fit/apply: z-score and min-max by hand; constant columns " +
+      "scale to null, not infinity") {
+    import graft.operators.Stats
+    val df = Seq((1L, 0.0, 7.0), (2L, 10.0, 7.0)).toDF("id", "x", "c")
+    val model = Stats.scalerFit(df, Seq("x", "c"))
+    val fit = model.as[(String, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(fit("x") == ("x", 2L, 5.0, 5.0, 0.0, 10.0), s"got ${fit("x")}")
+    assert(fit("c")._4 == 0.0, "constant column must fit sigma 0")
+    val out = Stats.scalerApply(df, model, Seq("x", "c"))
+      .select(col("id"), col("x_z"), col("x_mm"), col("c_z"), col("c_mm"))
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, Some(-1.0), Some(0.0), None, None),
+      (2L, Some(1.0), Some(1.0), None, None)), s"got $out")
+  }
+
   test("joinDiagnostics: exact product-sum cardinality, hottest keys, " +
       "per-side totals") {
     val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
