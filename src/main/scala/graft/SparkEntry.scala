@@ -2336,6 +2336,32 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Distribution-drift report: orders before/after mid-1995 as the
+    // base/current snapshots, bucketed by priority — exact counts,
+    // exact-product drift ratios, per-bucket chi-square contributions
+    // (no cross-bucket double sum: per-bucket IS the alarm).
+    "q167_drift_report" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cut = lit("1995-06-17 00:00:00").cast("timestamp_ntz")
+      ordered(operators.Stats.driftReport(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_orderpriority"))
+    },
+
+    // Robust per-group outliers via median/MAD (the heavy-tail-safe
+    // twin of q150): two exact lower-median passes, medians broadcast
+    // back, flags a fixed IEEE chain. Restricted to one order's-worth
+    // of groups via pmod to keep output bounded.
+    "q168_mad_outliers" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice")
+      ordered(operators.Stats.madOutliers(
+        li, Seq("l_returnflag"), "l_extendedprice", c = 2.0))
+    },
+
     // Recency-weighted engagement: per-user decayed activity score at a
     // reference day, halving per elapsed week — the weight is an EXACT
     // power-of-two division (1/(1<<weeks), no libm pow), terms sum
@@ -5803,6 +5829,74 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays both snapshot counts, the exact-product ratio and the
+    // chi-square chain per bucket.
+    "q167_drift_report" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT) AS n_base
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-17'
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT) AS n_atual
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-17'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_atual, 0) AS n_atual
+        |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+        |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS nt,
+        |             CAST(sum(n_atual) AS BIGINT) AS mt FROM j)
+        |SELECT bucket, n_base, n_atual,
+        |  CASE WHEN n_base > 0 THEN
+        |    CAST(CAST(n_atual AS DECIMAL(38,0)) * nt AS DOUBLE) /
+        |    CAST(CAST(n_base AS DECIMAL(38,0)) * mt AS DOUBLE) END AS razao,
+        |  CASE WHEN n_base > 0 THEN
+        |    (CAST(n_atual AS DOUBLE) -
+        |      CAST(mt AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(nt AS DOUBLE)) *
+        |    (CAST(n_atual AS DOUBLE) -
+        |      CAST(mt AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(nt AS DOUBLE)) /
+        |    (CAST(mt AS DOUBLE) * CAST(n_base AS DOUBLE) / CAST(nt AS DOUBLE))
+        |  END AS qui2,
+        |  n_base = 0 AS nova_categoria
+        |FROM j, t
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays both exact lower medians and the flag chain.
+    "q168_mad_outliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 100 = 0),
+        |m1 AS (
+        |  SELECT l_returnflag, v AS med FROM (
+        |    SELECT l_returnflag, v,
+        |      SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |    FROM (SELECT l_returnflag, l_extendedprice AS v,
+        |            CAST(count(*) AS DECIMAL(38,6)) AS w
+        |          FROM li GROUP BY 1, 2))
+        |  WHERE cum * 2 >= tot
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) = 1),
+        |dev AS (
+        |  SELECT li.*, abs(l_extendedprice - med) AS desvio
+        |  FROM li JOIN m1 USING (l_returnflag)),
+        |m2 AS (
+        |  SELECT l_returnflag, v AS mad FROM (
+        |    SELECT l_returnflag, v,
+        |      SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |    FROM (SELECT l_returnflag, desvio AS v,
+        |            CAST(count(*) AS DECIMAL(38,6)) AS w
+        |          FROM dev GROUP BY 1, 2))
+        |  WHERE cum * 2 >= tot
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) = 1)
+        |SELECT dev.l_orderkey, dev.l_linenumber, dev.l_returnflag,
+        |  dev.l_extendedprice, dev.desvio,
+        |  (mad > 0.0 AND desvio > 2.0 * mad) AS atipico
+        |FROM dev JOIN m2 USING (l_returnflag)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the week binning, the exact 1/(1<<w) weights and the

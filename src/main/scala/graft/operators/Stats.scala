@@ -200,6 +200,88 @@ object Stats {
       Seq(s"__mu_$c", s"__sd_$c", s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** Distribution-drift report between two snapshots of a categorical /
+    * bucketed column — the ML-ops gate that catches a feature's
+    * population shifting between a training corpus and today's
+    * ingest (the PSI/chi-square family).
+    *
+    * Per bucket: base and current counts (exact longs from two
+    * combinable aggregations), the drift RATIO
+    * `(m_i·N) / (n_i·M)` (current share over base share — exact
+    * DECIMAL(38,0) products, ONE IEEE division) and the chi-square
+    * contribution `(m_i − M·n_i/N)² / (M·n_i/N)` (a fixed
+    * correctly-rounded IEEE chain). Deliberately NO total row: a
+    * cross-bucket sum of doubles would need a double→decimal cast whose
+    * last-ulp behavior differs across engines (the q164 lesson);
+    * per-bucket rows are deterministic, and thresholding per bucket is
+    * what drift monitors do anyway (a single hot bucket IS the alarm).
+    * Buckets absent from one side get count 0 (ratio/chi2 null for
+    * zero-base buckets — a NEW category is its own alarm, flagged
+    * `nova_categoria`).
+    *
+    * Output: (bucket, n_base, n_atual, razao, qui2, nova_categoria).
+    */
+  def driftReport(
+      base: DataFrame, current: DataFrame, bucketCol: String): DataFrame = {
+    val nb = base.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1L)).as("n_base"))
+    val nc = current.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1L)).as("n_atual"))
+    val joined = nb.join(nc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_atual"), lit(0L)).as("n_atual"))
+    val totals = joined.agg(
+      sum(col("n_base")).as("__nt"), sum(col("n_atual")).as("__mt"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_base"), col("n_atual"),
+        when(col("n_base") > 0L,
+          (dec(col("n_atual")) * dec(col("__nt"))).cast("double") /
+            (dec(col("n_base")) * dec(col("__mt"))).cast("double"))
+          .as("razao"),
+        when(col("n_base") > 0L, {
+          val exp = col("__mt").cast("double") *
+            col("n_base").cast("double") / col("__nt").cast("double")
+          (col("n_atual").cast("double") - exp) *
+            (col("n_atual").cast("double") - exp) / exp
+        }).as("qui2"),
+        (col("n_base") === 0L).as("nova_categoria"))
+  }
+
+  /** Robust per-group outlier flags via median/MAD — the
+    * heavy-tail-safe twin of [[zScoreFlags]] (one wild value drags a
+    * mean and σ; it cannot drag a median): flag rows with
+    * `|x − med| > c · MAD`.
+    *
+    * Two passes of the exact lower-median machinery
+    * ([[weightedMedian]] with unit weights — value-collapsed windows,
+    * pure DECIMAL halfway tests), medians broadcast back between and
+    * after. Every comparison is a fixed correctly-rounded IEEE chain
+    * over medians that are ACTUAL data values — engine-exact flags. A
+    * group whose MAD is 0 (over half the mass on one value) never
+    * flags, the σ=0 rule again.
+    *
+    * Output: every input row + `desvio` (|x − med|) + `atipico`.
+    */
+  def madOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      c: Double = 3.0): DataFrame = {
+    val g = groupCols.map(col)
+    val med = weightedMedian(df.withColumn("__um", lit(1.0)),
+      groupCols, valueCol, "__um")
+      .select(g :+ col("mediana_ponderada").as("__med"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("desvio", abs(col(valueCol) - col("__med")))
+    val mad = weightedMedian(dev.withColumn("__um", lit(1.0)),
+      groupCols, "desvio", "__um")
+      .select(g :+ col("mediana_ponderada").as("__mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("atipico",
+        col("__mad") > 0.0 && col("desvio") > lit(c) * col("__mad"))
+      .drop("__med", "__mad")
+  }
+
   /** Exact per-group WEIGHTED median — the robust center the reference's
     * per-group mean reductions lack: the smallest value whose cumulative
     * weight reaches half the group total (the lower weighted median, the

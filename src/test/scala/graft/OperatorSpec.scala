@@ -752,6 +752,38 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("driftReport: exact ratios and chi-square by hand; new categories " +
+      "flagged, no cross-bucket total") {
+    import graft.operators.Stats
+    val base = (Seq.fill(4)("A") ++ Seq.fill(6)("B")).toDF("b")
+    val cur = (Seq.fill(8)("A") ++ Seq.fill(2)("B") ++ Seq.fill(5)("C"))
+      .toDF("b")
+    val got = Stats.driftReport(base, cur, "b")
+      .as[(String, Long, Long, Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == ("A", 4L, 8L, Some(80.0 / 60.0), Some(4.0 / 6.0), false),
+      s"got ${got("A")}")
+    assert(got("B") == ("B", 6L, 2L, Some(20.0 / 90.0),
+      Some((2.0 - 9.0) * (2.0 - 9.0) / 9.0), false), s"got ${got("B")}")
+    assert(got("C") == ("C", 0L, 5L, None, None, true), s"got ${got("C")}")
+  }
+
+  test("madOutliers: one wild value cannot drag the median; MAD=0 groups " +
+      "never flag") {
+    import graft.operators.Stats
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0),
+      ("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 9.0)).toDF("grp", "x")
+    val got = Stats.madOutliers(df, Seq("grp"), "x", c = 2.0)
+      .as[(String, Double, Double, Boolean)].collect().toSet
+    // g: med=2 (lower), devs (1,0,1,98), mad=1 -> only 100 flags
+    // z: med=5, devs (0,0,0,4), mad=0 -> nothing flags, not even 9
+    assert(got == Set(
+      ("g", 1.0, 1.0, false), ("g", 2.0, 0.0, false), ("g", 3.0, 1.0, false),
+      ("g", 100.0, 98.0, true),
+      ("z", 5.0, 0.0, false), ("z", 5.0, 0.0, false), ("z", 5.0, 0.0, false),
+      ("z", 9.0, 4.0, false)), s"got $got")
+  }
+
   test("decayedScore: per-week halving exact in decimal; beyond the " +
       "18-week floor contributes zero") {
     import graft.operators.Timeseries
