@@ -1394,6 +1394,17 @@ object SparkEntry {
         maxDfFraction = 1.0))
     },
 
+    // Pseudo-relevance-feedback expansion: BM25 -> mine top-3 terms from
+    // each query's top-5 docs (bounded heap, deterministic ties) ->
+    // append -> BM25 again. The whole two-pass chain replays in the
+    // oracle; the corpus never shuffles in either pass.
+    "q169_prf_expansion" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      ordered(llm.Retrieval.prfExpand(docs, queries, "doc_id", "text",
+        k = 5, kDocs = 5, mTerms = 3, maxDfFraction = 1.0))
+    },
+
     // CDC changelog apply: orders replayed as a change log onto the
     // customer snapshot — the LATEST change per customer wins (o_orderkey
     // is the unique sequence), final status F deletes the row, anything
@@ -4065,6 +4076,7 @@ object SparkEntry {
     // mirrors Spark's lit(k1) + lit(1.0)); per-term contributions sum in
     // DECIMAL(38,18) on both sides.
     "q99_bm25_retrieval" -> bm25Sql,
+    "q169_prf_expansion" -> prfSql,
 
     "q98_cdc_apply" ->
       """WITH ch AS (
@@ -6266,6 +6278,86 @@ ORDER BY ALL NULLS FIRST""",
         |  CAST(row_number() OVER (PARTITION BY query_id
         |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
         |FROM scored
+        |QUALIFY posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  // q169's two-pass PRF replay: q99's scoring CTEs, the feedback-term
+  // mining (top-3 by summed tf, term-ASC ties), the distinct term-union
+  // expansion, and the second scoring pass
+  private lazy val prfSql: String =
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+        |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(CAST(sum(dl) AS HUGEINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |q AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8)),
+        |cand1 AS (
+        |  SELECT q.query_id, q.term, p.doc_id, p.tf, d.dl
+        |  FROM q JOIN post p USING (term) JOIN dl d USING (doc_id)),
+        |df1 AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cand1 GROUP BY term),
+        |sc1 AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(CAST(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM cand1 JOIN df1 USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
+        |  GROUP BY query_id, doc_id),
+        |r1 AS (
+        |  SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS r
+        |    FROM sc1) WHERE r <= 5),
+        |fb AS (
+        |  SELECT query_id, term, CAST(sum(tf) AS BIGINT) AS w
+        |  FROM r1 JOIN post USING (doc_id) GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT query_id, term FROM (
+        |    SELECT query_id, term,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY w DESC, term) AS r
+        |    FROM fb) WHERE r <= 3),
+        |q2 AS (
+        |  SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, term FROM q
+        |    UNION ALL SELECT query_id, term FROM ft)),
+        |cand2 AS (
+        |  SELECT q2.query_id, q2.term, p.doc_id, p.tf, d.dl
+        |  FROM q2 JOIN post p USING (term) JOIN dl d USING (doc_id)),
+        |df2 AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM cand2 GROUP BY term),
+        |sc2 AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(CAST(sum(CAST(
+        |      ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |       (CAST(df AS DOUBLE) + 0.5))
+        |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |         (CAST(tf AS DOUBLE) +
+        |          1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+        |      AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS DOUBLE) AS score
+        |  FROM cand2 JOIN df2 USING (term), stats
+        |  WHERE CAST(df AS DOUBLE) <= 1.0 * CAST(n_docs AS DOUBLE)
+        |  GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |                          ORDER BY score DESC, doc_id) AS INT) AS posicao
+        |FROM sc2
         |QUALIFY posicao <= 5
         |ORDER BY ALL NULLS FIRST""".stripMargin
 

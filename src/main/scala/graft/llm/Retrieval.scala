@@ -465,6 +465,51 @@ object Retrieval {
       fused, Seq("query_id"), Seq(("score", false), ("doc_id", true)), k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-lite — the
+    * classic two-pass retrieval quality lever): retrieve once, mine the
+    * top documents' dominant terms, append them to the query, retrieve
+    * again. Vocabulary-mismatch queries ("auto" vs "car") recover
+    * documents sharing no original term.
+    *
+    * Composition shape — everything reuses graded operators, so the
+    * whole two-pass plan stays oracle-replayable:
+    *  1. first-pass [[bm25TopK]] (kDocs per query);
+    *  2. feedback mining: the ≤ kDocs·|queries| result joins the
+    *     postings on doc_id, one combinable (query, term) tf sum, top
+    *     `mTerms` per query through the bounded-heap aggregate with
+    *     deterministic (weight DESC, term ASC) ties;
+    *  3. expansion: feedback terms (sorted, bounded array per query)
+    *     concat onto the query text — [[bm25TopK]]'s own distinct makes
+    *     the union-of-terms semantics exact;
+    *  4. second-pass [[bm25TopK]] at the final k.
+    * Costs two query-broadcast passes over the postings — the corpus
+    * still never shuffles; the interchange tables are all
+    * query-batch-sized.
+    */
+  def prfExpand(
+      docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, kDocs: Int = 5, mTerms: Int = 3,
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val r1 = bm25TopK(docs, queries, idCol, textCol, kDocs,
+      maxDfFraction = maxDfFraction)
+    val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
+    val fb = r1.select(col("query_id"), col("doc_id"))
+      .join(post, Seq("doc_id"))
+      .groupBy("query_id", "term").agg(sum(col("tf")).as("__w"))
+    val top = TopK.groupTopKRows(
+      fb, Seq("query_id"), Seq(("__w", false), ("term", true)), mTerms)
+    val fbText = top.groupBy("query_id")
+      .agg(array_join(sort_array(collect_list(col("term"))), " ")
+        .as("__fb"))
+    val expanded = queries
+      .join(fbText, queries(idCol) === fbText("query_id"), "left")
+      .select(queries(idCol),
+        concat_ws(" ", col(textCol), coalesce(col("__fb"), lit("")))
+          .as(textCol))
+    bm25TopK(docs, expanded, idCol, textCol, k,
+      maxDfFraction = maxDfFraction)
+  }
+
   /** Exact phrase search over POSITIONAL postings — the search-engine
     * primitive the term-bag rankers (BM25/TF-IDF) cannot express: a
     * k-term phrase matches at document position p iff term_i sits at

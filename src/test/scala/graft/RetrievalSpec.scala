@@ -379,6 +379,30 @@ class RetrievalSpec extends SparkSpec {
       "cosine scores must lie in (0, 1]")
   }
 
+  test("prfExpand recovers vocabulary-mismatch docs the plain ranking " +
+      "cannot reach") {
+    val docs = Seq(
+      (1L, "car engine wheel"),
+      (2L, "car engine"),
+      (3L, "engine wheel piston"),  // relevant, shares NO query term
+      (4L, "banana fruit"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "car")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val r = df.select("doc_id").as[Long].collect().toSet
+      graft.llm.CacheScope.releaseAll()
+      r
+    }
+    val plain = ids(graft.llm.Retrieval.bm25TopK(
+      docs, queries, "doc_id", "text", k = 4, maxDfFraction = 1.0))
+    assert(!plain.contains(3L), "plain BM25 cannot see doc 3 (no shared term)")
+    val prf = ids(graft.llm.Retrieval.prfExpand(
+      docs, queries, "doc_id", "text", k = 4, kDocs = 2, mTerms = 2))
+    assert(prf.contains(3L),
+      s"feedback terms from docs 1-2 must recover doc 3, got $prf")
+    assert(!prf.contains(4L), "off-topic doc must stay unreachable")
+  }
+
   test("phraseSearch: overlapping occurrences counted, repeated-term " +
       "phrases need every offset, absent phrases emit nothing") {
     val docs = Seq(
