@@ -2347,6 +2347,34 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Quantile binning fit/apply: exact equal-population bucket edges at
+    // integer ranks (no interpolated floats), edges broadcast back,
+    // edge-valued rows fall in the LOWER bin by the strict-below count.
+    "q170_quantile_binning" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      val edges = operators.Stats.quantileBinFit(o, "o_totalprice", k = 4)
+      ordered(operators.Stats.quantileBinApply(o, edges, "o_totalprice"))
+    },
+
+    // Frequency encoding with rare-category collapse: brands under the
+    // support floor fold into __outros__ at FIT time (unseen categories
+    // land there at apply time too — the leakage-safe default); apply is
+    // one broadcast left join.
+    "q171_freq_encoding" -> { (s, dir) =>
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand")
+      val model = operators.Stats.freqEncodeFit(p, "p_brand", minCount = 70L)
+      ordered(operators.Stats.freqEncodeApply(p, model, "p_brand"))
+    },
+
+    // Leave-one-out target encoding: per-category DECIMAL label sums,
+    // each row's own label subtracted before the single IEEE division —
+    // the leakage term removed exactly, singletons null.
+    "q172_loo_target" -> { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      ordered(operators.Stats.looTargetEncode(c, "c_mktsegment", "c_acctbal"))
+    },
+
     // Distribution-drift report: orders before/after mid-1995 as the
     // base/current snapshots, bucketed by priority — exact counts,
     // exact-product drift ratios, per-bucket chi-square contributions
@@ -5841,6 +5869,66 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the integer-rank edges and the strict-below bin count.
+    "q170_quantile_binning" ->
+      """WITH bv AS (
+        |  SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+        |cum AS (
+        |  SELECT v, SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER () AS n
+        |  FROM bv),
+        |edges AS (
+        |  SELECT i, min(v) AS borda
+        |  FROM cum, LATERAL unnest([1, 2, 3]) e(i)
+        |  WHERE cm * 4 >= n * i GROUP BY i)
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(1 + (SELECT count(*) FROM edges
+        |            WHERE borda < o_totalprice) AS INT) AS bin
+        |FROM orders
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the collapse rule, the frequency division and the
+    // broadcast-left-join apply.
+    "q171_freq_encoding" ->
+      """WITH cnt AS (
+        |  SELECT p_brand AS categoria, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt),
+        |model AS (
+        |  SELECT categoria, CAST(sum(n) AS BIGINT) AS n
+        |  FROM (SELECT CASE WHEN n >= 70 THEN categoria
+        |               ELSE '__outros__' END AS categoria, n FROM cnt)
+        |  GROUP BY 1),
+        |mf AS (SELECT categoria, n,
+        |         CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS freq
+        |       FROM model, t)
+        |SELECT p_partkey, p_brand,
+        |  CASE WHEN mf.categoria IS NOT NULL AND mf.categoria <> '__outros__'
+        |       THEN mf.categoria ELSE '__outros__' END AS p_brand_cat,
+        |  CASE WHEN mf.categoria IS NOT NULL AND mf.categoria <> '__outros__'
+        |       THEN mf.freq
+        |       ELSE (SELECT freq FROM mf WHERE categoria = '__outros__') END
+        |    AS p_brand_freq
+        |FROM part LEFT JOIN mf ON part.p_brand = mf.categoria
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-category DECIMAL sums, the own-label subtraction
+    // and the single division; singletons null.
+    "q172_loo_target" ->
+      """WITH st AS (
+        |  SELECT c_mktsegment AS cat,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sy,
+        |    CAST(count(*) AS BIGINT) AS nc
+        |  FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CASE WHEN nc > 1 THEN
+        |    CAST(sy - CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) /
+        |    CAST(nc - 1 AS DOUBLE) END AS c_mktsegment_loo
+        |FROM customer JOIN st ON c_mktsegment = st.cat
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays both snapshot counts, the exact-product ratio and the

@@ -200,6 +200,124 @@ object Stats {
       Seq(s"__mu_$c", s"__sd_$c", s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** Quantile-binning FIT: exact bucket edges at ranks
+    * `ceil(q·n)` for q = 1/k .. (k−1)/k over a numeric column — the
+    * discretization model (equal-population bins) fitted OFFLINE like
+    * [[scalerFit]], with the q68 exactness rule: integer-rank order
+    * statistics, never interpolated floats (percentile_cont
+    * implementations diverge in last-ulp arithmetic).
+    *
+    * One value-collapsed count aggregation + one window over DISTINCT
+    * values (the row-180 discipline) + a k−1-row edge table out.
+    * Output: (borda_idx 1..k−1, borda) where `borda` is the smallest
+    * value whose cumulative count reaches rank ceil(q·n).
+    */
+  def quantileBinFit(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"need k >= 2 bins, got $k")
+    val byValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1L)).as("__c"))
+    val win = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byValue
+      .withColumn("__cum", sum(col("__c")).over(win))
+      .crossJoin(broadcast(byValue.agg(sum(col("__c")).as("__n"))))
+      .transform(graft.llm.CacheScope.persistTracked)
+    // edge i = smallest v with cum·k >= i·n (pure integer cross-multiply)
+    val edges = (1 until k).map { i =>
+      cum.filter(col("__cum") * k >= col("__n") * i)
+        .agg(lit(i).as("borda_idx"), min(col("__v")).as("borda"))
+    }
+    edges.reduce(_.unionByName(_))
+  }
+
+  /** Quantile-binning APPLY: broadcast the fitted edges, bin =
+    * 1 + count of edges strictly below the value (so values on an edge
+    * fall in the LOWER bin — deterministic, replayable as a SQL count).
+    * Stateless; serves a stream unchanged. Output: input + `bin`.
+    */
+  def quantileBinApply(
+      df: DataFrame, edges: DataFrame, valueCol: String): DataFrame = {
+    val e = edges.groupBy()
+      .agg(sort_array(collect_list(col("borda"))).as("__edges"))
+    df.crossJoin(broadcast(e))
+      .withColumn("bin",
+        (lit(1) + size(filter(col("__edges"),
+          b => b < col(valueCol)))).cast("int"))
+      .drop("__edges")
+  }
+
+  /** Frequency encoding with rare-category collapse — the categorical
+    * twin of [[scalerFit]]/[[scalerApply]]: categories rarer than
+    * `minCount` collapse into `__outros__` (unseen categories at apply
+    * time land there too — the only leakage-safe default), every kept
+    * category carries its fit-corpus count and frequency.
+    *
+    * Fit = one combinable count + the collapse rule; apply = one
+    * broadcast LEFT join (the corpus never shuffles). Frequency is one
+    * IEEE division of exact longs. Output of apply: input +
+    * `<col>_cat` (collapsed category), `<col>_freq`.
+    */
+  def freqEncodeFit(
+      df: DataFrame, catCol: String, minCount: Long): DataFrame = {
+    val counts = df.groupBy(col(catCol).as("categoria"))
+      .agg(count(lit(1L)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val collapsed = counts
+      .withColumn("categoria",
+        when(col("n") >= minCount, col("categoria"))
+          .otherwise(lit("__outros__")))
+      .groupBy("categoria").agg(sum(col("n")).as("n"))
+    collapsed.crossJoin(broadcast(total))
+      .select(col("categoria"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double")).as("freq"))
+  }
+
+  def freqEncodeApply(
+      df: DataFrame, model: DataFrame, catCol: String): DataFrame = {
+    val m = model.select(col("categoria").as("__cat_m"),
+      col("n").as("__n_m"), col("freq").as("__f_m"))
+    // always ONE row (nulls when no rare bucket exists) — a filtered
+    // 0-row side would annihilate the cross join
+    val outros = model.agg(
+      max(when(col("categoria") === "__outros__", col("freq"))).as("__f_o"))
+    df.join(broadcast(m), col(catCol) === col("__cat_m"), "left")
+      .crossJoin(broadcast(outros))
+      .select(df.columns.map(col) :+
+        coalesce(
+          when(col("__cat_m") =!= "__outros__", col("__cat_m")),
+          lit("__outros__")).as(s"${catCol}_cat") :+
+        coalesce(
+          when(col("__cat_m") =!= "__outros__", col("__f_m")),
+          col("__f_o")).as(s"${catCol}_freq"): _*)
+  }
+
+  /** Leave-one-out target encoding — the supervised categorical encoder
+    * with the leakage term REMOVED row by row:
+    * `enc_i = (Σ_cat y − y_i) / (n_cat − 1)` (null for singleton
+    * categories — no other row to borrow from). Plain target encoding
+    * leaks each row's own label into its feature; LOO is the standard
+    * fix, and it is EXACTLY computable in one pass: per-category sums
+    * in DECIMAL(38,6), the per-row subtraction and ONE IEEE division —
+    * engine-exact, no folds, no noise term (add one downstream if
+    * regularizing).
+    *
+    * One combinable aggregation + one broadcast join back. Output:
+    * input + `<col>_loo`.
+    */
+  def looTargetEncode(
+      df: DataFrame, catCol: String, targetCol: String): DataFrame = {
+    val y = col(targetCol).cast("decimal(38,6)")
+    val stats = df.groupBy(col(catCol).as("__cat"))
+      .agg(sum(y).as("__sy"), count(lit(1L)).as("__nc"))
+    df.join(broadcast(stats), col(catCol) === col("__cat"))
+      .select(df.columns.map(col) :+
+        when(col("__nc") > 1L,
+          (col("__sy") - y).cast("double") /
+            (col("__nc") - 1L).cast("double"))
+          .as(s"${catCol}_loo"): _*)
+  }
+
   /** Distribution-drift report between two snapshots of a categorical /
     * bucketed column — the ML-ops gate that catches a feature's
     * population shifting between a training corpus and today's

@@ -752,6 +752,45 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("quantileBin fit/apply: integer-rank edges by hand; edge values " +
+      "fall in the lower bin") {
+    import graft.operators.Stats
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val edges = Stats.quantileBinFit(df, "v", k = 4)
+      .as[(Int, Double)].collect().sortBy(_._1).toSeq
+    assert(edges == Seq((1, 2.0), (2, 4.0), (3, 6.0)), s"got $edges")
+    val bins = Stats.quantileBinApply(df, Stats.quantileBinFit(df, "v", 4), "v")
+      .as[(Double, Int)].collect().toMap
+    assert(bins == Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2,
+      5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4), s"got $bins")
+  }
+
+  test("freqEncode: rare categories collapse at fit; unseen categories " +
+      "land in __outros__ at apply") {
+    import graft.operators.Stats
+    val fit = Seq("a", "a", "a", "b").toDF("cat")
+    val model = Stats.freqEncodeFit(fit, "cat", minCount = 2L)
+    val m = model.as[(String, Long, Double)].collect().toSet
+    assert(m == Set(("a", 3L, 0.75), ("__outros__", 1L, 0.25)), s"got $m")
+    val apply = Seq("a", "b", "z").toDF("cat") // z never seen at fit
+    val got = Stats.freqEncodeApply(apply, model, "cat")
+      .as[(String, String, Double)].collect().toSet
+    assert(got == Set(
+      ("a", "a", 0.75), ("b", "__outros__", 0.25), ("z", "__outros__", 0.25)),
+      s"got $got")
+  }
+
+  test("looTargetEncode: own label subtracted exactly; singletons null") {
+    import graft.operators.Stats
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("solo", 7.0))
+      .toDF("cat", "y")
+    val got = Stats.looTargetEncode(df, "cat", "y")
+      .as[(String, Double, Option[Double])].collect().toSet
+    assert(got == Set(
+      ("g", 1.0, Some(2.5)), ("g", 2.0, Some(2.0)), ("g", 3.0, Some(1.5)),
+      ("solo", 7.0, None)), s"got $got")
+  }
+
   test("driftReport: exact ratios and chi-square by hand; new categories " +
       "flagged, no cross-bucket total") {
     import graft.operators.Stats
