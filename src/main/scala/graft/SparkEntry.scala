@@ -2347,6 +2347,14 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Most-common opening paths: each user's first 3 events (bounded
+    // heap, never a history sort) joined into a path string, top-10 by
+    // user count with deterministic ties.
+    "q173_common_paths" -> { (s, dir) =>
+      ordered(streaming.Events.commonPaths(
+        Tables.events(s, dir), steps = 3, topN = 10))
+    },
+
     // Quantile binning fit/apply: exact equal-population bucket edges at
     // integer ranks (no interpolated floats), edges broadcast back,
     // edge-valued rows fall in the LOWER bin by the strict-below count.
@@ -5869,6 +5877,24 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the first-3 ranking, the ordered path join and the
+    // deterministic top-10 cut.
+    "q173_common_paths" ->
+      """SELECT * FROM (
+        |  WITH rk AS (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS r
+        |    FROM events),
+        |  p AS (
+        |    SELECT user_id, string_agg(event_type, '>' ORDER BY r) AS caminho
+        |    FROM rk WHERE r <= 3 GROUP BY user_id),
+        |  c AS (SELECT caminho, CAST(count(*) AS BIGINT) AS usuarios
+        |        FROM p GROUP BY 1)
+        |  SELECT caminho, usuarios FROM c
+        |  ORDER BY usuarios DESC, caminho LIMIT 10)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the integer-rank edges and the strict-below bin count.

@@ -180,6 +180,41 @@ object Events {
           .as("probabilidade"))
   }
 
+  /** Most-common opening paths — the "how do journeys start" table next
+    * to [[transitionMatrix]]'s one-step view: each user's FIRST `steps`
+    * events (by time) joined into a path string, ranked by how many
+    * users share it.
+    *
+    * Shape: the per-user earliest-k selection runs through the
+    * bounded-heap TopKRows aggregate — map-side partials cap the
+    * exchange at k rows/user/partition, nothing sorts the event stream
+    * (the row-93 argument; a window `row_number` form would sort every
+    * user's whole history). The path assembly collects ≤ `steps`
+    * position-tagged rows per user (bounded array, not a neighborhood),
+    * and the final ranking is `orderBy().limit()` →
+    * TakeOrderedAndProject with (count DESC, path ASC) ties.
+    *
+    * Output: (caminho, usuarios) — top `topN` paths.
+    */
+  def commonPaths(
+      events: DataFrame, steps: Int = 3, topN: Int = 10): DataFrame = {
+    require(steps >= 1 && topN >= 1, s"need steps,topN >= 1; got $steps/$topN")
+    val first = graft.operators.TopK.groupTopKRows(
+      events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")),
+      Seq("user_id"), Seq(("ts", true), ("event_id", true)), steps,
+      posCol = "__pos")
+    val paths = first.groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("event_type")))),
+          s => s.getField("event_type")),
+        ">").as("caminho"))
+    paths.groupBy("caminho").agg(count(lit(1L)).as("usuarios"))
+      .orderBy(col("usuarios").desc, col("caminho"))
+      .limit(topN)
+  }
+
   /** First/last-touch conversion attribution — which touchpoint
     * (view/click) gets credit for each conversion, the question every
     * event pipeline's marketing/funnel consumer asks next after

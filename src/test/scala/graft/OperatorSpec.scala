@@ -752,6 +752,22 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("commonPaths: first-k events in time order, short journeys kept, " +
+      "deterministic top-N ties") {
+    import graft.streaming.Events
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, t(1), 7L, "view", 0.0), (2L, t(2), 7L, "click", 0.0),
+      (3L, t(3), 7L, "buy", 0.0), (4L, t(4), 7L, "view", 0.0), // 4th dropped
+      (5L, t(1), 8L, "view", 0.0), (6L, t(2), 8L, "click", 0.0),
+      (7L, t(3), 8L, "buy", 0.0),
+      (8L, t(1), 9L, "view", 0.0)) // short journey: 1-step path
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.commonPaths(ev, steps = 3, topN = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("view>click>buy", 2L), ("view", 1L)), s"got $got")
+  }
+
   test("quantileBin fit/apply: integer-rank edges by hand; edge values " +
       "fall in the lower bin") {
     import graft.operators.Stats
