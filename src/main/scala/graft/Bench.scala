@@ -87,11 +87,14 @@ object Bench {
       if (p.matches("q\\d+") && short0.valuesIterator.count(_ == p) == 1) p
       else name
     }
-    // centisecond precision: at 150 queries the millisecond form grew the
-    // line to ~1930 chars against the harness's ~2000-char capture window
-    // (the r8 parsed:null failure mode); two decimals buys ~150 chars of
-    // headroom and the sidecar keeps full precision
-    def ms(v: Double): String = (math.round(v * 100) / 100.0).toString // locale-safe
+    // ONE-decimal precision with a 0.1 s floor: at 169 queries the
+    // centisecond form measured 2004 chars — right at the harness's
+    // ~2000-char capture window (the r8 parsed:null failure mode); one
+    // decimal brings 173 queries to ~1870 and the floor keeps a fast
+    // query from printing a zero-looking time. The sidecar keeps full
+    // precision; past ~195 queries the next step is integer deciseconds.
+    def ms(v: Double): String =
+      (math.max(math.round(v * 10), 1L) / 10.0).toString // locale-safe
     val qsShort = results.map { case (k, v) => Json.quote(shortKey(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errShort = errors.map { case (k, v) =>

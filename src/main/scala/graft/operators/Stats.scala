@@ -340,11 +340,19 @@ object Stats {
     * Output: (bucket, n_base, n_atual, razao, qui2, nova_categoria).
     */
   def driftReport(
-      base: DataFrame, current: DataFrame, bucketCol: String): DataFrame = {
-    val nb = base.groupBy(col(bucketCol).as("bucket"))
-      .agg(count(lit(1L)).as("n_base"))
-    val nc = current.groupBy(col(bucketCol).as("bucket"))
-      .agg(count(lit(1L)).as("n_atual"))
+      base: DataFrame, current: DataFrame, bucketCol: String): DataFrame =
+    driftFromCounts(
+      base.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1L)).as("n_base")),
+      current.groupBy(col(bucketCol).as("bucket"))
+        .agg(count(lit(1L)).as("n_atual")))
+
+  /** [[driftReport]] from pre-aggregated (bucket, n_base) / (bucket,
+    * n_atual) tables — the form the STREAMING monitor uses, where the
+    * current counts accumulate across micro-batches and the baseline is
+    * a persisted fit artifact.
+    */
+  def driftFromCounts(nb: DataFrame, nc: DataFrame): DataFrame = {
     val joined = nb.join(nc, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
@@ -365,6 +373,39 @@ object Stats {
             (col("n_atual").cast("double") - exp) / exp
         }).as("qui2"),
         (col("n_base") === 0L).as("nova_categoria"))
+  }
+
+  /** Streaming drift monitor — the fit/apply/MONITOR loop closed: each
+    * micro-batch's bucket counts fold into a persisted current-counts
+    * table (exact integer merge, the cmsStream discipline:
+    * localCheckpoint before the overwrite cuts the lineage reading the
+    * files being replaced), then the full [[driftFromCounts]] report
+    * against the fitted baseline overwrites `reportPath`. After any
+    * number of micro-batches the report is IDENTICAL to the batch
+    * [[driftReport]] over everything seen — counts merge exactly, and
+    * the report is a pure function of the counts (spec-proven).
+    */
+  def driftMonitorStream(
+      stream: DataFrame, baseline: DataFrame, bucketCol: String,
+      statePath: String, reportPath: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val nb = baseline.groupBy(col(bucketCol).as("bucket"))
+      .agg(count(lit(1L)).as("n_base"))
+      .localCheckpoint()
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val bc = batch.groupBy(col(bucketCol).as("bucket"))
+          .agg(count(lit(1L)).as("n_atual"))
+        val merged =
+          if (new java.io.File(statePath).exists())
+            s.read.parquet(statePath).unionByName(bc)
+              .groupBy("bucket").agg(sum(col("n_atual")).as("n_atual"))
+          else bc
+        merged.localCheckpoint().write.mode("overwrite").parquet(statePath)
+        driftFromCounts(nb, s.read.parquet(statePath))
+          .write.mode("overwrite").parquet(reportPath)
+    }.start()
   }
 
   /** Robust per-group outlier flags via median/MAD — the

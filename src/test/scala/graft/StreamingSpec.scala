@@ -425,6 +425,35 @@ class StreamingSpec extends SparkSpec {
         "20 duplicates batch-1's accepted doc via the self-extended index")
   }
 
+  test("driftMonitorStream: the persisted report after two micro-batches " +
+      "equals the batch driftReport over everything seen") {
+    import spark.implicits._
+    import graft.operators.Stats
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-drift-stream").toString
+    val baseline = (Seq.fill(6)("A") ++ Seq.fill(4)("B")).toDF("b")
+    val b1 = Seq("A", "C", "C")
+    val b2 = Seq("B", "C", "C", "C")
+    val mem = MemoryStream[String]
+    val q = Stats.driftMonitorStream(
+      mem.toDF.toDF("b"), baseline, "b",
+      statePath = s"$root/state", reportPath = s"$root/report")
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Option[Double], Option[Double], Boolean)]
+        .collect().toSet
+    val streamed = rows(spark.read.parquet(s"$root/report"))
+    val whole = rows(Stats.driftReport(
+      baseline, (b1 ++ b2).toDF("b"), "b"))
+    assert(streamed == whole && streamed.exists(_._6),
+      s"streamed report must equal the batch report (and flag the new " +
+        s"category C): $streamed vs $whole")
+  }
+
   test("cmsStream: the persisted sketch after N micro-batches equals the " +
       "batch build over everything seen, cell for cell") {
     import spark.implicits._
