@@ -207,8 +207,14 @@ object Stats {
     * statistics, never interpolated floats (percentile_cont
     * implementations diverge in last-ulp arithmetic).
     *
-    * One value-collapsed count aggregation + one window over DISTINCT
-    * values (the row-180 discipline) + a k−1-row edge table out.
+    * The global cumulative count over distinct values is the q153
+    * decomposition, not a global window: `width_bucket` over the
+    * column's (min, max) gives 256 ORDER-PREFIX buckets (any monotone
+    * bucketing works — it shapes the plan, not the result), so
+    * bucket-local window cumsums + a broadcast 256-row exclusive-prefix
+    * table reassemble the exact global cumulative with NO
+    * single-partition sort at any scale. One value-collapsed count
+    * aggregation (the row-180 discipline) + a k−1-row edge table out.
     * Output: (borda_idx 1..k−1, borda) where `borda` is the smallest
     * value whose cumulative count reaches rank ceil(q·n).
     */
@@ -217,11 +223,25 @@ object Stats {
     require(k >= 2, s"need k >= 2 bins, got $k")
     val byValue = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("__v")).agg(count(lit(1L)).as("__c"))
-    val win = Window.orderBy(col("__v"))
+    val bounds = byValue.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      sum(col("__c")).as("__n"))
+    val withB = byValue.crossJoin(broadcast(bounds))
+      .withColumn("__bk",
+        when(col("__hi") > col("__lo"),
+          expr("width_bucket(CAST(__v AS DOUBLE), CAST(__lo AS DOUBLE), " +
+            "CAST(__hi AS DOUBLE), 255)"))
+          .otherwise(lit(1L)))
+    val bkTotals = withB.groupBy("__bk").agg(sum(col("__c")).as("__bc"))
+    val wOff = Window.orderBy("__bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bkTotals.select(col("__bk"),
+      coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__off"))
+    val wLoc = Window.partitionBy("__bk").orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = byValue
-      .withColumn("__cum", sum(col("__c")).over(win))
-      .crossJoin(broadcast(byValue.agg(sum(col("__c")).as("__n"))))
+    val cum = withB
+      .join(broadcast(offsets), Seq("__bk"))
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(wLoc))
       .transform(graft.llm.CacheScope.persistTracked)
     // edge i = smallest v with cum·k >= i·n (pure integer cross-multiply)
     val edges = (1 until k).map { i =>
