@@ -2347,6 +2347,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Benford first-digit audit over order totals: first significant
+    // digit from the value's string image (never a libm log), expected
+    // shares as literal constants, one combinable count — the
+    // fabricated-figures screen auditors run on financial columns.
+    "q174_benford" -> { (s, dir) =>
+      ordered(operators.Stats.benfordAudit(
+        Tables.orders(s, dir), "o_totalprice"))
+    },
+
     // Most-common opening paths: each user's first 3 events (bounded
     // heap, never a history sort) joined into a path string, top-10 by
     // user count with deterministic ties.
@@ -5877,6 +5886,35 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the string-image digit extraction, the counts and the
+    // literal expected shares.
+    "q174_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(regexp_replace(
+        |    CAST(abs(o_totalprice) AS VARCHAR), '[^1-9]', '', 'g'),
+        |    1, 1) AS INT) AS digito
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice <> 0
+        |    AND regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+        |      '[^1-9]', '', 'g') <> ''),
+        |cnt AS (SELECT digito, CAST(count(*) AS BIGINT) AS observado
+        |        FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(observado) AS BIGINT) AS n FROM cnt),
+        |e AS (SELECT digito, CAST(esperado AS DOUBLE) AS esperado
+        |  FROM (VALUES
+        |  (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+        |  (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+        |  (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561))
+        |  v(digito, esperado))
+        |SELECT e.digito, coalesce(observado, 0) AS observado,
+        |  CAST(coalesce(observado, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS participacao,
+        |  esperado,
+        |  (CAST(coalesce(observado, 0) AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / esperado AS razao
+        |FROM e LEFT JOIN cnt USING (digito), t
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the first-3 ranking, the ordered path join and the

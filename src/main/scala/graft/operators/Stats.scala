@@ -395,6 +395,56 @@ object Stats {
         (col("n_base") === 0L).as("nova_categoria"))
   }
 
+  /** Benford first-significant-digit audit — the classic
+    * fabricated-figures screen for financial/measurement columns
+    * (Benford 1938; the auditor's tool): organic multi-scale data puts
+    * digit d first with probability log10(1+1/d), fabricated or
+    * constrained data doesn't.
+    *
+    * The first significant digit comes from the value's STRING image
+    * (first char of the digits of |x| — engine-exact; a log10-based
+    * extraction would be libm-dependent), counts are one combinable
+    * aggregation, and the expected shares are hard LITERALS (log10
+    * constants to 12 places — the same doubles on any engine, the
+    * calibration-audit discipline of never computing a transcendental
+    * in-plan). Output per digit 1..9: observed count, observed share
+    * (one IEEE division), expected share, and the ratio (one more
+    * division) — a flat razao ≈ 1 column is the pass.
+    *
+    * Zero/null values carry no first digit and are excluded (reported
+    * via the `n` total being smaller than the input).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    // log10(1 + 1/d), d = 1..9, 12 decimal places
+    val expected = Seq(0.301029995664, 0.176091259056, 0.124938736608,
+      0.096910013008, 0.079181246048, 0.066946789631, 0.057991946978,
+      0.051152522447, 0.045757490561)
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0.0)
+      .select(substring(regexp_replace(
+        abs(col(valueCol)).cast("string"), "[^1-9]", ""), 1, 1)
+        .as("__d"))
+      .filter(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digito"))
+      .agg(count(lit(1L)).as("observado"))
+    val total = digits.agg(sum(col("observado")).as("__n"))
+    val exp = expected.zipWithIndex
+      .map { case (p, i) => struct(lit(i + 1).as("digito"),
+        lit(p).as("esperado")) }
+    val expDf = digits.sparkSession.range(1)
+      .select(explode(array(exp: _*)).as("__e"))
+      .select(col("__e.digito"), col("__e.esperado"))
+    expDf.join(digits, Seq("digito"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digito"),
+        coalesce(col("observado"), lit(0L)).as("observado"),
+        (coalesce(col("observado"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("participacao"),
+        col("esperado"),
+        ((coalesce(col("observado"), lit(0L)).cast("double") /
+          col("__n").cast("double")) / col("esperado")).as("razao"))
+  }
+
   /** Streaming drift monitor — the fit/apply/MONITOR loop closed: each
     * micro-batch's bucket counts fold into a persisted current-counts
     * table (exact integer merge, the cmsStream discipline:

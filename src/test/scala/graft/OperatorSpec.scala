@@ -752,6 +752,21 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("benfordAudit: first significant digit from any rendering; zeros " +
+      "and nulls excluded; all nine digits reported") {
+    import graft.operators.Stats
+    val df = Seq(Some(1.5), Some(0.042), Some(900.0), Some(-23.7),
+      Some(0.0), None).toDF("v")
+    val got = Stats.benfordAudit(df, "v")
+      .select("digito", "observado", "participacao")
+      .as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq(
+      (1, 1L), (2, 1L), (3, 0L), (4, 1L), (5, 0L), (6, 0L), (7, 0L),
+      (8, 0L), (9, 1L)), s"got $got")
+    assert(got.forall(r => r._3 == r._2.toDouble / 4.0),
+      "shares over the 4 countable values")
+  }
+
   test("commonPaths: first-k events in time order, short journeys kept, " +
       "deterministic top-N ties") {
     import graft.streaming.Events
