@@ -389,6 +389,36 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus must not shuffle to meet the dictionary:\n$plan")
   }
 
+  test("q159 attribution has no window sort — first/last touch fold in " +
+      "the aggregation") {
+    val plan = planString(SparkEntry.queries("q159_attribution")(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"attribution must not per-conversion window-sort:\n$plan")
+    graft.llm.CacheScope.releaseAll()
+  }
+
+  test("q172 LOO target encoding probes category stats by broadcast; the " +
+      "fact table never shuffles") {
+    val plan = planString(SparkEntry.queries("q172_loo_target")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"category stats must be the broadcast build side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"facts must not shuffle for the encoding join:\n$plan")
+    graft.llm.CacheScope.releaseAll()
+  }
+
+  test("q153 PPS sampling never sorts globally — every window is " +
+      "bucket-partitioned or tiny") {
+    val plan = planString(SparkEntry.queries("q153_pps_sample")(spark, sfDir))
+    // the only unpartitioned window allowed is the 256-row bucket-offset
+    // prefix; the corpus-side running sum must be partitioned by bucket
+    assert(plan.contains("Window [") || plan.contains("Window"),
+      s"expected window operators:\n$plan")
+    assert(plan.contains("partitionBy") || plan.contains("__bk"),
+      s"corpus cumsum must be bucket-partitioned:\n$plan")
+    graft.llm.CacheScope.releaseAll()
+  }
+
   test("trainPerceptron epochs reuse the feature table's doc partitioning " +
       "— weight probes broadcast, corpus exchanges stay constant in epochs") {
     def exchanges(epochs: Int): Int = {
