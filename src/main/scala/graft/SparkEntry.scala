@@ -2347,6 +2347,21 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Trend-adjusted robust anomalies: q137's OLS fit + q168's
+    // median/MAD outliers composed — residuals from each priority
+    // class's price trend, robustly flagged. Drift cannot fool it; a
+    // wild value cannot drag it.
+    "q175_trend_anomalies" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(50)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("double").as("x"),
+          col("o_totalprice").as("y"))
+      ordered(operators.Stats.trendAnomalies(
+        o, Seq("o_orderpriority"), "x", "y", c = 2.5))
+    },
+
     // Benford first-digit audit over order totals: first significant
     // digit from the value's string image (never a libm log), expected
     // shares as literal constants, one combinable count — the
@@ -5886,6 +5901,72 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the OLS closed form, the residual chain and both exact
+    // lower medians of the MAD pass.
+    "q175_trend_anomalies" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(date_diff('day', DATE '1992-01-01',
+        |      CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+        |    o_totalprice AS y
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |agg AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx
+        |  FROM o GROUP BY 1),
+        |cf AS (
+        |  SELECT o_orderpriority,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS inclinacao,
+        |    n, sx, sy
+        |  FROM agg),
+        |cf2 AS (
+        |  SELECT o_orderpriority, inclinacao,
+        |    (CAST(sy AS DOUBLE) - inclinacao * CAST(sx AS DOUBLE)) /
+        |      CAST(n AS DOUBLE) AS intercepto
+        |  FROM cf),
+        |r AS (
+        |  SELECT o.o_orderkey, o.o_orderpriority, o.x, o.y,
+        |    y - (intercepto + inclinacao * x) AS residuo
+        |  FROM o JOIN cf2 USING (o_orderpriority)),
+        |m1 AS (
+        |  SELECT o_orderpriority, v AS med FROM (
+        |    SELECT o_orderpriority, v,
+        |      SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(w) OVER (PARTITION BY o_orderpriority) AS tot
+        |    FROM (SELECT o_orderpriority, residuo AS v,
+        |            CAST(count(*) AS DECIMAL(38,6)) AS w
+        |          FROM r GROUP BY 1, 2))
+        |  WHERE cum * 2 >= tot
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY v) = 1),
+        |dev AS (
+        |  SELECT r.*, abs(residuo - med) AS desvio
+        |  FROM r JOIN m1 USING (o_orderpriority)),
+        |m2 AS (
+        |  SELECT o_orderpriority, v AS mad FROM (
+        |    SELECT o_orderpriority, v,
+        |      SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(w) OVER (PARTITION BY o_orderpriority) AS tot
+        |    FROM (SELECT o_orderpriority, desvio AS v,
+        |            CAST(count(*) AS DECIMAL(38,6)) AS w
+        |          FROM dev GROUP BY 1, 2))
+        |  WHERE cum * 2 >= tot
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY v) = 1)
+        |SELECT dev.o_orderkey, dev.o_orderpriority, dev.x, dev.y,
+        |  dev.residuo, dev.desvio,
+        |  (mad > 0.0 AND desvio > 2.5 * mad) AS atipico
+        |FROM dev JOIN m2 USING (o_orderpriority)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the string-image digit extraction, the counts and the

@@ -395,6 +395,41 @@ object Stats {
         (col("n_base") === 0L).as("nova_categoria"))
   }
 
+  /** Trend-adjusted robust anomalies — [[groupLinearFit]] and
+    * [[madOutliers]] composed: fit each group's OLS trend, take
+    * residuals `y − (a + b·x)`, flag residuals that are median/MAD
+    * outliers. The detector level-shift and drift CANNOT fool: a
+    * steadily growing series flags nothing under this detector while
+    * raw z-scores (row 167) would flag both ends, and one wild value
+    * cannot drag the trend's robust residual scale.
+    *
+    * Shape: the fit is one combinable DECIMAL-sufficient-statistics
+    * aggregation (row 154), the ≤|groups|-row coefficient table
+    * broadcasts back for the residual (a fixed IEEE chain), and the
+    * MAD pass reuses row 187's two exact lower-medians. Groups without
+    * a fit (n < 2, zero x-variance) pass through unflagged with null
+    * residuals. Output: input + `residuo` + `desvio` + `atipico`.
+    */
+  def trendAnomalies(
+      df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String,
+      c: Double = 3.0): DataFrame = {
+    val fit = groupLinearFit(df, groupCols, xCol, yCol)
+      .select(groupCols.map(col) :+ col("inclinacao") :+
+        col("intercepto"): _*)
+    val withRes = df.join(broadcast(fit), groupCols)
+      .withColumn("residuo",
+        when(col("inclinacao").isNotNull,
+          col(yCol) - (col("intercepto") +
+            col("inclinacao") * col(xCol))))
+    val fitted = withRes.filter(col("residuo").isNotNull)
+    val flagged = madOutliers(fitted, groupCols, "residuo", c)
+    val unfitted = withRes.filter(col("residuo").isNull)
+      .withColumn("desvio", lit(null).cast("double"))
+      .withColumn("atipico", lit(false))
+    flagged.unionByName(unfitted)
+      .drop("inclinacao", "intercepto")
+  }
+
   /** Benford first-significant-digit audit — the classic
     * fabricated-figures screen for financial/measurement columns
     * (Benford 1938; the auditor's tool): organic multi-scale data puts

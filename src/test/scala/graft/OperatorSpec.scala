@@ -752,6 +752,24 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("trendAnomalies: a drifting series flags nothing; one planted " +
+      "spike off the trend flags exactly once") {
+    import graft.operators.Stats
+    // g: exact line y = 10 + 2x with one +50 spike at x = 5
+    // h: exact steep drift y = 3x — residuals 0, MAD 0, never flags
+    val rows = (0 to 9).map(i =>
+        ("g", i.toDouble, 10.0 + 2 * i + (if (i == 5) 50.0 else 0.0))) ++
+      (0 to 9).map(i => ("h", i.toDouble, 3.0 * i))
+    val df = rows.toDF("grp", "x", "y")
+    val got = Stats.trendAnomalies(df, Seq("grp"), "x", "y", c = 3.0)
+      .select("grp", "x", "atipico").as[(String, Double, Boolean)]
+      .collect().toSet
+    assert(got.count(_._3) == 1 && got.contains(("g", 5.0, true)),
+      s"exactly the planted spike must flag: $got")
+    assert(!got.exists(r => r._1 == "h" && r._3),
+      "a clean drifting series must never flag")
+  }
+
   test("benfordAudit: first significant digit from any rendering; zeros " +
       "and nulls excluded; all nine digits reported") {
     import graft.operators.Stats
