@@ -2347,6 +2347,16 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
     },
 
+    // Time-constrained funnel: view -> click -> purchase where each
+    // stage must land within 2 days of the prior — k-1 fixed rounds of
+    // one user-keyed join + one combinable min each; a null prior stage
+    // nulls everything after it.
+    "q176_funnel_within" -> { (s, dir) =>
+      ordered(streaming.Events.funnelWithin(
+        Tables.events(s, dir), Seq("view", "click", "purchase"),
+        within = "2 days"))
+    },
+
     // Trend-adjusted robust anomalies: q137's OLS fit + q168's
     // median/MAD outliers composed — residuals from each priority
     // class's price trend, robustly flagged. Drift cannot fool it; a
@@ -5901,6 +5911,31 @@ ORDER BY ALL NULLS FIRST""",
         |  HAVING count(*) = len AND s >= 0)
         |SELECT frase, doc_id, CAST(count(*) AS BIGINT) AS ocorrencias
         |FROM hit GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the staged min-resolution chain with the same window
+    // bounds.
+    "q176_funnel_within" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT s0.user_id, ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |    AND e.ts >= ts_0 AND e.ts <= ts_0 + INTERVAL 2 DAY
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.user_id, ts_0, ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |    AND e.ts >= ts_1 AND e.ts <= ts_1 + INTERVAL 2 DAY
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, ts_0, ts_1, ts_2,
+        |  CAST(CASE WHEN ts_2 IS NOT NULL THEN 3
+        |            WHEN ts_1 IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS etapas
+        |FROM s2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the OLS closed form, the residual chain and both exact

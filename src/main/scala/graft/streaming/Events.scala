@@ -149,6 +149,50 @@ object Events {
     firsts.select(col("user_id"), depth.cast("int").as("etapas"))
   }
 
+  /** Time-constrained funnel — [[funnelDepth]] with per-step conversion
+    * WINDOWS: stage i+1 only counts if its first qualifying event lands
+    * within `within` of the stage-i time. The product-analytics form
+    * every "converted within 48h" report needs; the unconstrained
+    * funnel (row 86) over-credits users who convert weeks later.
+    *
+    * Shape: stage times resolve iteratively — k−1 fixed rounds (the
+    * PageRank/MMR discipline: round count is the FUNNEL length, never
+    * data), each ONE user-keyed join of the per-user stage-time table
+    * (≤ |users| rows) against that stage's events plus ONE combinable
+    * min aggregation. A null prior stage nulls the join condition, so
+    * later stages stay null without special-casing. Exact timestamps;
+    * `etapas` = length of the satisfied prefix.
+    *
+    * Output: (user_id, ts_0 .. ts_{k−1}, etapas) for users who reached
+    * stage 0.
+    */
+  def funnelWithin(
+      events: DataFrame, stages: Seq[String], within: String): DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages, got ${stages.size}")
+    val ev = events.select(col("user_id"), col("ts"), col("event_type"))
+    var cur = ev.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("ts_0"))
+    stages.indices.tail.foreach { i =>
+      val e = ev.filter(col("event_type") === stages(i))
+        .select(col("user_id").as("__u"), col("ts").as("__t"))
+      val prev = col(s"ts_${i - 1}")
+      cur = cur.join(e,
+          col("user_id") === col("__u") &&
+            col("__t") >= prev &&
+            col("__t") <= prev + expr(s"INTERVAL $within"),
+          "left")
+        .groupBy(col("user_id") +:
+          (0 until i).map(j => col(s"ts_$j")): _*)
+        .agg(min(col("__t")).as(s"ts_$i"))
+    }
+    val depth = stages.indices.tail.foldLeft(lit(1)) { (d, i) =>
+      when(col(s"ts_$i").isNotNull, i + 1).otherwise(d)
+    }
+    // a null stage i forces null at i+1 (the join condition nulls), so
+    // the max non-null index IS the prefix length
+    cur.withColumn("etapas", depth.cast("int"))
+  }
+
   /** First-order event transition matrix — the Markov "what happens
     * after X" table (page-path analysis, funnel leak hunting): counts
     * and conditional probabilities of each (event_type → next

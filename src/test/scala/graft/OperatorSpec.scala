@@ -752,6 +752,31 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("funnelWithin: stage windows enforced; a late conversion does not " +
+      "credit; a null stage nulls everything after it") {
+    import graft.streaming.Events
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 7: full funnel inside windows
+      (1L, t("2024-01-01 00:00:00"), 7L, "view", 0.0),
+      (2L, t("2024-01-02 00:00:00"), 7L, "click", 0.0),
+      (3L, t("2024-01-03 00:00:00"), 7L, "purchase", 0.0),
+      // user 8: click too late (3 days after view) -> depth 1, and the
+      // purchase after it must NOT count either
+      (4L, t("2024-01-01 00:00:00"), 8L, "view", 0.0),
+      (5L, t("2024-01-04 12:00:00"), 8L, "click", 0.0),
+      (6L, t("2024-01-05 00:00:00"), 8L, "purchase", 0.0),
+      // user 9: purchase BEFORE the click does not count -> depth 2
+      (7L, t("2024-01-01 00:00:00"), 9L, "view", 0.0),
+      (8L, t("2024-01-02 00:00:00"), 9L, "purchase", 0.0),
+      (9L, t("2024-01-02 12:00:00"), 9L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.funnelWithin(ev, Seq("view", "click", "purchase"),
+        "2 days")
+      .select("user_id", "etapas").as[(Long, Int)].collect().toMap
+    assert(got == Map(7L -> 3, 8L -> 1, 9L -> 2), s"got $got")
+  }
+
   test("trendAnomalies: a drifting series flags nothing; one planted " +
       "spike off the trend flags exactly once") {
     import graft.operators.Stats
