@@ -2357,6 +2357,47 @@ object SparkEntry {
         within = "2 days"))
     },
 
+    // Driver-hash CANARY, core types: literal rows of every output type
+    // the engine's report queries rely on (BIGINT/INT/SMALLINT/DOUBLE/
+    // VARCHAR/DATE/TIMESTAMP/BOOLEAN, plus nulls in the two types green
+    // queries already emit nulls for). If the correctness gate's hash
+    // has a representation blind spot, this isolates it in one tiny
+    // deterministic row set instead of a debug cycle per real query.
+    "q179_canary_core" -> { (s, _) =>
+      ordered(s.sql(
+        """SELECT * FROM VALUES
+          |  (CAST(1 AS BIGINT), CAST(2 AS INT), CAST(3 AS SMALLINT),
+          |   CAST(1.5 AS DOUBLE), 'alfa', DATE'2024-01-15',
+          |   TIMESTAMP'2024-01-15 12:34:56', true),
+          |  (CAST(-4611686018427387904 AS BIGINT), CAST(-2147483647 AS INT),
+          |   CAST(-32767 AS SMALLINT), CAST(-0.125 AS DOUBLE), '',
+          |   DATE'1970-01-01', TIMESTAMP'1970-01-01 00:00:00', false),
+          |  (CAST(7 AS BIGINT), CAST(8 AS INT), CAST(9 AS SMALLINT),
+          |   CAST(NULL AS DOUBLE), CAST(NULL AS STRING), DATE'2030-12-31',
+          |   TIMESTAMP'1999-12-31 23:59:59', true)
+          |AS t(c_bigint, c_int, c_smallint, c_double, c_varchar, c_date,
+          |     c_ts, c_bool)""".stripMargin))
+    },
+
+    // Driver-hash CANARY, decimal probe: the four DECIMAL shapes the
+    // round-9 hash-red queries emitted (18,2 / 38,0 / 38,6 / 38,24),
+    // as exact literals both engines agree on value-for-value. A RED
+    // result here is the diagnostic: it proves the gate's reader
+    // materializes decimals differently per engine (pyarrow Decimal
+    // objects vs float64) and decimal output columns stay banned from
+    // report queries; green would falsify that theory.
+    "q180_canary_decimal" -> { (s, _) =>
+      ordered(s.sql(
+        """SELECT * FROM VALUES
+          |  (CAST(12345.67 AS DECIMAL(18,2)), CAST(42 AS DECIMAL(38,0)),
+          |   CAST(1234.5 AS DECIMAL(38,6)),
+          |   CAST(0.25 AS DECIMAL(38,24))),
+          |  (CAST(-0.01 AS DECIMAL(18,2)), CAST(0 AS DECIMAL(38,0)),
+          |   CAST(-7 AS DECIMAL(38,6)),
+          |   CAST(0.000003814697265625 AS DECIMAL(38,24)))
+          |AS t(c_dec_18_2, c_dec_38_0, c_dec_38_6, c_dec_38_24)""".stripMargin))
+    },
+
     // Trend-adjusted robust anomalies: q137's OLS fit + q168's
     // median/MAD outliers composed — residuals from each priority
     // class's price trend, robustly flagged. Drift cannot fool it; a
@@ -2444,14 +2485,17 @@ object SparkEntry {
     },
 
     // Recency-weighted engagement: per-user decayed activity score at a
-    // reference day, halving per elapsed week — the weight is an EXACT
-    // power-of-two division (1/(1<<weeks), no libm pow), terms sum
-    // through DECIMAL. One combinable aggregation.
+    // reference day, halving per elapsed week — every term an exact
+    // scaled-integer product (value is 2-dp fixed-point, the weight is
+    // the integer 2^(18-wk)), summed in BIGINT, ONE final IEEE division
+    // so the report column is a plain driver-hashable DOUBLE. One
+    // combinable aggregation.
     "q164_decayed_engagement" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("dia"), col("value"))
-      ordered(operators.Timeseries.decayedScore(
-        ev, "user_id", "dia", "value", refDay = "2024-02-01"))
+      ordered(operators.Timeseries.decayedScoreScaled(
+        ev, "user_id", "dia", "value", refDay = "2024-02-01",
+        valueScale = 2))
     },
 
     // First-order event transition matrix (the Markov what-happens-after
@@ -5938,6 +5982,34 @@ ORDER BY ALL NULLS FIRST""",
         |FROM s2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // The same literal rows, typed the same way (core type canary).
+    "q179_canary_core" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS INTEGER), CAST(3 AS SMALLINT),
+        |   CAST(1.5 AS DOUBLE), 'alfa', DATE '2024-01-15',
+        |   TIMESTAMP '2024-01-15 12:34:56', true),
+        |  (CAST(-4611686018427387904 AS BIGINT), CAST(-2147483647 AS INTEGER),
+        |   CAST(-32767 AS SMALLINT), CAST(-0.125 AS DOUBLE), '',
+        |   DATE '1970-01-01', TIMESTAMP '1970-01-01 00:00:00', false),
+        |  (CAST(7 AS BIGINT), CAST(8 AS INTEGER), CAST(9 AS SMALLINT),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR), DATE '2030-12-31',
+        |   TIMESTAMP '1999-12-31 23:59:59', true))
+        |AS t(c_bigint, c_int, c_smallint, c_double, c_varchar, c_date,
+        |     c_ts, c_bool)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The same literal decimals (decimal-representation probe).
+    "q180_canary_decimal" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(12345.67 AS DECIMAL(18,2)), CAST(42 AS DECIMAL(38,0)),
+        |   CAST(1234.5 AS DECIMAL(38,6)),
+        |   CAST(0.25 AS DECIMAL(38,24))),
+        |  (CAST(-0.01 AS DECIMAL(18,2)), CAST(0 AS DECIMAL(38,0)),
+        |   CAST(-7 AS DECIMAL(38,6)),
+        |   CAST(0.000003814697265625 AS DECIMAL(38,24))))
+        |AS t(c_dec_18_2, c_dec_38_0, c_dec_38_6, c_dec_38_24)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // Replays the OLS closed form, the residual chain and both exact
     // lower medians of the MAD pass.
     "q175_trend_anomalies" ->
@@ -6184,14 +6256,14 @@ ORDER BY ALL NULLS FIRST""",
     "q164_decayed_engagement" ->
       """WITH e AS (
         |  SELECT user_id, value,
-        |    CAST(floor(date_diff('day', CAST(ts AS DATE),
-        |      DATE '2024-02-01') / 7.0) AS INT) AS wk
+        |    greatest(CAST(floor(date_diff('day', CAST(ts AS DATE),
+        |      DATE '2024-02-01') / 7.0) AS INT), 0) AS wk
         |  FROM events)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS atividade,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6)) *
-        |    CAST(CASE WHEN wk > 18 THEN 0.0
-        |      ELSE 1.0 / CAST(1::BIGINT << wk AS DOUBLE) END
-        |      AS DECIMAL(19,18))) AS DECIMAL(38,24)) AS score_decaido
+        |  CAST(coalesce(sum(CASE WHEN wk > 18 THEN 0
+        |    ELSE CAST(round(value * 100) AS BIGINT) *
+        |      (1::BIGINT << (18 - wk)) END), 0) AS DOUBLE)
+        |    / 26214400.0 AS score_decaido
         |FROM e GROUP BY user_id
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
@@ -6257,23 +6329,23 @@ ORDER BY ALL NULLS FIRST""",
         |  FROM lineitem GROUP BY 1),
         |summ AS (
         |  SELECT 'linhas_esq' AS metrica, CAST(NULL AS VARCHAR) AS chave,
-        |    CAST(sum(c) AS DECIMAL(38,0)) AS valor FROM cl
+        |    CAST(sum(c) AS BIGINT) AS valor FROM cl
         |  UNION ALL
-        |  SELECT 'chaves_esq', NULL, CAST(count(*) AS DECIMAL(38,0)) FROM cl
+        |  SELECT 'chaves_esq', NULL, CAST(count(*) AS BIGINT) FROM cl
         |  UNION ALL
-        |  SELECT 'linhas_dir', NULL, CAST(sum(c) AS DECIMAL(38,0)) FROM cl
+        |  SELECT 'linhas_dir', NULL, CAST(sum(c) AS BIGINT) FROM cl
         |  UNION ALL
-        |  SELECT 'chaves_dir', NULL, CAST(count(*) AS DECIMAL(38,0)) FROM cl
+        |  SELECT 'chaves_dir', NULL, CAST(count(*) AS BIGINT) FROM cl
         |  UNION ALL
         |  SELECT 'linhas_juncao', NULL,
-        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) FROM cl),
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) FROM cl),
         |hot AS (
         |  SELECT chave, c FROM cl ORDER BY c DESC, chave LIMIT 5)
         |SELECT metrica, chave, valor FROM summ
         |UNION ALL
-        |SELECT 'quente_esq', chave, CAST(c AS DECIMAL(38,0)) FROM hot
+        |SELECT 'quente_esq', chave, c FROM hot
         |UNION ALL
-        |SELECT 'quente_dir', chave, CAST(c AS DECIMAL(38,0)) FROM hot
+        |SELECT 'quente_dir', chave, c FROM hot
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, the DECIMAL cumulative, the 2·cum >=
@@ -6291,7 +6363,7 @@ ORDER BY ALL NULLS FIRST""",
         |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
         |  FROM bv)
         |SELECT l_returnflag, min(v) AS mediana_ponderada,
-        |  CAST(min(tot) AS DECIMAL(38,6)) AS peso_total
+        |  CAST(CAST(min(tot) AS BIGINT) AS DOUBLE) AS peso_total
         |FROM c WHERE cum * 2 >= tot GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 

@@ -45,7 +45,13 @@ object Profile {
     * from `orderBy().limit()` → TakeOrderedAndProject (per-partition
     * heaps, the q70 discipline — no global sort); the cardinality
     * estimate is one join of the two COUNT tables + one sum of exact
-    * DECIMAL(38,0) products. Everything integer-exact.
+    * DECIMAL(38,0) products. Everything integer-exact. The report
+    * column `valor` is BIGINT: the product-sum accumulates in
+    * DECIMAL(38,0) (overflow-proof) and only the final scalar casts
+    * down — exact while the diagnosed join output stays below 2⁶³−1
+    * rows (~9.2·10¹⁸ — beyond any join a 100 TB table produces; a
+    * decimal-typed output column would fail dtype-level hash compares
+    * in pyarrow/pandas readers, measured round 9).
     *
     * Output rows (metrica, chave, valor): `linhas_esq/linhas_dir`
     * (row counts), `chaves_esq/chaves_dir` (distinct keys),
@@ -69,20 +75,21 @@ object Profile {
         coalesce(sum(col("__c")), lit(0L)).as("__rows"),
         count(lit(1L)).as("__keys"))
         .select(explode(map(
-          lit(rowsName), dec(col("__rows")),
-          lit(keysName), dec(col("__keys"))))
+          lit(rowsName), col("__rows"),
+          lit(keysName), col("__keys")))
           .as(Seq("metrica", "valor")))
         .select(col("metrica"), lit(null).cast("string").as("chave"),
           col("valor"))
     def hot(df: DataFrame, name: String) =
       df.orderBy(col("__c").desc, col("chave")).limit(topK)
-        .select(lit(name).as("metrica"), col("chave"), dec(col("__c")).as("valor"))
+        .select(lit(name).as("metrica"), col("chave"), col("__c").as("valor"))
     val est = cl.withColumnRenamed("__c", "__cl")
       .join(cr.withColumnRenamed("__c", "__cr"), Seq("chave"))
       .agg(coalesce(sum(dec(col("__cl")) * dec(col("__cr"))),
         lit(0).cast("decimal(38,0)")).as("valor"))
       .select(lit("linhas_juncao").as("metrica"),
-        lit(null).cast("string").as("chave"), dec(col("valor")).as("valor"))
+        lit(null).cast("string").as("chave"),
+        col("valor").cast("long").as("valor"))
     summary(cl, "linhas_esq", "chaves_esq")
       .unionByName(summary(cr, "linhas_dir", "chaves_dir"))
       .unionByName(est)

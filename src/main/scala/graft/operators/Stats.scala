@@ -565,7 +565,13 @@ object Stats {
     * — their interval is empty). Ties on value collapse into one
     * cumulative step, so duplicated values cannot make the pick
     * order-dependent. Output: (groupCols…, mediana_ponderada,
-    * peso_total).
+    * peso_total). The pick itself stays DECIMAL-exact end-to-end; only
+    * the REPORTED total is cast to DOUBLE at the very edge (Spark's
+    * BigDecimal→double is correctly rounded) — decimal-typed output
+    * columns hash as `Decimal` objects in a pyarrow/pandas reader while
+    * an oracle engine renders float64, failing dtype-level compares
+    * even when every value agrees (measured, round 9: this operator's
+    * DECIMAL(38,6) output was one of exactly three driver hash-reds).
     */
   def weightedMedian(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -586,6 +592,6 @@ object Stats {
     cum.filter(col("__cum") * 2 >= col("__tot"))
       .groupBy(g: _*)
       .agg(min(col("__v")).as("mediana_ponderada"),
-        min(col("__tot")).as("peso_total"))
+        min(col("__tot")).cast("double").as("peso_total"))
   }
 }

@@ -94,12 +94,21 @@ object Timeseries {
     * value rounds differently into a decimal across engines (measured:
     * last-digit mismatches at sf0.01). Ages beyond 18 weeks get weight
     * 0 — an explicit decay floor at 2⁻¹⁸ ≈ 4·10⁻⁶, below any feature's
-    * meaningful contribution. The score is RETURNED as the exact
-    * DECIMAL(38,24): a final cast to double would re-introduce the
-    * engine dependence (DuckDB's wide-decimal→double conversion is one
-    * ulp off correctly-rounded — measured), and consumers wanting a
-    * double can cast at the edge. One combinable aggregation; the
-    * corpus never shuffles twice.
+    * meaningful contribution; events dated AFTER the reference day
+    * clamp to week 0 (weight 1) — without the clamp a negative week
+    * count would hit Java's masked shift (`1L << -1` =
+    * `Long.MIN_VALUE`) and silently poison the score. The score is
+    * RETURNED as the exact DECIMAL(38,24): a final cast to double
+    * would re-introduce engine dependence (DuckDB's
+    * wide-decimal→double conversion is one ulp off correctly-rounded —
+    * measured), and consumers wanting a double can cast at the edge.
+    * One combinable aggregation; the corpus never shuffles twice.
+    *
+    * NOTE for cross-engine report surfaces: the DECIMAL(38,24) column
+    * is for IN-PLAN consumption. A pyarrow/pandas reader hashes it as
+    * `Decimal` objects while an oracle engine renders float64 — a
+    * dtype-level mismatch even when all values agree (measured,
+    * round 9). Report queries should use [[decayedScoreScaled]].
     *
     * Output: (entityCol, atividade, score_decaido) — raw event count
     * and the decayed sum.
@@ -108,7 +117,8 @@ object Timeseries {
       df: DataFrame, entityCol: String, dayCol: String, valueCol: String,
       refDay: String): DataFrame = {
     val ageDays = datediff(lit(refDay).cast("date"), col(dayCol))
-    val weeks = floor(ageDays.cast("double") / 7.0).cast("int")
+    val weeks = greatest(
+      floor(ageDays.cast("double") / 7.0).cast("int"), lit(0))
     // 1/2^w as a double is exact, and for w <= 18 its decimal image at
     // scale 18 is exact too — the cast below is lossless on both engines
     val weight = when(col("__wk") > 18, lit(0.0))
@@ -120,6 +130,49 @@ object Timeseries {
         count(lit(1L)).as("atividade"),
         sum(col(valueCol).cast("decimal(18,6)") * weight)
           .cast("decimal(38,24)").as("score_decaido"))
+  }
+
+  /** [[decayedScore]] re-shaped for cross-engine report surfaces: the
+    * same per-week-halving semantics, but every term is an exact
+    * 64-bit integer and the ONLY floating-point step is one final
+    * correctly-rounded division — so the output is a plain DOUBLE that
+    * hashes identically in every reader (float64 everywhere), with no
+    * decimal column in sight.
+    *
+    * How: values are fixed-point with ≤ `valueScale` decimal places
+    * (the caller's contract — behavioral `value` columns are
+    * currency/counter-shaped), so `round(value·10^s)` is an exact
+    * long; the week-w weight is carried as the integer `2^(18−w)`
+    * (zero beyond 18 weeks, week clamped at 0 for future-dated rows);
+    * term products and the per-entity sum stay in BIGINT (exact below
+    * 2⁶³ — at 10^4-scaled values and 2¹⁸ weights that is ~3.5·10⁹
+    * events per entity before overflow, far past any per-entity
+    * volume); the score is `sum / (10^s·2^18)` — long→double is
+    * correctly rounded in every engine, the divisor is exactly
+    * representable, and one IEEE division is correctly rounded
+    * everywhere. Null values contribute nothing (score 0 if all null).
+    * Same one-combinable-aggregation shape as [[decayedScore]].
+    */
+  def decayedScoreScaled(
+      df: DataFrame, entityCol: String, dayCol: String, valueCol: String,
+      refDay: String, valueScale: Int = 2): DataFrame = {
+    require(valueScale >= 0 && valueScale <= 6,
+      s"valueScale must be in [0,6], got $valueScale")
+    val maxW = 18
+    val sFac = math.pow(10.0, valueScale).toLong
+    val denom = (sFac * (1L << maxW)).toDouble // exact: 10^s * 2^18 < 2^53
+    val ageDays = datediff(lit(refDay).cast("date"), col(dayCol))
+    val weeks = greatest(
+      floor(ageDays.cast("double") / 7.0).cast("int"), lit(0))
+    val vScaled = round(col(valueCol) * lit(sFac.toDouble)).cast("long")
+    val term = when(col("__wk") > maxW, lit(0L))
+      .otherwise(vScaled * expr(s"shiftleft(1L, $maxW - __wk)"))
+    df.withColumn("__wk", weeks)
+      .groupBy(col(entityCol))
+      .agg(
+        count(lit(1L)).as("atividade"),
+        (coalesce(sum(term), lit(0L)).cast("double") / lit(denom))
+          .as("score_decaido"))
   }
 
   /** Exact rolling active-entity counts (DAU/WAU-class): distinct

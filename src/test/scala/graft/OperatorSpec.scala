@@ -912,6 +912,30 @@ class OperatorSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 12.0), (2L, 1L, 0.0)), s"got $got")
   }
 
+  test("decayedScoreScaled: same semantics as the decimal form through " +
+      "exact scaled integers; future-dated rows clamp to week 0, not a " +
+      "masked negative shift") {
+    import graft.operators.Timeseries
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val act = Seq(
+      (1L, d("2024-01-31"), 8.25),  // week 0 -> weight 1
+      (1L, d("2024-01-20"), 8.5),   // week 1 -> weight 1/2
+      (2L, d("2020-01-01"), 99.0),  // > 18 weeks -> weight 0
+      (3L, d("2024-03-01"), 4.0))   // FUTURE -> clamp to week 0, weight 1
+      .toDF("u", "dia", "v")
+    val got = Timeseries.decayedScoreScaled(
+      act, "u", "dia", "v", "2024-02-01", valueScale = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 8.25 + 4.25), (2L, 1L, 0.0), (3L, 1L, 4.0)), s"got $got")
+    // the decimal form clamps the same way (no Long.MIN_VALUE weight)
+    val dec = Timeseries.decayedScore(
+      act, "u", "dia", "v", "2024-02-01")
+      .select(col("u"), col("score_decaido").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(dec(3L) == 4.0, s"future row must weigh 1, got ${dec(3L)}")
+  }
+
   test("transitionMatrix: counts per ordered (from, to) pair and exact " +
       "conditional probabilities") {
     import graft.streaming.Events
@@ -952,8 +976,7 @@ class OperatorSpec extends SparkSpec {
     val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
     val r = Seq("a", "a", "c", "c", "c", "c", "d").toDF("k")
     val got = Profile.joinDiagnostics(l, r, "k", "k", topK = 2)
-      .as[(String, Option[String], java.math.BigDecimal)].collect()
-      .map(t => (t._1, t._2, t._3.longValueExact())).toSet
+      .as[(String, Option[String], Long)].collect().toSet
     assert(got == Set(
       ("linhas_esq", None, 6L), ("chaves_esq", None, 3L),
       ("linhas_dir", None, 7L), ("chaves_dir", None, 3L),
