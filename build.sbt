@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through UNWRAPPED instead of routing it
+// into sbt's logger: the logger prefixes every child line with `[info] `,
+// which breaks line-oriented JSON parsers reading Bench's stdout record
+// (three rounds of driver artifacts stored "parsed": null against that
+// framing). With StdoutOutput the JSON line lands raw at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -103,6 +103,18 @@ object Bench {
     val errField = if (errors.isEmpty) "" else s""","errors":$errShort"""
     val sfName = new java.io.File(sfDir).getName
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort$errField,"failed":${errors.size},"sf":"$sfName"}""")
+    // Bypass sbt's logger: under a non-forked `sbt runMain`, System.out is
+    // replaced by sbt's log stream, which prefixes every line with
+    // `[info] ` — and three rounds of driver artifacts stored
+    // `"parsed": null` against that framing. Writing straight to file
+    // descriptor 1 lands the line RAW at column 0 in the combined output
+    // (no prefix, nothing else appended on the same line), which is what
+    // a `json.loads(line)`-per-line parser needs. Printed exactly once:
+    // the capture window is ~2000 chars of combined output, so a second
+    // (prefixed) copy would push this one's head out of the window.
+    val rawStdout = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    rawStdout.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort$errField,"failed":${errors.size},"sf":"$sfName"}""")
+    rawStdout.flush()
   }
 }

@@ -2357,6 +2357,50 @@ object SparkEntry {
         within = "2 days"))
     },
 
+    // Misra–Gries heavy hitters GRADED end-to-end: the native bounded-
+    // state aggregate proposes candidates (k=28 counters against a
+    // 31-token vocabulary — eviction pressure is real), an exact recount
+    // confirms, and the integer guard `cnt·(k+1) > N` keeps exactly the
+    // over-threshold set. The oracle computes that set directly — if MG
+    // ever dropped a guaranteed item, the join would LOSE a row and the
+    // compare goes red, so the retention guarantee itself is what's
+    // graded. Two scans by design (sketch pass + confirm pass): at
+    // 100 TB the candidate set (≤k rows) is what makes the second pass
+    // a cheap semi-joined recount instead of a full vocabulary sort.
+    "q177_mg_confirm" -> { (s, dir) =>
+      val k = 28
+      val toks = Tables.documents(s, dir)
+        .select(explode(llm.TextAnalysis.tokens(col("text"))).as("item"))
+      val cand = operators.Incremental.heavyHitters(toks, "item", k)
+        .select(col("item"))
+      val exact = toks.groupBy("item").agg(count(lit(1L)).as("ocorrencias"))
+      val total = toks.agg(count(lit(1L)).as("__n"))
+      ordered(cand.join(exact, "item")
+        .crossJoin(broadcast(total))
+        .filter(col("ocorrencias") * (k + 1) > col("__n"))
+        .select(col("item"), col("ocorrencias")))
+    },
+
+    // Versioned layout + time travel GRADED: three deterministic commits
+    // into a fresh table dir, then a version-2 read — the oracle replays
+    // v2's defining transform straight against the source table, so the
+    // layout's snapshot isolation (v3 must not leak into a v2 read) is
+    // what's hash-checked.
+    "q178_time_travel" -> { (s, dir) =>
+      val base = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-timetravel").toString + "/tabela"
+      sources.Versioned.commitVersion(
+        base.filter(col("doc_id") % 2 === 0), tdir) // v1
+      sources.Versioned.commitVersion(
+        base.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + lit(1L)), tdir) // v2
+      sources.Versioned.commitVersion(
+        base.filter(col("doc_id") % 5 === 0), tdir) // v3 (head)
+      ordered(sources.Versioned.readVersion(s, tdir, Some(2)))
+    },
+
     // Driver-hash CANARY, core types: literal rows of every output type
     // the engine's report queries rely on (BIGINT/INT/SMALLINT/DOUBLE/
     // VARCHAR/DATE/TIMESTAMP/BOOLEAN, plus nulls in the two types green
@@ -5980,6 +6024,28 @@ ORDER BY ALL NULLS FIRST""",
         |            WHEN ts_1 IS NOT NULL THEN 2
         |            ELSE 1 END AS INT) AS etapas
         |FROM s2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Computes the over-threshold token set DIRECTLY (no sketch): any
+    // guaranteed item the MG candidate pass dropped would surface as a
+    // missing row on the Spark side.
+    "q177_mg_confirm" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+        |    AS item
+        |  FROM documents),
+        |c AS (SELECT item, CAST(count(*) AS BIGINT) AS ocorrencias
+        |      FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM t)
+        |SELECT item, ocorrencias FROM c, n WHERE ocorrencias * 29 > n
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays version 2's defining transform straight off the source
+    // table — the snapshot the time-travel read must reproduce exactly.
+    "q178_time_travel" ->
+      """SELECT doc_id, lang, source,
+        |  CAST(n_chars + 1 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The same literal rows, typed the same way (core type canary).

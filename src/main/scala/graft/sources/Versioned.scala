@@ -49,12 +49,43 @@ object Versioned {
     }
   }
 
+  /** Version recorded in the in-flight flip marker (`_graft_head.tmp`),
+    * if one survives a crash. The marker is written AFTER its version's
+    * data directory is complete, so its content is always a safe base
+    * for the next version number — even though no reader ever resolved
+    * it.
+    */
+  private def tmpVersion(spark: SparkSession, tableDir: String): Option[Int] = {
+    val f = fs(spark, tableDir)
+    val tmp = new Path(tableDir, s"$HeadFile.tmp")
+    if (!f.exists(tmp)) None
+    else {
+      val in = f.open(tmp)
+      try {
+        scala.util.Try(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        ).toOption
+      } finally in.close()
+    }
+  }
+
   /** Commit `df` as the next version: data directory first, head flip
-    * last. Returns the committed version number.
+    * last. Returns the committed version number. Single-writer
+    * discipline assumed (see object doc).
+    *
+    * Crash-recovery ladder for the next version number: the head file
+    * if present; else the flip marker (`.tmp`) a crash may have left
+    * between its create and the rename — WITHOUT this fallback a crash
+    * inside the flip would restart numbering at v1 and silently clobber
+    * every committed version's directory; else 1 (a data directory with
+    * neither head nor marker is an orphan no reader ever resolved, and
+    * committing over it is the documented recovery).
     */
   def commitVersion(df: DataFrame, tableDir: String): Int = {
     val spark = df.sparkSession
-    val v = headVersion(spark, tableDir).getOrElse(0) + 1
+    val v = headVersion(spark, tableDir)
+      .orElse(tmpVersion(spark, tableDir))
+      .getOrElse(0) + 1
     // overwrite, not errorifexists: a directory at v can only be the
     // orphan of a FAILED commit (the head never pointed at it, no reader
     // ever resolved it), and crash recovery must be able to commit right
@@ -64,11 +95,15 @@ object Versioned {
     val tmp = new Path(tableDir, s"$HeadFile.tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // rename-over is the atomic flip; delete-then-rename where the FS
-    // (raw local) refuses to clobber
+    // rename-over FIRST (atomic clobbering rename on POSIX/HDFS-class
+    // stores — readers never observe a missing head); only where the FS
+    // refuses to clobber, fall back to delete-then-rename, whose
+    // delete→rename window is covered by the `.tmp` recovery above
     val head = new Path(tableDir, HeadFile)
-    if (f.exists(head)) f.delete(head, false)
-    require(f.rename(tmp, head), s"head flip failed for $tableDir")
+    if (!f.rename(tmp, head)) {
+      if (f.exists(head)) f.delete(head, false)
+      require(f.rename(tmp, head), s"head flip failed for $tableDir")
+    }
     v
   }
 

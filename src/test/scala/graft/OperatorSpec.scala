@@ -752,6 +752,35 @@ class OperatorSpec extends SparkSpec {
       "the head survives vacuum")
   }
 
+  test("Versioned: a crash inside the head flip (head deleted, marker " +
+      "left) must NOT restart numbering at v1 and clobber history") {
+    import graft.sources.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-versioned-cr")
+      .toString + "/tabela"
+    val a = Seq((1L, "a")).toDF("id", "val")
+    val b = Seq((2L, "b")).toDF("id", "val")
+    assert(Versioned.commitVersion(a, dir) == 1)
+    assert(Versioned.commitVersion(b, dir) == 2)
+    // simulate the delete->rename crash window: head gone, marker (its
+    // content = the version whose data dir is complete) still present
+    val headF = new java.io.File(dir, "_graft_head")
+    val tmpF = new java.io.File(dir, "_graft_head.tmp")
+    java.nio.file.Files.write(tmpF.toPath, "2".getBytes("UTF-8"))
+    assert(headF.delete(), "test setup: head removal")
+    assert(Versioned.headVersion(spark, dir).isEmpty,
+      "crash state: readers see no committed head (documented)")
+    // recovery: next commit must take v3 (marker + 1), not v1
+    assert(Versioned.commitVersion(a, dir) == 3,
+      "commit must resume past the marker version")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    assert(rows(Versioned.readVersion(spark, dir, Some(1))) == Set((1L, "a")),
+      "v1 data must survive the crashed flip untouched")
+    assert(rows(Versioned.readVersion(spark, dir, Some(2))) == Set((2L, "b")),
+      "v2 data must survive the crashed flip untouched")
+    assert(rows(Versioned.readVersion(spark, dir)) == Set((1L, "a")))
+  }
+
   test("funnelWithin: stage windows enforced; a late conversion does not " +
       "credit; a null stage nulls everything after it") {
     import graft.streaming.Events
@@ -1289,6 +1318,28 @@ class OperatorSpec extends SparkSpec {
         Seq(nm => substring(nm, -4, 4)))
       .as[(Long, Long, Long)].collect().toSet
     assert(!suffixOnly.contains((1L, 2L, 1L)) && suffixOnly.contains((1L, 3L, 1L)))
+  }
+
+  test("fuzzyPairs: tiling a saturated block (maxBlock far below the " +
+      "block size) emits the EXACT pair set of the untiled join") {
+    // 60 names that all share both blocking keys (prefix-4 and suffix-4
+    // are constant) — the degenerate hot block that went quadratic in
+    // one task before the bound. Edits sit mid-name so distances vary.
+    val hot = (0 until 60).map { i =>
+      (i.toLong, s"Banco d$i Brasil")
+    }.toDF("id", "nome")
+    val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(nm => substring(nm, 1, 4), nm => substring(nm, -4, 4))
+    val tiled = Linkage.fuzzyPairs(hot, "id", "nome", maxDist = 2, keys,
+        maxBlock = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = Linkage.fuzzyPairs(hot, "id", "nome", maxDist = 2, keys,
+        maxBlock = 1000000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tiled == plain, s"tiled ${tiled.size} vs plain ${plain.size}")
+    assert(plain.nonEmpty, "the hot block must produce near pairs")
+    // single-digit ids differ by one substitution -> distance 1 pairs exist
+    assert(plain.contains((0L, 1L, 1L)), s"got ${plain.take(5)}")
   }
 
   test("groupLinearFit: exact line recovered, degenerate groups yield " +
