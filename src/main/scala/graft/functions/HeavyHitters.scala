@@ -47,10 +47,14 @@ case class HeavyHitters(
   extends TypedImperativeAggregate[MgBuffer]
   with BinaryLike[Expression] {
 
-  private lazy val k: Int = kExpr match {
-    case Literal(v: Int, IntegerType) if v > 0 => v
+  // eval() after the foldable check, not a Literal pattern-match: a
+  // foldable non-Literal (2+3, CAST('5' AS INT)) passes analysis and a
+  // Literal-only match would then throw on the EXECUTORS at buffer
+  // creation instead of failing analysis on the driver
+  private lazy val k: Int = kExpr.eval() match {
+    case v: Int if v > 0 => v
     case other => throw new IllegalArgumentException(
-      s"$prettyName requires a positive integer literal k, got $other")
+      s"$prettyName requires a positive integer k, got $other")
   }
 
   override def left: Expression = item
@@ -62,7 +66,11 @@ case class HeavyHitters(
         s"$prettyName needs a string item, got ${item.dataType.catalogString}")
     else if (!kExpr.foldable || kExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName needs an integer literal k")
-    else TypeCheckResult.TypeCheckSuccess
+    else kExpr.eval() match {
+      case v: Int if v > 0 => TypeCheckResult.TypeCheckSuccess
+      case v => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs k > 0, got $v")
+    }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -18,10 +18,16 @@ import org.apache.spark.sql.DataFrame
   * native expression; Spread only fixes parallelism.
   *
   * No-op when the input is already wider — a 100 TB scan arrives with
-  * thousands of splits and must not be narrowed.
+  * thousands of splits and must not be narrowed. Also a no-op on
+  * STREAMING inputs: partition inspection needs `df.rdd`, which throws
+  * on an unresolved streaming plan — and a micro-batch's parallelism is
+  * the source's concern (maxFilesPerTrigger / kafka partitions), not a
+  * static repartition's. Callers like `Retrieval.postings` stay usable
+  * on streams because of this gate.
   */
 private[graft] object Spread {
   def apply(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -69,6 +69,8 @@ object Stats {
     * residue of a constant series) — SQL-replayable bit-for-bit, and
     * the flags are identical under any partitioning (a double-summed μ
     * would flip borderline rows with the cluster layout).
+    * Null-group rows pass THROUGH (null-safe left stats join below) —
+    * never silently dropped.
     */
   def zScoreFlags(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -84,11 +86,29 @@ object Stats {
     val sigma = sqrt(greatest(
       col("__sxx").cast("double") / n - mu * mu, lit(0.0)))
     val stats = agg.select(k ++ Seq(mu.as("media"), sigma.as("desvio")): _*)
-    df.join(broadcast(stats), groupCols)
+    joinGroupStats(df, stats, groupCols)
       .withColumn("z_score",
         when(col("desvio") > 0.0, abs(x - col("media")) / col("desvio"))
           .otherwise(lit(0.0)))
       .withColumn("atipico", col("z_score") > zThresh)
+  }
+
+  /** Null-safe LEFT broadcast join of a per-group stats table back onto
+    * the scan. Plain `join(stats, groupCols)` silently DROPS every row
+    * whose group key is null (groupBy keeps the null group, equi-join
+    * keys never match it) — the fit side has a row for the null group,
+    * so `<=>` matches it and a left join guarantees no input row is
+    * ever lost by a flagging/encoding operator.
+    */
+  private def joinGroupStats(
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val renamed = stats.select(stats.columns.map { c =>
+      if (groupCols.contains(c)) col(c).as(s"__gj_$c") else col(c)
+    }: _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__gj_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(renamed), cond, "left")
+      .drop(groupCols.map(c => s"__gj_$c"): _*)
   }
 
   /** ABC / Pareto classification: rank each group's members by value,
@@ -182,12 +202,20 @@ object Stats {
     */
   def scalerApply(
       df: DataFrame, model: DataFrame, columns: Seq[String]): DataFrame = {
-    val m = columns.foldLeft(df) { (d, c) =>
-      d.crossJoin(
-        broadcast(model.filter(col("coluna") === c)
-          .select(col("media").as(s"__mu_$c"), col("sigma").as(s"__sd_$c"),
-            col("vmin").as(s"__lo_$c"), col("vmax").as(s"__hi_$c"))))
+    // ONE aggregated model row for ALL requested columns (the
+    // freqEncodeApply `outros` discipline): a filter-then-crossJoin
+    // would ANNIHILATE the whole DataFrame to 0 rows whenever the model
+    // lacks a requested column (empty broadcast side) — aggregating to
+    // a guaranteed single row turns a missing column into null features
+    // on every row instead, and one broadcast build replaces |columns|.
+    val aggs = columns.flatMap { c =>
+      Seq(
+        max(when(col("coluna") === c, col("media"))).as(s"__mu_$c"),
+        max(when(col("coluna") === c, col("sigma"))).as(s"__sd_$c"),
+        max(when(col("coluna") === c, col("vmin"))).as(s"__lo_$c"),
+        max(when(col("coluna") === c, col("vmax"))).as(s"__hi_$c"))
     }
+    val m = df.crossJoin(broadcast(model.agg(aggs.head, aggs.tail: _*)))
     columns.foldLeft(m) { (d, c) =>
       d.withColumn(s"${c}_z",
           when(col(s"__sd_$c") > 0.0,
@@ -330,7 +358,9 @@ object Stats {
     val y = col(targetCol).cast("decimal(38,6)")
     val stats = df.groupBy(col(catCol).as("__cat"))
       .agg(sum(y).as("__sy"), count(lit(1L)).as("__nc"))
-    df.join(broadcast(stats), col(catCol) === col("__cat"))
+    // null-safe left join (the joinGroupStats rule): a null category is
+    // a real group and its rows must pass through, not silently vanish
+    df.join(broadcast(stats), col(catCol) <=> col("__cat"), "left")
       .select(df.columns.map(col) :+
         when(col("__nc") > 1L,
           (col("__sy") - y).cast("double") /
@@ -416,7 +446,7 @@ object Stats {
     val fit = groupLinearFit(df, groupCols, xCol, yCol)
       .select(groupCols.map(col) :+ col("inclinacao") :+
         col("intercepto"): _*)
-    val withRes = df.join(broadcast(fit), groupCols)
+    val withRes = joinGroupStats(df, fit, groupCols)
       .withColumn("residuo",
         when(col("inclinacao").isNotNull,
           col(yCol) - (col("intercepto") +
@@ -535,12 +565,12 @@ object Stats {
     val med = weightedMedian(df.withColumn("__um", lit(1.0)),
       groupCols, valueCol, "__um")
       .select(g :+ col("mediana_ponderada").as("__med"): _*)
-    val dev = df.join(broadcast(med), groupCols)
+    val dev = joinGroupStats(df, med, groupCols)
       .withColumn("desvio", abs(col(valueCol) - col("__med")))
     val mad = weightedMedian(dev.withColumn("__um", lit(1.0)),
       groupCols, "desvio", "__um")
       .select(g :+ col("mediana_ponderada").as("__mad"): _*)
-    dev.join(broadcast(mad), groupCols)
+    joinGroupStats(dev, mad, groupCols)
       .withColumn("atipico",
         col("__mad") > 0.0 && col("desvio") > lit(c) * col("__mad"))
       .drop("__med", "__mad")

@@ -439,6 +439,29 @@ class FunctionsSpec extends SparkSpec {
     assert(m("warm") <= 300L && m("warm") >= 300L - 120L, s"warm: ${m("warm")}")
   }
 
+  test("graft_heavy_hitters: a FOLDABLE non-literal k (2+3, a cast) " +
+      "works, and k <= 0 fails at ANALYSIS, not on executors") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = (Seq.fill(10)("a") ++ Seq.fill(2)("b")).toDF("w")
+    // constant-folded arithmetic and casts pass analysis AND execute —
+    // the k extraction must eval() the folded expression, not
+    // pattern-match Literal only
+    val viaExpr = df.selectExpr("graft_heavy_hitters(w, 2 + 3) AS mg")
+      .selectExpr("explode(mg) AS e").selectExpr("e.item", "e.contagem")
+      .as[(String, Long)].collect().toMap
+    assert(viaExpr.contains("a"), s"got $viaExpr")
+    val viaCast = df
+      .selectExpr("graft_heavy_hitters(w, CAST('5' AS INT)) AS mg")
+      .selectExpr("size(mg)").as[Int].head()
+    assert(viaCast >= 1)
+    // non-positive k: rejected when the plan is analyzed on the driver
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_heavy_hitters(w, 0) AS mg").collect()
+    }
+    assert(e.getMessage.contains("k > 0"), e.getMessage)
+  }
+
   test("collocations: exact PMI-ratio lift by hand; support cut drops " +
       "rare pairs before the metric") {
     import spark.implicits._

@@ -998,6 +998,18 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set(
       (1L, Some(-1.0), Some(0.0), None, None),
       (2L, Some(1.0), Some(1.0), None, None)), s"got $out")
+
+    // a model MISSING a requested column must yield null features on
+    // every row — never annihilate the DataFrame through an empty
+    // broadcast side (the r9 ADVICE hazard)
+    val partial = Stats.scalerApply(df, model.filter(col("coluna") === "x"),
+        Seq("x", "c"))
+      .select(col("id"), col("x_z"), col("c_z"), col("c_mm"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(partial == Set(
+      (1L, Some(-1.0), None, None), (2L, Some(1.0), None, None)),
+      s"rows must survive a missing model column: $partial")
   }
 
   test("joinDiagnostics: exact product-sum cardinality, hottest keys, " +
@@ -1238,6 +1250,32 @@ class OperatorSpec extends SparkSpec {
     assert(!got(1L)._6 && math.abs(got(1L)._5 - (mu - 1.0) / sd) < 1e-12)
     assert(!got(9L)._6 && got(9L)._5 == 0.0,
       "constant series: sigma 0, z 0, never flagged")
+  }
+
+  test("zScoreFlags/madOutliers/looTargetEncode: null-group rows pass " +
+      "through with their own group's stats — never silently dropped") {
+    val df = Seq(
+      (Some("a"), 1L, 1.0), (Some("a"), 2L, 3.0),
+      (None, 3L, 4.0), (None, 4L, 5.0), (None, 5L, 6.0), (None, 6L, 50.0),
+    ).toDF("g", "id", "v")
+    val z = Stats.zScoreFlags(df, Seq("g"), "v", zThresh = 1.0)
+    assert(z.count() == 6, "zScoreFlags lost rows with a null group key")
+    val zn = z.filter(col("g").isNull)
+      .select("id", "atipico").as[(Long, Boolean)].collect().toMap
+    assert(zn(6L) && !zn(3L),
+      s"null group must get its own mean/sigma and flag its outlier: $zn")
+    // null group: median 5, deviations {1,0,1,45}, MAD 1 -> 50 flags
+    val m = Stats.madOutliers(df, Seq("g"), "v", c = 2.0)
+    assert(m.count() == 6, "madOutliers lost rows with a null group key")
+    assert(m.filter(col("g").isNull && col("id") === 6L)
+      .select("atipico").as[Boolean].head(),
+      "null group's MAD outlier must flag")
+    val loo = Stats.looTargetEncode(df.withColumnRenamed("v", "y"), "g", "y")
+    assert(loo.count() == 6, "looTargetEncode lost null-category rows")
+    val l3 = loo.filter(col("id") === 3L).select("g_loo")
+      .as[Option[Double]].head()
+    assert(l3.contains((5.0 + 6.0 + 50.0) / 3),
+      s"null category must LOO-encode from its own group: $l3")
   }
 
   test("erasureReport: per-table touch counts from one broadcast probe") {
