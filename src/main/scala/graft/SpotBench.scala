@@ -42,6 +42,52 @@ object SpotBench {
         docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
         maxBlock = Int.MaxValue)
     },
+    // IVF fit+route probes: flat vs two-level at the same TOTAL cell
+    // count — the measurement behind Dedup.FlatCellLimit. Each probe
+    // builds the index (k-means fit) and routes the whole corpus
+    // (assignment argmin), the two costs the threshold trades: flat
+    // pays O(cells·dim) per routed row with the centroid matrix as a
+    // plan literal; hierarchical pays O((√cells+√cells)·dim) with
+    // centroids in joined DataFrames.
+    "ivf_flat_256" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.index(emb, "vec_id", "embedding", nCells = 256)
+        .assigned.groupBy("__cell").count()
+    },
+    "ivf_hier_256" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.indexHierarchical(emb, "vec_id", "embedding",
+          kCoarse = 16, kFine = 16)
+        .assigned.groupBy("__cell").count()
+    },
+    "ivf_flat_1024" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.index(emb, "vec_id", "embedding", nCells = 1024)
+        .assigned.groupBy("__cell").count()
+    },
+    "ivf_hier_1024" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.indexHierarchical(emb, "vec_id", "embedding",
+          kCoarse = 32, kFine = 32)
+        .assigned.groupBy("__cell").count()
+    },
+    "ivf_flat_4096" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.index(emb, "vec_id", "embedding", nCells = 4096)
+        .assigned.groupBy("__cell").count()
+    },
+    "ivf_hier_4096" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      llm.Ivf.indexHierarchical(emb, "vec_id", "embedding",
+          kCoarse = 64, kFine = 64)
+        .assigned.groupBy("__cell").count()
+    },
     // q146's wedge stage ALONE (ordering filter applied, closing join
     // dropped, wedges counted): attributes the query's cost between
     // O(E^1.5) pair generation and the closing probe

@@ -1059,8 +1059,19 @@ object Dedup {
   /** Above this cell count [[semanticDedupIndex]] fits hierarchically
     * ([[Ivf.indexHierarchical]]): the flat fit's per-row argmin cost and
     * its centroid plan-literal both grow linearly with the cell count.
+    *
+    * MEASURED (sf1, 20k×64-d vectors, fit + full-corpus route, warm,
+    * local[32] — SpotBench `ivf_flat_*` / `ivf_hier_*` probes):
+    * 256 cells flat 12.0 s vs hier 19.0 s (flat wins — two Lloyd fits
+    * plus the fine broadcast join don't amortize); 1024 cells flat
+    * 104.5 s vs hier 25.6 s (×4.1); 4096 cells flat 339.1 s vs hier
+    * 27.4 s (×12.4 — the flat fit's k·dim-wide literal argmin dominates
+    * while the hierarchical cost stays ~cell-count-flat). Crossover
+    * ≈ 400–500 cells on this shape; 512 is the conservative switch
+    * point, and the flat path's cost grows with BOTH cells and corpus,
+    * so at larger corpora the true crossover only moves lower.
     */
-  val FlatCellLimit = 4096
+  val FlatCellLimit = 512
 
   /** [[semanticDedup]] through a prebuilt [[semanticDedupIndex]] (or one
     * loaded back via [[Ivf.readIndex]]): identical output, no k-means fit.
