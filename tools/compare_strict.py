@@ -95,12 +95,22 @@ def main():
             # wide-decimal->double cast is one ulp off correctly-rounded,
             # so bit-exact float hashing would flag oracle artifacts, not
             # engine bugs. Dtype strictness above is unaffected.
+            had_float = False
             for c in want.columns:
                 if str(want[c].dtype) == "float64":
+                    had_float = True
                     want[c] = want[c].map(
                         lambda v: v if pd.isna(v) else f"{v:.9g}")
                     got[c] = got[c].map(
                         lambda v: v if pd.isna(v) else f"{v:.9g}")
+            if had_float:
+                # re-sort AFTER normalization: two last-ulp-different
+                # floats that normalize to the same 9-digit image can
+                # sort on opposite sides of their ties pre-normalization,
+                # misaligning otherwise-identical row sets (q38's
+                # cosine==1 block measured exactly this)
+                want = canon(want)
+                got = canon(got)
             hw = pd.util.hash_pandas_object(want, index=False)
             hg = pd.util.hash_pandas_object(got, index=False)
             if not hw.equals(hg):
