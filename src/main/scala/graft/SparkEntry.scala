@@ -2401,6 +2401,40 @@ object SparkEntry {
       ordered(sources.Versioned.readVersion(s, tdir, Some(2)))
     },
 
+    // EXACT global set-similarity self-join via prefix filtering
+    // (AllPairs/PPJoin): every 5-gram-set pair with Jaccard >= 3/5
+    // over the whole corpus — no caller blocking (q28's contract), no
+    // probabilistic recall (q26/q27's trade). Candidates only where
+    // df-ordered prefixes intersect (a provable superset), length
+    // filter, exact merge-walk verify with the threshold decided in
+    // INTEGERS. 5-grams, not q28's trigrams: the prefix filter's cost
+    // follows SET-ELEMENT entropy (candidates ~ Σ prefix-df²), and this
+    // synthetic corpus's 31-token vocabulary saturates trigram space at
+    // scale (df ~230 at sf1 → ×22 wall at ×10 data, measured) while
+    // 5-grams stay near-unique — the same entropy-is-the-lever rule as
+    // q142's blocking keys, here exercised at the right operating point.
+    "q181_exact_jaccard_join" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", concat(col("text"), lit(" zz9")))
+      ordered(llm.SetJoin.jaccardJoinPrefix(
+        docs.unionByName(variants), "doc_id", "text",
+        thresholdNum = 3, thresholdDen = 5, shingleN = 5))
+    },
+
+    // Exact per-day ROC-AUC of "does event value rank purchases above
+    // other events": the Mann–Whitney form over value-collapsed score
+    // counts — U₂ accumulates in exact longs (ties at half credit stay
+    // integral), ONE IEEE division per group. Closes the classifier
+    // loop (train q123, apply q109, calibrate q134, EVALUATE here).
+    "q182_roc_auc" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("dia"), col("value"),
+        (col("event_type") === "purchase").as("compra"))
+      ordered(operators.Stats.rocAuc(ev, Seq("dia"), "value", "compra"))
+    },
+
     // Driver-hash CANARY, core types: literal rows of every output type
     // the engine's report queries rely on (BIGINT/INT/SMALLINT/DOUBLE/
     // VARCHAR/DATE/TIMESTAMP/BOOLEAN, plus nulls in the two types green
@@ -6046,6 +6080,64 @@ ORDER BY ALL NULLS FIRST""",
       """SELECT doc_id, lang, source,
         |  CAST(n_chars + 1 AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Brute-force all-pairs over the same shingle sets with the same
+    // integer threshold gate — the prefix filter must lose NOTHING.
+    "q181_exact_jaccard_join" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' zz9'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM all_docs),
+        |k AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 5
+        |    THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, len(tk) - 3)]
+        |    ELSE [] END) AS sh
+        |  FROM t),
+        |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM k
+        |       WHERE len(sh) > 0),
+        |e AS (SELECT doc_id, unnest(sh) AS s FROM k),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b,
+        |  CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sz na ON ia = na.doc_id
+        |JOIN sz nb ON ib = nb.doc_id
+        |WHERE 5 * c >= 3 * (na.n + nb.n - c)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the value-collapse, the strictly-below cumulative and the
+    // exact U₂ roll-up with its single division.
+    "q182_roc_auc" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS dia, value AS s,
+        |    (event_type = 'purchase') AS y
+        |  FROM events),
+        |bs AS (
+        |  SELECT dia, s,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |w AS (
+        |  SELECT dia, s, p, n,
+        |    coalesce(sum(n) OVER (PARTITION BY dia ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS nb
+        |  FROM bs)
+        |SELECT dia, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(n) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(p) > 0 AND sum(n) > 0 THEN
+        |    CAST(sum(p * (2 * nb + n)) AS DOUBLE) /
+        |    CAST(2 * sum(p) * sum(n) AS DOUBLE) END AS auc
+        |FROM w GROUP BY dia
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The same literal rows, typed the same way (core type canary).

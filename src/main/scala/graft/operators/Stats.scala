@@ -624,4 +624,52 @@ object Stats {
       .agg(min(col("__v")).as("mediana_ponderada"),
         min(col("__tot")).cast("double").as("peso_total"))
   }
+
+  /** EXACT ROC-AUC per group — the ranking-quality metric that closes
+    * the in-engine classifier loop (train row 138, apply row 122,
+    * calibration row 151): the probability a random positive scores
+    * above a random negative, ties at half credit (the Mann–Whitney U
+    * statistic normalized — Hanley & McNeil 1982).
+    *
+    * EXACT because it never touches a trapezoid or a float threshold
+    * sweep: scores collapse to (group, score) counts first (the row-180
+    * value-collapse discipline — the window walks DISTINCT scores, not
+    * rows), one per-group cumulative counts negatives strictly below
+    * each score, and
+    * `U₂ = Σ_s pos_s·(2·negBelow_s + neg_s)` accumulates in exact
+    * LONGs — twice the U statistic, so tie half-credits stay integral.
+    * `auc = U₂ / (2·nPos·nNeg)` is the single IEEE division in the
+    * whole computation — engine-exact, replayable by any SQL engine.
+    * Degenerate groups (no positives or no negatives) report null.
+    *
+    * Shape: one combinable aggregation to (group, score) counts, one
+    * bounded window over distinct scores, one combinable roll-up —
+    * corpus-linear, per-group sort bounded by DISTINCT score count
+    * (integer margins / calibrated buckets keep it tiny at any corpus
+    * size). Output: (groupCols…, n_pos, n_neg, auc).
+    */
+  def rocAuc(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val byScore = df.groupBy(g :+ col(scoreCol).as("__s"): _*)
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val win = Window.partitionBy(g: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = byScore.withColumn("__nb",
+      coalesce(sum(col("__n")).over(win), lit(0L)))
+    withBelow.groupBy(g: _*)
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__nb") + col("__n"))).as("__u2"))
+      .withColumn("auc",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("__u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
+      .drop("__u2")
+  }
 }

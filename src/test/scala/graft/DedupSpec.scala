@@ -710,4 +710,50 @@ class DedupSpec extends SparkSpec {
     }
     assert(stats.values.exists(_._3 > 0), "plants must share chunks")
   }
+
+  test("SetJoin.jaccardJoinPrefix: hand pairs with the boundary EXACTLY " +
+      "at threshold kept; unrelated docs produce nothing") {
+    import graft.llm.SetJoin
+    val docs = Seq(
+      (1L, "a b c d e f"), // shingles {abc,bcd,cde,def}
+      (2L, "a b c d e f"), // identical -> J = 1
+      (3L, "a b c d e g"), // inter 3 of union 5 -> J = 0.6 = threshold
+      (4L, "x y z w v u")) // disjoint
+      .toDF("doc_id", "text")
+    val got = SetJoin.jaccardJoinPrefix(docs, "doc_id", "text", 3, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6)),
+      s"got $got")
+  }
+
+  test("SetJoin.jaccardJoinPrefix: EQUALS the brute-force all-pairs join " +
+      "on real docs — the prefix filter provably loses nothing") {
+    import graft.llm.SetJoin
+    val base = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter(col("doc_id") % 11 === 0)
+    val variants = base.filter(col("doc_id") % 3 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text", concat(col("text"), lit(" zz9")))
+    val docs = base.unionByName(variants)
+    val got = SetJoin.jaccardJoinPrefix(docs, "doc_id", "text", 3, 5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force: every pair, no filter of any kind
+    val sets = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.shingleSetSorted(
+        graft.llm.TextAnalysis.tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = sets.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val brute = a.join(b, col("ia") < col("ib"))
+      .withColumn("i", inter)
+      .withColumn("u", size(col("sa")) + size(col("sb")) - col("i"))
+      .filter(lit(5L) * col("i") >= lit(3L) * col("u"))
+      .select(col("ia"), col("ib"),
+        (col("i").cast("double") / col("u").cast("double")).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute,
+      s"prefix join ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.nonEmpty, "planted variants must qualify")
+  }
 }

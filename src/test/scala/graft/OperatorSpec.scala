@@ -1278,6 +1278,29 @@ class OperatorSpec extends SparkSpec {
       s"null category must LOO-encode from its own group: $l3")
   }
 
+  test("rocAuc: Mann–Whitney by hand with ties at half credit; perfect " +
+      "separation gives 1.0; degenerate groups report null") {
+    // group a: pos {3,2}, neg {1,2} -> U = 1+1+1+0.5 = 3.5, AUC = 0.875
+    // group b: pos {9,8}, neg {1,2} -> perfect separation, AUC = 1
+    // group c: all positive -> null
+    val df = Seq(
+      ("a", 3.0, true), ("a", 2.0, true), ("a", 1.0, false), ("a", 2.0, false),
+      ("b", 9.0, true), ("b", 8.0, true), ("b", 1.0, false), ("b", 2.0, false),
+      ("c", 5.0, true), ("c", 6.0, true),
+    ).toDF("g", "s", "y")
+    val got = Stats.rocAuc(df, Seq("g"), "s", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 2L, Some(0.875))), s"got ${got("a")}")
+    assert(got("b") == (("b", 2L, 2L, Some(1.0))), s"got ${got("b")}")
+    assert(got("c") == (("c", 2L, 0L, None)), s"got ${got("c")}")
+    // anti-learner sanity: inverted scores give 1 - AUC
+    val inv = Stats.rocAuc(
+        df.withColumn("s", -col("s")), Seq("g"), "s", "y")
+      .filter(col("g") === "a").select("auc").as[Double].head()
+    assert(inv == 1.0 - 0.875, s"got $inv")
+  }
+
   test("erasureReport: per-table touch counts from one broadcast probe") {
     val t1 = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val t2 = Seq(2L, 2L, 9L).toDF("fk")
