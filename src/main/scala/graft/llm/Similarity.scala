@@ -365,8 +365,15 @@ object Similarity {
           scored, Seq("query_id"),
           Seq(("__score", false), ("corpus_id", true)), 1)
         .select(col("query_id"), col("corpus_id"), lit(t).as("ordem"))
+      // localCheckpoint, not persist: `selected` feeds THREE places next
+      // round (selVec, the anti-join, the union), so a lazy persist
+      // nests the whole prior round's plan into each — k rounds of that
+      // and the optimizer/codegen pass dominates wall time (measured
+      // ~constant ~8-11 s across sf0.001..sf0.1, the round-overhead
+      // signature). Eagerly materializing the ≤|queries|·t-row selection
+      // truncates lineage to one round like the k-means/BPE loops.
       selected = selected.unionByName(picked)
-        .transform(CacheScope.persistTracked)
+        .localCheckpoint(true)
     }
     selected
   }
