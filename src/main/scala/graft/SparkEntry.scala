@@ -2423,6 +2423,24 @@ object SparkEntry {
         thresholdNum = 3, thresholdDen = 5, shingleN = 5))
     },
 
+    // EXACT edit-distance self-join via FastSS deletion neighborhoods
+    // (no caller-chosen blocking keys — q142's recall trade removed): a
+    // pair within Levenshtein d must share a <=d-deletion variant (the
+    // alignment's matched subsequence — a theorem, not a heuristic), so
+    // candidates = variant collisions, then one exact DP per survivor.
+    // Same planted variants as q142; the output is the COMPLETE
+    // distance-1 pair set.
+    "q183_edit_join" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), lower(trim(col("c_name"))).as("nome"))
+      val variants = c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(substring(col("nome"), 1, 12),
+            substring(col("nome"), 14, 100000)).as("nome"))
+      ordered(operators.Linkage.editJoinDeletes(
+        c.unionByName(variants), "c_custkey", "nome", maxDist = 1))
+    },
+
     // Exact per-day ROC-AUC of "does event value rank purchases above
     // other events": the Mann–Whitney form over value-collapsed score
     // counts — U₂ accumulates in exact longs (ties at half credit stay
@@ -6112,6 +6130,22 @@ ORDER BY ALL NULLS FIRST""",
         |JOIN sz na ON ia = na.doc_id
         |JOIN sz nb ON ib = nb.doc_id
         |WHERE 5 * c >= 3 * (na.n + nb.n - c)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Brute-force all-pairs Levenshtein with the same normalization —
+    // the deletion-neighborhood filter must lose NOTHING.
+    "q183_edit_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, lower(trim(c_name)) AS nm FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000,
+        |    lower(trim(substring(c_name, 1, 12) || substring(c_name, 14)))
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.id < b.id AND abs(len(a.nm) - len(b.nm)) <= 1
+        |WHERE levenshtein(a.nm, b.nm) <= 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, the strictly-below cumulative and the

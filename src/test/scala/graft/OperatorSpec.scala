@@ -1403,6 +1403,39 @@ class OperatorSpec extends SparkSpec {
     assert(plain.contains((0L, 1L, 1L)), s"got ${plain.take(5)}")
   }
 
+  test("editJoinDeletes: EQUALS brute-force all-pairs Levenshtein on real " +
+      "names; short strings sharing no character still pair") {
+    // real data slice with planted distance-1 variants
+    val base = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 9 === 0)
+      .select(col("c_custkey").as("id"),
+        lower(trim(col("c_name"))).as("nm"))
+    val variants = base.filter(col("id") % 2 === 0)
+      .select((col("id") + 1000000L).as("id"),
+        concat(substring(col("nm"), 1, 10),
+          substring(col("nm"), 12, 100000)).as("nm"))
+    val df = base.unionByName(variants)
+    val got = Linkage.editJoinDeletes(df, "id", "nm", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val a = df.select(col("id").as("ia"), col("nm").as("na"))
+    val b = df.select(col("id").as("ib"), col("nm").as("nb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("d") <= 1)
+      .select("ia", "ib", "d").as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"deletes ${got.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "planted variants must pair")
+
+    // short strings sharing nothing: "ab" vs "cd" at d=2 — both
+    // neighborhoods contain "", so the empty-variant block pairs them
+    // with no special path
+    val short = Seq((1L, "ab"), (2L, "cd"), (3L, "abxyzw"))
+      .toDF("id", "nm")
+    val sp = Linkage.editJoinDeletes(short, "id", "nm", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sp == Set((1L, 2L, 2L)), s"got $sp")
+  }
+
   test("groupLinearFit: exact line recovered, degenerate groups yield " +
       "null coefficients") {
     val df = Seq(
