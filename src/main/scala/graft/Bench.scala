@@ -79,22 +79,38 @@ object Bench {
     // non-empty (messages cut to 120 chars); and the line printed AFTER
     // spark.stop(), so no late executor/shutdown logging can land
     // between it and sbt's `[success]` trailer.
-    val short0 = results.map { case (k, _) => k -> k.takeWhile(_ != '_') }.toMap
+    // Key = the query NUMBER alone ("183" for q183_edit_join): every
+    // name shares the "q" prefix, so it carries zero information at one
+    // char × |queries| of window cost — at 181 queries the q-prefixed
+    // one-decimal line measured 1974 chars against a ~1925 budget
+    // (2000-char tail minus sbt's ~73-char epilogue). The sidecar keeps
+    // full names.
+    val short0 = results.map { case (k, _) =>
+      k -> k.takeWhile(_ != '_').stripPrefix("q")
+    }.toMap
     def shortKey(name: String): String = {
       val p = short0(name)
-      // a qNN prefix is only usable if unique — on collision keep the
+      // the number is only usable if unique — on collision keep the
       // full name so no timing silently drops out of the parsed object
-      if (p.matches("q\\d+") && short0.valuesIterator.count(_ == p) == 1) p
+      if (p.matches("\\d+") && short0.valuesIterator.count(_ == p) == 1) p
       else name
     }
-    // ONE-decimal precision with a 0.1 s floor: at 169 queries the
-    // centisecond form measured 2004 chars — right at the harness's
-    // ~2000-char capture window (the r8 parsed:null failure mode); one
-    // decimal brings 173 queries to ~1870 and the floor keeps a fast
-    // query from printing a zero-looking time. The sidecar keeps full
-    // precision; past ~195 queries the next step is integer deciseconds.
-    def ms(v: Double): String =
-      (math.max(math.round(v * 10), 1L) / 10.0).toString // locale-safe
+    // Adaptive precision with a 0.1 s floor: one decimal below 10 s,
+    // whole seconds at or above (a 43.1 s query's 0.1 s is noise), and
+    // integral values drop the ".0" — at 169 queries the centisecond
+    // form measured 2004 chars, right at the harness's ~2000-char
+    // capture window (the r8 parsed:null failure mode); uniform one-
+    // decimal was 1974 chars at 181 queries, inside the window only
+    // until the sbt epilogue under it is counted. The sidecar keeps
+    // full precision; with the prefix-free keys below this holds to
+    // ~195 queries, then values move to integer deciseconds.
+    def ms(v: Double): String = { // locale-safe: Long/Double toString only
+      if (v >= 9.95) math.round(v).toString
+      else {
+        val d = math.max(math.round(v * 10), 1L)
+        if (d % 10 == 0) (d / 10).toString else (d / 10.0).toString
+      }
+    }
     val qsShort = results.map { case (k, v) => Json.quote(shortKey(k)) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errShort = errors.map { case (k, v) =>
