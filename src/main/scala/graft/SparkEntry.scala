@@ -2441,6 +2441,20 @@ object SparkEntry {
         c.unionByName(variants), "c_custkey", "nome", maxDist = 1))
     },
 
+    // Multinomial Naive Bayes language ID, fit on the %3!=0 train split
+    // and applied to the WHOLE corpus in one plan — the generative
+    // counterpart of q123/q125. Every model term is one IEEE op chain
+    // from exact integer counts; apply-side sums accumulate in
+    // DECIMAL(38,18) so the scores are order-independent, and the
+    // argmax ties break on the class name.
+    "q184_naive_bayes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      val model = llm.TextAnalysis.naiveBayesFit(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", "lang")
+      ordered(llm.TextAnalysis.naiveBayesApply(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+    },
+
     // Exact per-day ROC-AUC of "does event value rank purchases above
     // other events": the Mann–Whitney form over value-collapsed score
     // counts — U₂ accumulates in exact longs (ties at half credit stay
@@ -6146,6 +6160,50 @@ ORDER BY ALL NULLS FIRST""",
         |FROM c a JOIN c b
         |  ON a.id < b.id AND abs(len(a.nm) - len(b.nm)) <= 1
         |WHERE levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays fit (smoothed log-counts, priors, denominators) and apply
+    // (decimal-accumulated posteriors, argmax with class-name
+    // tie-break) end-to-end from the raw text.
+    "q184_naive_bayes" ->
+      """WITH tokall AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |doctok AS (SELECT doc_id, t, count(*) AS n FROM tokall GROUP BY 1, 2),
+        |docn AS (SELECT doc_id, sum(n) AS n_doc FROM doctok GROUP BY 1),
+        |trdoc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0),
+        |trtok AS (SELECT d.lang AS classe, t.t, count(*) AS cnt
+        |          FROM tokall t JOIN trdoc d USING (doc_id) GROUP BY 1, 2),
+        |cls AS (SELECT lang AS classe, count(*) AS dc FROM trdoc GROUP BY 1),
+        |tot AS (SELECT count(*) AS td FROM trdoc),
+        |voc AS (SELECT count(DISTINCT t) AS v FROM trtok),
+        |nc AS (SELECT classe, sum(cnt) AS n_c FROM trtok GROUP BY 1),
+        |ctbl AS (SELECT c.classe,
+        |    ln(CAST(c.dc AS DOUBLE) / CAST(t.td AS DOUBLE)) AS l_prior,
+        |    ln(CAST(n.n_c + voc.v AS DOUBLE)) AS l_denom
+        |  FROM cls c, tot t, voc, nc n WHERE n.classe = c.classe),
+        |mtok AS (SELECT classe, t, ln(CAST(cnt + 1 AS DOUBLE)) AS l_cnt
+        |  FROM trtok),
+        |m AS (SELECT d.doc_id, mt.classe,
+        |    sum(CAST(CAST(d.n AS DOUBLE) * mt.l_cnt AS DECIMAL(38,18))) AS s
+        |  FROM doctok d JOIN mtok mt USING (t) GROUP BY 1, 2),
+        |sc AS (SELECT dd.doc_id, dd.lang, c.classe,
+        |    CAST(c.l_prior AS DECIMAL(38,18))
+        |      - CAST(CAST(COALESCE(dn.n_doc, 0) AS DOUBLE) * c.l_denom
+        |          AS DECIMAL(38,18))
+        |      + COALESCE(m.s, CAST(0 AS DECIMAL(38,18))) AS sc
+        |  FROM documents dd
+        |  CROSS JOIN ctbl c
+        |  LEFT JOIN docn dn ON dn.doc_id = dd.doc_id
+        |  LEFT JOIN m ON m.doc_id = dd.doc_id AND m.classe = c.classe)
+        |SELECT doc_id, classe AS classe_prevista,
+        |  CAST(sc AS DOUBLE) AS pontuacao, lang
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY sc DESC, classe DESC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, the strictly-below cumulative and the

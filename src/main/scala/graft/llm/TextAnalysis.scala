@@ -581,6 +581,112 @@ object TextAnalysis {
     }
   }
 
+  /** Multinomial Naive Bayes model: per-(class, token) Laplace-smoothed
+    * log-counts and the per-class constants. Both tables are
+    * vocabulary/class-bounded — model size never scales with the corpus.
+    */
+  case class NbModel(tokenTable: DataFrame, classTable: DataFrame)
+
+  /** Multinomial Naive Bayes FIT (the generative counterpart of
+    * [[trainPerceptron]] — count-based, one pass, no epochs; the
+    * baseline classifier every curation stack ships next to its
+    * discriminative one). Laplace add-one smoothing over the train
+    * vocabulary.
+    *
+    * Reference analogue: the reference has no model fitting at all;
+    * this extends the in-engine train/apply/calibrate/evaluate loop
+    * (SURVEY rows 138/122/151/198) with the generative family.
+    *
+    * Exactness discipline (the q65 pattern): every stored term is ONE
+    * IEEE op chain from exact integers — `l_cnt = ln(cnt+1)`,
+    * `l_prior = ln(dc/total)` (one division, one ln), `l_denom =
+    * ln(N_c + V)` — so both engines compute identical doubles up to
+    * ln's final-ulp licence, absorbed by the gate's 9-significant-digit
+    * float normalization. NO float is ever ACCUMULATED as a float:
+    * apply-side sums run in DECIMAL(38,18), order-independent.
+    *
+    * Shape at 100 TB: fit is two map-side-combinable aggregations over
+    * the tokenized train corpus (Zipf skew collapses in the combiner);
+    * the model is vocabulary×classes rows.
+    */
+  def naiveBayesFit(
+      train: DataFrame, idCol: String, textCol: String,
+      classCol: String): NbModel = {
+    val docs = Spread(train.select(col(idCol).as("__id"),
+      col(classCol).as("classe"), col(textCol).as("__t")))
+    val tk = CacheScope.persistTracked(docs
+      .select(col("__id"), col("classe"),
+        explode(tokens(col("__t"))).as("__g"))
+      .filter(col("__g") =!= ""))
+    val mtok = CacheScope.persistTracked(
+      tk.groupBy(col("classe"), col("__g").as("token"))
+        .agg(count(lit(1L)).as("__cnt")))
+    val vocab = mtok.select("token").distinct()
+      .agg(count(lit(1L)).as("__v"))
+    val nc = mtok.groupBy("classe").agg(sum(col("__cnt")).as("__nc"))
+    val cls = docs.groupBy("classe").agg(count(lit(1L)).as("__dc"))
+    val tot = docs.agg(count(lit(1L)).as("__td"))
+    val classTable = cls.join(nc, Seq("classe"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(vocab))
+      .select(col("classe"),
+        log(col("__dc").cast("double") / col("__td").cast("double"))
+          .as("l_prior"),
+        log((col("__nc") + col("__v")).cast("double")).as("l_denom"))
+    NbModel(
+      mtok.select(col("classe"), col("token"),
+        log((col("__cnt") + 1L).cast("double")).as("l_cnt")),
+      classTable)
+  }
+
+  /** Naive Bayes APPLY: per-doc class posteriors
+    * `score(c) = l_prior_c − n_doc·l_denom_c + Σ_t n_t·l_cnt(c,t)`
+    * (tokens unseen in class c contribute ln(0+1) = 0 — the inner
+    * token join IS the smoothing's sparse form), accumulated in
+    * DECIMAL(38,18) so the sum is order-independent; prediction =
+    * max(struct(score, classe)) — ties break on the class name,
+    * deterministically on any engine.
+    *
+    * Shape at 100 TB: one token-keyed join of the doc-token counts
+    * against the vocabulary-bounded model (never corpus × corpus), one
+    * combinable per-(doc, class) aggregation, a ≤|classes|-row
+    * broadcast for the constants. Stateless — serves a stream.
+    *
+    * Output: (id, classe_prevista, pontuacao DOUBLE) — one row per
+    * input row, zero-token docs fall back to the prior-only argmax.
+    */
+  def naiveBayesApply(
+      df: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val dec = "decimal(38,18)"
+    val tk = Spread(df.select(col(idCol).as("__id"), col(textCol).as("__t")))
+      .select(col("__id"), explode(tokens(col("__t"))).as("__g"))
+      .filter(col("__g") =!= "")
+    val docTok = CacheScope.persistTracked(
+      tk.groupBy(col("__id"), col("__g").as("token"))
+        .agg(count(lit(1L)).as("__n")))
+    val docN = docTok.groupBy("__id").agg(sum(col("__n")).as("__ndoc"))
+    val matched = docTok
+      .join(model.tokenTable, Seq("token"))
+      .groupBy("__id", "classe")
+      .agg(sum((col("__n").cast("double") * col("l_cnt")).cast(dec))
+        .as("__s"))
+    df.select(col(idCol).as("__id"))
+      .join(docN, Seq("__id"), "left")
+      .na.fill(0L, Seq("__ndoc"))
+      .crossJoin(broadcast(model.classTable))
+      .join(matched, Seq("__id", "classe"), "left")
+      .select(col("__id"),
+        (col("l_prior").cast(dec)
+          - (col("__ndoc").cast("double") * col("l_denom")).cast(dec)
+          + coalesce(col("__s"), lit(0).cast(dec))).as("__sc"),
+        col("classe"))
+      .groupBy("__id")
+      .agg(max(struct(col("__sc"), col("classe"))).as("__b"))
+      .select(col("__id").as(idCol),
+        col("__b.classe").as("classe_prevista"),
+        col("__b.__sc").cast("double").as("pontuacao"))
+  }
+
   /** Collocation extraction by pointwise mutual information — which
     * adjacent token pairs co-occur far more than their unigram
     * frequencies predict ("new york", "machine learning"): the corpus

@@ -476,4 +476,30 @@ class FunctionsSpec extends SparkSpec {
     assert(got == List(("new", "york", 2L, 3L, 3L, 128.0 / 36.0)),
       s"got $got")
   }
+
+  test("naiveBayes fit+apply matches a hand posterior, separates " +
+      "disjoint vocab, and prior-only docs take the majority class") {
+    import graft.llm.TextAnalysis.{naiveBayesFit, naiveBayesApply}
+    val train = Seq(
+      (1L, "sim bom otimo", "pos"), (2L, "bom bom legal", "pos"),
+      (3L, "ruim pessimo nao", "neg"), (4L, "pos extra doc", "pos"))
+      .toDF("doc_id", "text", "classe")
+    val model = naiveBayesFit(train, "doc_id", "text", "classe")
+    val applied = naiveBayesApply(Seq(
+        (10L, "bom bom otimo"), (11L, "ruim pessimo"), (12L, "")).toDF(
+        "doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(applied(10L)._1 == "pos")
+    assert(applied(11L)._1 == "neg")
+    // zero tokens → prior-only; pos has 3/4 of train docs
+    assert(applied(12L)._1 == "pos")
+    assert(math.abs(applied(12L)._2 - math.log(3.0 / 4.0)) < 1e-12)
+    // hand posterior for doc 11 under neg: V = 10 distinct train
+    // tokens, N_neg = 3, both tokens count 1 → score = ln(1/4)
+    // - 2*ln(3+10) + ln(2) + ln(2)
+    val hand = math.log(1.0 / 4.0) - 2.0 * math.log(13.0) +
+      2.0 * math.log(2.0)
+    assert(math.abs(applied(11L)._2 - hand) < 1e-12, s"got ${applied(11L)}")
+  }
 }
