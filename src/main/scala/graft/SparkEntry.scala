@@ -2455,6 +2455,30 @@ object SparkEntry {
         .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     },
 
+    // Kaplan–Meier time-to-conversion: signup→first-purchase durations
+    // per user, right-censored at the corpus horizon, cohorted by
+    // signup week. Survival accumulates per-factor lns in
+    // DECIMAL(38,18) over the collapsed duration table.
+    "q185_kaplan_meier" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val t0 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("__t0"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(t0, Seq("user_id"))
+        .filter(col("ts") >= col("__t0"))
+        .groupBy("user_id").agg(min(col("ts")).as("__tp"))
+      val horizon = ev.agg(max(col("ts")).as("__hz"))
+      val subjects = t0.join(tp, Seq("user_id"), "left")
+        .crossJoin(broadcast(horizon))
+        .select(
+          to_date(date_trunc("WEEK", col("__t0"))).as("coorte"),
+          datediff(to_date(coalesce(col("__tp"), col("__hz"))),
+            to_date(col("__t0"))).cast("long").as("dur"),
+          col("__tp").isNotNull.as("converteu"))
+      ordered(operators.Timeseries.kaplanMeier(
+        subjects, Seq("coorte"), "dur", "converteu"))
+    },
+
     // Exact per-day ROC-AUC of "does event value rank purchases above
     // other events": the Mann–Whitney form over value-collapsed score
     // counts — U₂ accumulates in exact longs (ties at half credit stay
@@ -6205,6 +6229,43 @@ ORDER BY ALL NULLS FIRST""",
         |  FROM sc)
         |WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays subjects (durations + censoring), the reverse at-risk
+    // cumulative, and the decimal-accumulated survival product.
+    "q185_kaplan_meier" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |tp AS (SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN t0 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= t0.t0 GROUP BY 1),
+        |hz AS (SELECT max(ts) AS hz FROM events),
+        |subj AS (SELECT CAST(date_trunc('week', t0.t0) AS DATE) AS coorte,
+        |    CAST(datediff('day', CAST(t0.t0 AS DATE),
+        |      CAST(COALESCE(tp.tp, hz.hz) AS DATE)) AS BIGINT) AS dur,
+        |    tp.tp IS NOT NULL AS conv
+        |  FROM t0 LEFT JOIN tp USING (user_id) CROSS JOIN hz),
+        |coll AS (SELECT coorte, dur,
+        |    sum(CASE WHEN conv THEN 1 ELSE 0 END) AS eventos,
+        |    count(*) AS a
+        |  FROM subj GROUP BY 1, 2),
+        |r AS (SELECT coorte, dur, eventos,
+        |    sum(a) OVER (PARTITION BY coorte ORDER BY dur DESC
+        |      ROWS UNBOUNDED PRECEDING) AS em_risco
+        |  FROM coll),
+        |lterm AS (SELECT *,
+        |    CASE WHEN em_risco = eventos THEN CAST(0 AS DECIMAL(38,18))
+        |      ELSE CAST(ln(CAST(em_risco - eventos AS DOUBLE) /
+        |        CAST(em_risco AS DOUBLE)) AS DECIMAL(38,18)) END AS l,
+        |    CASE WHEN em_risco = eventos THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |srv AS (SELECT coorte, dur, em_risco, eventos,
+        |    CASE WHEN max(z) OVER w = 1 THEN 0.0
+        |      ELSE exp(CAST(sum(l) OVER w AS DOUBLE)) END AS sobrevivencia
+        |  FROM lterm WINDOW w AS (PARTITION BY coorte ORDER BY dur ASC
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT coorte, dur, CAST(em_risco AS BIGINT) AS em_risco,
+        |  CAST(eventos AS BIGINT) AS eventos, sobrevivencia
+        |FROM srv WHERE eventos > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, the strictly-below cumulative and the
     // exact U₂ roll-up with its single division.

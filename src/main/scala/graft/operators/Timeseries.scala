@@ -211,4 +211,63 @@ object Timeseries {
       .agg(count_distinct(col("__e")).as("ativos_janela"))
     daily.join(windowed, Seq("dia"))
   }
+
+  /** Kaplan–Meier survival estimation (Kaplan & Meier, JASA 1958) with
+    * right-censoring — time-to-conversion/churn curves, the standard
+    * answer to "what fraction of a cohort converts within t days" when
+    * the observation window cuts some subjects off (naively dropping
+    * the unconverted biases the curve optimistic; KM keeps them at risk
+    * until their censoring time).
+    *
+    * Input: one row per subject — `groupCols` (cohort), `durCol`
+    * (integer duration), `eventCol` (true = the event happened at dur,
+    * false = censored at dur). Estimator, per cohort, at each distinct
+    * EVENT time t with d_t events and n_t subjects still at risk
+    * (dur ≥ t — censoring at t counts as at-risk for t's deaths, the
+    * standard convention): `S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'})`.
+    *
+    * Shape at 100 TB: subjects collapse to the per-(cohort, dur)
+    * d/arrival counts FIRST (one map-side-combinable aggregation), so
+    * every window below walks the COLLAPSED time table — rows per
+    * cohort = distinct durations, bounded by the observation window,
+    * never by subjects (the row-180 value-collapse discipline). At-risk
+    * = one reverse running sum; the survival product is the
+    * exact-rational-per-factor form: each factor (n−d)/n is ONE IEEE
+    * division of exact BIGINTs, its ln one more op, the cumulative sum
+    * runs in DECIMAL(38,18) ordered by duration (deterministic), and
+    * `exp` at the edge — both engines agree to ln/exp's final-ulp
+    * licence, absorbed by the gate's 9-digit float normalization.
+    *
+    * Output: (groupCols, dur, em_risco, eventos, sobrevivencia) — one
+    * row per cohort × distinct event time.
+    */
+  def kaplanMeier(
+      df: DataFrame, groupCols: Seq[String], durCol: String,
+      eventCol: String): DataFrame = {
+    val k = groupCols.map(col)
+    val coll = df
+      .groupBy(k :+ col(durCol).as("dur"): _*)
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("eventos"),
+        count(lit(1L)).as("__a"))
+    val wRisk = Window.partitionBy(k: _*).orderBy(col("dur").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSurv = Window.partitionBy(k: _*).orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    coll
+      .withColumn("em_risco", sum(col("__a")).over(wRisk))
+      // a time where EVERY at-risk subject converts zeroes the curve —
+      // ln(0) must never reach the decimal accumulator, and every later
+      // time inherits the exact 0 via the cumulative flag
+      .withColumn("__l", when(col("em_risco") === col("eventos"),
+          lit(0L).cast("decimal(38,18)"))
+        .otherwise(log((col("em_risco") - col("eventos")).cast("double") /
+          col("em_risco").cast("double")).cast("decimal(38,18)")))
+      .withColumn("__z", max(when(col("em_risco") === col("eventos"), 1L)
+        .otherwise(0L)).over(wSurv))
+      .withColumn("sobrevivencia", when(col("__z") === 1L, lit(0.0))
+        .otherwise(exp(sum(col("__l")).over(wSurv).cast("double"))))
+      .filter(col("eventos") > 0L)
+      .select(k ++ Seq(col("dur"), col("em_risco"), col("eventos"),
+        col("sobrevivencia")): _*)
+  }
 }

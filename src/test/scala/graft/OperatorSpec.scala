@@ -1340,6 +1340,33 @@ class OperatorSpec extends SparkSpec {
     assert(ids(17).toSeq == a.toSeq, "partition-independent")
   }
 
+  test("kaplanMeier: hand curve with censoring between event times, " +
+      "and total conversion zeroes the tail exactly") {
+    // cohort A: events at t=1 (2 of 5 at risk), censor at t=2,
+    // event at t=3 (1 of 2 at risk), censor at t=4
+    // S(1) = 3/5; S(3) = 3/5 * 1/2 = 0.3
+    val a = Seq((1, true), (1, true), (2, false), (3, true), (4, false))
+      .map { case (d, e) => ("A", d.toLong, e) }
+    // cohort B: at t=2 both remaining subjects convert -> S(2) = 0.0
+    // exactly (not exp of a -inf ln), and t=1's factor still applies
+    val b = Seq((1, true), (2, true), (2, true))
+      .map { case (d, e) => ("B", d.toLong, e) }
+    val df = (a ++ b).toDF("coorte", "dur", "converteu")
+    val got = Timeseries.kaplanMeier(df, Seq("coorte"), "dur", "converteu")
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    val expA1 = ("A", 1L, 5L, 2L, 3.0 / 5.0)
+    val expA3 = ("A", 3L, 2L, 1L,
+      math.exp(math.log(3.0 / 5.0) + math.log(1.0 / 2.0)))
+    val expB1 = ("B", 1L, 3L, 1L, 2.0 / 3.0)
+    val expB2 = ("B", 2L, 2L, 2L, 0.0)
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) ==
+      Set(expA1, expA3, expB1, expB2).map(r => (r._1, r._2, r._3, r._4)))
+    val byKey = got.map(r => (r._1, r._2) -> r._5).toMap
+    assert(math.abs(byKey(("A", 1L)) - expA1._5) < 1e-15)
+    assert(math.abs(byKey(("A", 3L)) - expA3._5) < 1e-15)
+    assert(byKey(("B", 2L)) == 0.0, "total conversion must be exact 0")
+  }
+
   test("cohortRetention: offsets anchor at each entity's first month, " +
       "duplicates count once") {
     val df = Seq(
