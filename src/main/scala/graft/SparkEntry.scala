@@ -2455,6 +2455,54 @@ object SparkEntry {
         .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     },
 
+    // Fellegi–Sunter probabilistic linkage: supervised m/u weights from
+    // labeled pairs (planted variants = matches, distant-id pairs =
+    // non-matches), then the three-way log-likelihood-ratio decision
+    // over (nation, name-suffix-3)-blocked candidates. The name field
+    // is deliberately agreement-noisy (a one-digit id-name edit), the
+    // balance-band field is mangled on a third of the variants.
+    "q186_fellegi_sunter" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), lower(trim(col("c_name"))).as("nome"),
+        col("c_nationkey").as("nacao"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("faixa"),
+        col("c_mktsegment").as("seg"))
+      val v = c.filter(col("id") % 7 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("nome"), 1, 12),
+          substring(col("nome"), 14, 100000)).as("nome"),
+        col("nacao"),
+        when(col("id") % 3 === 0, lit(-1L)).otherwise(col("faixa"))
+          .as("faixa"),
+        col("seg"))
+      def side(df: DataFrame, sfx: String) = df.select(
+        col("id").as(s"id_$sfx"), col("nome").as(s"nome_$sfx"),
+        col("nacao").as(s"nacao_$sfx"), col("faixa").as(s"faixa_$sfx"),
+        col("seg").as(s"seg_$sfx"))
+      def agreed(p: DataFrame) = p.select(
+        col("id_a"), col("id_b"),
+        (levenshtein(col("nome_a"), col("nome_b")) <= 1).as("nome_igual"),
+        (col("faixa_a") === col("faixa_b")).as("faixa_igual"),
+        (col("seg_a") === col("seg_b")).as("seg_igual"))
+      val matches = agreed(side(c, "a").join(side(v, "b"),
+          col("id_b") === col("id_a") + 10000000L))
+        .withColumn("eh_par", lit(true))
+      val nonMatches = agreed(side(c, "a").join(side(c, "b"),
+          col("id_b") === col("id_a") + 11111L))
+        .withColumn("eh_par", lit(false))
+      val all = c.unionByName(v)
+      val cands = agreed(side(all, "a").join(side(all, "b"),
+        col("nacao_a") === col("nacao_b") &&
+          expr("right(nome_a, 3)") === expr("right(nome_b, 3)") &&
+          col("id_a") < col("id_b")))
+      ordered(operators.Linkage.fellegiSunterScore(
+          cands, matches.unionByName(nonMatches),
+          Seq("nome_igual", "faixa_igual", "seg_igual"), "eh_par",
+          upper = 1.0, lower = -1.0)
+        .select("id_a", "id_b", "nome_igual", "faixa_igual", "seg_igual",
+          "pontuacao", "classificacao"))
+    },
+
     // Kaplan–Meier time-to-conversion: signup→first-purchase durations
     // per user, right-censored at the corpus horizon, cohorted by
     // signup week. Survival accumulates per-factor lns in
@@ -6229,6 +6277,70 @@ ORDER BY ALL NULLS FIRST""",
         |  FROM sc)
         |WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays variants, labeled pairs, the smoothed m/u weights and the
+    // left-associated log-likelihood sum with its three-way decision.
+    "q186_fellegi_sunter" ->
+      """WITH c AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nome,
+        |    c_nationkey AS nacao,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS tel3,
+        |    c_mktsegment AS seg FROM customer),
+        |v AS (SELECT id + 10000000 AS id,
+        |    substring(nome, 1, 12) || substring(nome, 14) AS nome, nacao,
+        |    CASE WHEN id % 3 = 0 THEN -1 ELSE tel3 END AS tel3, seg
+        |  FROM c WHERE id % 7 = 0),
+        |pares AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    levenshtein(a.nome, b.nome) <= 1 AS nome_igual,
+        |    a.tel3 = b.tel3 AS faixa_igual, a.seg = b.seg AS seg_igual,
+        |    TRUE AS eh_par
+        |  FROM c a JOIN v b ON b.id = a.id + 10000000
+        |  UNION ALL
+        |  SELECT a.id, b.id, levenshtein(a.nome, b.nome) <= 1,
+        |    a.tel3 = b.tel3, a.seg = b.seg, FALSE
+        |  FROM c a JOIN c b ON b.id = a.id + 11111),
+        |w AS (SELECT
+        |    sum(CASE WHEN eh_par THEN 1 ELSE 0 END) AS nm,
+        |    sum(CASE WHEN eh_par THEN 0 ELSE 1 END) AS nu,
+        |    sum(CASE WHEN eh_par AND nome_igual THEN 1 ELSE 0 END) AS m_nome,
+        |    sum(CASE WHEN NOT eh_par AND nome_igual THEN 1 ELSE 0 END) AS u_nome,
+        |    sum(CASE WHEN eh_par AND faixa_igual THEN 1 ELSE 0 END) AS m_faixa,
+        |    sum(CASE WHEN NOT eh_par AND faixa_igual THEN 1 ELSE 0 END) AS u_faixa,
+        |    sum(CASE WHEN eh_par AND seg_igual THEN 1 ELSE 0 END) AS m_seg,
+        |    sum(CASE WHEN NOT eh_par AND seg_igual THEN 1 ELSE 0 END) AS u_seg
+        |  FROM pares),
+        |pesos AS (SELECT
+        |    ln(CAST((m_nome + 1) * (nu + 2) AS DOUBLE) /
+        |       CAST((u_nome + 1) * (nm + 2) AS DOUBLE)) AS wa_nome,
+        |    ln(CAST((nm + 1 - m_nome) * (nu + 2) AS DOUBLE) /
+        |       CAST((nu + 1 - u_nome) * (nm + 2) AS DOUBLE)) AS wd_nome,
+        |    ln(CAST((m_faixa + 1) * (nu + 2) AS DOUBLE) /
+        |       CAST((u_faixa + 1) * (nm + 2) AS DOUBLE)) AS wa_faixa,
+        |    ln(CAST((nm + 1 - m_faixa) * (nu + 2) AS DOUBLE) /
+        |       CAST((nu + 1 - u_faixa) * (nm + 2) AS DOUBLE)) AS wd_faixa,
+        |    ln(CAST((m_seg + 1) * (nu + 2) AS DOUBLE) /
+        |       CAST((u_seg + 1) * (nm + 2) AS DOUBLE)) AS wa_seg,
+        |    ln(CAST((nm + 1 - m_seg) * (nu + 2) AS DOUBLE) /
+        |       CAST((nu + 1 - u_seg) * (nm + 2) AS DOUBLE)) AS wd_seg
+        |  FROM w),
+        |todos AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    levenshtein(a.nome, b.nome) <= 1 AS nome_igual,
+        |    a.tel3 = b.tel3 AS faixa_igual, a.seg = b.seg AS seg_igual
+        |  FROM todos a JOIN todos b
+        |    ON a.nacao = b.nacao AND right(a.nome, 3) = right(b.nome, 3)
+        |      AND a.id < b.id),
+        |sc AS (SELECT id_a, id_b, nome_igual, faixa_igual, seg_igual,
+        |    (CASE WHEN nome_igual THEN wa_nome ELSE wd_nome END)
+        |      + (CASE WHEN faixa_igual THEN wa_faixa ELSE wd_faixa END)
+        |      + (CASE WHEN seg_igual THEN wa_seg ELSE wd_seg END)
+        |      AS pontuacao
+        |  FROM cand CROSS JOIN pesos)
+        |SELECT id_a, id_b, nome_igual, faixa_igual, seg_igual, pontuacao,
+        |  CASE WHEN pontuacao >= 1.0 THEN 'match'
+        |       WHEN pontuacao <= -1.0 THEN 'nao_match'
+        |       ELSE 'possivel' END AS classificacao
+        |FROM sc ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays subjects (durations + censoring), the reverse at-risk
     // cumulative, and the decimal-accumulated survival product.

@@ -130,6 +130,64 @@ object Linkage {
     * each exactly once. Contract: ids unique; normalization
     * (lower/trim) is the caller's choice, applied before the call.
     */
+  /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    * Sunter, JASA 1969) — the decision layer ABOVE the candidate
+    * generators ([[fuzzyPairs]], [[editJoinDeletes]]): a candidate pair
+    * is described by a vector of per-field AGREEMENT booleans, each
+    * field contributes `ln(m/u)` on agreement and `ln((1−m)/(1−u))` on
+    * disagreement (m = P(agree | match), u = P(agree | non-match)),
+    * and the summed log-likelihood ratio classifies against the two
+    * thresholds — "match" / "possivel" / "nao_match", the classic
+    * three-way decision rule.
+    *
+    * m/u are the supervised estimates from `labeled` (same agreement
+    * columns + a boolean label), Laplace-smoothed so a perfectly
+    * discriminating field cannot produce ln(0): m = (a+1)/(n+2).
+    *
+    * Exactness: each weight is ONE IEEE division of exact integer
+    * PRODUCTS ((a+1)·(n'+2) etc.) followed by one ln, the per-pair
+    * score is a FIXED left-associated sum of |fields| doubles (never a
+    * float aggregation), and the thresholds compare against scores
+    * whose cross-engine divergence is final-ulp — absorbed by the
+    * gate's 9-digit float normalization.
+    *
+    * Shape at 100 TB: weights are ONE aggregation over the labeled
+    * set → a single broadcast row; scoring is a stateless projection
+    * over the candidate pairs — serves a stream.
+    */
+  def fellegiSunterScore(
+      cand: DataFrame, labeled: DataFrame, fields: Seq[String],
+      labelCol: String, upper: Double, lower: Double): DataFrame = {
+    require(fields.nonEmpty, "need at least one agreement field")
+    require(upper >= lower, s"need upper >= lower, got $upper < $lower")
+    val aggs =
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__nm") +:
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__nu") +:
+      fields.flatMap(f => Seq(
+        sum(when(col(labelCol) && col(f), 1L).otherwise(0L)).as(s"__m_$f"),
+        sum(when(!col(labelCol) && col(f), 1L).otherwise(0L)).as(s"__u_$f")))
+    val weights = labeled.agg(aggs.head, aggs.tail: _*)
+      .select(fields.flatMap { f =>
+        val (m, u) = (col(s"__m_$f"), col(s"__u_$f"))
+        val (nm, nu) = (col("__nm"), col("__nu"))
+        Seq(
+          log(((m + 1L) * (nu + 2L)).cast("double") /
+            ((u + 1L) * (nm + 2L)).cast("double")).as(s"__wa_$f"),
+          log(((nm + 1L - m) * (nu + 2L)).cast("double") /
+            ((nu + 1L - u) * (nm + 2L)).cast("double")).as(s"__wd_$f"))
+      }: _*)
+    val score = fields
+      .map(f => when(col(f), col(s"__wa_$f")).otherwise(col(s"__wd_$f")))
+      .reduce(_ + _)
+    cand.crossJoin(broadcast(weights))
+      .withColumn("pontuacao", score)
+      .withColumn("classificacao",
+        when(col("pontuacao") >= upper, "match")
+          .when(col("pontuacao") <= lower, "nao_match")
+          .otherwise("possivel"))
+      .drop(fields.flatMap(f => Seq(s"__wa_$f", s"__wd_$f")): _*)
+  }
+
   def editJoinDeletes(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       maxBlock: Int = graft.llm.Dedup.AdaptiveBlock): DataFrame = {

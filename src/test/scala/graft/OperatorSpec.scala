@@ -1463,6 +1463,32 @@ class OperatorSpec extends SparkSpec {
     assert(sp == Set((1L, 2L, 2L)), s"got $sp")
   }
 
+  test("fellegiSunterScore: hand m/u weights, smoothing, and the " +
+      "three-way decision") {
+    // labeled: 2 matches (both agree on f1; one agrees on f2),
+    // 2 non-matches (none agree on f1; one agrees on f2)
+    val labeled = Seq(
+      (true, true, true), (true, true, false),
+      (false, false, true), (false, false, false))
+      .toDF("eh_par", "f1", "f2")
+    // m1=(2+1)/4, u1=(0+1)/4 → wa1=ln(3); wd1=ln((2+1-2)/(2+1-0))=ln(1/3)
+    // m2=(1+1)/4, u2=(1+1)/4 → wa2=ln(1)=0; wd2=ln(2/2)=0
+    val cand = Seq(
+      (1L, 2L, true, true), (3L, 4L, true, false),
+      (5L, 6L, false, true))
+      .toDF("id_a", "id_b", "f1", "f2")
+    val got = Linkage.fellegiSunterScore(cand, labeled, Seq("f1", "f2"),
+        "eh_par", upper = 1.0, lower = -1.0)
+      .select("id_a", "pontuacao", "classificacao")
+      .as[(Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val ln3 = math.log(3.0)
+    assert(math.abs(got(1L)._1 - ln3) < 1e-15 && got(1L)._2 == "match")
+    assert(math.abs(got(3L)._1 - ln3) < 1e-15 && got(3L)._2 == "match")
+    assert(math.abs(got(5L)._1 + ln3) < 1e-15 &&
+      got(5L)._2 == "nao_match", s"got ${got(5L)}")
+  }
+
   test("groupLinearFit: exact line recovered, degenerate groups yield " +
       "null coefficients") {
     val df = Seq(
