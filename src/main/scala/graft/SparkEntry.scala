@@ -2455,6 +2455,17 @@ object SparkEntry {
         .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     },
 
+    // Exact per-day precision-recall curve of the same purchase-vs-rest
+    // ranking as q182: one row per distinct value threshold, integer
+    // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
+    // single IEEE division (f1 via 2tp/(2tp+fp+fn)).
+    "q187_pr_curve" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("dia"), col("value"),
+        (col("event_type") === "purchase").as("compra"))
+      ordered(operators.Stats.prCurve(ev, Seq("dia"), "value", "compra"))
+    },
+
     // Fellegi–Sunter probabilistic linkage: supervised m/u weights from
     // labeled pairs (planted variants = matches, distant-id pairs =
     // non-matches), then the three-way log-likelihood-ratio decision
@@ -6277,6 +6288,30 @@ ORDER BY ALL NULLS FIRST""",
         |  FROM sc)
         |WHERE rn = 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the value-collapse, both cumulative directions and the
+    // single-division ratios.
+    "q187_pr_curve" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS dia, value AS limiar,
+        |    (event_type = 'purchase') AS compra FROM events),
+        |c AS (SELECT dia, limiar,
+        |    sum(CASE WHEN compra THEN 1 ELSE 0 END) AS p,
+        |    sum(CASE WHEN compra THEN 0 ELSE 1 END) AS n
+        |  FROM e GROUP BY 1, 2),
+        |k AS (SELECT dia, limiar,
+        |    sum(p) OVER wd AS tp, sum(n) OVER wd AS fp,
+        |    sum(p) OVER (PARTITION BY dia) - sum(p) OVER wd AS fn
+        |  FROM c WINDOW wd AS (PARTITION BY dia ORDER BY limiar DESC
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT dia, limiar, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precisao,
+        |  CASE WHEN tp + fn > 0 THEN
+        |    CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS revocacao,
+        |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    END AS f1
+        |FROM k ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays variants, labeled pairs, the smoothed m/u weights and the
     // left-associated log-likelihood sum with its three-way decision.

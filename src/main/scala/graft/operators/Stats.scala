@@ -672,4 +672,49 @@ object Stats {
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")))
       .drop("__u2")
   }
+
+  /** Exact precision-recall curve — the threshold-picking companion of
+    * [[rocAuc]] (AUC ranks a model; PICKING the operating threshold for
+    * a quality filter needs the curve itself, and under class imbalance
+    * — rare good documents in a raw crawl — PR is the standard lens
+    * where ROC flatters).
+    *
+    * One output row per (group, distinct score): predictions = "score ≥
+    * this threshold", with exact BIGINT tp/fp/fn and the three ratios
+    * each as ONE IEEE division of exact integers (f1's closed form
+    * `2tp/(2tp+fp+fn)` keeps even the harmonic mean single-division —
+    * no float ever meets a float).
+    *
+    * Shape at 100 TB: rows collapse FIRST to per-(group, score) pos/neg
+    * counts (one map-side-combinable aggregation — the row-180
+    * value-collapse); both cumulatives walk the COLLAPSED table, rows
+    * per group = distinct scores, never input rows.
+    */
+  def prCurve(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val byScore = df.groupBy(g :+ col(scoreCol).as("limiar"): _*)
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
+    val wDesc = Window.partitionBy(g: _*).orderBy(col("limiar").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    byScore
+      .withColumn("tp", sum(col("__p")).over(wDesc))
+      .withColumn("fp", sum(col("__n")).over(wDesc))
+      .withColumn("fn", sum(col("__p")).over(wAll) - col("tp"))
+      .select(g ++ Seq(col("limiar"), col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precisao"),
+        when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("revocacao"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          (lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .as("f1")): _*)
+  }
 }

@@ -1463,6 +1463,31 @@ class OperatorSpec extends SparkSpec {
     assert(sp == Set((1L, 2L, 2L)), s"got $sp")
   }
 
+  test("prCurve: hand curve with cross-class score ties and the " +
+      "no-positives null branch") {
+    // group A scores desc: 3.0 -> (2 pos), 2.0 -> (1 pos, 1 neg tied),
+    // 1.0 -> (1 neg); R = 3
+    val a = Seq((3.0, true), (3.0, true), (2.0, true), (2.0, false),
+      (1.0, false)).map { case (sc, y) => ("A", sc, y) }
+    val b = Seq((5.0, false), (4.0, false)).map {
+      case (sc, y) => ("B", sc, y) }
+    val got = Stats.prCurve((a ++ b).toDF("g", "s", "y"), Seq("g"),
+        "s", "y")
+      .as[(String, Double, Long, Long, Long,
+        Double, Option[Double], Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7, r._8)))
+      .toMap
+    assert(got(("A", 3.0)) == ((2L, 0L, 1L, 1.0, Some(2.0 / 3.0),
+      Some(4.0 / 5.0))))
+    assert(got(("A", 2.0)) == ((3L, 1L, 0L, 3.0 / 4.0, Some(1.0),
+      Some(6.0 / 7.0))))
+    assert(got(("A", 1.0)) == ((3L, 2L, 0L, 3.0 / 5.0, Some(1.0),
+      Some(6.0 / 8.0))))
+    // no positives: precision 0, recall null, f1 defined (0)
+    assert(got(("B", 5.0)) == ((0L, 1L, 0L, 0.0, None, Some(0.0))))
+    assert(got(("B", 4.0)) == ((0L, 2L, 0L, 0.0, None, Some(0.0))))
+  }
+
   test("fellegiSunterScore: hand m/u weights, smoothing, and the " +
       "three-way decision") {
     // labeled: 2 matches (both agree on f1; one agrees on f2),
