@@ -2455,6 +2455,19 @@ object SparkEntry {
         .join(docs.select("doc_id", "lang"), Seq("doc_id")))
     },
 
+    // Chi-squared token-class feature selection over the documents
+    // corpus (class = lang, doc-level presence, min df 5): the
+    // chi2 >= 3.84 (p ~ 0.05, df 1) selection is decided in exact
+    // integers
+    // (den*N*(ad-bc)^2 >= num*margins), the reported chi2 is one IEEE
+    // division.
+    "q188_chi2_features" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.chiSquaredFeatures(
+        Tables.documents(s, dir).select("doc_id", "text", "lang"),
+        "doc_id", "text", "lang",
+        minDf = 5L, threshNum = 384L, threshDen = 100L))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6287,6 +6300,38 @@ ORDER BY ALL NULLS FIRST""",
         |    PARTITION BY doc_id ORDER BY sc DESC, classe DESC) AS rn
         |  FROM sc)
         |WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays presence, marginals, the integer selection gate and the
+    // edge division.
+    "q188_chi2_features" ->
+      """WITH pres AS (SELECT DISTINCT doc_id, lang AS classe, t FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |ntot AS (SELECT count(*) AS nn FROM documents),
+        |bycls AS (SELECT lang AS classe, count(*) AS nc FROM documents
+        |  GROUP BY 1),
+        |bytok AS (SELECT t, count(*) AS nt FROM pres GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |byboth AS (SELECT classe, t, count(*) AS a FROM pres GROUP BY 1, 2),
+        |tab AS (SELECT cl.classe, tk.t AS token,
+        |    COALESCE(bb.a, 0) AS a, cl.nc - COALESCE(bb.a, 0) AS b,
+        |    tk.nt - COALESCE(bb.a, 0) AS c,
+        |    nt2.nn - cl.nc - tk.nt + COALESCE(bb.a, 0) AS d
+        |  FROM bytok tk CROSS JOIN bycls cl
+        |  LEFT JOIN byboth bb ON bb.classe = cl.classe AND bb.t = tk.t
+        |  CROSS JOIN ntot nt2),
+        |x AS (SELECT *,
+        |    CAST(a * d - b * c AS DECIMAL(38,0)) * (a * d - b * c)
+        |      * (a + b + c + d) AS num,
+        |    CAST((a + b) * (c + d) AS DECIMAL(38,0))
+        |      * ((a + c) * (b + d)) AS den
+        |  FROM tab)
+        |SELECT classe, token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS qui2
+        |FROM x WHERE den > 0 AND num * 100 >= den * 384
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, both cumulative directions and the

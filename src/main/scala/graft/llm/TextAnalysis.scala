@@ -687,6 +687,71 @@ object TextAnalysis {
         col("__b.__sc").cast("double").as("pontuacao"))
   }
 
+  /** Chi-squared token–class association (feature selection for the
+    * row-138/200 classifier family — which tokens are worth a model's
+    * capacity; also the vocabulary-audit lens for "which tokens leak
+    * the label"). One-vs-rest 2×2 contingency per (class, token) over
+    * doc-level PRESENCE: a = class docs containing the token, b = class
+    * docs without, c = other docs with, d = other docs without;
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`.
+    *
+    * The SELECTION is decided in INTEGERS (the q181 discipline — no
+    * float compare decides membership): χ² ≥ num/den ⟺
+    * `den·N·(ad−bc)² ≥ num·(a+b)(c+d)(a+c)(b+d)`, both sides exact
+    * DECIMAL(38,0) products — engine-identical row sets; the reported
+    * χ² is ONE IEEE division at the edge. The decimal headroom bounds
+    * the corpus at N ≤ ~3·10⁷ docs per fit (N⁵ ≤ 10³⁸); beyond that
+    * the log-space G-test is the right tool — documented wall.
+    *
+    * Shape at 100 TB: presence collapses to distinct (doc, token) at
+    * scan level, then ONE map-side-combinable aggregation each for
+    * (class, token), token and class marginals; the scored table is
+    * vocabulary × |classes| rows (a = 0 combos included via the
+    * marginals cross — absence IS association), never corpus-scale.
+    * `minDf` prunes the rare-token tail before the cross.
+    */
+  def chiSquaredFeatures(
+      docs: DataFrame, idCol: String, textCol: String, classCol: String,
+      minDf: Long, threshNum: Long, threshDen: Long): DataFrame = {
+    require(threshDen > 0, s"need threshDen > 0, got $threshDen")
+    val dec = "decimal(38,0)"
+    val pres = CacheScope.persistTracked(
+      Spread(docs.select(col(idCol).as("__id"), col(classCol).as("classe"),
+          col(textCol).as("__t")))
+        .select(col("__id"), col("classe"),
+          explode(array_distinct(tokens(col("__t")))).as("token"))
+        .filter(col("token") =!= ""))
+    val nTot = docs.select(col(idCol)).agg(count(lit(1L)).as("__nn"))
+    val byClass = docs.groupBy(col(classCol).as("classe"))
+      .agg(count(lit(1L)).as("__nc"))
+    val byTok = pres.groupBy("token").agg(count(lit(1L)).as("__nt"))
+      .filter(col("__nt") >= minDf)
+    val byBoth = pres.groupBy("classe", "token")
+      .agg(count(lit(1L)).as("__a"))
+    byTok.crossJoin(broadcast(byClass))
+      .join(byBoth, Seq("classe", "token"), "left")
+      .na.fill(0L, Seq("__a"))
+      .crossJoin(broadcast(nTot))
+      .select(col("classe"), col("token"),
+        col("__a").as("a"), (col("__nc") - col("__a")).as("b"),
+        (col("__nt") - col("__a")).as("c"),
+        (col("__nn") - col("__nc") - col("__nt") + col("__a")).as("d"))
+      .withColumn("__num",
+        ((col("a") * col("d") - col("b") * col("c")).cast(dec) *
+          (col("a") * col("d") - col("b") * col("c"))) *
+          (col("a") + col("b") + col("c") + col("d")))
+      .withColumn("__den",
+        ((col("a") + col("b")) * (col("c") + col("d"))).cast(dec) *
+          ((col("a") + col("c")) * (col("b") + col("d"))))
+      // a token in EVERY doc (or a single-class corpus) zeroes a
+      // marginal: no signal, and the division would be ∞ — drop first
+      .filter(col("__den") > 0)
+      .filter(col("__num") * threshDen >= col("__den") * threshNum)
+      .withColumn("qui2",
+        col("__num").cast("double") / col("__den").cast("double"))
+      .drop("__num", "__den")
+  }
+
   /** Collocation extraction by pointwise mutual information — which
     * adjacent token pairs co-occur far more than their unigram
     * frequencies predict ("new york", "machine learning"): the corpus

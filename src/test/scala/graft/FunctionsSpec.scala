@@ -477,6 +477,29 @@ class FunctionsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("chiSquaredFeatures: hand 2x2 table, absence association " +
+      "surfaces, and the integer gate keeps the exact-threshold row") {
+    import graft.llm.TextAnalysis.chiSquaredFeatures
+    // 4 docs: 'alpha' only in class x (perfect); 'beta' in all (no
+    // signal, den=0 → dropped); 'gama' only in class y docs
+    val docs = Seq(
+      (1L, "alpha beta gap", "x"), (2L, "alpha beta gap", "x"),
+      (3L, "beta gama", "y"), (4L, "beta gama", "y"))
+      .toDF("doc_id", "text", "classe")
+    val got = chiSquaredFeatures(docs, "doc_id", "text", "classe",
+        minDf = 1L, threshNum = 4L, threshDen = 1L)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // alpha vs x: a=2 b=0 c=0 d=2 → chi2 = 4*(4-0)^2/(2*2*2*2) = 4.0 —
+    // exactly the threshold, the integer gate must KEEP it (>=)
+    assert(got(("x", "alpha")) == ((2L, 0L, 0L, 2L, 4.0)))
+    // alpha vs y is the ABSENCE association: a=0 b=2 c=2 d=0 → 4.0
+    assert(got(("y", "alpha")) == ((0L, 2L, 2L, 0L, 4.0)))
+    assert(got.contains(("y", "gama")) && got.contains(("x", "gama")))
+    // beta is in every doc: dropped by the zero-marginal guard
+    assert(!got.keySet.exists(_._2 == "beta"), s"got ${got.keySet}")
+  }
+
   test("naiveBayes fit+apply matches a hand posterior, separates " +
       "disjoint vocab, and prior-only docs take the majority class") {
     import graft.llm.TextAnalysis.{naiveBayesFit, naiveBayesApply}
