@@ -2468,6 +2468,34 @@ object SparkEntry {
         minDf = 5L, threshNum = 384L, threshDen = 100L))
     },
 
+    // Lag-1..7 autocorrelation of the daily event-value series: the
+    // corpus collapses to one row per day FIRST (combinable sum), so
+    // the windows/self-join walk 30 buckets; sufficient statistics are
+    // exact DECIMAL, the edge is a fixed double parenthesization + one
+    // division per lag.
+    "q189_autocorrelation" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("dia"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+      ordered(operators.Timeseries.autocorrelation(
+        daily, "dia", "total", maxLag = 7, scale = 2))
+    },
+
+    // CUSUM changepoint scan over the same daily series: the recursive
+    // max(0, .) statistic via its closed running-extremum form, n-scaled
+    // exact decimals end to end, the alarm an exact decimal gate and
+    // each reported statistic one IEEE division.
+    "q190_cusum" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("dia"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+      ordered(operators.Timeseries.cusumChangepoints(
+        daily, "dia", "total", slack = "500", threshold = "2000",
+        scale = 2))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6332,6 +6360,68 @@ ORDER BY ALL NULLS FIRST""",
         |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS qui2
         |FROM x WHERE den > 0 AND num * 100 >= den * 384
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the daily collapse, the bounded lag self-join, the exact
+    // decimal sufficient statistics and the fixed double edge formula.
+    "q189_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS dia,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |idx AS (SELECT row_number() OVER (ORDER BY dia) AS t,
+        |    CAST(total AS DECIMAL(18,2)) AS x FROM daily),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |    sum(x) AS s, sum(x * x) AS ss FROM idx),
+        |par AS (SELECT CAST(b.t - a.t AS BIGINT) AS defasagem,
+        |    CAST(count(*) AS BIGINT) AS n_pares,
+        |    sum(a.x * b.x) AS sxy, sum(a.x) AS sa, sum(b.x) AS sb
+        |  FROM idx a JOIN idx b ON b.t > a.t AND b.t <= a.t + 7
+        |  GROUP BY 1)
+        |SELECT defasagem, n_pares,
+        |  (nd * nd * CAST(sxy AS DOUBLE) - nd * CAST(s AS DOUBLE) *
+        |    (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) +
+        |   CAST(n_pares AS DOUBLE) * CAST(s AS DOUBLE) *
+        |     CAST(s AS DOUBLE)) /
+        |  (nd * nd * CAST(ss AS DOUBLE) - nd * CAST(s AS DOUBLE) *
+        |    CAST(s AS DOUBLE)) AS acf
+        |FROM par, tot
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the n-scaled deviations, both cumulative windows, the
+    // running-extremum closed form and the exact decimal alarm gate.
+    "q190_cusum" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS dia,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |base AS (SELECT dia, CAST(total AS DECIMAL(18,2)) AS x FROM daily),
+        |st AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS n, sum(x) AS s
+        |  FROM base),
+        |d AS (SELECT dia, x, n,
+        |    n * x - s - n * CAST('500' AS DECIMAL(18,2)) AS dup,
+        |    n * x - s + n * CAST('500' AS DECIMAL(18,2)) AS ddn
+        |  FROM base, st),
+        |c AS (SELECT dia, x, n,
+        |    sum(dup) OVER (ORDER BY dia
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cup,
+        |    sum(ddn) OVER (ORDER BY dia
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdn
+        |  FROM d),
+        |r AS (SELECT dia, x, n, cup, cdn,
+        |    least(min(cup) OVER (ORDER BY dia
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS DECIMAL(18,2))) AS mn,
+        |    greatest(max(cdn) OVER (ORDER BY dia
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      CAST(0 AS DECIMAL(18,2))) AS mx
+        |  FROM c)
+        |SELECT dia, CAST(x AS DOUBLE) AS valor,
+        |  CAST(cup - mn AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_alta,
+        |  CAST(mx - cdn AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_baixa,
+        |  ((cup - mn) > n * CAST('2000' AS DECIMAL(18,2)) OR
+        |   (mx - cdn) > n * CAST('2000' AS DECIMAL(18,2))) AS alarme
+        |FROM r
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, both cumulative directions and the

@@ -270,4 +270,126 @@ object Timeseries {
       .select(k ++ Seq(col("dur"), col("em_risco"), col("eventos"),
         col("sobrevivencia")): _*)
   }
+
+  /** Sample autocorrelation function (Box & Jenkins 1970, the lag-k ACF)
+    * over an equally-spaced series — the seasonality/memory fingerprint
+    * read before any forecasting or anomaly model is chosen (a weekly
+    * cycle shows as a lag-7 spike; white noise shows nothing).
+    *
+    * `r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ_{t≤n}(x_t−x̄)²` — but the
+    * mean is a division, so the engine never subtracts x̄: both sides
+    * scale by n² and expand to EXACT DECIMAL sufficient statistics
+    * (`n²·num_k = n²·Σx_t·x_{t+k} − n·S·(Σ_a x + Σ_b x) + m·S²`,
+    * `n²·den = n²·Σx² − n·S²`), each a sum of exact decimal products.
+    * The edge arithmetic is a FIXED parenthesization of doubles cast
+    * once from those exact sums (the row-202 discipline — never a float
+    * aggregation), then ONE division: engine-identical under any
+    * partitioning.
+    *
+    * Shape at 100 TB: the input contract is one row per time bucket —
+    * the caller collapses the corpus with a combinable aggregation
+    * FIRST, so everything here walks distinct buckets (days/hours),
+    * never events: one global row_number over the bucket table (tiny by
+    * contract), one bounded range self-join (t+1 … t+maxLag → pair
+    * volume ≤ maxLag·buckets), one combinable per-lag aggregation.
+    * Values must be exactly representable at `scale` decimal places
+    * (the q164 cast trap — a 2dp money column at scale=2 is exact; a
+    * raw float at any scale is not).
+    *
+    * Output: (defasagem, n_pares, acf) for k = 1 … maxLag.
+    */
+  def autocorrelation(
+      series: DataFrame, timeCol: String, valueCol: String,
+      maxLag: Int, scale: Int = 2): DataFrame = {
+    require(maxLag >= 1, s"need maxLag >= 1, got $maxLag")
+    require(scale >= 0 && scale <= 9, s"need 0 <= scale <= 9, got $scale")
+    val dec = s"decimal(18,$scale)"
+    val wIdx = Window.orderBy(col(timeCol))
+    val idx = series.select(
+      row_number().over(wIdx).as("__t"),
+      col(valueCol).cast(dec).as("__x"))
+    val tot = idx.agg(
+      count(lit(1L)).as("__n"),
+      sum(col("__x")).as("__s"),
+      sum(col("__x") * col("__x")).as("__ss"))
+    val a = idx.select(col("__t").as("__ta"), col("__x").as("__xa"))
+    val b = idx.select(col("__t").as("__tb"), col("__x").as("__xb"))
+    a.join(b, col("__tb") > col("__ta") &&
+        col("__tb") <= col("__ta") + maxLag)
+      .groupBy((col("__tb") - col("__ta")).cast("long").as("defasagem"))
+      .agg(count(lit(1L)).as("n_pares"),
+        sum(col("__xa") * col("__xb")).as("__sxy"),
+        sum(col("__xa")).as("__sa"),
+        sum(col("__xb")).as("__sb"))
+      .crossJoin(broadcast(tot))
+      // fixed parenthesization, each input one correctly-rounded cast
+      // from an exact decimal — mirror the oracle token for token
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__md", col("n_pares").cast("double"))
+      .withColumn("acf",
+        (col("__nd") * col("__nd") * col("__sxy").cast("double") -
+          col("__nd") * col("__s").cast("double") *
+            (col("__sa").cast("double") + col("__sb").cast("double")) +
+          col("__md") * col("__s").cast("double") *
+            col("__s").cast("double")) /
+        (col("__nd") * col("__nd") * col("__ss").cast("double") -
+          col("__nd") * col("__s").cast("double") *
+            col("__s").cast("double")))
+      .select(col("defasagem"), col("n_pares"), col("acf"))
+  }
+
+  /** CUSUM changepoint detection (Page 1954) over an equally-spaced
+    * series — the sequential drift alarm: a persistent shift of the
+    * mean accumulates in the one-sided statistics long before any
+    * single point looks anomalous (which is exactly what the z-score /
+    * MAD flags of rows 186/193 cannot see).
+    *
+    * Recursive form `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))` is
+    * not a SQL window — but its closed form is: `S⁺_t = C_t − min_{j≤t}
+    * C_j` with `C_t = Σ_{i≤t}(x_i − μ − slack)` (and the mirrored
+    * running-max form for S⁻). The engine works n-SCALED so the
+    * in-corpus mean needs no division: `D_t = n·x_t − S − n·slack` is
+    * an exact decimal, both cumulations are exact windows, and the
+    * reported statistics divide by n ONCE at the edge. The alarm
+    * compares n-scaled decimals against n·h — an EXACT integer-style
+    * gate, no float decides membership (the q181 discipline).
+    *
+    * Same input contract and scale story as [[autocorrelation]]: one
+    * row per bucket, windows walk buckets, never events. Output: one
+    * row per bucket — (time, valor, cusum_alta, cusum_baixa, alarme).
+    */
+  def cusumChangepoints(
+      series: DataFrame, timeCol: String, valueCol: String,
+      slack: String, threshold: String, scale: Int = 2): DataFrame = {
+    val dec = s"decimal(18,$scale)"
+    val wAll = Window.partitionBy(lit(1))
+    val wRun = Window.partitionBy(lit(1)).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .select(col(timeCol), col(valueCol).cast(dec).as("__x"))
+      // decimal(10,0) keeps every product inside precision 38 without
+      // triggering Spark's promote-then-round scale arithmetic
+      .withColumn("__n", count(lit(1L)).over(wAll).cast("decimal(10,0)"))
+      .withColumn("__s", sum(col("__x")).over(wAll))
+      // n-scaled deviations: exact decimals, no mean division
+      .withColumn("__dup", col("__n") * col("__x") - col("__s") -
+        col("__n") * lit(slack).cast(dec))
+      .withColumn("__ddn", col("__n") * col("__x") - col("__s") +
+        col("__n") * lit(slack).cast(dec))
+      .withColumn("__cup", sum(col("__dup")).over(wRun))
+      .withColumn("__cdn", sum(col("__ddn")).over(wRun))
+      .withColumn("__up",
+        col("__cup") - least(min(col("__cup")).over(wRun), lit(0).cast(dec)))
+      .withColumn("__dn",
+        greatest(max(col("__cdn")).over(wRun), lit(0).cast(dec)) -
+          col("__cdn"))
+      .select(col(timeCol), col("__x").cast("double").as("valor"),
+        (col("__up").cast("double") / col("__n").cast("double"))
+          .as("cusum_alta"),
+        (col("__dn").cast("double") / col("__n").cast("double"))
+          .as("cusum_baixa"),
+        (col("__up") > col("__n") * lit(threshold).cast(dec) ||
+          col("__dn") > col("__n") * lit(threshold).cast(dec))
+          .as("alarme"))
+  }
 }

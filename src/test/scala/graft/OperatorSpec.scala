@@ -1583,4 +1583,33 @@ class OperatorSpec extends SparkSpec {
       ("unique:id", 1L, 5L),
       ("ref_integrity:fk", 1L, 4L)), s"got $got")
   }
+
+  test("autocorrelation: hand ACF of 1..4 is exact at every lag") {
+    val df = Seq((1, "1.00"), (2, "2.00"), (3, "3.00"), (4, "4.00"))
+      .toDF("t", "x").withColumn("x", col("x").cast("decimal(18,2)"))
+    val got = Timeseries.autocorrelation(df, "t", "x", maxLag = 3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // x̄ = 2.5, den = 5: r1 = 1.25/5, r2 = -1.5/5, r3 = -2.25/5 — all
+    // arithmetic stays in exactly-representable doubles, compare ==
+    assert(got == Map(1L -> ((3L, 0.25)), 2L -> ((2L, -0.3)),
+      3L -> ((1L, -0.45))), s"got $got")
+  }
+
+  test("cusumChangepoints: closed form equals the recursive CUSUM and " +
+      "the alarm gate fires on both sides") {
+    // mean 12; slack 1: S+ = 0,0,0,1,2,3 and S- = 1,2,3,0,0,0 by the
+    // textbook recursion; threshold 2.5 alarms at t=3 (low) and t=6
+    val df = Seq((1, 10), (2, 10), (3, 10), (4, 14), (5, 14), (6, 14))
+      .toDF("t", "x")
+    val got = Timeseries
+      .cusumChangepoints(df, "t", "x", slack = "1", threshold = "2.5")
+      .select(col("t"), col("cusum_alta"), col("cusum_baixa"),
+        col("alarme"))
+      .as[(Int, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1, 0.0, 1.0, false), (2, 0.0, 2.0, false), (3, 0.0, 3.0, true),
+      (4, 1.0, 0.0, false), (5, 2.0, 0.0, false), (6, 3.0, 0.0, true)),
+      s"got $got")
+  }
 }
