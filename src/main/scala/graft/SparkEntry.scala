@@ -2496,6 +2496,21 @@ object SparkEntry {
         scale = 2))
     },
 
+    // Multi-source BFS hop levels over the supplier-part bipartite
+    // graph (suppliers negated, the q140 vertex-space trick): frontier
+    // expansion, one adjacency join + one visited anti-join per round,
+    // depth-capped so the recursive-CTE oracle replays the exact
+    // semantics.
+    "q191_bfs_levels" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val edges = li.select((-col("l_suppkey")).as("src"),
+        col("l_partkey").as("dst")).distinct()
+      val seeds = li.filter(col("l_partkey") % 500 === 0)
+        .select(col("l_partkey").as("seed"))
+      ordered(llm.Components.bfsLevels(
+        edges, "src", "dst", seeds, "seed", maxDepth = 3))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6422,6 +6437,23 @@ ORDER BY ALL NULLS FIRST""",
         |  ((cup - mn) > n * CAST('2000' AS DECIMAL(18,2)) OR
         |   (mx - cdn) > n * CAST('2000' AS DECIMAL(18,2))) AS alarme
         |FROM r
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the undirected closure with a depth-capped recursive CTE:
+    // min(d) over the distinct (vertex, depth) walk IS the BFS level.
+    "q191_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT -l_suppkey AS a, l_partkey AS b FROM lineitem),
+        |adj AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |seeds AS (SELECT DISTINCT l_partkey AS v FROM lineitem
+        |  WHERE l_partkey % 500 = 0),
+        |walk(v, d) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT adj.b, d + 1 FROM walk JOIN adj ON walk.v = adj.a
+        |  WHERE d < 3)
+        |SELECT v AS vertice, CAST(min(d) AS BIGINT) AS nivel
+        |FROM walk GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, both cumulative directions and the

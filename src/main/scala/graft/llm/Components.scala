@@ -374,4 +374,53 @@ object Components {
         .groupBy("vertice").agg(count(lit(1L)).as("triangulos"))
     }
   }
+
+  /** Multi-source BFS hop levels — the k-hop neighborhood / blast-radius
+    * query over the same edge lists the rest of the graph suite reads
+    * (components say WHO connects, this says HOW FAR: "every part within
+    * 3 hops of the recalled batch", "accounts within 2 hops of a known
+    * fraud seed").
+    *
+    * Frontier expansion, the canonical distributed BFS: each round is
+    * ONE equi-join of the current frontier against the adjacency list +
+    * one anti-join against the visited set — shuffle volume linear in
+    * the edges LEAVING the frontier, per-vertex state is exactly one
+    * (vertice, nivel) row, and `localCheckpoint` per round truncates the
+    * self-referencing lineage (the CC discipline). Rounds = `maxDepth`,
+    * a caller-owned bound: hop queries are depth-bounded by meaning
+    * ("within k hops"), so the fixpoint race of unbounded shortest-path
+    * never arises and the oracle can replay the semantics with a
+    * depth-capped recursive CTE.
+    *
+    * Edges are treated as undirected; seeds report nivel 0 whether or
+    * not they touch an edge. Output: (vertice, nivel) — the minimum hop
+    * count from any seed, for every vertex within `maxDepth` hops.
+    */
+  def bfsLevels(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"need maxDepth >= 0, got $maxDepth")
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+    val adj = e
+      .unionByName(e.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct()
+      .transform(CacheScope.persistTracked)
+    var levels = seeds.select(col(seedCol).as("vertice")).distinct()
+      .withColumn("nivel", lit(0L))
+      .localCheckpoint()
+    var frontier = levels.select("vertice")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val next = frontier.join(adj, col("vertice") === col("__a"))
+        .select(col("__b").as("vertice")).distinct()
+        .join(levels.select("vertice"), Seq("vertice"), "left_anti")
+        .withColumn("nivel", lit(depth + 1L))
+        .localCheckpoint()
+      levels = levels.unionByName(next).localCheckpoint()
+      frontier = next.select("vertice")
+      depth += 1
+    }
+    levels
+  }
 }

@@ -161,4 +161,25 @@ class ComponentsSpec extends SparkSpec {
       "a path holds no triangles")
     graft.llm.CacheScope.releaseAll()
   }
+
+  test("bfsLevels: min hop level from any seed, undirected edges, " +
+      "depth cap excludes the far tail, isolated seeds report 0") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (edge 3-2 stored REVERSED to prove undirectedness)
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 5L, 9L).toDF("seed") // 9 touches no edge
+    val got = Components
+      .bfsLevels(edges, "src", "dst", seeds, "seed", maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    // 3 is reachable at hop 2 from BOTH seeds; 9 is an isolated seed
+    assert(got == Map(1L -> 0L, 5L -> 0L, 9L -> 0L,
+      2L -> 1L, 4L -> 1L, 3L -> 2L), s"got $got")
+    // depth 1 drops the middle vertex entirely
+    val d1 = Components
+      .bfsLevels(edges, "src", "dst", seeds, "seed", maxDepth = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(!d1.contains(3L) && d1(2L) == 1L && d1(4L) == 1L, s"got $d1")
+    graft.llm.CacheScope.releaseAll()
+  }
 }
