@@ -2511,6 +2511,17 @@ object SparkEntry {
         edges, "src", "dst", seeds, "seed", maxDepth = 3))
     },
 
+    // CART decision stump: best Gini split per feature, the argmax
+    // decided by one IEEE division of exact DECIMAL(38,0) integer
+    // products (ties on the smaller threshold) — the corpus collapses
+    // to (value, class) counts first, every window walks distinct
+    // values only.
+    "q192_gini_stump" -> { (s, dir) =>
+      ordered(operators.Stats.giniStump(
+        Tables.lineitem(s, dir), Seq("l_quantity", "l_discount"),
+        "l_returnflag"))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6454,6 +6465,73 @@ ORDER BY ALL NULLS FIRST""",
         |  WHERE d < 3)
         |SELECT v AS vertice, CAST(min(d) AS BIGINT) AS nivel
         |FROM walk GROUP BY 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the value-collapse, the per-class cumulative grid, the
+    // exact HUGEINT products and the (score DESC, threshold ASC) argmax
+    // for each feature.
+    "q192_gini_stump" ->
+      """WITH src AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |    CAST(l_discount AS DOUBLE) AS d, l_returnflag AS c
+        |  FROM lineitem),
+        |cq AS (SELECT q AS limiar, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM src WHERE q IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+        |gq AS (SELECT v.limiar, cl.c, cl.tot, COALESCE(k.n, 0) AS n
+        |  FROM (SELECT DISTINCT limiar FROM cq) v
+        |  CROSS JOIN (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM cq
+        |    GROUP BY 1) cl
+        |  LEFT JOIN cq k ON k.limiar = v.limiar AND k.c = cl.c),
+        |uq AS (SELECT limiar, tot, sum(n) OVER (PARTITION BY c
+        |    ORDER BY limiar ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum FROM gq),
+        |tq AS (SELECT limiar, CAST(sum(cum) AS BIGINT) AS n_esq,
+        |    sum(CAST(cum AS HUGEINT) * cum) AS sl,
+        |    sum(CAST(tot - cum AS HUGEINT) * (tot - cum)) AS sr,
+        |    CAST(sum(tot) AS BIGINT) AS ntot
+        |  FROM uq GROUP BY 1),
+        |sq AS (SELECT 'l_quantity' AS atributo, limiar, n_esq,
+        |    ntot - n_esq AS n_dir,
+        |    CAST(CAST(n_esq AS HUGEINT) * n_esq - sl AS DOUBLE) /
+        |      CAST(CAST(n_esq AS HUGEINT) * n_esq AS DOUBLE) AS gini_esq,
+        |    CAST(CAST(ntot - n_esq AS HUGEINT) * (ntot - n_esq) - sr
+        |      AS DOUBLE) / CAST(CAST(ntot - n_esq AS HUGEINT) *
+        |      (ntot - n_esq) AS DOUBLE) AS gini_dir,
+        |    CAST(sl * (ntot - n_esq) + sr * n_esq AS DOUBLE) /
+        |      CAST(CAST(n_esq AS HUGEINT) * (ntot - n_esq) AS DOUBLE)
+        |      AS pontuacao
+        |  FROM tq WHERE ntot - n_esq > 0),
+        |bq AS (SELECT * FROM sq ORDER BY pontuacao DESC, limiar ASC
+        |  LIMIT 1),
+        |cd AS (SELECT d AS limiar, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM src WHERE d IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2),
+        |gd AS (SELECT v.limiar, cl.c, cl.tot, COALESCE(k.n, 0) AS n
+        |  FROM (SELECT DISTINCT limiar FROM cd) v
+        |  CROSS JOIN (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM cd
+        |    GROUP BY 1) cl
+        |  LEFT JOIN cd k ON k.limiar = v.limiar AND k.c = cl.c),
+        |ud AS (SELECT limiar, tot, sum(n) OVER (PARTITION BY c
+        |    ORDER BY limiar ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS cum FROM gd),
+        |td AS (SELECT limiar, CAST(sum(cum) AS BIGINT) AS n_esq,
+        |    sum(CAST(cum AS HUGEINT) * cum) AS sl,
+        |    sum(CAST(tot - cum AS HUGEINT) * (tot - cum)) AS sr,
+        |    CAST(sum(tot) AS BIGINT) AS ntot
+        |  FROM ud GROUP BY 1),
+        |sd AS (SELECT 'l_discount' AS atributo, limiar, n_esq,
+        |    ntot - n_esq AS n_dir,
+        |    CAST(CAST(n_esq AS HUGEINT) * n_esq - sl AS DOUBLE) /
+        |      CAST(CAST(n_esq AS HUGEINT) * n_esq AS DOUBLE) AS gini_esq,
+        |    CAST(CAST(ntot - n_esq AS HUGEINT) * (ntot - n_esq) - sr
+        |      AS DOUBLE) / CAST(CAST(ntot - n_esq AS HUGEINT) *
+        |      (ntot - n_esq) AS DOUBLE) AS gini_dir,
+        |    CAST(sl * (ntot - n_esq) + sr * n_esq AS DOUBLE) /
+        |      CAST(CAST(n_esq AS HUGEINT) * (ntot - n_esq) AS DOUBLE)
+        |      AS pontuacao
+        |  FROM td WHERE ntot - n_esq > 0),
+        |bd AS (SELECT * FROM sd ORDER BY pontuacao DESC, limiar ASC
+        |  LIMIT 1)
+        |SELECT atributo, limiar, n_esq, n_dir, gini_esq, gini_dir,
+        |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the value-collapse, both cumulative directions and the

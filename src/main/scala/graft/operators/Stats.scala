@@ -717,4 +717,85 @@ object Stats {
             (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
           .as("f1")): _*)
   }
+
+  /** Best single-feature split by weighted Gini impurity — the CART
+    * decision stump (Breiman et al. 1984), the one-level tree every
+    * boosted ensemble and every "which feature splits the labels best"
+    * EDA question starts from (the axis-aligned sibling of row 203's
+    * chi-squared ranking: chi2 ranks tokens, the stump picks the
+    * numeric cut).
+    *
+    * Minimizing weighted Gini `(n_L·G_L + n_R·G_R)/n` is maximizing
+    * `F(t) = S_L/n_L + S_R/n_R` with `S = Σ_c (class count)²` — so the
+    * engine keeps S and n EXACT (DECIMAL(38,0) squares of window
+    * cumulatives) and ranks by the double `F = (S_L·n_R + S_R·n_L) /
+    * (n_L·n_R)`: numerator and denominator are exact integer products,
+    * the score is ONE IEEE division, and equal scores break on the
+    * smaller threshold — the argmax is engine-deterministic (the q181
+    * discipline: no accumulated float ever decides). Headroom: the
+    * numerator is ≤ 2·|classes|·n³ — inside DECIMAL(38,0)/HUGEINT for
+    * any per-fit n ≤ ~10¹² rows; beyond that, pre-bin (row 216's
+    * quantile bins) — documented wall.
+    *
+    * Shape at 100 TB: the corpus collapses to (value, class) counts in
+    * ONE combinable aggregation per feature; the candidate grid is
+    * distinct-values × classes (never corpus-scale), the cumulative is
+    * one window per class over DISTINCT values, and the argmax window
+    * walks candidate thresholds only. Splits are `x ≤ t` at every
+    * distinct value except the last (an empty right side is not a
+    * split).
+    *
+    * Output: one row per feature — (atributo, limiar, n_esq, n_dir,
+    * gini_esq, gini_dir, pontuacao), pontuacao = the maximized F.
+    */
+  def giniStump(
+      df: DataFrame, featureCols: Seq[String], labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(featureCols.nonEmpty, "need at least one feature")
+    val dec = "decimal(19,0)"
+    val wide = "decimal(38,0)"
+    featureCols.map { f =>
+      val counts = df
+        .select(col(f).cast("double").as("limiar"),
+          col(labelCol).cast("string").as("__c"))
+        .filter(col("limiar").isNotNull && col("__c").isNotNull)
+        .groupBy("limiar", "__c").agg(count(lit(1L)).as("__n"))
+      val vals = counts.select("limiar").distinct()
+      val classes = counts.groupBy("__c").agg(sum(col("__n")).as("__tot"))
+      val wCum = Window.partitionBy(col("__c")).orderBy(col("limiar"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = vals.crossJoin(broadcast(classes))
+        .join(counts, Seq("limiar", "__c"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("__cum", sum(col("__n")).over(wCum))
+      val byThresh = grid.groupBy("limiar").agg(
+        sum(col("__cum")).as("n_esq"),
+        sum(col("__cum").cast(dec) * col("__cum").cast(dec)).as("__sl"),
+        sum((col("__tot") - col("__cum")).cast(dec) *
+          (col("__tot") - col("__cum")).cast(dec)).as("__sr"),
+        sum(col("__tot")).as("__ntot"))
+      val wBest = Window.orderBy(col("pontuacao").desc, col("limiar").asc)
+      byThresh
+        .withColumn("n_dir", col("__ntot") - col("n_esq"))
+        .filter(col("n_dir") > 0L)
+        .withColumn("pontuacao",
+          (col("__sl").cast(wide) * col("n_dir").cast(dec) +
+            col("__sr").cast(wide) * col("n_esq").cast(dec))
+            .cast("double") /
+          (col("n_esq").cast(dec) * col("n_dir").cast(dec)).cast("double"))
+        .withColumn("gini_esq",
+          (col("n_esq").cast(dec) * col("n_esq").cast(dec) - col("__sl"))
+            .cast("double") /
+          (col("n_esq").cast(dec) * col("n_esq").cast(dec)).cast("double"))
+        .withColumn("gini_dir",
+          (col("n_dir").cast(dec) * col("n_dir").cast(dec) - col("__sr"))
+            .cast("double") /
+          (col("n_dir").cast(dec) * col("n_dir").cast(dec)).cast("double"))
+        .withColumn("__rn", row_number().over(wBest))
+        .filter(col("__rn") === 1)
+        .select(lit(f).as("atributo"), col("limiar"), col("n_esq"),
+          col("n_dir"), col("gini_esq"), col("gini_dir"), col("pontuacao"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1612,4 +1612,19 @@ class OperatorSpec extends SparkSpec {
       (4, 1.0, 0.0, false), (5, 2.0, 0.0, false), (6, 3.0, 0.0, true)),
       s"got $got")
   }
+
+  test("giniStump: hand Gini argmax per feature, exact-tie broken on " +
+      "the smaller threshold, empty right side never a candidate") {
+    // feature x: t=1 and t=2 score the SAME F = 4.5 -> tie-break keeps
+    // t=1; feature y separates perfectly at t=1 -> F = 6, gini 0/0
+    val df = Seq(
+      (1.0, 1.0, "a"), (1.0, 1.0, "a"), (2.0, 1.0, "a"),
+      (2.0, 9.0, "b"), (3.0, 9.0, "b"), (3.0, 9.0, "b"))
+      .toDF("x", "y", "rotulo")
+    val got = Stats.giniStump(df, Seq("x", "y"), "rotulo")
+      .as[(String, Double, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("x") == (("x", 1.0, 2L, 4L, 0.0, 0.375, 4.5)), s"got $got")
+    assert(got("y") == (("y", 1.0, 3L, 3L, 0.0, 0.0, 6.0)), s"got $got")
+  }
 }
