@@ -2522,6 +2522,17 @@ object SparkEntry {
         "l_returnflag"))
     },
 
+    // Spearman rank correlation, engine-exact: tie-averaged ranks as
+    // doubled integers from distinct-value collapses, DECIMAL(38,0)
+    // sufficient statistics, a fixed sqrt/division IEEE edge per pair.
+    "q193_spearman" -> { (s, dir) =>
+      ordered(operators.Stats.spearmanCorr(
+        Tables.lineitem(s, dir), Seq(
+          ("l_quantity", "l_extendedprice"),
+          ("l_quantity", "l_discount"),
+          ("l_extendedprice", "l_discount"))))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6534,6 +6545,13 @@ ORDER BY ALL NULLS FIRST""",
         |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // Replays the doubled tie-averaged ranks from distinct-value
+    // collapses, the HUGEINT statistics and the fixed sqrt/÷ edge.
+    "q193_spearman" -> spearmanOracle(Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_quantity", "l_discount"),
+      ("l_extendedprice", "l_discount"))),
+
     // Replays the value-collapse, both cumulative directions and the
     // single-division ratios.
     "q187_pr_curve" ->
@@ -7241,6 +7259,42 @@ ORDER BY ALL NULLS FIRST""",
     * DECIMAL contribution sum, the damped update — same IEEE op order as
     * the engine expression.
     */
+  /** One doubled-rank Pearson replay per pair, UNION ALL'd — mirrors
+    * `Stats.spearmanCorr` token for token at the IEEE edge.
+    */
+  private def spearmanOracle(pairs: Seq[(String, String)]): String = {
+    val blocks = pairs.map { case (xc, yc) =>
+      s"""SELECT * FROM (
+         |WITH b AS (SELECT CAST($xc AS DOUBLE) AS x, CAST($yc AS DOUBLE)
+         |    AS y FROM lineitem
+         |  WHERE $xc IS NOT NULL AND $yc IS NOT NULL),
+         |cx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM b
+         |  GROUP BY 1),
+         |rx AS (SELECT v, 2 * COALESCE(sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1 AS r2 FROM cx),
+         |cy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt FROM b
+         |  GROUP BY 1),
+         |ry AS (SELECT v, 2 * COALESCE(sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1 AS r2 FROM cy),
+         |j AS (SELECT CAST(rx.r2 AS HUGEINT) AS rxv,
+         |    CAST(ry.r2 AS HUGEINT) AS ryv
+         |  FROM b JOIN rx ON b.x = rx.v JOIN ry ON b.y = ry.v),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rxv) AS sx,
+         |    sum(ryv) AS sy, sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy,
+         |    sum(rxv * ryv) AS sxy FROM j)
+         |SELECT '$xc' AS coluna_x, '$yc' AS coluna_y, n,
+         |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |    THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+         |  END AS rho
+         |FROM st)""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY ALL NULLS FIRST")
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val base = """WITH e AS (
       |  SELECT DISTINCT src, dst FROM (

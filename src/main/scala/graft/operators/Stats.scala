@@ -798,4 +798,75 @@ object Stats {
           col("n_dir"), col("gini_esq"), col("gini_dir"), col("pontuacao"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Spearman rank correlation with tie-averaged ranks (Spearman 1904)
+    * — the monotonic-association screen run before any linear model:
+    * robust to outliers and to any monotone transform, which Pearson on
+    * raw values is not. Where most engines surface it as an
+    * approximate two-pass float routine, this one is ENGINE-EXACT:
+    * tie-averaged ranks are half-integers, so the engine works in
+    * DOUBLED ranks — `r₂ = 2·(count below) + (count equal) + 1`, an
+    * integer — and Pearson-on-ranks reduces to exact DECIMAL(38,0)
+    * sufficient statistics with a fixed `num / (sqrt(dx)·sqrt(dy))`
+    * IEEE edge (sqrt/÷/× each correctly rounded → bit-identical in any
+    * engine). Headroom: n·Σr₂² ≤ 4n⁴ → n ≤ ~3·10⁹ rows per fit inside
+    * 38 digits — documented wall (beyond it, sample or pre-bin).
+    *
+    * Shape at 100 TB: ranks depend only on the VALUE, so each column
+    * collapses to its distinct values (one combinable count + one
+    * cumulative window over distinct values — never a corpus-wide rank
+    * sort); rows join the two small value→rank maps back and ONE
+    * combinable aggregation produces every statistic. Pairs with a
+    * constant column report null rho.
+    *
+    * Output: one row per pair — (coluna_x, coluna_y, n, rho).
+    */
+  def spearmanCorr(
+      df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairs.nonEmpty, "need at least one column pair")
+    val d19 = "decimal(19,0)"
+    pairs.map { case (xc, yc) =>
+      val base = df
+        .select(col(xc).cast("double").as("__x"),
+          col(yc).cast("double").as("__y"))
+        .filter(col("__x").isNotNull && col("__y").isNotNull)
+        .transform(graft.llm.CacheScope.persistTracked)
+      def rankMap(c: String): DataFrame = {
+        val wBelow = Window.orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.groupBy(col(c).as("__v")).agg(count(lit(1L)).as("__cnt"))
+          .withColumn("__below",
+            coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+          .select(col("__v"),
+            (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"))
+      }
+      val ranked = base
+        .join(rankMap("__x").withColumnRenamed("__r2", "__rx"),
+          col("__x") === col("__v")).drop("__v")
+        .join(rankMap("__y").withColumnRenamed("__r2", "__ry"),
+          col("__y") === col("__v")).drop("__v")
+      val stats = ranked.agg(
+        count(lit(1L)).as("n"),
+        sum(col("__rx").cast(d19)).as("__sx"),
+        sum(col("__ry").cast(d19)).as("__sy"),
+        sum(col("__rx").cast(d19) * col("__rx").cast(d19)).as("__sxx"),
+        sum(col("__ry").cast(d19) * col("__ry").cast(d19)).as("__syy"),
+        sum(col("__rx").cast(d19) * col("__ry").cast(d19)).as("__sxy"))
+      stats.select(
+        lit(xc).as("coluna_x"), lit(yc).as("coluna_y"), col("n"),
+        {
+          val dx = col("n").cast(d19) * col("__sxx") -
+            col("__sx") * col("__sx")
+          val dy = col("n").cast(d19) * col("__syy") -
+            col("__sy") * col("__sy")
+          val num = col("n").cast(d19) * col("__sxy") -
+            col("__sx") * col("__sy")
+          when(dx > 0 && dy > 0,
+            num.cast("double") /
+              (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
+            .as("rho")
+        })
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1627,4 +1627,25 @@ class OperatorSpec extends SparkSpec {
     assert(got("x") == (("x", 1.0, 2L, 4L, 0.0, 0.375, 4.5)), s"got $got")
     assert(got("y") == (("y", 1.0, 3L, 3L, 0.0, 0.0, 6.0)), s"got $got")
   }
+
+  test("spearmanCorr: tie-averaged doubled ranks match the hand " +
+      "Pearson-on-ranks, symmetric, constant column yields null") {
+    val df = Seq((1.0, 10.0, 1.0, 1.0, 5.0), (2.0, 20.0, 2.0, 1.0, 5.0),
+      (2.0, 30.0, 2.0, 2.0, 5.0), (3.0, 40.0, 3.0, 2.0, 5.0))
+      .toDF("a", "b", "x", "y", "k")
+    val got = Stats.spearmanCorr(df,
+      Seq(("a", "b"), ("b", "a"), ("x", "y"), ("a", "k")))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // a is monotone in b but with one tie: doubled ranks a=[2,5,5,8],
+    // b=[2,4,6,8] -> rho = 72/(sqrt(72)*sqrt(80)); x/y is the classic
+    // half-tied table -> 48/(sqrt(72)*sqrt(64)) = 1/sqrt(2)
+    assert(got(("a", "b")) ==
+      ((4L, Some(72.0 / (math.sqrt(72.0) * math.sqrt(80.0))))), s"got $got")
+    assert(got(("b", "a"))._2 == got(("a", "b"))._2, s"got $got")
+    assert(got(("x", "y")) ==
+      ((4L, Some(48.0 / (math.sqrt(72.0) * math.sqrt(64.0))))), s"got $got")
+    assert(got(("a", "k")) == ((4L, None)), s"got $got")
+    graft.llm.CacheScope.releaseAll()
+  }
 }
