@@ -721,7 +721,7 @@ object Stats {
   /** Best single-feature split by weighted Gini impurity — the CART
     * decision stump (Breiman et al. 1984), the one-level tree every
     * boosted ensemble and every "which feature splits the labels best"
-    * EDA question starts from (the axis-aligned sibling of row 203's
+    * EDA question starts from (the axis-aligned sibling of row 204's
     * chi-squared ranking: chi2 ranks tokens, the stump picks the
     * numeric cut).
     *
@@ -734,7 +734,7 @@ object Stats {
     * smaller threshold — the argmax is engine-deterministic (the q181
     * discipline: no accumulated float ever decides). Headroom: the
     * numerator is ≤ 2·|classes|·n³ — inside DECIMAL(38,0)/HUGEINT for
-    * any per-fit n ≤ ~10¹² rows; beyond that, pre-bin (row 216's
+    * any per-fit n ≤ ~10¹² rows; beyond that, pre-bin (row 189's
     * quantile bins) — documented wall.
     *
     * Shape at 100 TB: the corpus collapses to (value, class) counts in

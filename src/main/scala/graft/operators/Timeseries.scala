@@ -342,7 +342,7 @@ object Timeseries {
     * series — the sequential drift alarm: a persistent shift of the
     * mean accumulates in the one-sided statistics long before any
     * single point looks anomalous (which is exactly what the z-score /
-    * MAD flags of rows 186/193 cannot see).
+    * MAD flags of rows 167/187 cannot see).
     *
     * Recursive form `S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))` is
     * not a SQL window — but its closed form is: `S⁺_t = C_t − min_{j≤t}
