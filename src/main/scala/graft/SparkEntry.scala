@@ -2533,6 +2533,30 @@ object SparkEntry {
           ("l_extendedprice", "l_discount"))))
     },
 
+    // Two-proportion z-test on per-user conversion (arms by user-id
+    // parity): the corpus collapses to one row per user, counts come
+    // from ONE conditional aggregation, z is a fixed IEEE chain from
+    // exact BIGINTs.
+    "q194_ab_test" -> { (s, dir) =>
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(col("event_type") === "purchase" && col("value") > 90.0)
+          .as("converteu"))
+        .withColumn("braco",
+          when(col("user_id") % 2 === 0, "par").otherwise("impar"))
+      ordered(operators.Stats.proportionZTest(
+        users, "braco", "converteu", "par", "impar"))
+    },
+
+    // Kruskal-Wallis H across return-flag groups on extended price:
+    // doubled tie-averaged ranks from the distinct-value collapse,
+    // exact tie term, per-group divisions folded through
+    // DECIMAL(38,18).
+    "q195_kruskal_wallis" -> { (s, dir) =>
+      ordered(operators.Stats.kruskalWallis(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice"))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6543,6 +6567,79 @@ ORDER BY ALL NULLS FIRST""",
         |  LIMIT 1)
         |SELECT atributo, limiar, n_esq, n_dir, gini_esq, gini_dir,
         |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-user collapse, the one-pass conditional counts
+    // and the fixed pooled-variance IEEE chain.
+    "q194_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(event_type = 'purchase' AND value > 90.0) AS converteu,
+        |    CASE WHEN user_id % 2 = 0 THEN 'par' ELSE 'impar' END
+        |      AS braco
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(count(*) FILTER (braco = 'par') AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (braco = 'par' AND converteu)
+        |      AS BIGINT) AS x_a,
+        |    CAST(count(*) FILTER (braco = 'impar') AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (braco = 'impar' AND converteu)
+        |      AS BIGINT) AS x_b
+        |  FROM u WHERE braco IN ('par', 'impar'))
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a > 0 THEN CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    END AS taxa_a,
+        |  CASE WHEN n_b > 0 THEN CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    END AS taxa_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+        |      AND x_a + x_b < n_a + n_b THEN
+        |    (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |     CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |    sqrt(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) *
+        |      (1.0 - CAST(x_a + x_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |  END AS z
+        |FROM c
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the doubled ranks, the exact tie term, the per-group
+    // divisions through DECIMAL(38,18) and the fixed H / correction
+    // edge.
+    "q195_kruskal_wallis" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b
+        |  GROUP BY 1),
+        |rk AS (SELECT v, 2 * COALESCE(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2,
+        |    CAST(cnt AS HUGEINT) * cnt * cnt - cnt AS t FROM cv),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_grupo,
+        |    sum(CAST(r2 AS HUGEINT)) AS rg2
+        |  FROM b JOIN rk USING (v) GROUP BY 1),
+        |tt AS (SELECT sum(t) AS st FROM rk),
+        |tot AS (SELECT CAST(sum(n_grupo) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    sum(CAST(CAST(rg2 * rg2 AS DOUBLE) /
+        |      CAST(n_grupo AS DOUBLE) AS DECIMAL(38,18))) AS s2
+        |  FROM pg)
+        |SELECT g AS grupo, n_grupo,
+        |  CAST(rg2 AS DOUBLE) / (2.0 * CAST(n_grupo AS DOUBLE))
+        |    AS posto_medio,
+        |  k - 1 AS gl,
+        |  (3.0 * CAST(s2 AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+        |    3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+        |  CASE WHEN st < CAST(n AS HUGEINT) * n * n - n THEN
+        |    ((3.0 * CAST(s2 AS DOUBLE)) /
+        |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
+        |      3.0 * (CAST(n AS DOUBLE) + 1.0)) /
+        |    (1.0 - CAST(st AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+        |        CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+        |  END AS h_corr
+        |FROM pg, tot, tt
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the doubled tie-averaged ranks from distinct-value

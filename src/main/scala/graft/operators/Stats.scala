@@ -869,4 +869,117 @@ object Stats {
         })
     }.reduce(_.unionByName(_))
   }
+
+  /** Two-proportion z-test (the A/B experiment readout): pooled
+    * standard error, `z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))` —
+    * the first statistic every conversion experiment ships.
+    *
+    * Counts are exact BIGINTs from ONE combinable conditional
+    * aggregation over the scan (never a pass per arm); every reported
+    * rate is ONE IEEE division and z is a FIXED parenthesization of
+    * correctly-rounded ops from those exact counts (the row-205
+    * discipline) — engine-identical under any partitioning. Degenerate
+    * designs (an empty arm, or a pooled rate of exactly 0/1, where the
+    * null model has zero variance) report null z.
+    *
+    * Output: one row — (n_a, x_a, n_b, x_b, taxa_a, taxa_b, z).
+    */
+  def proportionZTest(
+      df: DataFrame, armCol: String, successCol: String,
+      armA: String, armB: String): DataFrame = {
+    val counts = df.filter(col(armCol).isin(armA, armB))
+      .agg(
+        sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === armA && col(successCol), 1L)
+          .otherwise(0L)).as("x_a"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col(armCol) === armB && col(successCol), 1L)
+          .otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("x_a").cast("double") / na
+    val pb = col("x_b").cast("double") / nb
+    val pp = (col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    counts.select(
+      col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") > 0L, pa).as("taxa_a"),
+      when(col("n_b") > 0L, pb).as("taxa_b"),
+      when(col("n_a") > 0L && col("n_b") > 0L &&
+          col("x_a") + col("x_b") > 0L &&
+          col("x_a") + col("x_b") < col("n_a") + col("n_b"),
+        (pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)))
+        .as("z"))
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) with the tie
+    * correction — "do these k groups draw from the same distribution?"
+    * on ranks: the nonparametric ANOVA, the 3-plus-group generalization
+    * of the Mann–Whitney machinery row 198's AUC already carries.
+    *
+    * Same doubled-rank discipline as row 209: tie-averaged ranks as the
+    * exact integer `2·below + equal + 1` from a distinct-value
+    * collapse, per-group rank sums exact DECIMAL, the tie term
+    * `ΣT = Σ(t³−t)` exact from the same collapse. With doubled ranks
+    * `H = 3·(Σ_g R₂g²/n_g)/(n(n+1)) − 3(n+1)` — each group's
+    * `R₂g²/n_g` is ONE IEEE division of exact decimals, the k per-group
+    * doubles accumulate through DECIMAL(38,18) (order-independent, the
+    * q184 discipline), and the edge is a fixed parenthesization;
+    * `H_corr = H/(1 − ΣT/(n³−n))`, null when every value ties (zero
+    * variance). Headroom: R₂g² ≤ 4n⁴ → n ≤ ~3·10⁹ per fit — documented
+    * wall.
+    *
+    * Shape at 100 TB: one distinct-value collapse + one cumulative
+    * window over distinct values (never a corpus-wide rank sort), one
+    * row join back through the value→rank map, ONE combinable per-group
+    * aggregation; groups, not rows, reach the final fold. Output: one
+    * row per group — (grupo, n_grupo, posto_medio, gl, h, h_corr).
+    */
+  def kruskalWallis(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d19 = "decimal(19,0)"
+    val base = df
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .transform(graft.llm.CacheScope.persistTracked)
+    val wBelow = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = base.groupBy("__v").agg(count(lit(1L)).as("__cnt"))
+      .withColumn("__below",
+        coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+      .select(col("__v"),
+        (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"),
+        (col("__cnt").cast(d19) * col("__cnt").cast(d19) *
+          col("__cnt").cast(d19) - col("__cnt").cast(d19)).as("__t"))
+    val perGroup = base.join(ranks, Seq("__v"))
+      .groupBy("__g").agg(
+        count(lit(1L)).as("n_grupo"),
+        sum(col("__r2").cast(d19)).as("__rg2"))
+    val ties = ranks.agg(sum(col("__t")).as("__st"))
+    val tot = perGroup.agg(
+      sum(col("n_grupo")).as("__n"),
+      count(lit(1L)).as("__k"),
+      sum(((col("__rg2") * col("__rg2")).cast("double") /
+        col("n_grupo").cast("double")).cast("decimal(38,18)"))
+        .as("__s2sum"))
+    val nd = col("__n").cast("double")
+    val h = (lit(3.0) * col("__s2sum").cast("double")) /
+      (nd * (nd + lit(1.0))) - lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) -
+      col("__st").cast("double") / (nd * nd * nd - nd)
+    perGroup
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ties))
+      .select(col("__g").as("grupo"), col("n_grupo"),
+        (col("__rg2").cast("double") /
+          (lit(2.0) * col("n_grupo").cast("double"))).as("posto_medio"),
+        (col("__k") - 1L).as("gl"),
+        h.as("h"),
+        when(col("__st") < col("__n").cast(d19) * col("__n").cast(d19) *
+            col("__n").cast(d19) - col("__n").cast(d19), h / corr)
+          .as("h_corr"))
+  }
 }

@@ -1648,4 +1648,49 @@ class OperatorSpec extends SparkSpec {
     assert(got(("a", "k")) == ((4L, None)), s"got $got")
     graft.llm.CacheScope.releaseAll()
   }
+
+  test("proportionZTest: hand z from exact counts, degenerate pooled " +
+      "rates report null") {
+    val df = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", false), ("b", false), ("b", false),
+      ("c", true)) // arm c must be ignored
+      .toDF("braco", "sucesso")
+    val got = Stats.proportionZTest(df, "braco", "sucesso", "a", "b")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    val z = (0.75 - 0.25) /
+      math.sqrt(0.5 * (1.0 - 0.5) * (1.0 / 4.0 + 1.0 / 4.0))
+    assert(got == ((4L, 3L, 4L, 1L, Some(0.75), Some(0.25), Some(z))),
+      s"got $got")
+    // every trial succeeds -> zero pooled variance -> null z
+    val allWin = Seq(("a", true), ("b", true)).toDF("braco", "sucesso")
+    val g2 = Stats.proportionZTest(allWin, "braco", "sucesso", "a", "b")
+      .select("z").as[Option[Double]].collect().head
+    assert(g2.isEmpty, s"got $g2")
+  }
+
+  test("kruskalWallis: hand H with and without ties, all-tied data " +
+      "reports null corrected H") {
+    // no ties: A={1,2} B={3,4} -> H = 2.4, correction is identity
+    val a = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val h0 = 3.0 * 116.0 / (4.0 * (4.0 + 1.0)) - 3.0 * (4.0 + 1.0)
+    val got = Stats.kruskalWallis(a, "g", "v")
+      .as[(String, Long, Double, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 2L, 1.5, 1L, h0, Some(h0))), s"got $got")
+    assert(got("B") == (("B", 2L, 3.5, 1L, h0, Some(h0))), s"got $got")
+    // full ties inside each group: sumT = 12 -> H/0.8 = 3.0 exactly
+    val b = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val hc = Stats.kruskalWallis(b, "g", "v")
+      .select("h_corr").as[Option[Double]].collect().toSet
+    assert(hc == Set(Some(h0 / 0.8)), s"got $hc")
+    // every value identical -> zero rank variance -> null corrected H
+    val c = Seq(("A", 5.0), ("A", 5.0), ("B", 5.0)).toDF("g", "v")
+    val nc = Stats.kruskalWallis(c, "g", "v")
+      .select("h_corr").as[Option[Double]].collect().toSet
+    assert(nc == Set(None), s"got $nc")
+    graft.llm.CacheScope.releaseAll()
+  }
 }
