@@ -2557,6 +2557,20 @@ object SparkEntry {
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice"))
     },
 
+    // Vocabulary coverage / OOV audit: top-20 unigram vocabulary fit
+    // on the doc_id%3==0 training slice (count desc, token asc - the
+    // deterministic q70 top-k; 20 of the corpus's 31 types, so real
+    // OOV mass), broadcast onto the full corpus's token
+    // stream; exact counts, one division per doc.
+    "q196_vocab_coverage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val vocab = llm.TextAnalysis.topNgrams(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        n = 1, k = 20)
+      ordered(llm.TextAnalysis.vocabCoverage(
+        docs, "doc_id", "text", vocab, "ngram"))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6567,6 +6581,36 @@ ORDER BY ALL NULLS FIRST""",
         |  LIMIT 1)
         |SELECT atributo, limiar, n_esq, n_dir, gini_esq, gini_dir,
         |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the training-slice vocabulary fit (multiplicity counts,
+    // count-desc token-asc top-20), the marked token stream and the
+    // per-doc exact counts + single division.
+    "q196_vocab_coverage" ->
+      """WITH tr AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |ttok AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS t FROM tr),
+        |voc AS (SELECT t FROM (SELECT t, count(*) AS c FROM ttok
+        |  GROUP BY 1 ORDER BY c DESC, t ASC LIMIT 20)),
+        |atok AS (SELECT doc_id, unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS t FROM documents),
+        |m AS (SELECT f.doc_id, f.t, (v.t IS NOT NULL) AS dentro
+        |  FROM (SELECT doc_id, t FROM atok WHERE t <> '') f
+        |  LEFT JOIN (SELECT DISTINCT t FROM voc) v ON f.t = v.t),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (NOT dentro) AS BIGINT) AS n_oov,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_tipos,
+        |    CAST(count(DISTINCT t) FILTER (NOT dentro) AS BIGINT)
+        |      AS n_tipos_oov
+        |  FROM m GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_oov, 0) AS n_oov, COALESCE(n_tipos, 0) AS n_tipos,
+        |  COALESCE(n_tipos_oov, 0) AS n_tipos_oov,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+        |    CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  END AS taxa_oov
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN ag USING (doc_id)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the per-user collapse, the one-pass conditional counts

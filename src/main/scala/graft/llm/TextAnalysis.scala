@@ -752,6 +752,47 @@ object TextAnalysis {
       .drop("__num", "__den")
   }
 
+  /** Tokenizer-vocabulary coverage / OOV-rate audit — the acceptance
+    * gate a vocabulary (BPE merges, row 135; top-k unigrams, row 70)
+    * passes before a training run commits to it: per document, how
+    * much of the token stream the vocabulary covers, and how many
+    * TYPES it misses (a high token-OOV with low type-OOV means a few
+    * hot unknown words; the reverse means long-tail noise).
+    *
+    * Shape at 100 TB: the vocabulary is bounded by contract (it IS the
+    * deliverable of a top-k/BPE fit) so it BROADCASTS onto the
+    * scan-level token explode — the corpus never shuffles against it;
+    * per-doc stats are ONE combinable aggregation. Every count is an
+    * exact BIGINT; the rate is ONE IEEE division. Docs with no tokens
+    * report zeros and a null rate (absence ≠ full coverage).
+    *
+    * Output: (idCol, n_tokens, n_oov, n_tipos, n_tipos_oov, taxa_oov).
+    */
+  def vocabCoverage(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    val v = vocab.select(col(vocabCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1L))
+    val toks = Spread(docs.select(col(idCol).as("__id"),
+        col(textCol).as("__t")))
+      .select(col("__id"), explode(tokens(col("__t"))).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val agg = toks.join(broadcast(v), Seq("__tok"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1L)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"),
+        count_distinct(col("__tok")).as("n_tipos"),
+        count_distinct(when(col("__in").isNull, col("__tok")))
+          .as("n_tipos_oov"))
+    docs.select(col(idCol)).distinct()
+      .join(agg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov", "n_tipos", "n_tipos_oov"))
+      .withColumn("taxa_oov",
+        when(col("n_tokens") > 0L,
+          col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Collocation extraction by pointwise mutual information — which
     * adjacent token pairs co-occur far more than their unigram
     * frequencies predict ("new york", "machine learning"): the corpus

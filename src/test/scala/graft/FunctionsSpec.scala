@@ -477,6 +477,25 @@ class FunctionsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("vocabCoverage: token vs type OOV from a hand vocabulary, " +
+      "empty docs report zeros with null rate") {
+    import graft.llm.TextAnalysis.vocabCoverage
+    val docs = Seq(
+      (1L, "um dois dois tres"), // tres OOV: 1/4 tokens, 1/3 types
+      (2L, "um um um um"),       // fully covered
+      (3L, "zz zz yy"),          // fully OOV: 3 tokens, 2 types
+      (4L, "  "))                // no tokens at all
+      .toDF("doc_id", "text")
+    val vocab = Seq("um", "dois", "quatro").toDF("termo")
+    val got = vocabCoverage(docs, "doc_id", "text", vocab, "termo")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 1L, 3L, 1L, Some(0.25))), s"got $got")
+    assert(got(2L) == ((2L, 4L, 0L, 1L, 0L, Some(0.0))), s"got $got")
+    assert(got(3L) == ((3L, 3L, 3L, 2L, 2L, Some(1.0))), s"got $got")
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 0L, None)), s"got $got")
+  }
+
   test("chiSquaredFeatures: hand 2x2 table, absence association " +
       "surfaces, and the integer gate keeps the exact-threshold row") {
     import graft.llm.TextAnalysis.chiSquaredFeatures
