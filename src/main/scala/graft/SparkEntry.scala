@@ -2571,6 +2571,28 @@ object SparkEntry {
         docs, "doc_id", "text", vocab, "ngram"))
     },
 
+    // Classical additive decomposition of the daily event-value series
+    // (weekly period): centered 7-point trend with honest null edges,
+    // per-position seasonal means routed through DECIMAL(38,18),
+    // value = trend + seasonal + residual on every interior day.
+    "q197_seasonal_decomp" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("dia"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("total"))
+      ordered(operators.Timeseries.classicalDecomposition(
+        daily, "dia", "total", period = 7, scale = 2))
+    },
+
+    // Item-item cosine recommendations from order co-purchases:
+    // within-basket pair counts (never catalog^2), minPairs=2 noise
+    // cut, fixed sqrt/division cosine, bounded-heap top-5 per item.
+    "q198_item_cosine" -> { (s, dir) =>
+      ordered(operators.Basket.itemCosineTopK(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        k = 5, minPairs = 2L))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6581,6 +6603,59 @@ ORDER BY ALL NULLS FIRST""",
         |  LIMIT 1)
         |SELECT atributo, limiar, n_esq, n_dir, gini_esq, gini_dir,
         |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the within-basket pairs, the minPairs cut, the fixed
+    // cosine chain and the (score DESC, item ASC) per-item top-5.
+    "q198_item_cosine" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |sup AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM it
+        |  GROUP BY 1),
+        |pr AS (SELECT a.i AS item_a, c.i AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ambos
+        |  FROM it a JOIN it c ON a.b = c.b AND a.i <> c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT item_a, item_b, n_ambos,
+        |    CAST(n_ambos AS DOUBLE) / (sqrt(CAST(sa.n AS DOUBLE)) *
+        |      sqrt(CAST(sb.n AS DOUBLE))) AS cosseno
+        |  FROM pr JOIN sup sa ON sa.i = item_a
+        |  JOIN sup sb ON sb.i = item_b),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY item_a
+        |    ORDER BY cosseno DESC, item_b ASC) AS posicao FROM sc)
+        |SELECT item_a, CAST(posicao AS INT) AS posicao, item_b, cosseno,
+        |  n_ambos
+        |FROM rk WHERE posicao <= 5
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the daily collapse, the centered window with null edges,
+    // the decimal-routed seasonal means and the fixed recomposition.
+    "q197_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS dia,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT dia, CAST(total AS DECIMAL(18,2)) AS x,
+        |    CAST((row_number() OVER (ORDER BY dia) - 1) % 7 AS BIGINT)
+        |      AS posicao,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      CAST(sum(CAST(total AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+        |        / 7.0 END AS tendencia
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY dia
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT dia, x, posicao, tendencia,
+        |    CAST(x AS DOUBLE) - tendencia AS detr FROM b),
+        |pp AS (SELECT posicao,
+        |    CAST(sum(CAST(detr AS DECIMAL(38,18))) AS DOUBLE) /
+        |      CAST(count(detr) AS DOUBLE) AS s_bruto
+        |  FROM d GROUP BY 1),
+        |ct AS (SELECT
+        |    CAST(sum(CAST(s_bruto AS DECIMAL(38,18))) AS DOUBLE) /
+        |      CAST(count(s_bruto) AS DOUBLE) AS m FROM pp)
+        |SELECT dia, CAST(x AS DOUBLE) AS valor, posicao, tendencia,
+        |  s_bruto - m AS sazonal, detr - (s_bruto - m) AS residuo
+        |FROM d JOIN pp USING (posicao) CROSS JOIN ct
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the training-slice vocabulary fit (multiplicity counts,

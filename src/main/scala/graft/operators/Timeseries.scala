@@ -392,4 +392,61 @@ object Timeseries {
           col("__dn") > col("__n") * lit(threshold).cast(dec))
           .as("alarme"))
   }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method of Macaulay 1931, the pre-STL textbook form): value =
+    * trend + seasonal + residual — the first decomposition read on any
+    * operational series, and the normalization behind
+    * seasonally-adjusted anomaly flags.
+    *
+    * trend = centered `period`-point moving average (null where the
+    * window is incomplete — edges are NOT fabricated); seasonal = the
+    * per-position mean of the detrended series, centered so the
+    * seasonal components sum to ~0 over one period; residual = what
+    * remains. Determinism: the only aggregations of DOUBLES (the
+    * per-position and centering means) accumulate through
+    * DECIMAL(38,18) casts (order-independent, the q184 discipline);
+    * every division is a single correctly-rounded IEEE op from those
+    * sums, and subtraction chains are fixed parenthesizations — the
+    * oracle replays token for token.
+    *
+    * Same contract as [[autocorrelation]]: one row per bucket, values
+    * exact at `scale`; all windows walk buckets, never events.
+    * `period` must be odd (a centered window of even length needs the
+    * 2×period double pass — out of scope). Output: (time, valor,
+    * posicao, tendencia, sazonal, residuo).
+    */
+  def classicalDecomposition(
+      series: DataFrame, timeCol: String, valueCol: String,
+      period: Int = 7, scale: Int = 2): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"need an odd period >= 3, got $period")
+    val dec = s"decimal(18,$scale)"
+    val half = period / 2
+    val wOrd = Window.orderBy(col(timeCol))
+    val wTrend = wOrd.rowsBetween(-half, half)
+    val base = series
+      .select(col(timeCol), col(valueCol).cast(dec).as("__x"))
+      .withColumn("posicao",
+        ((row_number().over(wOrd) - 1) % period).cast("long"))
+      .withColumn("tendencia",
+        when(count(lit(1L)).over(wTrend) === period,
+          sum(col("__x")).over(wTrend).cast("double") /
+            lit(period.toDouble)))
+      .withColumn("__detr",
+        col("__x").cast("double") - col("tendencia"))
+    val porPos = base.groupBy("posicao").agg(
+      (sum(col("__detr").cast("decimal(38,18)")).cast("double") /
+        count(col("__detr")).cast("double")).as("__s_bruto"))
+    val centro = porPos.agg(
+      (sum(col("__s_bruto").cast("decimal(38,18)")).cast("double") /
+        count(col("__s_bruto")).cast("double")).as("__m"))
+    base
+      .join(porPos, Seq("posicao"))
+      .crossJoin(broadcast(centro))
+      .select(col(timeCol), col("__x").cast("double").as("valor"),
+        col("posicao"), col("tendencia"),
+        (col("__s_bruto") - col("__m")).as("sazonal"),
+        (col("__detr") - (col("__s_bruto") - col("__m"))).as("residuo"))
+  }
 }

@@ -1693,4 +1693,46 @@ class OperatorSpec extends SparkSpec {
     assert(nc == Set(None), s"got $nc")
     graft.llm.CacheScope.releaseAll()
   }
+
+  test("classicalDecomposition: hand 3-period decomposition — centered " +
+      "trend with null edges, seasonal sums to ~0, value recomposes") {
+    val df = Seq((1, 3), (2, 1), (3, 2), (4, 4), (5, 5)).toDF("t", "x")
+    val got = Timeseries
+      .classicalDecomposition(df, "t", "x", period = 3, scale = 0)
+      .as[(Int, Double, Long, Option[Double], Option[Double],
+        Option[Double])].collect().sortBy(_._1)
+    // positions cycle 0,1,2,0,1; trend = exact centered means
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (1, 3.0, 0L, None), (2, 1.0, 1L, Some(6.0 / 3.0)),
+      (3, 2.0, 2L, Some(7.0 / 3.0)), (4, 4.0, 0L, Some(11.0 / 3.0)),
+      (5, 5.0, 1L, None)), s"got ${got.toSeq}")
+    // seasonal components over one period center to ~0, and for every
+    // interior row value = trend + seasonal + residual
+    val seas = got.map(_._5.get)
+    assert(math.abs(seas(0) + seas(1) + seas(2)) < 1e-12,
+      s"got ${seas.toSeq}")
+    for (r <- got if r._4.isDefined) {
+      assert(math.abs(r._2 - (r._4.get + r._5.get + r._6.get)) < 1e-12,
+        s"row $r does not recompose")
+    }
+    // edge rows: no trend -> no residual, but seasonal still reported
+    assert(got(0)._6.isEmpty && got(4)._6.isEmpty)
+  }
+
+  test("itemCosineTopK: hand cosines, popularity normalization, " +
+      "per-item ranking with bounded k") {
+    val df = Seq((1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30),
+      (4, 20), (5, 30)).toDF("cesta", "item")
+    val got = Basket.itemCosineTopK(df, "cesta", "item", k = 2)
+      .as[(Long, Int, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val c12 = 2.0 / (math.sqrt(3.0) * math.sqrt(3.0))
+    val c13 = 1.0 / (math.sqrt(3.0) * math.sqrt(2.0))
+    assert(got((10L, 1)) == ((20L, c12, 2L)), s"got $got")
+    assert(got((10L, 2)) == ((30L, c13, 1L)), s"got $got")
+    assert(got((20L, 1)) == ((10L, c12, 2L)), s"got $got")
+    assert(got((30L, 1)) == ((10L, c13, 1L)), s"got $got")
+    assert(got.size == 4, s"got $got")
+    graft.llm.CacheScope.releaseAll()
+  }
 }
