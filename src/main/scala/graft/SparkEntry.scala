@@ -2593,6 +2593,15 @@ object SparkEntry {
         k = 5, minPairs = 2L))
     },
 
+    // TextRank corpus keywords: scan-level adjacency explode ->
+    // mirrored co-occurrence edges -> the q140 decimal-exact PageRank
+    // -> one TakeOrdered top-20 with the (rank desc, token asc)
+    // tie-break.
+    "q199_textrank" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.textRankKeywords(
+        Tables.documents(s, dir), "text", iters = 3, k = 20))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6605,6 +6614,26 @@ ORDER BY ALL NULLS FIRST""",
         |  pontuacao FROM (SELECT * FROM bq UNION ALL SELECT * FROM bd)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
+    // Replays the adjacency zip, the mirrored distinct edge set, three
+    // damped PageRank rounds and the tie-broken top-20.
+    "q199_textrank" -> (pageRankSqlBody(
+      """tok AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS l FROM documents),
+        |pr0 AS (SELECT l[i] AS a, l[i + 1] AS b
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+        |    len(l) - 1)) AS i) g),
+        |pf AS (SELECT a, b FROM pr0
+        |  WHERE a <> '' AND b <> '' AND a <> b),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM pf
+        |  UNION ALL
+        |  SELECT b, a FROM pf))""".stripMargin, 3) +
+      """
+        |SELECT token, rank FROM (
+        |  SELECT n AS token, r AS rank FROM r3
+        |  ORDER BY rank DESC, token ASC LIMIT 20)
+        |ORDER BY ALL NULLS FIRST""".stripMargin),
+
     // Replays the within-basket pairs, the minPairs cut, the fixed
     // cosine chain and the (score DESC, item ASC) per-item top-5.
     "q198_item_cosine" ->
@@ -7511,13 +7540,26 @@ ORDER BY ALL NULLS FIRST""",
     blocks.mkString("", "\nUNION ALL\n", "\nORDER BY ALL NULLS FIRST")
   }
 
-  private def pageRankOracle(iters: Int): String = {
-    val base = """WITH e AS (
-      |  SELECT DISTINCT src, dst FROM (
-      |    SELECT -l_suppkey AS src, l_partkey AS dst FROM lineitem
-      |    UNION ALL
-      |    SELECT l_partkey, 1000000000 + o_custkey
-      |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+  private def pageRankOracle(iters: Int): String =
+    pageRankSqlBody(
+      """e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT -l_suppkey AS src, l_partkey AS dst FROM lineitem
+        |    UNION ALL
+        |    SELECT l_partkey, 1000000000 + o_custkey
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey))""".stripMargin,
+      iters) +
+      s"""
+         |SELECT n AS vertice, r AS rank FROM r$iters
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** The damped-iteration replay shared by every PageRank-family
+    * oracle: caller supplies the CTE chain whose LAST member is
+    * `e(src, dst)`, gets back `WITH <e>, ..., r<iters>` ready for a
+    * final SELECT over `r<iters>(n, outd, r)`.
+    */
+  private def pageRankSqlBody(edgesCte: String, iters: Int): String = {
+    val base = "WITH " + edgesCte + """,
       |v AS (SELECT DISTINCT n FROM
       |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
       |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS outd
@@ -7546,10 +7588,7 @@ ORDER BY ALL NULLS FIRST""",
          |       CAST(dang AS DOUBLE) / n_nodes) AS r
          |  FROM base LEFT JOIN c$k USING (n), d$k, nn)""".stripMargin
     }.mkString
-    base + rounds +
-      s"""
-         |SELECT n AS vertice, r AS rank FROM r$iters
-         |ORDER BY ALL NULLS FIRST""".stripMargin
+    base + rounds
   }
 
   // q99's BM25 replay, shared with q136 (the persisted postings

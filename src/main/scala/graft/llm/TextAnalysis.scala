@@ -793,6 +793,44 @@ object TextAnalysis {
           col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * unsupervised corpus-keyword ranker: tokens are vertices, adjacent
+    * co-occurrence is an (undirected) edge, and importance is PageRank
+    * on that graph — hubs of the co-occurrence structure, not mere
+    * frequency (row 70) nor corpus-relative rarity (row 148's idf).
+    *
+    * Composition, not new machinery: the adjacency explode is
+    * scan-level (a `transform`/`slice` zip of each token list with its
+    * own tail — no shuffle, no per-row state), the mirrored edge set
+    * feeds [[Components.pageRank]] (decimal-accumulated, q140's
+    * engine-exact iteration), and the global top-k is one
+    * TakeOrderedAndProject with the (rank DESC, token ASC) tie-break.
+    * Graph size is vocabulary², bounded in practice by observed
+    * adjacency — corpus-scale text never shuffles; only distinct
+    * edges do.
+    *
+    * Output: (token, rank) — the k highest-ranked keywords.
+    */
+  def textRankKeywords(
+      docs: DataFrame, textCol: String, iters: Int = 3, k: Int = 20)
+      : DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val prs = Spread(docs.select(col(textCol).as("__t")))
+      .select(tokens(col("__t")).as("__toks"))
+      .select(explode(expr(
+        "transform(slice(__toks, 1, size(__toks) - 1), " +
+          "(x, i) -> struct(x AS a, element_at(__toks, i + 2) AS b))"))
+        .as("__p"))
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .filter(col("__a") =!= "" && col("__b") =!= "" &&
+        col("__a") =!= col("__b"))
+    val edges = prs.select(col("__a").as("src"), col("__b").as("dst"))
+      .unionByName(prs.select(col("__b").as("src"), col("__a").as("dst")))
+    Components.pageRank(edges, "src", "dst", iters)
+      .orderBy(col("rank").desc, col("vertice").asc).limit(k)
+      .select(col("vertice").as("token"), col("rank"))
+  }
+
   /** Collocation extraction by pointwise mutual information — which
     * adjacent token pairs co-occur far more than their unigram
     * frequencies predict ("new york", "machine learning"): the corpus

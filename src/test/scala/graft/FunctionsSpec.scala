@@ -477,6 +477,21 @@ class FunctionsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("textRankKeywords: the co-occurrence hub outranks leaf tokens, " +
+      "k bounds the list, self-pairs and empties never form edges") {
+    import graft.llm.TextAnalysis.textRankKeywords
+    // 'hub' is adjacent to every other token; 'hub hub' adds no edge
+    val docs = Seq("hub alfa", "hub beta", "hub gama", "hub hub", " ")
+      .toDF("text")
+    val got = textRankKeywords(docs, "text", iters = 3, k = 2)
+      .as[(String, Double)].collect()
+    assert(got.length == 2 && got.head._1 == "hub", s"got ${got.toSeq}")
+    assert(got.head._2 > got(1)._2, s"got ${got.toSeq}")
+    // leaves tie exactly; the tie-break keeps the lexicographic first
+    assert(got(1)._1 == "alfa", s"got ${got.toSeq}")
+    graft.llm.CacheScope.releaseAll()
+  }
+
   test("vocabCoverage: token vs type OOV from a hand vocabulary, " +
       "empty docs report zeros with null rate") {
     import graft.llm.TextAnalysis.vocabCoverage
