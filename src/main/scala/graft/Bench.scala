@@ -71,39 +71,16 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
 
     // Stdout line — the harness captures only the final ~2000 chars of the
-    // run's COMBINED output, stderr included (the r8 artifact stored
-    // parsed:null because two stray WARN lines plus the 104-entry line
-    // overflowed that window and cut the line's head). Defenses, in
-    // order: short `qNN` keys at millisecond precision; the sf dir's
-    // basename instead of the full path; the errors object only when
-    // non-empty (messages cut to 120 chars); and the line printed AFTER
-    // spark.stop(), so no late executor/shutdown logging can land
-    // between it and sbt's `[success]` trailer.
-    // Key = the query NUMBER alone ("183" for q183_edit_join): every
-    // name shares the "q" prefix, so it carries zero information at one
-    // char × |queries| of window cost — at 181 queries the q-prefixed
-    // one-decimal line measured 1974 chars against a ~1925 budget
-    // (2000-char tail minus sbt's ~73-char epilogue). The sidecar keeps
-    // full names.
-    val short0 = results.map { case (k, _) =>
-      k -> k.takeWhile(_ != '_').stripPrefix("q")
-    }.toMap
-    def shortKey(name: String): String = {
-      val p = short0(name)
-      // the number is only usable if unique — on collision keep the
-      // full name so no timing silently drops out of the parsed object
-      if (p.matches("\\d+") && short0.valuesIterator.count(_ == p) == 1) p
-      else name
-    }
-    // Adaptive precision with a 0.1 s floor: one decimal below 10 s,
-    // whole seconds at or above (a 43.1 s query's 0.1 s is noise), and
-    // integral values drop the ".0" — at 169 queries the centisecond
-    // form measured 2004 chars, right at the harness's ~2000-char
-    // capture window (the r8 parsed:null failure mode); uniform one-
-    // decimal was 1974 chars at 181 queries, inside the window only
-    // until the sbt epilogue under it is counted. The sidecar keeps
-    // full precision; with the prefix-free keys below this holds to
-    // ~195 queries, then values move to integer deciseconds.
+    // run's COMBINED output, stderr included, with sbt's ~73-char
+    // `[success]` epilogue inside the same window. Four consecutive
+    // rounds of `parsed: null` proved arithmetic: ANY per-query map
+    // (~10 chars/query × 199 queries ≈ 1,940 chars) cannot survive
+    // query growth inside that budget. So the stdout record is
+    // TOTAL-ONLY (~100 chars, immune to query-count growth); the
+    // per-query map at full precision lives in the bench_full.json
+    // sidecar written above, which the per-round regression diff and
+    // SpotBench workflows read. Error names only (no messages) when
+    // non-empty, capped at 5, so even a mass failure stays in-window.
     def ms(v: Double): String = { // locale-safe: Long/Double toString only
       if (v >= 9.95) math.round(v).toString
       else {
@@ -111,12 +88,12 @@ object Bench {
         if (d % 10 == 0) (d / 10).toString else (d / 10.0).toString
       }
     }
-    val qsShort = results.map { case (k, v) => Json.quote(shortKey(k)) + ":" + ms(v) }
-      .mkString("{", ",", "}")
-    val errShort = errors.map { case (k, v) =>
-      Json.quote(shortKey(k)) + ":" + Json.quote(v.take(120))
-    }.mkString("{", ",", "}")
-    val errField = if (errors.isEmpty) "" else s""","errors":$errShort"""
+    val errField =
+      if (errors.isEmpty) ""
+      else {
+        val names = errors.keys.take(5).map(Json.quote).mkString("[", ",", "]")
+        s""","errors":$names"""
+      }
     val sfName = new java.io.File(sfDir).getName
     spark.stop()
     // Bypass sbt's logger: under a non-forked `sbt runMain`, System.out is
@@ -130,7 +107,7 @@ object Bench {
     // (prefixed) copy would push this one's head out of the window.
     val rawStdout = new java.io.PrintStream(
       new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    rawStdout.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort$errField,"failed":${errors.size},"sf":"$sfName"}""")
+    rawStdout.println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries_n":${results.size}$errField,"failed":${errors.size},"sf":"$sfName"}""")
     rawStdout.flush()
   }
 }

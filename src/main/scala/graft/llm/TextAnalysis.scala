@@ -474,40 +474,6 @@ object TextAnalysis {
         count_distinct(col("frase")).as("n_frases"))
   }
 
-  /** Tokenizer-vocabulary coverage / OOV audit: per document, how many
-    * tokens fall outside a fixed vocabulary table — the sanity pass run
-    * after fitting a tokenizer ([[Bpe.learn]]) and before committing a
-    * training corpus to it (high OOV → the tokenizer was fit on the
-    * wrong distribution; per-language OOV skew → a mixture problem).
-    *
-    * Shape: one scan-level tokenize + explode, the vocabulary joined as
-    * a BROADCAST build side (a tokenizer vocab is ≤ ~100k rows — tiny
-    * versus the corpus, which never shuffles for the probe), one
-    * map-side-combinable per-doc aggregation. `oov_rate` is one exact
-    * long-ratio IEEE division, SQL-reproducible bit-for-bit.
-    */
-  def vocabCoverage(
-      docs: DataFrame, vocab: DataFrame, idCol: String, textCol: String,
-      tokenCol: String = "token"): DataFrame = {
-    val base = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
-      .select(col("__id"), explode(tokens(col(textCol))).as("__w"))
-      .filter(col("__w") =!= "")
-    val flagged = base
-      .join(broadcast(vocab.select(col(tokenCol).as("__w"),
-        lit(true).as("__in")).distinct()), Seq("__w"), "left")
-      .groupBy("__id").agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
-    docs.select(col(idCol).as("__id"))
-      .join(flagged, Seq("__id"), "left")
-      .select(
-        col("__id").as(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        coalesce(col("n_oov").cast("double") / col("n_tokens").cast("double"),
-          lit(0.0)).as("oov_rate"))
-  }
-
   /** Distributed TRAINING of the [[linearTextScore]] model class: batch
     * perceptron over hashed unigram+bigram features (Rosenblatt's rule
     * in its full-batch form — the classical convergence-guaranteed
@@ -652,7 +618,11 @@ object TextAnalysis {
     * broadcast for the constants. Stateless — serves a stream.
     *
     * Output: (id, classe_prevista, pontuacao DOUBLE) — one row per
-    * input row, zero-token docs fall back to the prior-only argmax.
+    * DISTINCT id; zero-token docs fall back to the prior-only argmax.
+    * Contract: `idCol` must be row-unique (the scoring aggregation
+    * groups on it, so duplicate ids would collapse to one row with
+    * their token counts merged — same unique-id contract as
+    * [[graft.operators.Linkage.editJoinDeletes]]).
     */
   def naiveBayesApply(
       df: DataFrame, idCol: String, textCol: String,

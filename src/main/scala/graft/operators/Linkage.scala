@@ -81,55 +81,6 @@ object Linkage {
       .filter(col("dist") <= maxDist)
   }
 
-  /** EXACT edit-distance self-join via DELETION neighborhoods (FastSS —
-    * Bocek et al., TR 2007, popularized as SymSpell) — every pair
-    * within Levenshtein distance `maxDist`, over the whole corpus, with
-    * NO caller-chosen blocking keys and NO recall loss: where
-    * [[fuzzyPairs]]' recall is bounded by how well the caller's keys
-    * cover the edit positions, this join's candidate condition is a
-    * THEOREM. It is the string-similarity counterpart of the set join's
-    * prefix filter (`llm.SetJoin`).
-    *
-    * The filter: if `ed(a,b) ≤ d`, an optimal alignment's matched
-    * subsequence is reachable from `a` by deleting its s+del aligned-out
-    * positions and from `b` by deleting its s+ins positions — both
-    * counts ≤ d — so the ≤d-deletion neighborhoods `U_d(a)` and
-    * `U_d(b)` INTERSECT. Candidates = pairs sharing any neighborhood
-    * variant; verification is one exact Levenshtein per candidate (the
-    * converse does not hold — "ab"/"ba" share "a" at distance 2 — which
-    * is fine: the filter must only be complete). Degenerate short
-    * strings need no special path: any `|s| ≤ d` string's neighborhood
-    * contains "", so the short slice pairs through the "" block
-    * automatically.
-    *
-    * WHY deletions and not q-gram counting (Gravano VLDB'01, Ukkonen's
-    * bound): the count filter's candidate step collides every pair
-    * sharing ONE gram — on low-gram-entropy corpora (id-like names
-    * sharing a literal prefix) universal grams put the whole corpus in
-    * one block and candidate volume degenerates to n² (measured on this
-    * engine before replacement: 260 s solo at sf0.1, ~n²·15 pair
-    * instances, vs the whole 180-query bench at 286 s). Deletion
-    * variants are length-(≥L−d) SUBSTRINGS-with-gaps of the original —
-    * a block holds only strings genuinely within 2d of each other
-    * modulo the shared variant, so block mass tracks the true near-dup
-    * density, not gram entropy.
-    *
-    * Shape: variant generation is d chained explodes, O(C(L,d)) rows
-    * per string (n·(L+1) at d=1 — the small-d linkage regime this
-    * operator contracts; for d ≥ 3 on long strings the neighborhood is
-    * combinatorial and a partition-filter family is the right tool).
-    * Blocks run through the shared [[graft.llm.Dedup.tiledPairs]]
-    * engine — a duplicated-literal corpus (k copies of one name = a
-    * k-member block of genuine distance-0 pairs) costs bounded tiles,
-    * never one quadratic task. Candidates dedup once, join their
-    * strings back, pass the `|L_a−L_b| ≤ d` length filter, then one
-    * exact DP each (Spark's thresholded `levenshtein(l, r, k)` bands
-    * the DP at scale).
-    *
-    * Output: (id_a < id_b, dist) for every pair with dist ≤ maxDist,
-    * each exactly once. Contract: ids unique; normalization
-    * (lower/trim) is the caller's choice, applied before the call.
-    */
   /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
     * Sunter, JASA 1969) — the decision layer ABOVE the candidate
     * generators ([[fuzzyPairs]], [[editJoinDeletes]]): a candidate pair
@@ -188,6 +139,55 @@ object Linkage {
       .drop(fields.flatMap(f => Seq(s"__wa_$f", s"__wd_$f")): _*)
   }
 
+  /** EXACT edit-distance self-join via DELETION neighborhoods (FastSS —
+    * Bocek et al., TR 2007, popularized as SymSpell) — every pair
+    * within Levenshtein distance `maxDist`, over the whole corpus, with
+    * NO caller-chosen blocking keys and NO recall loss: where
+    * [[fuzzyPairs]]' recall is bounded by how well the caller's keys
+    * cover the edit positions, this join's candidate condition is a
+    * THEOREM. It is the string-similarity counterpart of the set join's
+    * prefix filter (`llm.SetJoin`).
+    *
+    * The filter: if `ed(a,b) ≤ d`, an optimal alignment's matched
+    * subsequence is reachable from `a` by deleting its s+del aligned-out
+    * positions and from `b` by deleting its s+ins positions — both
+    * counts ≤ d — so the ≤d-deletion neighborhoods `U_d(a)` and
+    * `U_d(b)` INTERSECT. Candidates = pairs sharing any neighborhood
+    * variant; verification is one exact Levenshtein per candidate (the
+    * converse does not hold — "ab"/"ba" share "a" at distance 2 — which
+    * is fine: the filter must only be complete). Degenerate short
+    * strings need no special path: any `|s| ≤ d` string's neighborhood
+    * contains "", so the short slice pairs through the "" block
+    * automatically.
+    *
+    * WHY deletions and not q-gram counting (Gravano VLDB'01, Ukkonen's
+    * bound): the count filter's candidate step collides every pair
+    * sharing ONE gram — on low-gram-entropy corpora (id-like names
+    * sharing a literal prefix) universal grams put the whole corpus in
+    * one block and candidate volume degenerates to n² (measured on this
+    * engine before replacement: 260 s solo at sf0.1, ~n²·15 pair
+    * instances, vs the whole 180-query bench at 286 s). Deletion
+    * variants are length-(≥L−d) SUBSTRINGS-with-gaps of the original —
+    * a block holds only strings genuinely within 2d of each other
+    * modulo the shared variant, so block mass tracks the true near-dup
+    * density, not gram entropy.
+    *
+    * Shape: variant generation is d chained explodes, O(C(L,d)) rows
+    * per string (n·(L+1) at d=1 — the small-d linkage regime this
+    * operator contracts; for d ≥ 3 on long strings the neighborhood is
+    * combinatorial and a partition-filter family is the right tool).
+    * Blocks run through the shared [[graft.llm.Dedup.tiledPairs]]
+    * engine — a duplicated-literal corpus (k copies of one name = a
+    * k-member block of genuine distance-0 pairs) costs bounded tiles,
+    * never one quadratic task. Candidates dedup once, join their
+    * strings back, pass the `|L_a−L_b| ≤ d` length filter, then one
+    * exact DP each (Spark's thresholded `levenshtein(l, r, k)` bands
+    * the DP at scale).
+    *
+    * Output: (id_a < id_b, dist) for every pair with dist ≤ maxDist,
+    * each exactly once. Contract: ids unique; normalization
+    * (lower/trim) is the caller's choice, applied before the call.
+    */
   def editJoinDeletes(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       maxBlock: Int = graft.llm.Dedup.AdaptiveBlock): DataFrame = {

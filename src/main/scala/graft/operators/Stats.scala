@@ -647,13 +647,22 @@ object Stats {
     * corpus-linear, per-group sort bounded by DISTINCT score count
     * (integer margins / calibrated buckets keep it tiny at any corpus
     * size). Output: (groupCols…, n_pos, n_neg, auc).
+    *
+    * NULL-score convention: a null score carries no ranking information,
+    * so null-scored rows are DROPPED before the collapse (they count in
+    * neither n_pos nor n_neg). Without the explicit filter the two
+    * engines would silently diverge — Spark's default ASC sort puts
+    * NULLs FIRST while DuckDB puts them LAST — and a null group would be
+    * treated as a real lowest/highest score. [[prCurve]] applies the
+    * same rule, so the pair stays consistent under any sort direction.
     */
   def rocAuc(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val byScore = df.groupBy(g :+ col(scoreCol).as("__s"): _*)
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("__s"): _*)
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))
@@ -689,13 +698,18 @@ object Stats {
     * counts (one map-side-combinable aggregation — the row-180
     * value-collapse); both cumulatives walk the COLLAPSED table, rows
     * per group = distinct scores, never input rows.
+    *
+    * NULL-score rows are dropped before the collapse — same convention
+    * as [[rocAuc]] (a null score is not a threshold and must not form a
+    * curve point; engines also disagree on where NULL sorts).
     */
   def prCurve(
       df: DataFrame, groupCols: Seq[String], scoreCol: String,
       labelCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val byScore = df.groupBy(g :+ col(scoreCol).as("limiar"): _*)
+    val byScore = df.filter(col(scoreCol).isNotNull)
+      .groupBy(g :+ col(scoreCol).as("limiar"): _*)
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__n"))

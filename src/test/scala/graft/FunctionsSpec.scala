@@ -227,20 +227,6 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0)._3 > got(1)._3)
   }
 
-  test("vocabCoverage counts OOV tokens; featureless docs rate 0") {
-    import spark.implicits._
-    val vocab = Seq("a", "b").toDF("token")
-    val docs = Seq((1L, "a b a"), (2L, "a x y"), (3L, " "))
-      .toDF("doc_id", "text")
-    val got = graft.llm.TextAnalysis
-      .vocabCoverage(docs, vocab, "doc_id", "text")
-      .as[(Long, Long, Long, Double)].collect().toSet
-    assert(got == Set(
-      (1L, 3L, 0L, 0.0),
-      (2L, 3L, 2L, 2.0 / 3.0),
-      (3L, 0L, 0L, 0.0)))
-  }
-
   test("tagByDictionary matches contiguous phrases, counts multiplicity") {
     import spark.implicits._
     val dict = Seq(("hash join", "joins"), ("join", "joins"), ("scan", "scans"))

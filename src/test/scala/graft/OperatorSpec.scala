@@ -1284,9 +1284,15 @@ class OperatorSpec extends SparkSpec {
     // group b: pos {9,8}, neg {1,2} -> perfect separation, AUC = 1
     // group c: all positive -> null
     val df = Seq(
-      ("a", 3.0, true), ("a", 2.0, true), ("a", 1.0, false), ("a", 2.0, false),
-      ("b", 9.0, true), ("b", 8.0, true), ("b", 1.0, false), ("b", 2.0, false),
-      ("c", 5.0, true), ("c", 6.0, true),
+      ("a", Some(3.0), true), ("a", Some(2.0), true),
+      ("a", Some(1.0), false), ("a", Some(2.0), false),
+      // null scores carry no ranking information: dropped BEFORE the
+      // collapse (not sorted first as Spark would, nor last as DuckDB
+      // would) — group-a counts and AUC must be unchanged by these
+      ("a", None, true), ("a", None, false),
+      ("b", Some(9.0), true), ("b", Some(8.0), true),
+      ("b", Some(1.0), false), ("b", Some(2.0), false),
+      ("c", Some(5.0), true), ("c", Some(6.0), true),
     ).toDF("g", "s", "y")
     val got = Stats.rocAuc(df, Seq("g"), "s", "y")
       .as[(String, Long, Long, Option[Double])].collect()
@@ -1734,5 +1740,37 @@ class OperatorSpec extends SparkSpec {
     assert(got((30L, 1)) == ((10L, c13, 1L)), s"got $got")
     assert(got.size == 4, s"got $got")
     graft.llm.CacheScope.releaseAll()
+  }
+
+  test("decimal canary: the four DECIMAL shapes stay exact in-engine " +
+      "(retired driver query q180 — decimals are BANNED from report " +
+      "output, see SURVEY §3)") {
+    // The round-10 driver run confirmed DECIMAL output columns are
+    // unhashable in the correctness gate (pyarrow Decimal objects vs
+    // DuckDB float64, equal values). This spec pins the SPARK side of
+    // that experiment: the literal matrix round-trips exactly through
+    // Spark's BigDecimal path, so any future red on a decimal-typed
+    // column is a representation problem at the gate, never a value bug.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(12345.67 AS DECIMAL(18,2)), CAST(42 AS DECIMAL(38,0)),
+        |   CAST(1234.5 AS DECIMAL(38,6)),
+        |   CAST(0.25 AS DECIMAL(38,24))),
+        |  (CAST(-0.01 AS DECIMAL(18,2)), CAST(0 AS DECIMAL(38,0)),
+        |   CAST(-7 AS DECIMAL(38,6)),
+        |   CAST(0.000003814697265625 AS DECIMAL(38,24)))
+        |AS t(c_dec_18_2, c_dec_38_0, c_dec_38_6, c_dec_38_24)""".stripMargin)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+    assert(types("c_dec_18_2") == "DECIMAL(18,2)")
+    assert(types("c_dec_38_0") == "DECIMAL(38,0)")
+    assert(types("c_dec_38_6") == "DECIMAL(38,6)")
+    assert(types("c_dec_38_24") == "DECIMAL(38,24)")
+    val rows = df.orderBy("c_dec_38_0").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getDecimal(0).toPlainString == "12345.67")
+    assert(rows(1).getDecimal(3).toPlainString ==
+      "0.250000000000000000000000")
+    assert(rows(0).getDecimal(3).toPlainString ==
+      "0.000003814697265625000000")
   }
 }
