@@ -188,27 +188,49 @@ object Linkage {
     * each exactly once. Contract: ids unique; normalization
     * (lower/trim) is the caller's choice, applied before the call.
     */
+  /** Optional `strata`: a key expression over the string column that
+    * RESTRICTS the join to equal-key pairs (pairs across strata are not
+    * candidates and not emitted). Within a stratum the deletion-variant
+    * condition is still the complete FastSS filter, so the output is
+    * EXACTLY "all pairs with equal strata key and dist ≤ maxDist" —
+    * the same result set as a blocked [[fuzzyPairs]] pass on that key,
+    * but with candidates bounded by true near-dup density instead of
+    * key-collision volume (a saturated blocking key costs block²
+    * candidates there; here only variant-sharing rows inside the
+    * stratum ever meet). Null/empty strata rows pair with nothing —
+    * the [[fuzzyPairs]] key discipline.
+    */
   def editJoinDeletes(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
-      maxBlock: Int = graft.llm.Dedup.AdaptiveBlock): DataFrame = {
+      maxBlock: Int = graft.llm.Dedup.AdaptiveBlock,
+      strata: Option[Column => Column] = None): DataFrame = {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
     val strs = graft.llm.CacheScope.persistTracked(
       graft.llm.Spread(df.select(col(idCol).as("__id"),
           col(strCol).as("__s")))
         .filter(col("__s").isNotNull)
+        .transform(d => strata match {
+          case Some(k) => d.withColumn("__st", k(col("__s")))
+            .filter(col("__st").isNotNull && col("__st") =!= "")
+          case None => d.withColumn("__st", lit(""))
+        })
         .withColumn("__len", length(col("__s")).cast("long")))
     // ≤d-deletion neighborhood: d rounds of explode(self ∪ one-char
     // deletions), distinct per id. sequence(1,0) would step BACKWARD
     // (Spark's sign-inferred step) — guard the empty string explicitly.
-    var variants = strs.select(col("__id"), col("__s").as("__v"))
+    var variants = strs.select(col("__id"), col("__st"),
+      col("__s").as("__v"))
     for (_ <- 1 to maxDist) {
-      variants = variants.select(col("__id"), explode(expr(
+      variants = variants.select(col("__id"), col("__st"), explode(expr(
         "case when length(__v) = 0 then array(__v) else " +
           "array_union(array(__v), transform(sequence(1, length(__v)), " +
           "i -> concat(substring(__v, 1, i-1), " +
           "substring(__v, i+1, 2147483647)))) end")).as("__v"))
     }
-    val keyed = variants.select(col("__id"), col("__v").as("__block"))
+    // stratum is part of the block identity: variants collide only
+    // within equal strata (NUL-joined — the key is opaque to tiledPairs)
+    val keyed = variants.select(col("__id"),
+        concat_ws("\u0000", col("__st"), col("__v")).as("__block"))
       .distinct()
     val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
       .select(

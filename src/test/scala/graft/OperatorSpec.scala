@@ -1469,6 +1469,40 @@ class OperatorSpec extends SparkSpec {
     assert(sp == Set((1L, 2L, 2L)), s"got $sp")
   }
 
+  test("editJoinDeletes with strata EQUALS the fuzzyPairs pass on the " +
+      "same key (q142's re-expression is output-identical)") {
+    // the q142 shape in miniature: id-like names, planted deletions
+    // before the suffix, suffix-4 as the restriction key
+    val base = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val variants = base.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 12),
+          substring(col("c_name"), 14, 100000)).as("c_name"))
+    val df = base.unionByName(variants)
+    val blocked = Linkage.fuzzyPairs(df, "c_custkey", "c_name",
+        maxDist = 1, blockKeys = Seq(nm => substring(nm, -4, 4)))
+      .as[(Long, Long, Long)].collect().toSet
+    val strat = Linkage.editJoinDeletes(
+        df.select(col("c_custkey"), lower(trim(col("c_name"))).as("nm")),
+        "c_custkey", "nm", maxDist = 1,
+        strata = Some(nm => substring(nm, -4, 4)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strat == blocked,
+      s"strata ${strat.size} vs blocked ${blocked.size}")
+    assert(blocked.nonEmpty, "planted variants must pair")
+    // cross-strata distance-1 pairs exist in this id-dense corpus and
+    // must be EXCLUDED by the stratum (they're what the unrestricted
+    // join adds back)
+    val full = Linkage.editJoinDeletes(
+        df.select(col("c_custkey"), lower(trim(col("c_name"))).as("nm")),
+        "c_custkey", "nm", maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full.size > strat.size,
+      s"expected cross-strata pairs, full ${full.size} strat ${strat.size}")
+  }
+
   test("prCurve: hand curve with cross-class score ties and the " +
       "no-positives null branch") {
     // group A scores desc: 3.0 -> (2 pos), 2.0 -> (1 pos, 1 neg tied),
