@@ -37,9 +37,10 @@ object Linkage {
     * phonetic codes for human names — `soundex()` composes directly);
     * the bound is the safety net, not the plan.
     *
-    * Verification is one Levenshtein DP per candidate; at scale swap in
-    * Spark's thresholded `levenshtein(l, r, k)` (bails at k+1, banding
-    * the DP) — the plain form here keeps the oracle exact.
+    * Verification is one BANDED Levenshtein DP per candidate (Spark's
+    * thresholded `levenshtein(l, r, k)` — O(k·L) per pair, bails with
+    * -1 past the threshold): emitted distances are the exact DP values,
+    * so the oracle's plain-levenshtein replay matches row-for-row.
     *
     * `maxBlock`: per-tile row cap; default [[graft.llm.Dedup.AdaptiveBlock]]
     * sizes tiles from the measured Σn² block volume and the session's
@@ -77,8 +78,10 @@ object Linkage {
           .as("__nm_hi"))
       .distinct()
     cand.select(col("__lo").as("id_a"), col("__hi").as("id_b"),
-        levenshtein(col("__nm_lo"), col("__nm_hi")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        // banded DP — exact for emitted rows, -1 past the threshold
+        levenshtein(col("__nm_lo"), col("__nm_hi"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
   /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
@@ -181,8 +184,8 @@ object Linkage {
     * k-member block of genuine distance-0 pairs) costs bounded tiles,
     * never one quadratic task. Candidates dedup once, join their
     * strings back, pass the `|L_a−L_b| ≤ d` length filter, then one
-    * exact DP each (Spark's thresholded `levenshtein(l, r, k)` bands
-    * the DP at scale).
+    * BANDED exact DP each (Spark's thresholded `levenshtein(l, r, k)`
+    * — O(d·L) per candidate, emitted values exact).
     *
     * Output: (id_a < id_b, dist) for every pair with dist ≤ maxDist,
     * each exactly once. Contract: ids unique; normalization
@@ -243,8 +246,13 @@ object Linkage {
       .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
         col("__len").as("__lb")), "__idb")
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      // thresholded levenshtein BANDS the DP (O(maxDist·L) per pair,
+      // bails with -1 past the threshold) — emitted distances are the
+      // exact DP values, so the output (and the oracle) are unchanged;
+      // only the cost of REJECTING over-threshold candidates drops
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        levenshtein(col("__sa"), col("__sb")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 }
