@@ -6786,18 +6786,19 @@ ORDER BY ALL NULLS FIRST""",
         |tt AS (SELECT sum(t) AS st FROM rk),
         |tot AS (SELECT CAST(sum(n_grupo) AS BIGINT) AS n,
         |    CAST(count(*) AS BIGINT) AS k,
-        |    sum(CAST(CAST(rg2 * rg2 AS DOUBLE) /
-        |      CAST(n_grupo AS DOUBLE) AS DECIMAL(38,18))) AS s2
+        |    0.0 + list_reduce(
+        |      list(CAST(rg2 * rg2 AS DOUBLE) / CAST(n_grupo AS DOUBLE)
+        |        ORDER BY g), (acc, x) -> acc + x) AS s2
         |  FROM pg)
         |SELECT g AS grupo, n_grupo,
         |  CAST(rg2 AS DOUBLE) / (2.0 * CAST(n_grupo AS DOUBLE))
         |    AS posto_medio,
         |  k - 1 AS gl,
-        |  (3.0 * CAST(s2 AS DOUBLE)) /
+        |  (3.0 * s2) /
         |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
         |    3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
         |  CASE WHEN st < CAST(n AS HUGEINT) * n * n - n THEN
-        |    ((3.0 * CAST(s2 AS DOUBLE)) /
+        |    ((3.0 * s2) /
         |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) -
         |      3.0 * (CAST(n AS DOUBLE) + 1.0)) /
         |    (1.0 - CAST(st AS DOUBLE) /

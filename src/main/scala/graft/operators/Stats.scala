@@ -937,12 +937,17 @@ object Stats {
     * collapse, per-group rank sums exact DECIMAL, the tie term
     * `ΣT = Σ(t³−t)` exact from the same collapse. With doubled ranks
     * `H = 3·(Σ_g R₂g²/n_g)/(n(n+1)) − 3(n+1)` — each group's
-    * `R₂g²/n_g` is ONE IEEE division of exact decimals, the k per-group
-    * doubles accumulate through DECIMAL(38,18) (order-independent, the
-    * q184 discipline), and the edge is a fixed parenthesization;
-    * `H_corr = H/(1 − ΣT/(n³−n))`, null when every value ties (zero
-    * variance). Headroom: R₂g² ≤ 4n⁴ → n ≤ ~3·10⁹ per fit — documented
-    * wall.
+    * `R₂g²` is an EXACT DECIMAL(38,0) product followed by ONE IEEE
+    * division, and the k per-group doubles combine in a DETERMINISTIC
+    * left fold over groups sorted by key (k is test-statistic-small by
+    * contract; a fixed order replays op-for-op in any engine — DuckDB:
+    * `list_reduce(list(… ORDER BY g), …)`). The edge is a fixed
+    * parenthesization; `H_corr = H/(1 − ΣT/(n³−n))`, null when every
+    * value ties (zero variance). Headroom: R₂g ≤ 2n² must fit
+    * DECIMAL(19,0) and R₂g² DECIMAL(38,0) → n ≤ ~2·10⁹ rows per fit —
+    * documented wall (a DECIMAL(38,18) accumulator burned 18 of those
+    * digits on sub-ulp precision and overflowed at n = 6·10⁶,
+    * measured at sf1).
     *
     * Shape at 100 TB: one distinct-value collapse + one cumulative
     * window over distinct values (never a corpus-wide rank sort), one
@@ -973,14 +978,25 @@ object Stats {
         count(lit(1L)).as("n_grupo"),
         sum(col("__r2").cast(d19)).as("__rg2"))
     val ties = ranks.agg(sum(col("__t")).as("__st"))
+    // Σ_g Rg²/n_g: each term is EXACT integer __rg2² (decimal(38,0) —
+    // the headroom wall is __rg2 ≤ 10¹⁹, i.e. N ≤ ~2·10⁹ rows; the
+    // previous decimal(38,18) accumulator burned 18 of those digits on
+    // sub-ulp precision and overflowed at N = 6·10⁶) cast to double
+    // (integer→double is correctly rounded in every engine) with ONE
+    // IEEE division; the cross-group sum is a deterministic LEFT FOLD
+    // over groups sorted by key — k is test-statistic-small by
+    // contract, and the fixed order makes the double chain replayable
+    // op-for-op (DuckDB: list_reduce over list(… ORDER BY g)).
+    val term = ((col("__rg2") * col("__rg2")).cast("double") /
+      col("n_grupo").cast("double"))
     val tot = perGroup.agg(
       sum(col("n_grupo")).as("__n"),
       count(lit(1L)).as("__k"),
-      sum(((col("__rg2") * col("__rg2")).cast("double") /
-        col("n_grupo").cast("double")).cast("decimal(38,18)"))
-        .as("__s2sum"))
+      aggregate(
+        array_sort(collect_list(struct(col("__g"), term.as("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")).as("__s2sum"))
     val nd = col("__n").cast("double")
-    val h = (lit(3.0) * col("__s2sum").cast("double")) /
+    val h = (lit(3.0) * col("__s2sum")) /
       (nd * (nd + lit(1.0))) - lit(3.0) * (nd + lit(1.0))
     val corr = lit(1.0) -
       col("__st").cast("double") / (nd * nd * nd - nd)
