@@ -2626,6 +2626,81 @@ object SparkEntry {
         Tables.documents(s, dir), "text", iters = 3, k = 20))
     },
 
+    // Exact-substring dedup, keep-first (Lee et al. 2022 ExactSubstr):
+    // every duplicated 6-token sliding span (stride 1 — the paper's
+    // every-position semantics) keeps only its globally-first
+    // (doc, start) occurrence; tokens covered by any LATER occurrence
+    // drop and the document is rebuilt in order.
+    "q200_exact_substr_dedup" -> { (s, dir) =>
+      ordered(llm.Curation.dedupExactSubstrings(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 6, stride = 1))
+    },
+
+    // Two-sample Kolmogorov-Smirnov per order priority: open ('O') vs
+    // closed totalprice distributions. D's numerator is a pure-BIGINT
+    // max of ECDF gaps scaled by n_a*n_b (the value-collapse
+    // discipline), d one IEEE division, the Numerical-Recipes lambda a
+    // fixed parenthesization on top.
+    "q201_ks_test" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grupo"),
+        col("o_totalprice").cast("double").as("valor"),
+        (col("o_orderstatus") === "O").as("aberto"))
+      ordered(operators.Stats.ksTest(o, Seq("grupo"), "valor", "aberto"))
+    },
+
+    // Jaro-Winkler name linkage: suffix-4-blocked candidates over
+    // customer names + planted one-char mid-name substitutions (suffix
+    // preserved, so blocking finds every plant), scored by the native
+    // codegen expression. The oracle's jaro_winkler_similarity is
+    // DuckDB's own INDEPENDENT kernel — this row cross-checks the
+    // similarity arithmetic itself, not a replay of it.
+    "q202_jaro_winkler" -> { (s, dir) =>
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), lower(trim(col("c_name"))).as("nome"))
+      val v = c.filter(col("id") % 9 === 0).select(
+        (col("id") + 1000000L).as("id"),
+        concat(substring(col("nome"), 1, 11), lit("x"),
+          substring(col("nome"), 13, 100000)).as("nome"))
+      ordered(operators.Linkage.jaroWinklerPairs(
+        c.unionByName(v), "id", "nome", minSim = 0.937,
+        blockKeys = Seq(nm => substring(nm, -4, 4))))
+    },
+
+    // Welch's unequal-variance t-test on the same open-vs-closed
+    // totalprice comparison as q201 (KS asks "did the SHAPE move",
+    // Welch asks "did the MEAN move") — exact decimal sufficient
+    // statistics, fixed-parenthesization double edge.
+    "q203_welch_ttest" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grupo"),
+        col("o_totalprice").cast("double").as("valor"),
+        (col("o_orderstatus") === "O").as("aberto"))
+      ordered(operators.Stats.welchTTest(o, Seq("grupo"), "valor", "aberto"))
+    },
+
+    // Mann-Kendall monotone-trend test per event type over the daily
+    // value series: S and the tie-corrected 18*Var in pure BIGINT over
+    // the calendar-bounded collapsed series, one sqrt/division edge,
+    // three-way trend call at z = +/-1.96.
+    "q204_mann_kendall" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        col("event_type").as("grupo"), to_date(col("ts")).as("dia"),
+        col("value"))
+      ordered(operators.Timeseries.mannKendall(
+        e, Seq("grupo"), "dia", "value"))
+    },
+
+    // Per-document lexical diversity: token entropy via the
+    // deterministic token-sorted fold, type-token and hapax ratios as
+    // single divisions; empty docs emit n=0 with null ratios.
+    "q205_lexical_diversity" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.lexicalDiversity(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text"))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
@@ -6650,6 +6725,221 @@ ORDER BY ALL NULLS FIRST""",
         |  SELECT n AS token, r AS rank FROM r3
         |  ORDER BY rank DESC, token ASC LIMIT 20)
         |ORDER BY ALL NULLS FIRST""".stripMargin),
+
+    // Replays tokenization, the stride-1 span fan-out, the global
+    // keep-first rank per span text, later-occurrence coverage and the
+    // ordered rebuild.
+    "q200_exact_substr_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS s,
+        |    array_to_string(tk[u.i + 1 : u.i + 6], ' ') AS span
+        |  FROM t, LATERAL unnest(generate_series(0, len(tk) - 6, 1)) u(i)
+        |  WHERE len(tk) >= 6),
+        |r AS (
+        |  SELECT doc_id, s, row_number() OVER (
+        |    PARTITION BY span ORDER BY doc_id, s) AS rn
+        |  FROM sp),
+        |h AS (
+        |  SELECT DISTINCT r.doc_id, CAST(u.p AS INT) AS pos
+        |  FROM r, LATERAL unnest(generate_series(r.s, r.s + 5)) u(p)
+        |  WHERE r.rn > 1),
+        |tok AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, tk[CAST(u.i AS INT)] AS tok
+        |  FROM t, LATERAL unnest(generate_series(1, len(tk))) u(i)),
+        |kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok, h2.cov
+        |  FROM tok LEFT JOIN (SELECT doc_id, pos, true AS cov FROM h) h2
+        |    USING (doc_id, pos))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN cov IS NULL THEN tok END, ' '
+        |    ORDER BY pos), '') AS texto_limpo,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removidos
+        |FROM kept GROUP BY doc_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the value collapse, both row-inclusive cumulatives, the
+    // integer supremum and the two-division edge.
+    "q201_ks_test" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grupo,
+        |    CAST(o_totalprice AS DOUBLE) AS valor,
+        |    (o_orderstatus = 'O') AS aberto
+        |  FROM orders),
+        |bv AS (
+        |  SELECT grupo, valor,
+        |    CAST(sum(CASE WHEN aberto THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN aberto THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |  FROM o WHERE valor IS NOT NULL AND aberto IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grupo, a, b,
+        |    sum(a) OVER (PARTITION BY grupo ORDER BY valor
+        |      ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(b) OVER (PARTITION BY grupo ORDER BY valor
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(a) OVER (PARTITION BY grupo) AS na,
+        |    sum(b) OVER (PARTITION BY grupo) AS nb
+        |  FROM bv),
+        |pg AS (
+        |  SELECT grupo, CAST(max(na) AS BIGINT) AS n_a,
+        |    CAST(max(nb) AS BIGINT) AS n_b,
+        |    CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num
+        |  FROM c GROUP BY grupo)
+        |SELECT grupo, n_a, n_b, d_num, d,
+        |  CASE WHEN d IS NOT NULL
+        |    THEN (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d END AS ks_lambda
+        |FROM (
+        |  SELECT grupo, n_a, n_b, d_num,
+        |    CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(d_num AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS d,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS ne
+        |  FROM pg)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays normalization, the planted substitution, suffix-4
+    // blocking and the threshold — but the similarity itself is
+    // DuckDB's OWN jaro_winkler_similarity kernel, an implementation
+    // independent of the engine's native expression.
+    "q202_jaro_winkler" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, lower(trim(c_name)) AS nome
+        |  FROM customer),
+        |v AS (
+        |  SELECT id + 1000000 AS id,
+        |    substring(nome, 1, 11) || 'x' || substring(nome, 13) AS nome
+        |  FROM c WHERE id % 9 = 0),
+        |allr AS (SELECT * FROM c UNION ALL SELECT * FROM v),
+        |k AS (SELECT id, nome, right(nome, 4) AS key FROM allr),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.nome AS nome_a, b.nome AS nome_b
+        |  FROM k a JOIN k b ON a.key = b.key AND a.id < b.id)
+        |SELECT id_a, id_b, jaro_winkler_similarity(nome_a, nome_b) AS sim
+        |FROM cand
+        |WHERE jaro_winkler_similarity(nome_a, nome_b) >= 0.937
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the six exact-decimal conditional sums and the fixed
+    // double-edge algebra (means, guarded variances, t, Welch df).
+    "q203_welch_ttest" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS grupo,
+        |    CAST(o_totalprice AS DOUBLE) AS valor,
+        |    (o_orderstatus = 'O') AS aberto
+        |  FROM orders),
+        |ag AS (
+        |  SELECT grupo,
+        |    CAST(sum(CASE WHEN aberto THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN aberto THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN aberto THEN CAST(valor AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS sa,
+        |    sum(CASE WHEN aberto THEN CAST(valor * valor AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS saa,
+        |    sum(CASE WHEN NOT aberto THEN CAST(valor AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS sb,
+        |    sum(CASE WHEN NOT aberto THEN CAST(valor * valor AS DECIMAL(38,12))
+        |      ELSE CAST(0 AS DECIMAL(38,12)) END) AS sbb
+        |  FROM o WHERE valor IS NOT NULL AND aberto IS NOT NULL
+        |  GROUP BY grupo),
+        |alg AS (
+        |  SELECT grupo, n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    greatest((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) *
+        |        CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |      (CAST(n_a AS DOUBLE) - 1.0), 0.0) / CAST(n_a AS DOUBLE) AS va,
+        |    greatest((CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) *
+        |        CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |      (CAST(n_b AS DOUBLE) - 1.0), 0.0) / CAST(n_b AS DOUBLE) AS vb
+        |  FROM ag)
+        |SELECT grupo, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN ma END AS media_a,
+        |  CASE WHEN n_b > 0 THEN mb END AS media_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0
+        |    THEN (ma - mb) / sqrt(va + vb) END AS t,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0
+        |    THEN (va + vb) * (va + vb) /
+        |      (va * va / (CAST(n_a AS DOUBLE) - 1.0) +
+        |       vb * vb / (CAST(n_b AS DOUBLE) - 1.0)) END AS gl
+        |FROM alg
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the daily decimal collapse, the time-ordered pair signs,
+    // the tie-corrected integer variance and the +/-1 continuity edge.
+    "q204_mann_kendall" ->
+      """WITH e AS (
+        |  SELECT event_type AS grupo, CAST(ts AS DATE) AS dia, value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ser AS (
+        |  SELECT grupo, dia,
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS v
+        |  FROM e GROUP BY 1, 2),
+        |pares AS (
+        |  SELECT a.grupo,
+        |    CAST(sum(CAST(sign(b.v - a.v) AS BIGINT)) AS BIGINT) AS s
+        |  FROM ser a JOIN ser b ON a.grupo = b.grupo AND b.dia > a.dia
+        |  GROUP BY 1),
+        |tv AS (SELECT grupo, v, CAST(count(*) AS BIGINT) AS tk
+        |  FROM ser GROUP BY 1, 2),
+        |tie AS (SELECT grupo, CAST(sum(tk) AS BIGINT) AS n,
+        |    CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tcorr
+        |  FROM tv GROUP BY 1),
+        |j AS (SELECT tie.grupo, n, coalesce(pares.s, 0) AS s,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tcorr AS BIGINT) AS var18
+        |  FROM tie LEFT JOIN pares ON pares.grupo = tie.grupo),
+        |zt AS (SELECT grupo, n, CAST(s AS BIGINT) AS s, var18,
+        |    CASE WHEN var18 > 0 THEN
+        |      CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) /
+        |          sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) /
+        |          sqrt(CAST(var18 AS DOUBLE) / 18.0)
+        |        ELSE 0.0 END END AS z
+        |  FROM j)
+        |SELECT grupo, n, s, var18, z,
+        |  CASE WHEN var18 > 0 THEN
+        |    CASE WHEN z > 1.96 THEN 'alta' WHEN z < -1.96 THEN 'baixa'
+        |      ELSE 'estavel' END END AS tendencia
+        |FROM zt
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the blank-token drop, the (doc, type) counts and the
+    // token-sorted entropy fold; empty docs come back through the
+    // distinct-id left join with n=0 and null ratios.
+    "q205_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_tipos,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    0.0 + list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok),
+        |      (acc, x) -> acc + x) AS clnc
+        |  FROM cnt GROUP BY doc_id),
+        |ids AS (SELECT DISTINCT doc_id FROM documents)
+        |SELECT ids.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_tipos, 0) AS n_tipos,
+        |  coalesce(n_hapax, 0) AS n_hapax,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_tipos AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE) END AS ttr,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_hapax AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE) END AS razao_hapax,
+        |  CASE WHEN n_tokens > 0 THEN ln(CAST(n_tokens AS DOUBLE)) -
+        |    clnc / CAST(n_tokens AS DOUBLE) END AS entropia
+        |FROM ids LEFT JOIN pd USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the within-basket pairs, the minPairs cut, the fixed
     // cosine chain and the (score DESC, item ASC) per-item top-5.

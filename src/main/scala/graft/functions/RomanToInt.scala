@@ -98,7 +98,7 @@ object GraftFunctions {
     WordShinglesAll.descriptor, NfcNormalize.descriptor, TopKBy.descriptor,
     NearestCell.descriptor, SizedBloom.descriptor, BloomMightContainAny.descriptor,
     SqDistDouble.descriptor, SortedIntersectLongs.descriptor,
-    HeavyHitters.descriptor)
+    HeavyHitters.descriptor, JaroWinkler.descriptor)
 
   def register(spark: SparkSession): Unit =
     descriptors.foreach { case (id, info, builder) =>

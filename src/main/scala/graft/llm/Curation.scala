@@ -829,6 +829,79 @@ object Curation {
       .select(df.columns.map(col) :+ col("pontos"): _*)
   }
 
+  /** EXACT-substring dedup, keep-first (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", ExactSubstr): any
+    * `window`-token span whose text occurs MORE THAN ONCE in the corpus
+    * (across documents OR repeated inside one) keeps only its globally
+    * first occurrence — every token covered by a later occurrence is
+    * dropped and the document rebuilt in order. The missing quadrant of
+    * the span family: [[purgeRepeatedChunks]] is keep-first but
+    * alignment-blind (fixed chunking), [[purgeFrequentSpansSliding]] is
+    * sliding but purges EVERY instance (boilerplate semantics); training
+    * dedup wants sliding detection AND one surviving copy — deleting the
+    * first occurrence too would erase unique content from the corpus.
+    *
+    * Contract: "first" is the (id, start) lexicographic minimum over a
+    * span text's occurrences (ids unique — the [[graft.operators.Linkage]]
+    * id contract); a token is removed iff SOME non-first duplicate span
+    * occurrence covers it, even where that overlaps a first occurrence of
+    * a different span — the deterministic greedy form of the paper's
+    * suffix-array cut (reference point: sm-etl-cloud-run has no dedup at
+    * all; this generalizes its exact-key upsert discipline to content).
+    * `stride` = 1 is the paper's semantics (every start position);
+    * coarser strides trade boundary blindness for fan-out, as on the
+    * sliding purge.
+    *
+    * Emits one row per input document: `texto_limpo` ('' when every
+    * token was covered), `n_tokens`, `n_removidos`.
+    *
+    * Shape at 100 TB: the span fan-out is window/stride× the token
+    * stream at scan level; keep-first ranking is ONE row_number window
+    * partitioned by span text (shuffle+sort whose skew = duplicate
+    * density — a span duplicated k× sorts k rows linearly, never a pair
+    * space, the same bound as the frequent-span aggregation); covered
+    * positions explode only from NON-FIRST instances (duplicate-bounded,
+    * not corpus-bounded), then one (id, pos) join against the token
+    * stream and the per-doc ordered rebuild. Token and span streams both
+    * replay from one persisted (id, tokens) scan.
+    */
+  def dedupExactSubstrings(
+      df: DataFrame, idCol: String, textCol: String, window: Int,
+      stride: Int = 1): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got stride=$stride window=$window")
+    val toksed = CacheScope.persistTracked(
+      Spread(df.select(col(idCol).as("__id"), col(textCol)))
+        .select(col("__id"), TextAnalysis.tokens(col(textCol)).as("__tk")))
+    val starts = when(size(col("__tk")) >= window,
+        sequence(lit(0), size(col("__tk")) - window, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    val spans = toksed
+      .select(col("__id"), col("__tk"), explode(starts).as("__st"))
+      .select(col("__id"), col("__st"),
+        concat_ws(" ", slice(col("__tk"), col("__st") + 1, lit(window))).as("__span"))
+    val w = Window.partitionBy(col("__span")).orderBy(col("__id"), col("__st"))
+    val covered = spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("__id"),
+        explode(sequence(col("__st"), col("__st") + window - 1)).as("__pos"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    val toks = toksed.select(col("__id"),
+      posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+    toks.join(covered, Seq("__id", "__pos"), "left")
+      .groupBy("__id").agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("__pos"), col("__tok"))))),
+          s => s.getField("__tok"))).as("texto_limpo"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNull, 0L).otherwise(1L)).as("n_removidos"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Hashed unigram+bigram feature buckets (q109's feature space). */
   private def dsirBuckets(
       df: DataFrame, textCol: String, buckets: Int,

@@ -865,4 +865,55 @@ object TextAnalysis {
           (col("__b").cast("decimal(38,0)") * col("n_a") * col("n_b"))
             .cast("double")).as("lift"))
   }
+
+  /** Per-document lexical-diversity audit: token Shannon entropy,
+    * type-token ratio and hapax ratio — the vocabulary-richness quality
+    * signals complementing the REPETITION family (row 59 flags dup
+    * n-grams; a template-generated doc can be dup-free yet nearly
+    * zero-entropy, and boilerplate-heavy corpora skew low-TTR — the
+    * Gopher §A1.1 "diversity" lens).
+    *
+    * Entropy = ln(n) − (Σ_types c·ln c)/n — the Σ is a float sum over a
+    * DOCUMENT's distinct tokens, so it runs as the deterministic
+    * left fold over the token-sorted (type, count) list (the
+    * kruskalWallis fold discipline: per-doc list size is doc-bounded,
+    * and a fixed order replays op-for-op in any engine — DuckDB
+    * `list_reduce(list(… ORDER BY token), …)`); TTR and hapax are ONE
+    * IEEE division each over exact BIGINTs. Blank tokens drop; an
+    * empty/whitespace doc emits n=0 with null ratios.
+    *
+    * Shape at 100 TB: one explode + one (doc, token) combinable count,
+    * one per-doc aggregation carrying the sorted fold — no corpus-wide
+    * state, no joins; entropy never compares documents.
+    */
+  def lexicalDiversity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = Spread(df.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy("__id", "__tok").agg(count(lit(1L)).as("__c"))
+    val perDoc = counts.groupBy("__id").agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1L)).as("n_tipos"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+      aggregate(
+        array_sort(collect_list(struct(col("__tok"), col("__c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__c").cast("double") *
+          log(x.getField("__c").cast("double"))).as("__clnc"))
+    val n = col("n_tokens").cast("double")
+    df.select(col(idCol).as("__id")).distinct()
+      .join(perDoc, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_tipos"), lit(0L)).as("n_tipos"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(col("n_tokens") > 0L,
+          col("n_tipos").cast("double") / n).as("ttr"),
+        when(col("n_tokens") > 0L,
+          col("n_hapax").cast("double") / n).as("razao_hapax"),
+        when(col("n_tokens") > 0L, log(n) - col("__clnc") / n)
+          .as("entropia"))
+  }
 }

@@ -84,6 +84,58 @@ object Linkage {
       .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
+  /** [[fuzzyPairs]] with Jaro–Winkler verification — the SIMILARITY
+    * scorer census-style name linkage actually uses where edit distance
+    * is the wrong metric: Levenshtein charges a first-character typo
+    * and a last-character typo identically, while human-name key errors
+    * cluster in suffixes and matches share prefixes (Winkler 1990's
+    * motivation). Same candidate discipline — multi-pass caller-supplied
+    * blocking keys, within-key pair space through the shared
+    * [[graft.llm.Dedup.tiledPairs]] skew engine, multi-pass dedup — with
+    * verification ONE native [[graft.functions.JaroWinkler]] call per
+    * candidate (codegen'd; DuckDB's independent `jaro_winkler_similarity`
+    * implementation is the oracle, so the kernel itself is
+    * cross-engine-checked, not replayed).
+    *
+    * Output: `(id_a < id_b, sim)` for every blocked pair with
+    * `sim >= minSim`, each exactly once. Contract: ids unique;
+    * normalization is lower/trim (same as [[fuzzyPairs]]).
+    */
+  def jaroWinklerPairs(
+      df: DataFrame, idCol: String, nameCol: String, minSim: Double,
+      blockKeys: Seq[Column => Column],
+      maxBlock: Int = graft.llm.Dedup.AdaptiveBlock): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, s"need 0 <= minSim <= 1, got $minSim")
+    require(blockKeys.nonEmpty, "need at least one blocking key")
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
+    val keyed = df.select(col(idCol).as("__id"),
+        lower(trim(col(nameCol))).as("__nm"))
+      .select(col("__id"), col("__nm"),
+        posexplode(array(blockKeys.map(k => k(col("__nm"))): _*))
+          .as(Seq("__pass", "__key")))
+      .filter(col("__key").isNotNull && col("__key") =!= "")
+      .select(col("__id"),
+        concat_ws(" ", col("__pass").cast("string"), col("__key"))
+          .as("__block"),
+        col("__nm"))
+    val cand = graft.llm.Dedup.tiledPairs(keyed, Seq("__nm"), maxBlock)
+      .select(
+        when(col("id_a") < col("id_b"), col("id_a")).otherwise(col("id_b"))
+          .as("__lo"),
+        when(col("id_a") < col("id_b"), col("id_b")).otherwise(col("id_a"))
+          .as("__hi"),
+        when(col("id_a") < col("id_b"), col("__nm_a")).otherwise(col("__nm_b"))
+          .as("__nm_lo"),
+        when(col("id_a") < col("id_b"), col("__nm_b")).otherwise(col("__nm_a"))
+          .as("__nm_hi"))
+      .distinct()
+    cand.select(col("__lo").as("id_a"), col("__hi").as("id_b"),
+        call_function("jaro_winkler", col("__nm_lo"), col("__nm_hi"))
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
     * Sunter, JASA 1969) — the decision layer ABOVE the candidate
     * generators ([[fuzzyPairs]], [[editJoinDeletes]]): a candidate pair

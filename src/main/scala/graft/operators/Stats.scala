@@ -1012,4 +1012,140 @@ object Stats {
             col("__n").cast(d19) - col("__n").cast(d19), h / corr)
           .as("h_corr"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test per group — the
+    * distribution-DIFFERENCE companion of the drift report (row 186
+    * compares binned histograms; KS is the binning-free exact form —
+    * the supremum gap between the two empirical CDFs) and of
+    * [[kruskalWallis]] (which detects LOCATION shifts; KS also catches
+    * equal-median shape/variance divergence). The training-data read:
+    * "did this source's quality-score distribution move between
+    * snapshots" without choosing bins.
+    *
+    * Exactness (the row-180 value-collapse discipline): rows collapse
+    * to per-(group, distinct value) counts of each sample, both ECDFs
+    * walk the collapsed table as cumulative sums over the value order,
+    * and the supremum is `max |ca·nb − cb·na|` — pure BIGINT (the ECDF
+    * gap at each step scaled by na·nb; the supremum over all x is
+    * attained at a step point evaluated AFTER its step, which the
+    * row-inclusive cumulative gives). `d` is that integer over na·nb in
+    * ONE IEEE division; the Numerical-Recipes significance scale
+    * `lambda = (√ne + 0.12 + 0.11/√ne)·d`, ne = na·nb/(na+nb), is a
+    * fixed parenthesization over already-final doubles. Headroom:
+    * na·nb ≤ 9·10¹⁸ per group (BIGINT) → ~3·10⁹ rows per side —
+    * documented wall, the [[kruskalWallis]] fallback discipline.
+    * Null-value rows are dropped (the rocAuc NULL convention — Spark
+    * and DuckDB sort NULLs to opposite ends); a group with an empty
+    * side emits null `d` (no distribution to compare).
+    *
+    * Shape at 100 TB: one map-side-combinable collapse to distinct
+    * values, one cumulative window over DISTINCT VALUES per group
+    * (never a corpus-wide row sort), one combinable per-group max —
+    * groups × distinct values bound every post-collapse stage. Output:
+    * one row per group — (grupo…, n_a, n_b, d_num, d, ks_lambda).
+    */
+  /** Welch's unequal-variance two-sample t-test per group (Welch 1947 —
+    * the A/B-comparison staple [[kruskalWallis]] and [[ksTest]] bracket:
+    * KW ranks k groups, KS compares whole shapes; Welch answers "did the
+    * MEAN move, without assuming equal variances" — the default t-test
+    * recommendation since Ruxton 2006).
+    *
+    * Exactness: sufficient statistics are EXACT DECIMAL(38,12) sums
+    * (Σx, Σx² per side — ONE combinable aggregation, the q137/q150
+    * discipline; a double sum would make borderline t values
+    * partitioning-dependent). The double edge is a fixed
+    * parenthesization: mean = Σx/n; s² = max((Σx² − Σx·Σx/n)/(n−1), 0)
+    * (the max guards the constant-series rounding residue);
+    * t = (mā − m̄b)/√(s²a/na + s²b/nb); Welch–Satterthwaite
+    * df = (s²a/na + s²b/nb)² / ((s²a/na)²/(na−1) + (s²b/nb)²/(nb−1)).
+    * Null-value/-sample rows drop ([[rocAuc]]'s convention); t and gl
+    * are null when either side has n < 2 or both variances are zero.
+    *
+    * Shape at 100 TB: one map-side-combinable aggregation — six
+    * conditional sums — then per-group scalar algebra; nothing after
+    * the agg sees more than one row per group.
+    */
+  def welchTTest(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      sampleACol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val x = col(valueCol).cast("double")
+    val d38 = "decimal(38,12)"
+    val isA = col(sampleACol)
+    val agg = df
+      .filter(col(valueCol).isNotNull && col(sampleACol).isNotNull)
+      .groupBy(g: _*).agg(
+        sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isA, x.cast(d38)).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("__sa"),
+        sum(when(isA, (x * x).cast(d38)).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("__saa"),
+        sum(when(!isA, x.cast(d38)).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("__sb"),
+        sum(when(!isA, (x * x).cast(d38)).otherwise(lit(0).cast(d38)))
+          .cast(d38).as("__sbb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double")
+    val sb = col("__sb").cast("double")
+    val ma = sa / na
+    val mb = sb / nb
+    val s2a = greatest(
+      (col("__saa").cast("double") - sa * sa / na) / (na - lit(1.0)),
+      lit(0.0))
+    val s2b = greatest(
+      (col("__sbb").cast("double") - sb * sb / nb) / (nb - lit(1.0)),
+      lit(0.0))
+    val va = s2a / na
+    val vb = s2b / nb
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && (va + vb) > 0.0
+    agg.select(g ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0L, ma).as("media_a"),
+      when(col("n_b") > 0L, mb).as("media_b"),
+      when(ok, (ma - mb) / sqrt(va + vb)).as("t"),
+      when(ok, (va + vb) * (va + vb) /
+        (va * va / (na - lit(1.0)) + vb * vb / (nb - lit(1.0))))
+        .as("gl")): _*)
+  }
+
+  def ksTest(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      sampleACol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(sampleACol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(
+        sum(when(col(sampleACol), 1L).otherwise(0L)).as("__a"),
+        sum(when(col(sampleACol), 0L).otherwise(1L)).as("__b"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(g: _*)
+    val cum = byValue
+      .withColumn("__ca", sum(col("__a")).over(wCum))
+      .withColumn("__cb", sum(col("__b")).over(wCum))
+      .withColumn("__na", sum(col("__a")).over(wAll))
+      .withColumn("__nb", sum(col("__b")).over(wAll))
+    val perGroup = cum.groupBy(g: _*).agg(
+      max(col("__na")).as("n_a"),
+      max(col("__nb")).as("n_b"),
+      max(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")))
+        .as("d_num"))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val d = col("d_num").cast("double") / (nad * nbd)
+    val ne = nad * nbd / (nad + nbd)
+    perGroup.select(
+      g ++ Seq(
+        col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0L && col("n_b") > 0L, d).as("d"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d)
+          .as("ks_lambda")): _*)
+  }
 }

@@ -449,4 +449,67 @@ object Timeseries {
         (col("__s_bruto") - col("__m")).as("sazonal"),
         (col("__detr") - (col("__s_bruto") - col("__m"))).as("residuo"))
   }
+
+  /** Mann–Kendall trend test per group (Mann 1945 / Kendall 1975 — the
+    * nonparametric monotone-trend staple: [[graft.operators.Stats
+    * .groupLinearFit]] fits a LINE and its slope moves with outliers;
+    * MK asks only "do later points tend to sit higher" and is the
+    * standard first question against indicator series like the
+    * reference's per-municipality monthly counts).
+    *
+    * `S = Σ_{i<j} sgn(v_j − v_i)` over the TIME order — pure integer:
+    * one within-group pair join over the per-(group, time) COLLAPSED
+    * series (duplicate timestamps fold by their exact decimal sum
+    * first, so the pair space is CALENDAR²-bounded — ten years of days
+    * is 3,650 rows per group no matter how many raw events fold into
+    * them — never corpus²). Tie-corrected variance
+    * `18·Var = n(n−1)(2n+5) − Σ_k t_k(t_k−1)(2t_k+5)` stays integer
+    * (headroom n³ ≤ 9·10¹⁸ → n ≤ 2·10⁶ points per series — the
+    * documented wall, far past any calendar); the normal approximation
+    * `z = (S ∓ 1)/√(Var)` is one IEEE division over a √ of an exact
+    * integer ratio. Output one row per group: (grupo…, n, s, var18
+    * exact BIGINT, z, tendencia ∈ alta/baixa/estavel by z vs ±1.96).
+    */
+  def mannKendall(
+      df: DataFrame, groupCols: Seq[String], timeCol: String,
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val series = df
+      .filter(col(timeCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(g :+ col(timeCol).as("__t"): _*)
+      .agg(sum(col(valueCol).cast("decimal(38,12)")).cast("double")
+        .as("__v"))
+    val a = series.select(
+      groupCols.map(cn => col(cn).as(s"__ga_$cn")) ++
+        Seq(col("__t").as("__ta"), col("__v").as("__va")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__ga_$c"))
+      .reduce(_ && _) && col("__t") > col("__ta")
+    val s = series.join(a, cond)
+      .groupBy(g: _*)
+      .agg(sum(signum(col("__v") - col("__va")).cast("long")).as("s"))
+    val ties = series.groupBy(g :+ col("__v"): _*)
+      .agg(count(lit(1L)).as("__tk"))
+      .groupBy(g: _*).agg(
+        sum(col("__tk")).as("n"),
+        sum(col("__tk") * (col("__tk") - 1L) *
+          (lit(2L) * col("__tk") + 5L)).as("__tcorr"))
+    val n = col("n")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("__tcorr")
+    val z = when(col("s") > 0L,
+        (col("s") - 1L).cast("double") /
+          sqrt(var18.cast("double") / lit(18.0)))
+      .when(col("s") < 0L,
+        (col("s") + 1L).cast("double") /
+          sqrt(var18.cast("double") / lit(18.0)))
+      .otherwise(lit(0.0))
+    ties.join(s, groupCols, "left")
+      .select(g ++ Seq(
+        n, coalesce(col("s"), lit(0L)).as("s"),
+        var18.as("var18"),
+        when(var18 > 0L, z).as("z"),
+        when(var18 > 0L,
+          when(z > 1.96, "alta").when(z < -1.96, "baixa")
+            .otherwise("estavel")).as("tendencia")): _*)
+  }
 }

@@ -620,4 +620,32 @@ class CurationSpec extends SparkSpec {
     assert(h.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
       "selection must be a pure function of (id, weight), not partitioning")
   }
+
+  test("dedupExactSubstrings keeps the globally FIRST occurrence, cuts " +
+      "later cross-doc and within-doc copies, exempts short docs") {
+    val docs = Seq(
+      (1L, "a b c d e"),         // owns "a b c"/"b c d" first occurrences
+      (2L, "x y a b c d z"),     // re-uses them at offsets 2/3
+      (3L, "m n o m n o"),       // within-doc repeat of "m n o"
+      (4L, "t u"))               // shorter than window: exempt
+      .toDF("doc_id", "text")
+    val got = Curation.dedupExactSubstrings(
+        docs, "doc_id", "text", window = 3, stride = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      // first occurrences survive untouched
+      (1L, "a b c d e", 5L, 0L),
+      // covered = union of "a b c"@2 and "b c d"@3 -> positions 2..5
+      (2L, "x y z", 7L, 4L),
+      // "m n o"@3 is rn 2 -> positions 3..5 cut, first copy stays
+      (3L, "m n o", 6L, 3L),
+      (4L, "t u", 2L, 0L)), s"got $got")
+    // keep-first vs the sliding PURGE-ALL variant: boilerplate purge
+    // (maxDocs=1) would also erase doc 1's original copy; dedup must not
+    val purged = Curation.purgeFrequentSpansSliding(
+        docs, "doc_id", "text", window = 3, stride = 1, maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(purged.head._2 == "e",
+      s"purge-all erases the first copy too (sanity): $purged")
+  }
 }

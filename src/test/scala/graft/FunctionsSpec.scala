@@ -545,4 +545,66 @@ class FunctionsSpec extends SparkSpec {
       2.0 * math.log(2.0)
     assert(math.abs(applied(11L)._2 - hand) < 1e-12, s"got ${applied(11L)}")
   }
+
+  test("native jaro_winkler matches DuckDB's independent kernel on " +
+      "pinned cases (boost threshold, window, transpositions, edges)") {
+    GraftFunctions.register(spark)
+    // expected values are DuckDB jaro_winkler_similarity outputs,
+    // probed verbatim — the oracle kernel this expression contracts to
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),  // one transposition
+      ("dixon", "dicksonx", 0.8133333333333332), // prefix-2 boost
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no prefix
+      ("duane", "dwayne", 0.8400000000000001),   // prefix-1 boost
+      ("aaa", "aaaa", 0.9416666666666667),       // prefix capped by len
+      ("ab", "ax", 0.6666666666666666),          // jaro <= 0.7: NO boost
+      ("ab", "ba", 0.0),                         // window 0: no matches
+      ("abcd", "dcba", 0.5),
+      ("crate", "trace", 0.7333333333333334),    // boost region, prefix 0
+      ("abc", "abc", 1.0),
+      ("", "", 0.0),                             // DuckDB's empty rule
+      ("a", "", 0.0))
+    val got = pinned.zipWithIndex
+      .map { case ((a, b, _), i) => (i.toLong, a, b) }
+      .toDF("i", "a", "b")
+      .select(col("i"), call_function("jaro_winkler", col("a"), col("b")).as("s"))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    pinned.map(_._3).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(math.abs(g - want) < 1e-12, s"case $i: got $g want $want")
+    }
+    // interpreted path (no codegen) agrees with the kernel; null in, null out
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.JaroWinklerOps.similarity(
+      UTF8String.fromString("martha"), UTF8String.fromString("marhta"))
+      == 0.9611111111111111)
+    val n = Seq((1L, "x", null: String)).toDF("i", "a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("lexicalDiversity: hand entropy/TTR/hapax, empty doc returns " +
+      "n=0 with null ratios, blank tokens never count") {
+    val docs = Seq(
+      (1L, "a a b"),       // n=3 types=2 hapax=1
+      (2L, "x x x x"),     // zero entropy, TTR 1/4
+      (3L, "   "),         // whitespace-only -> n=0
+      (4L, "um dois tres")) // all hapax -> entropy ln(3)
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val d1 = got(1L)
+    assert((d1._2, d1._3, d1._4) == ((3L, 2L, 1L)))
+    assert(math.abs(d1._5.get - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(d1._6.get - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(d1._7.get -
+      (math.log(3.0) - 2.0 * math.log(2.0) / 3.0)) < 1e-12)
+    val d2 = got(2L)
+    assert((d2._2, d2._3, d2._7.get) == ((4L, 1L,
+      math.log(4.0) - 4.0 * math.log(4.0) / 4.0)))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, None, None, None)))
+    assert(math.abs(got(4L)._7.get - math.log(3.0)) < 1e-12)
+  }
 }

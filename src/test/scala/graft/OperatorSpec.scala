@@ -1807,4 +1807,89 @@ class OperatorSpec extends SparkSpec {
     assert(rows(0).getDecimal(3).toPlainString ==
       "0.000003814697265625000000")
   }
+
+  test("ksTest: hand D on a 3v3 case, identical samples at zero, " +
+      "one-sided group null, null values dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // group g: A = {1,2,3}, B = {2,3,4} -> sup gap at v<2: D = 1/3
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true),
+      ("g", 2.0, false), ("g", 3.0, false), ("g", 4.0, false),
+      // group i: identical samples -> D = 0
+      ("i", 5.0, true), ("i", 5.0, false),
+      // group h: only sample A -> d/lambda null
+      ("h", 7.0, true),
+      // null values never count
+      ("g", Double.NaN, true))
+      .toDF("grupo", "valor", "aberto")
+      .withColumn("valor",
+        when(isnan(col("valor")), lit(null)).otherwise(col("valor")))
+    val got = Stats.ksTest(df, Seq("grupo"), "valor", "aberto")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val (na, nb, dnum, d, lam) = got("g")
+    assert((na, nb, dnum) == (3L, 3L, 3L))
+    assert(d.contains(1.0 / 3.0))
+    val ne = 9.0 / 6.0
+    val wantLam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) / 3.0
+    assert(math.abs(lam.get - wantLam) < 1e-12)
+    assert(got("i") == ((1L, 1L, 0L, Some(0.0), Some(0.0))))
+    val h = got("h")
+    assert((h._1, h._2, h._4, h._5) == ((1L, 0L, None, None)))
+  }
+
+  test("welchTTest: hand t and Welch-Satterthwaite df, degenerate sides null") {
+    import spark.implicits._
+    val df = Seq(
+      // A = {1,2,3,4}: m=2.5 s2=5/3; B = {2,4,6,8}: m=5 s2=20/3
+      // t = -2.5/sqrt(5/12+5/3) = -sqrt(12)/2; df = 75/17
+      ("g", 1.0, true), ("g", 2.0, true), ("g", 3.0, true), ("g", 4.0, true),
+      ("g", 2.0, false), ("g", 4.0, false), ("g", 6.0, false), ("g", 8.0, false),
+      // zero variance BOTH sides -> t/gl null, means still real
+      ("z", 3.0, true), ("z", 3.0, true), ("z", 4.0, false), ("z", 4.0, false),
+      // n=1 side -> null
+      ("u", 1.0, true), ("u", 2.0, false), ("u", 3.0, false))
+      .toDF("grupo", "valor", "aberto")
+    val got = Stats.welchTTest(df, Seq("grupo"), "valor", "aberto")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g = got("g")
+    assert((g._2, g._3) == ((4L, 4L)))
+    assert(g._4.contains(2.5) && g._5.contains(5.0))
+    assert(math.abs(g._6.get - (-math.sqrt(12.0) / 2.0)) < 1e-12)
+    assert(math.abs(g._7.get - 75.0 / 17.0) < 1e-12)
+    val z = got("z")
+    assert(z._4.contains(3.0) && z._5.contains(4.0) && z._6.isEmpty && z._7.isEmpty)
+    assert(got("u")._6.isEmpty && got("u")._7.isEmpty)
+  }
+
+  test("mannKendall: monotone series hit +/-1.96, constants null out, " +
+      "duplicate timestamps collapse first") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2026-01-${i}%02d")
+    val rows =
+      (1 to 5).map(i => ("up", d(i), i.toDouble)) ++
+      (1 to 5).map(i => ("down", d(i), (10 - i).toDouble)) ++
+      (1 to 5).map(i => ("flat", d(i), 7.0)) ++
+      // dup: day 1 holds 1.0 split across two rows -> collapses to 1.0
+      Seq(("dup", d(1), 0.5), ("dup", d(1), 0.5),
+        ("dup", d(2), 2.0), ("dup", d(3), 3.0))
+    val got = Timeseries.mannKendall(
+        rows.toDF("grupo", "dia", "valor"), Seq("grupo"), "dia", "valor")
+      .as[(String, Long, Long, Long, Option[Double], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    // up: S=10, var18 = 5*4*15 = 300 -> z = 9/sqrt(300/18) = 2.2045
+    val up = got("up")
+    assert((up._2, up._3, up._4) == ((5L, 10L, 300L)))
+    assert(math.abs(up._5.get - 9.0 / math.sqrt(300.0 / 18.0)) < 1e-12)
+    assert(up._6.contains("alta"))
+    assert(got("down")._3 == -10L && got("down")._6.contains("baixa"))
+    // flat: every pair ties -> S=0, tie term cancels var18 to 0 -> null z
+    val fl = got("flat")
+    assert((fl._3, fl._4, fl._5, fl._6) == ((0L, 0L, None, None)))
+    // dup days collapse before pairing: n=3 strictly rising -> S=3
+    assert((got("dup")._2, got("dup")._3) == ((3L, 3L)))
+  }
 }
