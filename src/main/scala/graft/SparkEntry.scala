@@ -2701,6 +2701,18 @@ object SparkEntry {
         "doc_id", "text"))
     },
 
+    // Product-quantization ANN (rows-only: ADC distances are
+    // approximate by construction; SimilaritySpec pins recall 0.44
+    // raw / 0.96 refined vs exact L2 and code determinism): m=8 x
+    // k=16 codebooks, compressed ADC shortlist, exact re-rank.
+    "q206_pq_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 200 === 0)
+      ordered(llm.Pq.pqTopK(
+        emb, q, "vec_id", "embedding", k = 10, m = 8, kSub = 16,
+        samplePct = 30, shortlist = 100))
+    },
+
     // Exact per-day precision-recall curve of the same purchase-vs-rest
     // ranking as q182: one row per distinct value threshold, integer
     // tp/fp/fn cumulatives over the value-collapsed table, each ratio a
