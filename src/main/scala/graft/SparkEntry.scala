@@ -2701,6 +2701,52 @@ object SparkEntry {
         "doc_id", "text"))
     },
 
+    // Chi-squared independence + Cramer's V between order priority and
+    // status per order-year: integer cell algebra (n*nab - na*nb
+    // squared in DECIMAL(38,0)), one IEEE division per cell, the
+    // deterministic (a,b)-sorted fold, dof-gated outputs.
+    "q207_cramers_v" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        year(col("o_orderdate")).cast("long").as("ano"),
+        col("o_orderpriority").as("prioridade"),
+        col("o_orderstatus").as("situacao"))
+      ordered(operators.Stats.cramersV(
+        o, Seq("ano"), "prioridade", "situacao"))
+    },
+
+    // Gini concentration of order totalprice per priority: exact
+    // sorted-rank algebra over the value-collapsed cent-scaled table,
+    // two integer divisions at the edge.
+    "q208_gini" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grupo"),
+        col("o_totalprice").as("valor"))
+      ordered(operators.Stats.giniIndex(o, Seq("grupo"), "valor",
+        scale = 2))
+    },
+
+    // CUPED variance-reduced readout of a deterministic pseudo-
+    // experiment: units = customers, y = 1996+ spend, x = pre-1996
+    // spend (both exact decimal folds per unit), arms = custkey parity,
+    // grouped per market segment; theta/x-bar fit arm-blind.
+    "q209_cuped" -> { (s, dir) =>
+      val post = sum(when(col("o_orderdate") >= "1996-01-01",
+          col("o_totalprice").cast("decimal(38,6)"))
+        .otherwise(lit(0).cast("decimal(38,6)")))
+      val pre = sum(when(col("o_orderdate") < "1996-01-01",
+          col("o_totalprice").cast("decimal(38,6)"))
+        .otherwise(lit(0).cast("decimal(38,6)")))
+      val perCust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("id"))
+        .agg(post.cast("double").as("y"), pre.cast("double").as("x"))
+      val units = perCust.join(
+        Tables.customer(s, dir).select(col("c_custkey").as("id"),
+          col("c_mktsegment").as("segmento")), Seq("id"))
+        .withColumn("braco", col("id") % 2)
+      ordered(operators.Stats.cupedAdjust(
+        units, Seq("segmento"), "braco", "y", "x"))
+    },
+
     // Product-quantization ANN (rows-only: ADC distances are
     // approximate by construction; SimilaritySpec pins recall 0.44
     // raw / 0.96 refined vs exact L2 and code determinism): m=8 x
@@ -6919,6 +6965,138 @@ ORDER BY ALL NULLS FIRST""",
         |    CASE WHEN z > 1.96 THEN 'alta' WHEN z < -1.96 THEN 'baixa'
         |      ELSE 'estavel' END END AS tendencia
         |FROM zt
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the cell counts, margins, the DECIMAL(38,0) squared
+    // numerator per cell, the (a,b)-sorted fold and the dof gates.
+    "q207_cramers_v" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+        |    o_orderpriority AS a, o_orderstatus AS b
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT ano, a, b, CAST(count(*) AS BIGINT) AS nab
+        |  FROM o GROUP BY 1, 2, 3),
+        |rm AS (SELECT ano, a, CAST(sum(nab) AS BIGINT) AS na
+        |  FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT ano, b, CAST(sum(nab) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT ano, CAST(sum(nab) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT a) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT b) AS BIGINT) AS c
+        |  FROM cells GROUP BY 1),
+        |grid AS (
+        |  SELECT rm.ano, a, b, na, nb, coalesce(nab, 0) AS nab
+        |  FROM rm JOIN cm USING (ano)
+        |  LEFT JOIN cells USING (ano, a, b)),
+        |terms AS (
+        |  SELECT grid.ano, a, b,
+        |    CAST(CAST(n * nab - na * nb AS DECIMAL(38,0)) *
+        |      CAST(n * nab - na * nb AS DECIMAL(38,0)) AS DOUBLE) /
+        |    CAST(CAST(n AS DECIMAL(38,0)) * na * nb AS DOUBLE) AS t
+        |  FROM grid JOIN tot USING (ano)),
+        |fold AS (
+        |  SELECT ano, 0.0 + list_reduce(list(t ORDER BY a, b),
+        |    (acc, x) -> acc + x) AS chi2
+        |  FROM terms GROUP BY ano)
+        |SELECT tot.ano, n, r, c, (r - 1) * (c - 1) AS gl,
+        |  CASE WHEN (r - 1) * (c - 1) > 0 THEN chi2 END AS chi2,
+        |  CASE WHEN (r - 1) * (c - 1) > 0 THEN
+        |    sqrt(chi2 / (CAST(n AS DOUBLE) *
+        |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
+        |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the cent scaling, value collapse, tie-invariant rank-sum
+    // blocks and the two exact-integer divisions.
+    "q208_gini" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grupo,
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100
+        |      AS DECIMAL(38,0)) AS x
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |bv AS (SELECT grupo, x, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM v GROUP BY 1, 2),
+        |cum AS (SELECT grupo, x, c, neg,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY grupo ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM bv),
+        |pg AS (SELECT grupo, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(neg) AS BIGINT) AS n_neg,
+        |    CAST(sum(x * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS t,
+        |    CAST(sum(x * (CAST(c AS DECIMAL(38,0)) *
+        |        CAST(below AS DECIMAL(38,0)) +
+        |        CAST((c * (c + 1)) // 2 AS DECIMAL(38,0))))
+        |      AS DECIMAL(38,0)) AS s
+        |  FROM cum GROUP BY 1)
+        |SELECT grupo, n, CAST(t AS DOUBLE) / 100.0 AS total,
+        |  CASE WHEN n_neg = 0 AND t > 0 THEN
+        |    2.0 * CAST(s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) -
+        |    (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END AS gini
+        |FROM pg
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-unit decimal folds, the pooled arm-blind
+    // sufficient statistics, theta/1-rho2 and the algebraic per-arm
+    // adjusted mean.
+    "q209_cuped" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS id,
+        |    CAST(sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(38,6))
+        |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS y,
+        |    CAST(sum(CASE WHEN o_orderdate < DATE '1996-01-01'
+        |      THEN CAST(o_totalprice AS DECIMAL(38,6))
+        |      ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |u AS (
+        |  SELECT c_mktsegment AS segmento, pc.id % 2 AS braco, y, x
+        |  FROM pc JOIN customer ON c_custkey = pc.id),
+        |pooled AS (
+        |  SELECT segmento, CAST(count(*) AS BIGINT) AS pn,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS sy,
+        |    sum(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    sum(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    sum(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM u GROUP BY 1),
+        |st AS (
+        |  SELECT segmento,
+        |    CAST(sx AS DOUBLE) / CAST(pn AS DOUBLE) AS mx,
+        |    CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |        CAST(sx AS DOUBLE) / CAST(pn AS DOUBLE) > 0 THEN
+        |      (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |        CAST(sy AS DOUBLE) / CAST(pn AS DOUBLE)) /
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |        CAST(sx AS DOUBLE) / CAST(pn AS DOUBLE)) END AS theta,
+        |    CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |        CAST(sx AS DOUBLE) / CAST(pn AS DOUBLE) > 0
+        |      AND CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |        CAST(sy AS DOUBLE) / CAST(pn AS DOUBLE) > 0 THEN
+        |      1.0 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |          CAST(sy AS DOUBLE) / CAST(pn AS DOUBLE)) *
+        |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |          CAST(sy AS DOUBLE) / CAST(pn AS DOUBLE))) /
+        |      ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+        |          CAST(sx AS DOUBLE) / CAST(pn AS DOUBLE)) *
+        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+        |          CAST(sy AS DOUBLE) / CAST(pn AS DOUBLE)))
+        |      END AS fator_variancia
+        |  FROM pooled),
+        |arms AS (
+        |  SELECT segmento, braco, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(y AS DECIMAL(38,12))) AS asy,
+        |    sum(CAST(x AS DECIMAL(38,12))) AS asx
+        |  FROM u GROUP BY 1, 2)
+        |SELECT segmento, braco, n,
+        |  CAST(asy AS DOUBLE) / CAST(n AS DOUBLE) AS media_y,
+        |  CAST(asy AS DOUBLE) / CAST(n AS DOUBLE) - theta *
+        |    (CAST(asx AS DOUBLE) / CAST(n AS DOUBLE) - mx) AS media_y_adj,
+        |  theta, fator_variancia
+        |FROM arms JOIN st USING (segmento)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the blank-token drop, the (doc, type) counts and the

@@ -1044,6 +1044,205 @@ object Stats {
     * groups × distinct values bound every post-collapse stage. Output:
     * one row per group — (grupo…, n_a, n_b, d_num, d, ks_lambda).
     */
+  /** Chi-squared independence test + Cramér's V per group (Cramér 1946
+    * §21.9 — "are these two categorical columns associated, and how
+    * strongly": the contingency-table generalization of the χ² FEATURE
+    * test (row 204, which scores one token against one class) to whole
+    * column pairs, with V as the [0,1] effect size χ² alone can't give).
+    *
+    * Integer discipline: per-cell χ² term = (n·n_ab − n_a·n_b)² /
+    * (n·n_a·n_b) — the numerator is an EXACT DECIMAL(38,0) square of a
+    * BIGINT (headroom n ≤ 3·10⁹ rows per group), the denominator an
+    * exact BIGINT product cast once; each cell is ONE IEEE division and
+    * the cross-cell sum is the deterministic left fold over cells sorted
+    * by (a, b) — cell count is category²-bounded by contract (the
+    * kruskalWallis "test-statistic-small" rule). V = √(χ²/(n·min(r−1,
+    * c−1))); single-category sides (dof 0) emit null χ²/V.
+    *
+    * Shape at 100 TB: one combinable (group, a, b) count, two combinable
+    * margin re-aggregations of THAT table, the full r×c grid from the
+    * margin product (category²-bounded — zero-observed cells must
+    * contribute (0−E)²/E, see below) and one fold — raw rows are
+    * touched exactly once.
+    */
+  def cramersV(
+      df: DataFrame, groupCols: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val d38 = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(g :+ col(aCol).cast("string").as("__a") :+
+        col(bCol).cast("string").as("__b"): _*)
+      .agg(count(lit(1L)).as("__nab"))
+      .transform(graft.llm.CacheScope.persistTracked)
+    val rowM = cells.groupBy(g :+ col("__a"): _*)
+      .agg(sum(col("__nab")).as("__na"))
+    val colM = cells.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__nab")).as("__nb"))
+    val tot = cells.groupBy(g: _*).agg(
+      sum(col("__nab")).as("__n"),
+      count_distinct(col("__a")).as("__r"),
+      count_distinct(col("__b")).as("__c"))
+    val term = {
+      val num = (col("__n") * col("__nab") - col("__na") * col("__nb"))
+        .cast(d38)
+      (num * num).cast("double") /
+        (col("__n").cast(d38) * col("__na") * col("__nb")).cast("double")
+    }
+    // the FULL r×c grid, not just observed cells: a zero-observed cell
+    // still contributes (0 − E)²/E — folding observed cells only would
+    // systematically understate χ² exactly when association is strongest
+    val folded = rowM
+      .join(colM, groupCols)
+      .join(cells, groupCols :+ "__a" :+ "__b", "left")
+      .withColumn("__nab", coalesce(col("__nab"), lit(0L)))
+      .join(broadcast(tot), groupCols)
+      .groupBy(g: _*)
+      .agg(
+        max(col("__n")).as("n"),
+        max(col("__r")).as("r"),
+        max(col("__c")).as("c"),
+        aggregate(
+          array_sort(collect_list(
+            struct(col("__a"), col("__b"), term.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("__chi2"))
+    val dof = (col("r") - 1L) * (col("c") - 1L)
+    val minSide = least(col("r") - 1L, col("c") - 1L)
+    folded.select(g ++ Seq(
+      col("n"), col("r"), col("c"), dof.as("gl"),
+      when(dof > 0L, col("__chi2")).as("chi2"),
+      when(dof > 0L,
+        sqrt(col("__chi2") /
+          (col("n").cast("double") * minSide.cast("double"))))
+        .as("cramers_v")): _*)
+  }
+
+  /** Gini coefficient per group (Gini 1912, the Lorenz-curve inequality
+    * index — "how concentrated is spend/volume across customers": the
+    * single-number companion of the ABC/Pareto classes of row 164).
+    *
+    * Exact rank algebra over the VALUE-COLLAPSED table (the row-180
+    * discipline): values scale to integers (`scale` decimal digits),
+    * collapse to (group, value, count), and the sorted-rank sum
+    * `Σ rank_i·x_(i)` folds per distinct value as x·(c·below + c(c+1)/2)
+    * — tie-invariant, since equal values contribute the same under any
+    * permutation of their ranks. Everything accumulates in
+    * DECIMAL(38,0) (headroom x_scaled·n² ≤ 10³⁸); the edge is
+    * G = 2S/(n·T) − (n+1)/n with two exact-integer divisions. Negative
+    * values are REJECTED rows (Gini is undefined below zero — count
+    * reported, not silently dropped); an all-zero or empty group emits
+    * null gini.
+    *
+    * Shape at 100 TB: one combinable collapse, one cumulative window
+    * over DISTINCT values per group, one combinable per-group fold.
+    */
+  def giniIndex(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      scale: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val d38 = "decimal(38,0)"
+    val scaled = df
+      .filter(col(valueCol).isNotNull)
+      .select(g :+
+        (col(valueCol).cast(s"decimal(38,$scale)") *
+          lit(math.pow(10, scale).toLong)).cast(d38).as("__x"): _*)
+    val byValue = scaled
+      .groupBy(g :+ col("__x"): _*)
+      .agg(count(lit(1L)).as("__c"),
+        sum(when(col("__x") < 0L, 1L).otherwise(0L)).as("__neg"))
+    val wBelow = Window.partitionBy(g: _*).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byValue
+      .withColumn("__below",
+        coalesce(sum(col("__c")).over(wBelow), lit(0L)))
+    // Σ ranks for this value's block = c·below + c(c+1)/2; contribution
+    // x · that, all decimal(38,0)
+    val contrib = col("__x") *
+      (col("__c").cast(d38) * col("__below").cast(d38) +
+        (col("__c") * (col("__c") + 1L) / lit(2L)).cast(d38))
+    val perGroup = cum.groupBy(g: _*).agg(
+      sum(col("__c")).as("n"),
+      sum(col("__neg")).as("n_negativos"),
+      sum(col("__x") * col("__c").cast(d38)).cast(d38).as("__t"),
+      sum(contrib).cast(d38).as("__s"))
+    val nd = col("n").cast("double")
+    perGroup.select(g ++ Seq(
+      col("n"),
+      (col("__t").cast("double") / lit(math.pow(10, scale)))
+        .as("total"),
+      when(col("n_negativos") === 0L && col("__t") > 0L,
+        lit(2.0) * col("__s").cast("double") /
+          (nd * col("__t").cast("double")) -
+          (nd + lit(1.0)) / nd).as("gini")): _*)
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — "Improving the Sensitivity of Online Controlled
+    * Experiments": adjust each unit's metric by its PRE-EXPERIMENT
+    * covariate, `y' = y − θ(x − x̄)` with `θ = cov(x,y)/var(x)`, cutting
+    * metric variance by the squared pre/post correlation — the standard
+    * trick that makes small lifts detectable without more traffic).
+    *
+    * θ and x̄ fit on the POOLED units (arm-blind, the paper's unbiasedness
+    * condition) from EXACT DECIMAL(38,12) sufficient statistics (Σx, Σy,
+    * Σxy, Σx², Σy² — ONE combinable aggregation); per-arm means of y and
+    * y' then need only (Σy, Σx, n) per arm — a second combinable
+    * aggregation over the same scan. The per-arm adjusted mean folds
+    * algebraically: mean(y') = ȳ_arm − θ(x̄_arm − x̄), so no per-row
+    * adjusted column ever materializes. Output: one row per
+    * (group…, arm) — n, media_y, media_y_adj, plus the pooled theta and
+    * the pooled variance-reduction factor 1 − ρ² (var(y')/var(y)),
+    * broadcast onto every arm row. Zero-variance x (θ undefined) emits
+    * null adjusted columns.
+    */
+  def cupedAdjust(
+      df: DataFrame, groupCols: Seq[String], armCol: String,
+      yCol: String, xPreCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val d38 = "decimal(38,12)"
+    val x = col(xPreCol).cast("double")
+    val y = col(yCol).cast("double")
+    val base = df.filter(col(xPreCol).isNotNull && col(yCol).isNotNull &&
+        col(armCol).isNotNull)
+      .transform(graft.llm.CacheScope.persistTracked)
+    val pooled = base.groupBy(g: _*).agg(
+      count(lit(1L)).as("__n"),
+      sum(x.cast(d38)).cast(d38).as("__sx"),
+      sum(y.cast(d38)).cast(d38).as("__sy"),
+      sum((x * y).cast(d38)).cast(d38).as("__sxy"),
+      sum((x * x).cast(d38)).cast(d38).as("__sxx"),
+      sum((y * y).cast(d38)).cast(d38).as("__syy"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val varX = col("__sxx").cast("double") - sx * sx / n
+    val varY = col("__syy").cast("double") - sy * sy / n
+    val covXY = col("__sxy").cast("double") - sx * sy / n
+    val stats = pooled.select(g ++ Seq(
+      (sx / n).as("__mx"),
+      when(varX > 0.0, covXY / varX).as("theta"),
+      when(varX > 0.0 && varY > 0.0,
+        lit(1.0) - (covXY * covXY) / (varX * varY))
+        .as("fator_variancia")): _*)
+    val arms = base.groupBy(g :+ col(armCol).as("braco"): _*).agg(
+      count(lit(1L)).as("n"),
+      sum(y.cast(d38)).cast(d38).as("__asy"),
+      sum(x.cast(d38)).cast(d38).as("__asx"))
+    val an = col("n").cast("double")
+    val my = col("__asy").cast("double") / an
+    val mx = col("__asx").cast("double") / an
+    arms.join(broadcast(stats), groupCols)
+      .select(g ++ Seq(col("braco"), col("n"),
+        my.as("media_y"),
+        (my - col("theta") * (mx - col("__mx"))).as("media_y_adj"),
+        col("theta"), col("fator_variancia")): _*)
+  }
+
   /** Welch's unequal-variance two-sample t-test per group (Welch 1947 —
     * the A/B-comparison staple [[kruskalWallis]] and [[ksTest]] bracket:
     * KW ranks k groups, KS compares whole shapes; Welch answers "did the

@@ -1892,4 +1892,63 @@ class OperatorSpec extends SparkSpec {
     // dup days collapse before pairing: n=3 strictly rising -> S=3
     assert((got("dup")._2, got("dup")._3) == ((3L, 3L)))
   }
+
+  test("cramersV: perfect association = 1 (zero-observed cells counted), " +
+      "independence = 0, single-category side null") {
+    import spark.implicits._
+    val df = Seq(
+      // g: a == b always -> V = 1, and chi2 = 4 ONLY if the two
+      // zero-observed cells contribute their (0-E)^2/E
+      ("g", "x", "x"), ("g", "x", "x"), ("g", "y", "y"), ("g", "y", "y"),
+      // i: uniform independent 2x2 -> chi2 = 0
+      ("i", "x", "x"), ("i", "x", "y"), ("i", "y", "x"), ("i", "y", "y"),
+      // s: one-category a side -> dof 0 -> nulls
+      ("s", "x", "p"), ("s", "x", "q"))
+      .toDF("grupo", "a", "b")
+    val got = Stats.cramersV(df, Seq("grupo"), "a", "b")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g = got("g")
+    assert((g._2, g._3, g._4, g._5) == ((4L, 2L, 2L, 1L)))
+    assert(math.abs(g._6.get - 4.0) < 1e-12, s"chi2 ${g._6}")
+    assert(math.abs(g._7.get - 1.0) < 1e-12)
+    assert(got("i")._6.contains(0.0) && got("i")._7.contains(0.0))
+    assert(got("s")._6.isEmpty && got("s")._7.isEmpty)
+  }
+
+  test("giniIndex: equality = 0, one-owner = (n-1)/n, negatives null out") {
+    import spark.implicits._
+    val df = Seq(
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("uno", 0.0), ("uno", 0.0), ("uno", 10.0),
+      ("neg", -1.0), ("neg", 5.0))
+      .toDF("grupo", "valor")
+    val got = Stats.giniIndex(df, Seq("grupo"), "valor", scale = 2)
+      .as[(String, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("eq")._3 == 15.0 && got("eq")._4.contains(0.0))
+    assert(math.abs(got("uno")._4.get - 2.0 / 3.0) < 1e-12)
+    assert(got("neg")._4.isEmpty, "negative values must null gini, not lie")
+  }
+
+  test("cupedAdjust: exact linear covariate fully de-biases arm means, " +
+      "variance factor hits 0, zero-variance x nulls out") {
+    import spark.implicits._
+    val df = Seq(
+      // y = 3x exactly -> theta 3, both adjusted means = 7.5, 1-rho2 = 0
+      ("g", 0L, 1.0, 3.0), ("g", 0L, 2.0, 6.0),
+      ("g", 1L, 3.0, 9.0), ("g", 1L, 4.0, 12.0),
+      // constant x -> theta undefined -> null adjusted
+      ("c", 0L, 2.0, 1.0), ("c", 1L, 2.0, 5.0))
+      .toDF("grupo", "braco", "x", "y")
+    val got = Stats.cupedAdjust(df, Seq("grupo"), "braco", "y", "x")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val a = got(("g", 0L)); val b = got(("g", 1L))
+    assert(a._4 == 4.5 && b._4 == 10.5)
+    assert(math.abs(a._5.get - 7.5) < 1e-12 && math.abs(b._5.get - 7.5) < 1e-12)
+    assert(a._6.contains(3.0) && math.abs(a._7.get) < 1e-12)
+    assert(got(("c", 0L))._5.isEmpty && got(("c", 0L))._6.isEmpty)
+  }
 }
