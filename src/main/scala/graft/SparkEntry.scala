@@ -2714,6 +2714,20 @@ object SparkEntry {
         o, Seq("ano"), "prioridade", "situacao"))
     },
 
+    // Mutual information + NMI on the same priority-x-status pair as
+    // q207 (chi2 asks "statistically surprising?", MI asks "how many
+    // nats does A tell you about B"): observed-cell terms with exact
+    // integer ln arguments, deterministic sorted folds for MI and both
+    // marginal entropies.
+    "q210_mutual_info" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        year(col("o_orderdate")).cast("long").as("ano"),
+        col("o_orderpriority").as("prioridade"),
+        col("o_orderstatus").as("situacao"))
+      ordered(operators.Stats.mutualInfo(
+        o, Seq("ano"), "prioridade", "situacao"))
+    },
+
     // Gini concentration of order totalprice per priority: exact
     // sorted-rank algebra over the value-collapsed cent-scaled table,
     // two integer divisions at the edge.
@@ -7005,6 +7019,45 @@ ORDER BY ALL NULLS FIRST""",
         |    sqrt(chi2 / (CAST(n AS DOUBLE) *
         |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
         |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the observed-cell MI terms with integer ln arguments and
+    // the three (a,b)/(a)/(b)-sorted folds.
+    "q210_mutual_info" ->
+      """WITH o AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS ano,
+        |    o_orderpriority AS a, o_orderstatus AS b
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |cells AS (SELECT ano, a, b, CAST(count(*) AS BIGINT) AS nab
+        |  FROM o GROUP BY 1, 2, 3),
+        |rm AS (SELECT ano, a, CAST(sum(nab) AS BIGINT) AS na
+        |  FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT ano, b, CAST(sum(nab) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT ano, CAST(sum(nab) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1),
+        |mi AS (
+        |  SELECT ano, 0.0 + list_reduce(list(
+        |      (CAST(nab AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(CAST(n AS DECIMAL(38,0)) * nab AS DOUBLE) /
+        |         CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE))
+        |      ORDER BY a, b), (acc, x) -> acc + x) AS mi
+        |  FROM cells JOIN rm USING (ano, a) JOIN cm USING (ano, b)
+        |  JOIN tot USING (ano) GROUP BY ano),
+        |ha AS (
+        |  SELECT ano, ln(CAST(n AS DOUBLE)) - (0.0 + list_reduce(
+        |      list(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)) ORDER BY a),
+        |      (acc, x) -> acc + x)) / CAST(n AS DOUBLE) AS h_a
+        |  FROM rm JOIN tot USING (ano) GROUP BY ano, n),
+        |hb AS (
+        |  SELECT ano, ln(CAST(n AS DOUBLE)) - (0.0 + list_reduce(
+        |      list(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)) ORDER BY b),
+        |      (acc, x) -> acc + x)) / CAST(n AS DOUBLE) AS h_b
+        |  FROM cm JOIN tot USING (ano) GROUP BY ano, n)
+        |SELECT tot.ano, n, mi, h_a, h_b,
+        |  CASE WHEN h_a > 0 AND h_b > 0 THEN mi / sqrt(h_a * h_b) END AS nmi
+        |FROM tot JOIN mi USING (ano) JOIN ha USING (ano) JOIN hb USING (ano)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the cent scaling, value collapse, tie-invariant rank-sum

@@ -197,6 +197,76 @@ object Pq {
       .filter(col("rank") <= k)
   }
 
+  /** IVFADC (Jégou et al. §IV — the composition the paper actually
+    * ships, and the architecture FAISS's workhorse index implements):
+    * [[Ivf]] cell routing bounds HOW MANY vectors a query scans
+    * (nProbe cells' worth), the PQ codes bound WHAT EACH COSTS (m
+    * lookups, no original floats) — multiplicatively, which is the
+    * whole 100 TB ANN budget: scan fraction × bytes-per-vector.
+    *
+    * Shape: the probe frame (query → nProbe cells, from one broadcast
+    * centroid cross) joins the cell-tagged encoded corpus on cell id —
+    * shuffle linear in PROBED code rows; ADC then scores only those
+    * (query, vector) pairs through the same broadcast LUT as
+    * [[searchAdc]] (joined per query_id here, so a vector pays only the
+    * queries that probed its cell), one DECIMAL-combinable sum, ADC
+    * shortlist, exact refine on the shortlist's original vectors.
+    */
+  def ivfAdcTopK(
+      idx: Ivf.IvfIndex, model: PqModel, encoded: DataFrame,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qd = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"))
+      .transform(CacheScope.persistTracked)
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("__pd").asc, col("__cell").asc)
+    val probes = qd
+      .crossJoin(broadcast(idx.centroids))
+      .withColumn("__pd", Kmeans.sqDist(col("__qv"),
+        transform(col("__centroid"), _.cast("double"))))
+      .withColumn("__pr", row_number().over(probeW))
+      .filter(col("__pr") <= nProbe)
+      .select("query_id", "__cell")
+    val encCells = encoded.join(
+      idx.assigned.select(col(idCol), col("__cell")), Seq(idCol))
+    val cb = model.codebooks.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) => (s, j, c) }
+    }.toDF("__sub", "__code", "__cent")
+    val lut = qd.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("__sub"), col("__code"),
+        Kmeans.sqDist(
+          slice(col("__qv"), col("__sub") * model.subDim + 1,
+            lit(model.subDim)),
+          col("__cent")).as("__d"))
+    val cand = encCells
+      .join(broadcast(probes), Seq("__cell"))
+      .select(col(idCol).as("corpus_id"), col("query_id"),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+      .join(broadcast(lut), Seq("query_id", "__sub", "__code"))
+      .groupBy("query_id", "corpus_id")
+      .agg(sum(col("__d").cast("decimal(38,12)")).cast("double")
+        .as("__adc"))
+    val slW = Window.partitionBy("query_id")
+      .orderBy(col("__adc").asc, col("corpus_id").asc)
+    val short = cand.withColumn("__sr", row_number().over(slW))
+      .filter(col("__sr") <= shortlist)
+      .select("query_id", "corpus_id")
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      transform(col(vecCol), _.cast("double")).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist2").asc, col("corpus_id").asc)
+    short.join(broadcast(qd), Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Kmeans.sqDist(col("__qv"), col("__cv")).as("dist2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Fit + encode + search in one call (spec/bench convenience; long-lived
     * users fit once, persist the encoded table and reuse).
     */

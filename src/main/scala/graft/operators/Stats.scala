@@ -1119,6 +1119,71 @@ object Stats {
         .as("cramers_v")): _*)
   }
 
+  /** Mutual information + normalized MI between two categorical columns
+    * per group (Shannon 1948; NMI per Strehl & Ghosh JMLR 2002) — the
+    * information-theoretic companion of [[cramersV]]: χ² asks "is the
+    * deviation from independence statistically surprising", MI asks "how
+    * many nats does knowing A tell you about B" — the quantity feature
+    * selectors and clustering comparisons actually rank by.
+    *
+    * MI = Σ_cells (n_ab/n)·ln(n·n_ab/(n_a·n_b)) — only OBSERVED cells
+    * contribute (lim p→0 of p·ln p = 0, unlike the χ² grid), each term
+    * built from exact BIGINTs with the ln argument as ONE division of
+    * exact integer products (n·n_ab ≤ 9·10¹⁸ headroom), folded in the
+    * deterministic (a,b)-sorted order; marginal entropies fold the same
+    * way over each margin. NMI = MI/√(H_a·H_b), null when either margin
+    * is single-valued (zero entropy). Same two-aggregation shape as
+    * [[cramersV]]: raw rows are touched exactly once.
+    */
+  def mutualInfo(
+      df: DataFrame, groupCols: Seq[String], aCol: String,
+      bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val d38 = "decimal(38,0)"
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(g :+ col(aCol).cast("string").as("__a") :+
+        col(bCol).cast("string").as("__b"): _*)
+      .agg(count(lit(1L)).as("__nab"))
+      .transform(graft.llm.CacheScope.persistTracked)
+    val rowM = cells.groupBy(g :+ col("__a"): _*)
+      .agg(sum(col("__nab")).as("__na"))
+    val colM = cells.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__nab")).as("__nb"))
+    val tot = cells.groupBy(g: _*).agg(sum(col("__nab")).as("__n"))
+    def entropyOf(margin: DataFrame, keyCol: String, cnt: String) =
+      margin.join(broadcast(tot), groupCols)
+        .groupBy(g: _*).agg(
+          aggregate(
+            array_sort(collect_list(struct(col(keyCol),
+              (col(cnt).cast("double") *
+                log(col(cnt).cast("double"))).as("__clnc")))),
+            lit(0.0), (acc, x) => acc + x.getField("__clnc")).as("__s"),
+          max(col("__n")).as("__n"))
+        .select(g :+ (log(col("__n").cast("double")) -
+          col("__s") / col("__n").cast("double")).as(s"__h$cnt"): _*)
+    val miTerm = (col("__nab").cast("double") / col("__n").cast("double")) *
+      log((col("__n").cast(d38) * col("__nab")).cast("double") /
+        (col("__na").cast(d38) * col("__nb")).cast("double"))
+    val mi = cells
+      .join(rowM, groupCols :+ "__a")
+      .join(colM, groupCols :+ "__b")
+      .join(broadcast(tot), groupCols)
+      .groupBy(g: _*).agg(
+        max(col("__n")).as("n"),
+        aggregate(
+          array_sort(collect_list(
+            struct(col("__a"), col("__b"), miTerm.as("__t")))),
+          lit(0.0), (acc, x) => acc + x.getField("__t")).as("mi"))
+    mi.join(entropyOf(rowM, "__a", "__na"), groupCols)
+      .join(entropyOf(colM, "__b", "__nb"), groupCols)
+      .select(g ++ Seq(col("n"), col("mi"),
+        col("__h__na").as("h_a"), col("__h__nb").as("h_b"),
+        when(col("__h__na") > 0.0 && col("__h__nb") > 0.0,
+          col("mi") / sqrt(col("__h__na") * col("__h__nb"))).as("nmi")): _*)
+  }
+
   /** Gini coefficient per group (Gini 1912, the Lorenz-curve inequality
     * index — "how concentrated is spend/volume across customers": the
     * single-number companion of the ABC/Pareto classes of row 164).

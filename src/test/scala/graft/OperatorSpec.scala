@@ -1916,6 +1916,28 @@ class OperatorSpec extends SparkSpec {
     assert(got("s")._6.isEmpty && got("s")._7.isEmpty)
   }
 
+  test("mutualInfo: perfect association = ln 2 with NMI 1, independence " +
+      "= 0, single-valued margin nulls NMI only") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", "x", "x"), ("g", "x", "x"), ("g", "y", "y"), ("g", "y", "y"),
+      ("i", "x", "x"), ("i", "x", "y"), ("i", "y", "x"), ("i", "y", "y"),
+      ("s", "x", "p"), ("s", "x", "q"))
+      .toDF("grupo", "a", "b")
+    val got = Stats.mutualInfo(df, Seq("grupo"), "a", "b")
+      .as[(String, Long, Double, Double, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g = got("g")
+    assert(math.abs(g._3 - math.log(2.0)) < 1e-12)
+    assert(math.abs(g._4 - math.log(2.0)) < 1e-12 &&
+      math.abs(g._5 - math.log(2.0)) < 1e-12)
+    assert(math.abs(g._6.get - 1.0) < 1e-12)
+    assert(got("i")._3 == 0.0 && got("i")._6.contains(0.0))
+    val s = got("s")
+    assert(s._3 == 0.0 && s._4 == 0.0 && s._6.isEmpty,
+      "zero-entropy margin: MI 0, NMI undefined")
+  }
+
   test("giniIndex: equality = 0, one-owner = (n-1)/n, negatives null out") {
     import spark.implicits._
     val df = Seq(

@@ -519,5 +519,17 @@ class SimilaritySpec extends SparkSpec {
     val rerRecall = truth.count(rer.toSet.contains).toDouble / truth.size
     assert(rerRecall >= recall, s"refine lost recall: $rerRecall < $recall")
     assert(rerRecall >= 0.9, s"PQ refine recall@$k = $rerRecall")
+    // IVFADC: cell routing on top of the codes — candidates only from
+    // probed cells, ADC shortlist, exact refine; measured 0.76 — under the
+    // full-ADC refine 0.96 (it scans nProbe/nCells of the corpus) but useful
+    val idx = graft.llm.Ivf.index(emb, "vec_id", "embedding", nCells = 8)
+    val ivfadc = Pq.ivfAdcTopK(
+        idx, model, Pq.encode(emb, "vec_id", "embedding", model), emb,
+        queries, "vec_id", "embedding", k, nProbe = 4, shortlist = 100)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(ivfadc.length == ivfadc.distinct.length)
+    val ivfadcRecall = truth.count(ivfadc.toSet.contains).toDouble / truth.size
+    assert(ivfadcRecall >= 0.55, s"IVFADC recall@$k = $ivfadcRecall")
+    graft.llm.CacheScope.releaseAll()
   }
 }
