@@ -2142,6 +2142,20 @@ object SparkEntry {
       ordered(llm.Retrieval.evalRanking(ranking, rel, k = 5))
     },
 
+    // Average precision @5 over the same BM25 ranking + duplicate-text
+    // relevance as q141 — every relevant doc contributes precision at
+    // its own rank, folded in rank order; MAP-ready per-query rows.
+    "q211_avg_precision" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val queries = docs.orderBy("doc_id").limit(8)
+      val ranking = llm.Retrieval.bm25TopK(docs, queries, "doc_id", "text",
+        k = 5, maxDfFraction = 1.0)
+      val rel = queries.select(col("doc_id").as("query_id"), col("text"))
+        .join(docs, "text")
+        .select("query_id", "doc_id")
+      ordered(llm.Retrieval.evalAveragePrecision(ranking, rel, k = 5))
+    },
+
     // Blocked fuzzy record linkage: planted one-char-deletion typo
     // variants of customer names matched back by exact Levenshtein ≤ 1,
     // restricted to pairs sharing the numeric suffix-4 (id-like names
@@ -6117,6 +6131,41 @@ SELECT rc.query_id, rc.n_relevantes,
     CAST(rc.n_relevantes AS DOUBLE) AS recall,
   coalesce(1.0 / CAST(p.first_rel AS DOUBLE), 0.0) AS rr
 FROM relcount rc LEFT JOIN per p USING (query_id)
+ORDER BY ALL NULLS FIRST""",
+
+    // Same ranked/rel CTEs as q141; replays the cumulative-hit window
+    // and the rank-ordered precision fold.
+    "q211_avg_precision" ->
+      s"""WITH ranked AS (
+${bm25Sql.replace("ORDER BY ALL NULLS FIRST", "")}),
+rel AS (
+  SELECT q.doc_id AS query_id, d.doc_id
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 8) q
+  JOIN documents d ON d.text = q.text),
+relcount AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevantes
+  FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.posicao,
+    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS h
+  FROM ranked r LEFT JOIN rel
+    ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+  WHERE r.posicao <= 5),
+ch AS (
+  SELECT query_id, posicao, h,
+    CAST(sum(h) OVER (PARTITION BY query_id ORDER BY posicao
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM hits),
+ap AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_acertos,
+    0.0 + list_reduce(
+      list(CAST(c AS DOUBLE) / CAST(posicao AS DOUBLE) ORDER BY posicao),
+      (acc, x) -> acc + x) AS apsum
+  FROM ch WHERE h = 1 GROUP BY query_id)
+SELECT rc.query_id, rc.n_relevantes,
+  CAST(coalesce(a.n_acertos, 0) AS BIGINT) AS n_acertos,
+  coalesce(a.apsum, 0.0) / CAST(rc.n_relevantes AS DOUBLE) AS ap
+FROM relcount rc LEFT JOIN ap a USING (query_id)
 ORDER BY ALL NULLS FIRST""",
 
     // normalization, the two blocking passes and the exact edit

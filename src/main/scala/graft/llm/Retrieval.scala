@@ -389,6 +389,48 @@ object Retrieval {
         coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("rr"))
   }
 
+  /** Average precision @k per query (mean over queries = MAP, THE
+    * classic ranked-retrieval summary TREC reports; completes the eval
+    * suite next to [[evalRanking]]'s recall/RR and [[evalNdcg]]):
+    * AP = (Σ_{hit ranks p} precision@p)/n_relevant, i.e. every relevant
+    * document contributes the precision at its own rank — rank quality
+    * and completeness in one number.
+    *
+    * Exactness: precision@p = cum_hits(p)/p — both exact BIGINTs from
+    * one cumulative window over the ≤k ranked rows, ONE IEEE division
+    * per hit; the per-query sum folds the (rank-sorted) hit list
+    * deterministically (≤k doubles, fixed order — the kruskalWallis
+    * fold rule), so the oracle replays it op-for-op. Queries with no
+    * hits read ap = 0; relevance rows outside the top k only affect the
+    * denominator, per the standard @k definition.
+    */
+  def evalAveragePrecision(
+      ranking: DataFrame, relevance: DataFrame, k: Int,
+      posCol: String = "posicao"): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col(posCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val hits = ranking.filter(col(posCol) <= k)
+      .join(relevance.select(col("query_id"), col("doc_id"),
+        lit(1L).as("__h")), Seq("query_id", "doc_id"), "left")
+      .withColumn("__h", coalesce(col("__h"), lit(0L)))
+      .withColumn("__ch", sum(col("__h")).over(w))
+      .filter(col("__h") === 1L)
+      .groupBy("query_id").agg(
+        count(lit(1L)).as("n_acertos"),
+        aggregate(
+          array_sort(collect_list(struct(
+            col(posCol).cast("long").as("__p"), col("__ch").as("__c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__c").cast("double") /
+            x.getField("__p").cast("double")).as("__apsum"))
+    relevance.groupBy("query_id").agg(count(lit(1L)).as("n_relevantes"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_relevantes"),
+        coalesce(col("n_acertos"), lit(0L)).as("n_acertos"),
+        (coalesce(col("__apsum"), lit(0.0)) /
+          col("n_relevantes").cast("double")).as("ap"))
+  }
+
   /** NDCG@k with GRADED relevance (query_id, doc_id, ganho) — the
     * ranking-quality twin of [[evalRanking]]: DCG = Σ gain/log2(1+rank)
     * over the top k, normalized by the ideal ordering's DCG (gains

@@ -304,6 +304,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 0L, 0.0, 0.0)), s"q3: ${got(3L)}")
   }
 
+  test("evalAveragePrecision: precision at each hit rank in order, " +
+      "no-hit queries score zero") {
+    val ranking = Seq(
+      // q1: hits at ranks 1 and 3 -> apsum = 1/1 + 2/3, n_rel 3
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4), (1L, 14L, 5),
+      // q2: ranked but no hits
+      (2L, 20L, 1), (2L, 21L, 2),
+    ).toDF("query_id", "doc_id", "posicao")
+    val rel = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), (2L, 5L), (3L, 6L),
+    ).toDF("query_id", "doc_id")
+    val got = graft.llm.Retrieval.evalAveragePrecision(ranking, rel, k = 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val want1 = (1.0 + 2.0 / 3.0) / 3.0
+    assert(got(1L)._2 == 3L && got(1L)._3 == 2L &&
+      math.abs(got(1L)._4 - want1) < 1e-15, s"q1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, 0.0)), s"q2: ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, 0L, 0.0)), s"q3: ${got(3L)}")
+  }
+
   test("evalNdcg: graded gains, log2 discount, ideal normalization — " +
       "hand-exact; perfect rankings score 1") {
     def lg(x: Double) = math.log(x) / math.log(2.0)
