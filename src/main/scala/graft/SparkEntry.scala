@@ -2728,6 +2728,25 @@ object SparkEntry {
         o, Seq("ano"), "prioridade", "situacao"))
     },
 
+    // Revenue per priority THROUGH the co-bucketed catalog tables
+    // (write both sides bucketed+sorted on the join key, join with no
+    // shuffle on either side — PlanShapeSpec proves the zero-Exchange
+    // plan; this query grades the RESULT against the plain-join oracle).
+    "q212_bucketed_join" -> { (s, dir) =>
+      val li = sources.Staging.bucketedTable(s,
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        "graft_q212_li", "l_orderkey", 8)
+      val o = sources.Staging.bucketedTable(s,
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_q212_ord", "o_orderkey", 8)
+      ordered(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("prioridade"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            .as("receita"),
+          count(lit(1L)).as("n_itens")))
+    },
+
     // Mutual information + NMI on the same priority-x-status pair as
     // q207 (chi2 asks "statistically surprising?", MI asks "how many
     // nats does A tell you about B"): observed-cell terms with exact
@@ -7068,6 +7087,17 @@ ORDER BY ALL NULLS FIRST""",
         |    sqrt(chi2 / (CAST(n AS DOUBLE) *
         |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
         |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The bucketed layout changes the PLAN, never the answer: the
+    // oracle is the plain join + decimal-summed rollup.
+    "q212_bucketed_join" ->
+      """SELECT o_orderpriority AS prioridade,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS receita,
+        |  CAST(count(*) AS BIGINT) AS n_itens
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the observed-cell MI terms with integer ln arguments and
