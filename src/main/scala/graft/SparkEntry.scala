@@ -2728,6 +2728,25 @@ object SparkEntry {
         o, Seq("ano"), "prioridade", "situacao"))
     },
 
+    // Canonical-URL dedup: every doc's URL plus a deliberately messy
+    // refetch variant for doc_id % 3 = 0 (upper-cased scheme/host,
+    // explicit :443, www., trailing slash, reordered + tracking params,
+    // fragment) — canonicalization must collapse each messy pair to ONE
+    // row keeping the smallest id.
+    "q213_url_dedup" -> { (s, dir) =>
+      val clean = concat(lit("https://www."), col("source"),
+        lit("-site.example/art/"), col("doc_id").cast("string"),
+        lit("?a=1&b=2"))
+      val messy = concat(lit("HTTPS://"), upper(col("source")),
+        lit("-SITE.EXAMPLE:443/art/"), col("doc_id").cast("string"),
+        lit("/?b=2&utm_campaign=x&a=1#top"))
+      val docs = Tables.documents(s, dir)
+      val urls = docs.select(col("doc_id"), clean.as("url"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), messy.as("url")))
+      ordered(llm.Curation.dedupByCanonicalUrl(urls, "doc_id", "url"))
+    },
+
     // Revenue per priority THROUGH the co-bucketed catalog tables
     // (write both sides bucketed+sorted on the join key, join with no
     // shuffle on either side — PlanShapeSpec proves the zero-Exchange
@@ -7087,6 +7106,50 @@ ORDER BY ALL NULLS FIRST""",
         |    sqrt(chi2 / (CAST(n AS DOUBLE) *
         |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
         |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the messy-variant synthesis and the seven-rule canonical
+    // algebra (fragment, case, ports, www, slashes, tracking params,
+    // param sort) step for step.
+    "q213_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id, 'https://www.' || source || '-site.example/art/'
+        |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'HTTPS://' || upper(source)
+        |    || '-SITE.EXAMPLE:443/art/' || CAST(doc_id AS VARCHAR)
+        |    || '/?b=2&utm_campaign=x&a=1#top'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |st AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(url), '#.*', '', 'g') AS nofrag
+        |  FROM urls),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nofrag,
+        |        '(?i)^[a-z][a-z0-9+.-]*://[^/?]*')),
+        |      ':(80|443)$', ''),
+        |      '^([a-z0-9+.-]*://)www\.', '\1') AS head,
+        |    regexp_replace(nofrag,
+        |      '(?i)^[a-z][a-z0-9+.-]*://[^/?]*', '') AS tail
+        |  FROM st),
+        |canon AS (
+        |  SELECT doc_id,
+        |    head || regexp_replace(regexp_extract(tail, '^[^?]*'),
+        |      '/+$', '') ||
+        |    CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS url_canonico
+        |  FROM (
+        |    SELECT doc_id, head, tail,
+        |      array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+        |        p -> p <> '' AND NOT regexp_matches(p,
+        |          '(?i)^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS qc
+        |    FROM parts))
+        |SELECT url_canonico, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copias
+        |FROM canon GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // The bucketed layout changes the PLAN, never the answer: the

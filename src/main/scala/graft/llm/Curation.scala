@@ -553,6 +553,46 @@ object Curation {
       .drop("__g")
   }
 
+  /** Canonical URL form — the web-corpus dedup key (the CommonCrawl/
+    * refetch discipline: the same page arrives as `HTTP://WWW.Site.com:80
+    * /a/?utm_source=x&b=2&a=1#frag` and `http://site.com/a?a=1&b=2`, and
+    * URL-exact dedup misses every such pair). Documented rule set, all
+    * codegen'd expressions:
+    *   1. fragment dropped; 2. scheme://host lowercased (path/query case
+    *   PRESERVED — significant on most servers); 3. default ports :80/
+    *   :443 dropped; 4. leading `www.` dropped; 5. trailing path slashes
+    *   dropped; 6. tracking params dropped (utm_*, gclid, fbclid, ref);
+    *   7. remaining query params SORTED (order is almost never
+    *   significant; sorting is what collapses reordered duplicates).
+    */
+  def canonicalUrl(url: Column): Column = {
+    val headRe = "(?i)^[a-z][a-z0-9+.-]*://[^/?]*"
+    val noFrag = regexp_replace(trim(url), "#.*", "")
+    val head = regexp_replace(
+      regexp_replace(lower(regexp_extract(noFrag, headRe, 0)),
+        ":(80|443)$", ""),
+      "^([a-z0-9+.-]*://)www\\.", "$1")
+    val tail = regexp_replace(noFrag, headRe, "")
+    val path = regexp_replace(regexp_extract(tail, "^[^?]*", 0), "/+$", "")
+    val params = filter(split(regexp_extract(tail, "\\?(.*)$", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("(?i)^(utm_[^=]*|gclid|fbclid|ref)(=|$)"))
+    val qc = array_join(array_sort(params), "&")
+    concat(head, path,
+      when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
+  }
+
+  /** Dedup by canonical URL, keep-first: one row per canonical form with
+    * the SMALLEST surviving id (stable, partition-independent) and the
+    * duplicate count — ONE combinable aggregation over the stateless
+    * canonical projection; no window, no join, nothing corpus-wide.
+    */
+  def dedupByCanonicalUrl(
+      df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), canonicalUrl(col(urlCol)).as("url_canonico"))
+      .groupBy("url_canonico")
+      .agg(min(col("__id")).as(idCol), count(lit(1L)).as("n_copias"))
+
   /** The host part of a URL (scheme-tolerant, '' when unparseable). */
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

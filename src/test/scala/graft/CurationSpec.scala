@@ -621,6 +621,37 @@ class CurationSpec extends SparkSpec {
       "selection must be a pure function of (id, weight), not partitioning")
   }
 
+  test("canonicalUrl: all seven rules, individually and combined; " +
+      "dedup keeps the smallest id per canonical form") {
+    val cases = Seq(
+      // combined: case+port+www+slash+tracking+reorder+fragment
+      ("HTTP://WWW.Site.com:80/a/?utm_source=x&b=2&a=1#frag",
+        "http://site.com/a?a=1&b=2"),
+      ("https://site.com/a?a=1&b=2", "https://site.com/a?a=1&b=2"),
+      ("https://site.com:443/", "https://site.com"),
+      ("https://site.com/x//", "https://site.com/x"),
+      ("https://site.com/x?ref=tw", "https://site.com/x"),
+      ("https://site.com/x?gclid=1&z=9&y=8", "https://site.com/x?y=8&z=9"),
+      // path/query case is PRESERVED (significant on most servers)
+      ("https://site.com/CaseSig?Q=V", "https://site.com/CaseSig?Q=V"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "u")
+      .select(col("i"), Curation.canonicalUrl(col("u")).as("c"))
+      .as[(Int, String)].collect().sortBy(_._1).map(_._2).toSeq
+    cases.map(_._2).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(g == want, s"case $i: got $g want $want")
+    }
+    val dd = Curation.dedupByCanonicalUrl(
+      Seq((7L, "https://site.com/a?b=2&a=1"),
+        (3L, "HTTPS://WWW.site.com/a/?a=1&b=2#x"),
+        (9L, "https://other.com/z"))
+        .toDF("id", "url"), "id", "url")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(dd == Seq(
+      ("https://other.com/z", 9L, 1L),
+      ("https://site.com/a?a=1&b=2", 3L, 2L)), s"got $dd")
+  }
+
   test("dedupExactSubstrings keeps the globally FIRST occurrence, cuts " +
       "later cross-doc and within-doc copies, exempts short docs") {
     val docs = Seq(
