@@ -2728,6 +2728,20 @@ object SparkEntry {
         o, Seq("ano"), "prioridade", "situacao"))
     },
 
+    // Theil-Sen robust trend per event type over the daily value
+    // series (the quantifier next to q204's detector): exact medians of
+    // pairwise slopes and point residuals via value-collapse +
+    // conditional middle-rank lookups, calendar-bounded pair space.
+    "q214_theil_sen" -> { (s, dir) =>
+      val e = Tables.events(s, dir).select(
+        col("event_type").as("grupo"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("dia_num"),
+        col("value"))
+      ordered(operators.Timeseries.theilSen(
+        e, Seq("grupo"), "dia_num", "value"))
+    },
+
     // Canonical-URL dedup: every doc's URL plus a deliberately messy
     // refetch variant for doc_id % 3 = 0 (upper-cased scheme/host,
     // explicit :443, www., trailing slash, reordered + tracking params,
@@ -7106,6 +7120,57 @@ ORDER BY ALL NULLS FIRST""",
         |    sqrt(chi2 / (CAST(n AS DOUBLE) *
         |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
         |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the daily collapse, the pairwise slopes, both exact
+    // value-collapsed medians with the floor'd middle-rank lookups and
+    // the residual pass.
+    "q214_theil_sen" ->
+      """WITH e AS (
+        |  SELECT event_type AS grupo,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+        |    value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ser AS (
+        |  SELECT grupo, x, CAST(CAST(sum(CAST(value AS DECIMAL(38,12)))
+        |    AS DECIMAL(38,12)) AS DOUBLE) AS v
+        |  FROM e GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.grupo, (b.v - a.v) / (b.x - a.x) AS s
+        |  FROM ser a JOIN ser b ON a.grupo = b.grupo AND b.x > a.x),
+        |byv AS (SELECT grupo, s, CAST(count(*) AS BIGINT) AS c
+        |  FROM sl GROUP BY 1, 2),
+        |cumv AS (SELECT grupo, s, c,
+        |    CAST(sum(c) OVER (PARTITION BY grupo ORDER BY s
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grupo) AS BIGINT) AS tot
+        |  FROM byv),
+        |med AS (SELECT grupo, CAST(max(tot) AS BIGINT) AS n_pares,
+        |    (min(CASE WHEN cum >= CAST(floor((tot + 1) / 2.0) AS BIGINT)
+        |        THEN s END) +
+        |     min(CASE WHEN cum >= CAST(floor(tot / 2.0) AS BIGINT) + 1
+        |        THEN s END)) / 2.0 AS inclinacao
+        |  FROM cumv GROUP BY 1),
+        |res AS (SELECT ser.grupo, v - inclinacao * x AS r
+        |  FROM ser JOIN med USING (grupo)),
+        |byr AS (SELECT grupo, r, CAST(count(*) AS BIGINT) AS c
+        |  FROM res GROUP BY 1, 2),
+        |cumr AS (SELECT grupo, r, c,
+        |    CAST(sum(c) OVER (PARTITION BY grupo ORDER BY r
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grupo) AS BIGINT) AS tot
+        |  FROM byr),
+        |medr AS (SELECT grupo,
+        |    (min(CASE WHEN cum >= CAST(floor((tot + 1) / 2.0) AS BIGINT)
+        |        THEN r END) +
+        |     min(CASE WHEN cum >= CAST(floor(tot / 2.0) AS BIGINT) + 1
+        |        THEN r END)) / 2.0 AS intercepto
+        |  FROM cumr GROUP BY 1),
+        |pontos AS (SELECT grupo, CAST(count(*) AS BIGINT) AS n
+        |  FROM ser GROUP BY 1)
+        |SELECT pontos.grupo, n, n_pares, inclinacao, intercepto
+        |FROM pontos LEFT JOIN med USING (grupo)
+        |LEFT JOIN medr USING (grupo)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the messy-variant synthesis and the seven-rule canonical

@@ -470,6 +470,76 @@ object Timeseries {
     * integer ratio. Output one row per group: (grupo…, n, s, var18
     * exact BIGINT, z, tendencia ∈ alta/baixa/estavel by z vs ±1.96).
     */
+  /** Theil–Sen robust slope per group (Theil 1950 / Sen 1968 — the
+    * QUANTIFIER next to [[mannKendall]]'s detector: MK says "trending",
+    * Theil–Sen says "by how much per unit time", with a 29% breakdown
+    * point where row 154's OLS slope follows a single outlier).
+    * Slope = MEDIAN of all pairwise slopes (v_j−v_i)/(x_j−x_i);
+    * intercept = median over points of (v − slope·x).
+    *
+    * Shape: the pair space is the [[mannKendall]] one — raw rows
+    * collapse to one row per (group, x) by exact decimal sum FIRST, so
+    * pairs are CALENDAR²-bounded, never corpus². Both medians are EXACT
+    * over value-collapsed tables: distinct values + counts, one
+    * cumulative window, and the two middle ranks read back as
+    * conditional `min(when(cum ≥ r))` aggregates (combinable — no
+    * row_number over the pair set); even counts average the two middle
+    * values, one IEEE op. Slopes are doubles computed identically in
+    * any engine from identical inputs (one subtraction pair + one
+    * division), so the value-collapse groups consistently. `xCol` is
+    * NUMERIC by contract (callers convert dates — e.g. datediff from an
+    * epoch); groups with a single collapsed point emit null slope.
+    */
+  def theilSen(
+      df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val series = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(g :+ col(xCol).cast("double").as("__x"): _*)
+      .agg(sum(col(yCol).cast("decimal(38,12)")).cast("double").as("__v"))
+      .transform(graft.llm.CacheScope.persistTracked)
+    val a = series.select(
+      groupCols.map(cn => col(cn).as(s"__ga_$cn")) ++
+        Seq(col("__x").as("__xa"), col("__v").as("__va")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__ga_$c"))
+      .reduce(_ && _) && col("__x") > col("__xa")
+    def medianOf(values: DataFrame, valCol: String, out: String) = {
+      val byV = values.groupBy(g :+ col(valCol).as("__mv"): _*)
+        .agg(count(lit(1L)).as("__mc"))
+      val wCum = Window.partitionBy(g: _*).orderBy(col("__mv"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(g: _*)
+      val cum = byV
+        .withColumn("__cum", sum(col("__mc")).over(wCum))
+        .withColumn("__tot", sum(col("__mc")).over(wAll))
+      // integer middle ranks: Column./ on longs is IEEE division, so
+      // floor explicitly (totals are calendar²-bounded, far under 2^53)
+      val r1 = floor((col("__tot") + 1L) / 2.0).cast("long")
+      val r2 = floor(col("__tot") / 2.0).cast("long") + 1L
+      cum.groupBy(g: _*).agg(
+        max(col("__tot")).as(s"__n_$out"),
+        ((min(when(col("__cum") >= r1, col("__mv"))) +
+          min(when(col("__cum") >= r2, col("__mv")))) / 2.0).as(out))
+    }
+    val slopes = series.join(a, cond)
+      .select(g :+ ((col("__v") - col("__va")) / (col("__x") - col("__xa")))
+        .as("__s"): _*)
+    val slope = medianOf(slopes, "__s", "inclinacao")
+    val resid = series
+      .join(broadcast(slope), groupCols)
+      .select(g :+ (col("__v") - col("inclinacao") * col("__x"))
+        .as("__r"): _*)
+    val inter = medianOf(resid, "__r", "intercepto")
+    series.groupBy(g: _*).agg(count(lit(1L)).as("n"))
+      .join(slope, groupCols, "left")
+      .join(inter, groupCols, "left")
+      .select(g ++ Seq(col("n"),
+        col("__n_inclinacao").as("n_pares"),
+        col("inclinacao"), col("intercepto")): _*)
+  }
+
   def mannKendall(
       df: DataFrame, groupCols: Seq[String], timeCol: String,
       valueCol: String): DataFrame = {

@@ -1893,6 +1893,31 @@ class OperatorSpec extends SparkSpec {
     assert((got("dup")._2, got("dup")._3) == ((3L, 3L)))
   }
 
+  test("theilSen: hand slope/intercept medians, outlier-robust where " +
+      "OLS is not, single-point group nulls out") {
+    import spark.implicits._
+    val rows =
+      // g: (1,1),(2,2),(3,10) -> slopes {1, 4.5, 8} median 4.5;
+      // residuals v-4.5x = {-3.5,-7,-3.5} median -3.5
+      Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 10.0)) ++
+      // r: perfect line y=x with ONE wild outlier at x=5 -> TS slope
+      // stays 1 (median of 10 pairwise slopes), OLS would not
+      Seq(("r", 1.0, 1.0), ("r", 2.0, 2.0), ("r", 3.0, 3.0),
+        ("r", 4.0, 4.0), ("r", 5.0, 100.0)) ++
+      Seq(("solo", 7.0, 3.0))
+    val got = Timeseries.theilSen(
+        rows.toDF("grupo", "x", "v"), Seq("grupo"), "x", "v")
+      .as[(String, Long, Option[Long], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g = got("g")
+    assert((g._2, g._3) == ((3L, Some(3L))))
+    assert(g._4.contains(4.5) && g._5.contains(-3.5), s"g: $g")
+    val r = got("r")
+    assert(r._4.contains(1.0), s"TS slope must shrug the outlier: $r")
+    assert(r._5.contains(0.0), s"intercept of the clean line: $r")
+    assert(got("solo")._3.isEmpty && got("solo")._4.isEmpty)
+  }
+
   test("cramersV: perfect association = 1 (zero-observed cells counted), " +
       "independence = 0, single-category side null") {
     import spark.implicits._
