@@ -2827,16 +2827,23 @@ object SparkEntry {
         units, Seq("segmento"), "braco", "y", "x"))
     },
 
-    // Product-quantization ANN (rows-only: ADC distances are
-    // approximate by construction; SimilaritySpec pins recall 0.44
-    // raw / 0.96 refined vs exact L2 and code determinism): m=8 x
-    // k=16 codebooks, compressed ADC shortlist, exact re-rank.
+    // Product-quantization ANN through the FULL IVFADC composition —
+    // the architecture that ships at scale: IVF cells bound the scan
+    // set, PQ codes bound per-vector cost, ADC shortlist, exact refine
+    // (rows-only: ADC is approximate by construction; SimilaritySpec
+    // pins recall 0.44 raw / 0.96 refined / 0.76 IVFADC vs exact L2
+    // and code determinism).
     "q206_pq_ann" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") % 200 === 0)
-      ordered(llm.Pq.pqTopK(
-        emb, q, "vec_id", "embedding", k = 10, m = 8, kSub = 16,
-        samplePct = 30, shortlist = 100))
+      val model = llm.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16,
+        samplePct = 30)
+      val idx = llm.Ivf.index(emb, "vec_id", "embedding", nCells = 16,
+        samplePct = 30)
+      ordered(llm.Pq.ivfAdcTopK(
+        idx, model, llm.Pq.encode(emb, "vec_id", "embedding", model),
+        emb, q, "vec_id", "embedding", k = 10, nProbe = 6,
+        shortlist = 100))
     },
 
     // Exact per-day precision-recall curve of the same purchase-vs-rest

@@ -155,7 +155,10 @@ object Pq {
           slice(col("__qv"), col("__sub") * model.subDim + 1,
             lit(model.subDim)),
           col("__cent")).as("__d"))
-    val codes = encoded.select(col(encoded.columns.head).as("corpus_id"),
+    // `encoded` contract: the table [[encode]] produces — the SAME
+    // idCol name as the queries, plus `codes` (named lookup, never
+    // positional)
+    val codes = encoded.select(col(idCol).as("corpus_id"),
       posexplode(col("codes")).as(Seq("__sub", "__code")))
     val scored = codes
       .join(broadcast(lut), Seq("__sub", "__code"))
