@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache writes a TEMP FILE per read/write —
+  // one file create+unlink per ROW on the decode path, which ties a
+  // pure-CPU kernel to /tmp's small-file latency (measured: q45 at sf1
+  // drifted 3.8 → 29 s solo-warm with identical code when the host's
+  // sync-write latency degraded; the payloads are in-memory byte arrays,
+  // so the disk cache buys nothing). Memory cache, set once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Attach an opaque binary payload column (here: the UTF-8 bytes of a
     * text column — in production, image/audio bytes read from files).
     */
