@@ -2728,6 +2728,19 @@ object SparkEntry {
         o, Seq("ano"), "prioridade", "situacao"))
     },
 
+    // Exact decile lift / cumulative gains of the purchase-vs-rest
+    // ranking per day (q182 ranks the model, q187 picks the threshold,
+    // this answers "contact the top k decils, capture what fraction"):
+    // deterministic (score DESC, id ASC) ranking, integer buckets,
+    // single-division capture/rate/lift.
+    "q215_lift_table" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("dia"), col("event_id"), col("value"),
+        (col("event_type") === "purchase").as("compra"))
+      ordered(operators.Stats.liftTable(
+        ev, Seq("dia"), "event_id", "value", "compra", buckets = 10))
+    },
+
     // Theil-Sen robust trend per event type over the daily value
     // series (the quantifier next to q204's detector): exact medians of
     // pairwise slopes and point residuals via value-collapse +
@@ -7127,6 +7140,43 @@ ORDER BY ALL NULLS FIRST""",
         |    sqrt(chi2 / (CAST(n AS DOUBLE) *
         |      CAST(least(r - 1, c - 1) AS DOUBLE))) END AS cramers_v
         |FROM tot JOIN fold USING (ano)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the deterministic ranking, the integer bucket formula and
+    // the cumulative/total windows.
+    "q215_lift_table" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS dia, event_id, value,
+        |    (event_type = 'purchase') AS compra
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (
+        |  SELECT dia, compra,
+        |    CAST(row_number() OVER (PARTITION BY dia
+        |      ORDER BY value DESC, event_id ASC) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY dia) AS BIGINT) AS n
+        |  FROM e),
+        |b AS (SELECT dia, CAST((rk - 1) * 10 // n AS BIGINT) + 1 AS decil,
+        |    compra FROM r),
+        |pb AS (SELECT dia, decil, CAST(count(*) AS BIGINT) AS n_linhas,
+        |    CAST(sum(CASE WHEN compra THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_eventos
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT dia, decil, n_linhas, n_eventos,
+        |    CAST(sum(n_linhas) OVER (PARTITION BY dia ORDER BY decil
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr,
+        |    CAST(sum(n_eventos) OVER (PARTITION BY dia ORDER BY decil
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+        |    CAST(sum(n_linhas) OVER (PARTITION BY dia) AS BIGINT) AS tr,
+        |    CAST(sum(n_eventos) OVER (PARTITION BY dia) AS BIGINT) AS te
+        |  FROM pb)
+        |SELECT dia, decil, n_linhas, n_eventos,
+        |  CASE WHEN te > 0 THEN CAST(ce AS DOUBLE) / CAST(te AS DOUBLE)
+        |    END AS captura,
+        |  CAST(ce AS DOUBLE) / CAST(cr AS DOUBLE) AS taxa_acumulada,
+        |  CASE WHEN te > 0 THEN CAST(ce * tr AS DOUBLE) /
+        |    CAST(cr * te AS DOUBLE) END AS lift
+        |FROM c
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the daily collapse, the pairwise slopes, both exact

@@ -1119,6 +1119,62 @@ object Stats {
         .as("cramers_v")): _*)
   }
 
+  /** Exact decile lift / cumulative-gains table per group (the
+    * campaign-targeting readout next to [[rocAuc]]/[[prCurve]]: AUC
+    * ranks the model, PR picks a threshold, the lift table answers the
+    * operator's actual question — "if I contact the top 20% by score,
+    * what fraction of converters do I capture, and how much better than
+    * random is that?").
+    *
+    * Rows rank by the DETERMINISTIC total order (score DESC, id ASC —
+    * ids unique by contract, so ties never float between buckets);
+    * bucket = floor((rank−1)·buckets/n)+1, exact integers. Per-bucket
+    * and cumulative counts are BIGINT; capture, response rate and lift
+    * are single IEEE divisions of exact integers (lift's closed form
+    * `cum_events·n / (cum_rows·total_events)` keeps it one division).
+    *
+    * Shape: ONE per-group sort (the exact form's honest cost — a lift
+    * table is a ranking artifact; the approximate path at 100 TB
+    * composes the quantile-binning fit (row 189) on the score) + one
+    * combinable per-bucket aggregation + a buckets-sized cumulative
+    * window. Output: one row per (group…, decil).
+    */
+  def liftTable(
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String, labelCol: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val g = groupCols.map(col)
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wAll = Window.partitionBy(g: _*)
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1L)).over(wAll))
+      .withColumn("decil",
+        ((col("__rk") - 1L) * buckets / col("__n")).cast("long") + 1L)
+    val perBucket = ranked.groupBy(g :+ col("decil"): _*).agg(
+      count(lit(1L)).as("n_linhas"),
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_eventos"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("decil"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perBucket
+      .withColumn("__cr", sum(col("n_linhas")).over(wCum))
+      .withColumn("__ce", sum(col("n_eventos")).over(wCum))
+      .withColumn("__tr", sum(col("n_linhas")).over(wAll))
+      .withColumn("__te", sum(col("n_eventos")).over(wAll))
+      .select(g ++ Seq(col("decil"), col("n_linhas"), col("n_eventos"),
+        when(col("__te") > 0L, col("__ce").cast("double") /
+          col("__te").cast("double")).as("captura"),
+        (col("__ce").cast("double") / col("__cr").cast("double"))
+          .as("taxa_acumulada"),
+        when(col("__te") > 0L,
+          (col("__ce") * col("__tr")).cast("double") /
+            (col("__cr") * col("__te")).cast("double")).as("lift")): _*)
+  }
+
   /** Mutual information + normalized MI between two categorical columns
     * per group (Shannon 1948; NMI per Strehl & Ghosh JMLR 2002) — the
     * information-theoretic companion of [[cramersV]]: χ² asks "is the

@@ -1893,6 +1893,35 @@ class OperatorSpec extends SparkSpec {
     assert((got("dup")._2, got("dup")._3) == ((3L, 3L)))
   }
 
+  test("liftTable: top-decile capture/lift by hand, ties broken by id, " +
+      "cumulative rates exact") {
+    import spark.implicits._
+    // scores 10..1, ids 1..10, events at the two TOP scores; 5 buckets
+    // of 2 rows each -> bucket 1 captures both events, lift = 5
+    val df = (1 to 10).map(i =>
+      ("g", i.toLong, (11 - i).toDouble, i <= 2))
+      .toDF("grupo", "id", "score", "evento")
+    val got = Stats.liftTable(df, Seq("grupo"), "id", "score", "evento",
+        buckets = 5)
+      .as[(String, Long, Long, Long, Option[Double], Double, Option[Double])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got(1L) == (("g", 1L, 2L, 2L, Some(1.0), 1.0, Some(5.0))))
+    val b3 = got(3L)
+    assert(b3._4 == 0L && b3._5.contains(1.0))
+    assert(math.abs(b3._6 - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(b3._7.get - 10.0 / 6.0) < 1e-15)
+    // deterministic tie split: equal scores order by id ASC across the
+    // bucket boundary — the event at id 2 lands in bucket 1, id 3 in 2
+    val tied = Seq(("t", 1L, 9.0, false), ("t", 2L, 5.0, true),
+      ("t", 3L, 5.0, false), ("t", 4L, 1.0, false))
+      .toDF("grupo", "id", "score", "evento")
+    val tg = Stats.liftTable(tied, Seq("grupo"), "id", "score", "evento",
+        buckets = 2)
+      .as[(String, Long, Long, Long, Option[Double], Double, Option[Double])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(tg(1L)._4 == 1L && tg(2L)._4 == 0L, s"got $tg")
+  }
+
   test("theilSen: hand slope/intercept medians, outlier-robust where " +
       "OLS is not, single-point group nulls out") {
     import spark.implicits._
