@@ -593,6 +593,20 @@ object Curation {
       .groupBy("url_canonico")
       .agg(min(col("__id")).as(idCol), count(lit(1L)).as("n_copias"))
 
+  /** Streaming twin of [[dedupByCanonicalUrl]] — the crawl-frontier
+    * ingest gate: canonicalize at scan level (stateless expressions),
+    * keep the FIRST arrival per canonical form, dedup state bounded by
+    * the watermark (a frontier's refetch window, not the crawl's
+    * lifetime). A messy refetch variant of an already-admitted URL is
+    * dropped INSIDE the gate; genuinely new canonical forms pass.
+    */
+  def urlIngestGateStream(
+      urls: DataFrame, tsCol: String, urlCol: String,
+      lateness: String = "2 hours"): DataFrame =
+    urls.withColumn("url_canonico", canonicalUrl(col(urlCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(Seq("url_canonico"))
+
   /** The host part of a URL (scheme-tolerant, '' when unparseable). */
   def urlDomain(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(batchIds == Set(1L, 3L, 4L))
   }
 
+  test("streaming canonical-URL ingest gate drops a later messy refetch " +
+      "variant, admits new canonical forms") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val gated = graft.llm.Curation.urlIngestGateStream(
+      mem.toDF.toDF("id", "ts", "url"), "ts", "url")
+    val q = gated.writeStream
+      .format("memory").queryName("url_gate").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        (1L, ts("2026-01-01 10:00:00"), "https://site.com/a?b=2&a=1")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        // messy refetch of the SAME page: case, www, :443, trailing
+        // slash, reordered + tracking params, fragment
+        (2L, ts("2026-01-01 10:05:00"),
+          "HTTPS://WWW.site.com:443/a/?a=1&utm_source=x&b=2#frag"),
+        // genuinely new canonical form
+        (3L, ts("2026-01-01 10:06:00"), "https://site.com/b")))
+      q.processAllAvailable()
+      val ids = spark.table("url_gate").select("id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("file-source e2e: dedup and windowed agg over real on-disk micro-batches") {
     // Closes the MemoryStream-only gap: a genuine file source (directory
     // listing, offset tracking, schema enforcement) feeding the streaming
