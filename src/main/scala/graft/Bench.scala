@@ -21,7 +21,13 @@ object Bench {
           e.printStackTrace()
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       } finally {
-        llm.CacheScope.releaseAll()
+        // BLOCKING release: async unpersist (the default) lets the
+        // warm-up run's cached blocks — at sf10/q181 that is ~GBs of
+        // shingle arrays — stay resident into the adjacent measured
+        // run, whose old-gen pressure then makes the SECOND run slower
+        // than the first (r11 §4: 321.8 → 501.1 s). Waiting here is
+        // untimed by construction.
+        llm.CacheScope.releaseAll(blocking = true)
         // Untimed heap compaction BETWEEN queries: ~190 sequential query
         // executions in one JVM let old-gen pressure from earlier queries
         // inflate later ones (r6 recorded q45 at 23.5 s in the marathon vs

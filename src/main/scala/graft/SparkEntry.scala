@@ -2793,6 +2793,57 @@ object SparkEntry {
           count(lit(1L)).as("n_itens")))
     },
 
+    // Bloom file-skipping manifest, GRADED the q212 way (r11 VERDICT
+    // #2): the manifest changes WHICH FILES are opened, never the
+    // result. Orders land range-clustered on o_custkey, a per-file
+    // Bloom manifest is written in one aggregation pass, and the point
+    // lookup reads ONLY bloom-matching files (file names collected,
+    // bloom bytes never reach the driver) — the answer is graded
+    // against the plain full-scan oracle. The real IN predicate still
+    // applies after pruning (manifest pruning is sound, not complete).
+    "q216_bloom_pruned_read" -> { (s, dir) =>
+      val root = s"${GraftSession.scratchRoot}/graft-q216"
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(root)
+      operators.Layout.writeBloomManifest(s, root, "o_custkey")
+      val keys = Seq(7L, 42L, 99L, 123L)
+      ordered(operators.Layout.bloomPrunedRead(s, root, "o_custkey", keys)
+        .filter(col("o_custkey").isin(keys: _*))
+        .groupBy("o_custkey")
+        .agg(count(lit(1L)).as("n_pedidos"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .as("total")))
+    },
+
+    // Z-order compaction + unified manifest, GRADED (r11 VERDICT #2):
+    // one zorderCompact rewrite (curve clustering, compaction and the
+    // per-key bloom+bounds manifest sharing a single shuffle), then the
+    // combined range+point manifest-pruned read — bounding boxes prune
+    // the o_orderkey RANGE on curve-compact files, blooms prune the
+    // o_custkey POINT probes, zero parquet footers opened. Result is
+    // graded against the plain-scan oracle (layout never changes the
+    // answer); the real predicate applies after pruning.
+    "q217_zorder_manifest_read" -> { (s, dir) =>
+      val root = s"${GraftSession.scratchRoot}/graft-q217"
+      val ords = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      operators.Layout.zorderCompact(
+        s, ords, Seq("o_custkey", "o_orderkey"), 8, root)
+      val keys = Seq(7L, 42L, 99L, 123L)
+      ordered(operators.Layout.manifestPrunedRead(s, root,
+          ranges = Map("o_orderkey" -> (100L, 5000L)),
+          points = Map("o_custkey" -> keys))
+        .filter(col("o_orderkey").between(100L, 5000L) &&
+          col("o_custkey").isin(keys: _*))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .as("total")))
+    },
+
     // Mutual information + NMI on the same priority-x-status pair as
     // q207 (chi2 asks "statistically surprising?", MI asks "how many
     // nats does A tell you about B"): observed-cell terms with exact
@@ -2872,10 +2923,17 @@ object SparkEntry {
 
     // Fellegi–Sunter probabilistic linkage: supervised m/u weights from
     // labeled pairs (planted variants = matches, distant-id pairs =
-    // non-matches), then the three-way log-likelihood-ratio decision
-    // over (nation, name-suffix-3)-blocked candidates. The name field
-    // is deliberately agreement-noisy (a one-digit id-name edit), the
-    // balance-band field is mangled on a third of the variants.
+    // non-matches), then the three-way log-likelihood-ratio decision.
+    // Candidates come from the NATION-STRATIFIED FastSS deletion-
+    // neighborhood join (the q142 cure, r11 VERDICT #1): the complete
+    // same-nation Levenshtein ≤ 2 pair set — a theorem-bounded filter
+    // whose candidate volume tracks true near-name density (LINEAR in
+    // the corpus: each id has a bounded digit-neighborhood), where the
+    // old fixed suffix-3 key saturated block² (measured ×188 candidates
+    // at ×10 data). The name agreement falls out of the join for free
+    // (nome_igual = dist ≤ 1 — the planted one-deletion variants agree,
+    // two-edit digit neighbors disagree); the balance-band field is
+    // mangled on a third of the variants.
     "q186_fellegi_sunter" -> { (s, dir) =>
       val c = Tables.customer(s, dir).select(
         col("c_custkey").as("id"), lower(trim(col("c_name"))).as("nome"),
@@ -2892,8 +2950,7 @@ object SparkEntry {
         col("seg"))
       def side(df: DataFrame, sfx: String) = df.select(
         col("id").as(s"id_$sfx"), col("nome").as(s"nome_$sfx"),
-        col("nacao").as(s"nacao_$sfx"), col("faixa").as(s"faixa_$sfx"),
-        col("seg").as(s"seg_$sfx"))
+        col("faixa").as(s"faixa_$sfx"), col("seg").as(s"seg_$sfx"))
       def agreed(p: DataFrame) = p.select(
         col("id_a"), col("id_b"),
         (levenshtein(col("nome_a"), col("nome_b")) <= 1).as("nome_igual"),
@@ -2906,10 +2963,17 @@ object SparkEntry {
           col("id_b") === col("id_a") + 11111L))
         .withColumn("eh_par", lit(false))
       val all = c.unionByName(v)
-      val cands = agreed(side(all, "a").join(side(all, "b"),
-        col("nacao_a") === col("nacao_b") &&
-          expr("right(nome_a, 3)") === expr("right(nome_b, 3)") &&
-          col("id_a") < col("id_b")))
+      val attrs = all.select("id", "faixa", "seg")
+      val cands = operators.Linkage.editJoinDeletesOn(
+          all, "id", "nome", "nacao", maxDist = 2)
+        .join(attrs.select(col("id").as("id_a"),
+          col("faixa").as("faixa_a"), col("seg").as("seg_a")), "id_a")
+        .join(attrs.select(col("id").as("id_b"),
+          col("faixa").as("faixa_b"), col("seg").as("seg_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("dist") <= 1L).as("nome_igual"),
+          (col("faixa_a") === col("faixa_b")).as("faixa_igual"),
+          (col("seg_a") === col("seg_b")).as("seg_igual"))
       ordered(operators.Linkage.fellegiSunterScore(
           cands, matches.unionByName(nonMatches),
           Seq("nome_igual", "faixa_igual", "seg_igual"), "eh_par",
@@ -7249,10 +7313,11 @@ ORDER BY ALL NULLS FIRST""",
         |  FROM urls),
         |parts AS (
         |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
         |      lower(regexp_extract(nofrag,
         |        '(?i)^[a-z][a-z0-9+.-]*://[^/?]*')),
-        |      ':(80|443)$', ''),
+        |      '^(http://.*):80$', '\1'),
+        |      '^(https://.*):443$', '\1'),
         |      '^([a-z0-9+.-]*://)www\.', '\1') AS head,
         |    regexp_replace(nofrag,
         |      '(?i)^[a-z][a-z0-9+.-]*://[^/?]*', '') AS tail
@@ -7282,6 +7347,27 @@ ORDER BY ALL NULLS FIRST""",
         |    AS DECIMAL(38,6)) AS DOUBLE) AS receita,
         |  CAST(count(*) AS BIGINT) AS n_itens
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The layout contract: pruning changes which files are opened,
+    // never the answer — the oracle is the plain full-scan query.
+    "q216_bloom_pruned_read" ->
+      """SELECT o_custkey, count(*) AS n_pedidos,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey IN (7, 42, 99, 123)
+        |GROUP BY 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same contract for the combined range+point manifest read.
+    "q217_zorder_manifest_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 5000
+        |  AND o_custkey IN (7, 42, 99, 123)
         |GROUP BY 1
         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
@@ -7638,7 +7724,9 @@ ORDER BY ALL NULLS FIRST""",
         |FROM k ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays variants, labeled pairs, the smoothed m/u weights and the
-    // left-associated log-likelihood sum with its three-way decision.
+    // left-associated log-likelihood sum with its three-way decision;
+    // candidates = the COMPLETE same-nation Levenshtein ≤ 2 pair set
+    // (brute-force here; the engine reaches it via stratified FastSS).
     "q186_fellegi_sunter" ->
       """WITH c AS (SELECT c_custkey AS id, lower(trim(c_name)) AS nome,
         |    c_nationkey AS nacao,
@@ -7687,8 +7775,9 @@ ORDER BY ALL NULLS FIRST""",
         |    levenshtein(a.nome, b.nome) <= 1 AS nome_igual,
         |    a.tel3 = b.tel3 AS faixa_igual, a.seg = b.seg AS seg_igual
         |  FROM todos a JOIN todos b
-        |    ON a.nacao = b.nacao AND right(a.nome, 3) = right(b.nome, 3)
-        |      AND a.id < b.id),
+        |    ON a.nacao = b.nacao AND a.id < b.id
+        |      AND abs(length(a.nome) - length(b.nome)) <= 2
+        |      AND levenshtein(a.nome, b.nome) <= 2),
         |sc AS (SELECT id_a, id_b, nome_igual, faixa_igual, seg_igual,
         |    (CASE WHEN nome_igual THEN wa_nome ELSE wd_nome END)
         |      + (CASE WHEN faixa_igual THEN wa_faixa ELSE wd_faixa END)

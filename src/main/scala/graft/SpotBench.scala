@@ -173,7 +173,9 @@ object SpotBench {
         val t0 = System.nanoTime()
         q(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        llm.CacheScope.releaseAll()
+        // blocking, same rationale as Bench: an async unpersist leaves
+        // the previous run's blocks resident into the next timed run
+        llm.CacheScope.releaseAll(blocking = true)
         // untimed heap compaction between queries, same as Bench: without
         // it a heavy query's old-gen pressure inflates every later timing
         // in the session (measured ×3 on q45 right after a q27 run) and

@@ -26,9 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     ·0.1·(1 − jaro).
   * Cross-engine float agreement is a handful of IEEE ops in fixed order —
   * final-ulp at worst, absorbed by the gate's 9-digit normalization.
-  * Operates on UTF-16 code units (identical to DuckDB's byte walk on
-  * ASCII, the linkage-normalized regime; both diverge from codepoint
-  * semantics outside it).
+  *
+  * CONTRACT — unit of comparison is the UTF-16 CODE UNIT, not the code
+  * point: identical to DuckDB's byte walk on ASCII (the linkage-
+  * normalized regime this operator contracts). Outside the BMP a
+  * surrogate PAIR counts as two units, so two distinct astral
+  * characters sharing a high surrogate score 2/3 where a code-point
+  * walk scores 0 (spec-pinned in FunctionsSpec "jaro_winkler non-BMP"),
+  * and DuckDB's UTF-8 byte walk is a THIRD convention out there —
+  * non-BMP text must not reach this comparator expecting cross-engine
+  * agreement. Normalize/strip to BMP first (the q202 pipeline's
+  * lower/trim names are ASCII).
   *
   * A Scala UDF here would pay serialization per row and break whole-stage
   * codegen in the hottest loop of the linkage pipeline (one call per

@@ -559,8 +559,10 @@ object Curation {
     * URL-exact dedup misses every such pair). Documented rule set, all
     * codegen'd expressions:
     *   1. fragment dropped; 2. scheme://host lowercased (path/query case
-    *   PRESERVED — significant on most servers); 3. default ports :80/
-    *   :443 dropped; 4. leading `www.` dropped; 5. trailing path slashes
+    *   PRESERVED — significant on most servers); 3. default ports dropped
+    *   SCHEME-AWARE (:80 only for http://, :443 only for https:// —
+    *   `https://host:80` is a genuinely different origin and is kept);
+    *   4. leading `www.` dropped; 5. trailing path slashes
     *   dropped; 6. tracking params dropped (utm_*, gclid, fbclid, ref);
     *   7. remaining query params SORTED (order is almost never
     *   significant; sorting is what collapses reordered duplicates).
@@ -568,10 +570,14 @@ object Curation {
   def canonicalUrl(url: Column): Column = {
     val headRe = "(?i)^[a-z][a-z0-9+.-]*://[^/?]*"
     val noFrag = regexp_replace(trim(url), "#.*", "")
-    val head = regexp_replace(
+    // scheme-aware default-port drop: `.*` (not `[^:]*`) so IPv6
+    // bracket hosts with internal colons still match, anchored `$` so
+    // only the trailing port is touched
+    val noPort = regexp_replace(
       regexp_replace(lower(regexp_extract(noFrag, headRe, 0)),
-        ":(80|443)$", ""),
-      "^([a-z0-9+.-]*://)www\\.", "$1")
+        "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val head = regexp_replace(noPort, "^([a-z0-9+.-]*://)www\\.", "$1")
     val tail = regexp_replace(noFrag, headRe, "")
     val path = regexp_replace(regexp_extract(tail, "^[^?]*", 0), "/+$", "")
     val params = filter(split(regexp_extract(tail, "\\?(.*)$", 1), "&"),

@@ -258,17 +258,43 @@ object Linkage {
   def editJoinDeletes(
       df: DataFrame, idCol: String, strCol: String, maxDist: Int,
       maxBlock: Int = graft.llm.Dedup.AdaptiveBlock,
-      strata: Option[Column => Column] = None): DataFrame = {
-    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
-    val strs = graft.llm.CacheScope.persistTracked(
-      graft.llm.Spread(df.select(col(idCol).as("__id"),
-          col(strCol).as("__s")))
+      strata: Option[Column => Column] = None): DataFrame =
+    editJoinCore(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"))
         .filter(col("__s").isNotNull)
         .transform(d => strata match {
           case Some(k) => d.withColumn("__st", k(col("__s")))
             .filter(col("__st").isNotNull && col("__st") =!= "")
           case None => d.withColumn("__st", lit(""))
-        })
+        }),
+      maxDist, maxBlock)
+
+  /** [[editJoinDeletes]] stratified by an ARBITRARY column of `df`
+    * (not an expression over the string): the record-linkage form where
+    * the stratum is a structured attribute — nation, region, source —
+    * rather than a slice of the name itself. Same contract: output is
+    * EXACTLY "all pairs with equal (non-null, non-empty) strata value
+    * and Levenshtein ≤ maxDist", the deletion-neighborhood filter stays
+    * the complete FastSS theorem inside each stratum, candidates track
+    * true near-dup density instead of blocking-key collision volume.
+    */
+  def editJoinDeletesOn(
+      df: DataFrame, idCol: String, strCol: String, strataCol: String,
+      maxDist: Int,
+      maxBlock: Int = graft.llm.Dedup.AdaptiveBlock): DataFrame =
+    editJoinCore(
+      df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+          col(strataCol).cast("string").as("__st"))
+        .filter(col("__s").isNotNull &&
+          col("__st").isNotNull && col("__st") =!= ""),
+      maxDist, maxBlock)
+
+  /** Shared FastSS core over a pre-projected (__id, __s, __st) frame. */
+  private def editJoinCore(
+      strsIn: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val strs = graft.llm.CacheScope.persistTracked(
+      graft.llm.Spread(strsIn)
         .withColumn("__len", length(col("__s")).cast("long")))
     // ≤d-deletion neighborhood: d rounds of explode(self ∪ one-char
     // deletions), distinct per id. sequence(1,0) would step BACKWARD

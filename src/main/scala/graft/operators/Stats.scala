@@ -1153,8 +1153,12 @@ object Stats {
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .withColumn("__rk", row_number().over(wRank).cast("long"))
       .withColumn("__n", count(lit(1L)).over(wAll))
+      // exact integer division — Column `/` on longs is IEEE double
+      // division, which decides bucket membership by a float truncation
+      // once (rk-1)·buckets nears 2^53; `div` keeps the gate integral
+      // at any scale (the theilSen/no-float-decides-membership rule)
       .withColumn("decil",
-        ((col("__rk") - 1L) * buckets / col("__n")).cast("long") + 1L)
+        expr(s"((__rk - 1) * $buckets) div __n") + 1L)
     val perBucket = ranked.groupBy(g :+ col("decil"): _*).agg(
       count(lit(1L)).as("n_linhas"),
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n_eventos"))
@@ -1282,9 +1286,12 @@ object Stats {
         coalesce(sum(col("__c")).over(wBelow), lit(0L)))
     // Σ ranks for this value's block = c·below + c(c+1)/2; contribution
     // x · that, all decimal(38,0)
+    // c·(c+1) is always even, so `div 2` is exact integer arithmetic at
+    // any count; the former `/ 2` routed it through an IEEE double with
+    // a silent 2^53 wall inside an all-DECIMAL accumulation
     val contrib = col("__x") *
       (col("__c").cast(d38) * col("__below").cast(d38) +
-        (col("__c") * (col("__c") + 1L) / lit(2L)).cast(d38))
+        expr("(__c * (__c + 1)) div 2").cast(d38))
     val perGroup = cum.groupBy(g: _*).agg(
       sum(col("__c")).as("n"),
       sum(col("__neg")).as("n_negativos"),

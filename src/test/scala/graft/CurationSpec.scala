@@ -629,6 +629,10 @@ class CurationSpec extends SparkSpec {
         "http://site.com/a?a=1&b=2"),
       ("https://site.com/a?a=1&b=2", "https://site.com/a?a=1&b=2"),
       ("https://site.com:443/", "https://site.com"),
+      // port drop is SCHEME-AWARE: non-default ports are different
+      // origins and must survive canonicalization
+      ("https://site.com:80/x", "https://site.com:80/x"),
+      ("http://site.com:443/x", "http://site.com:443/x"),
       ("https://site.com/x//", "https://site.com/x"),
       ("https://site.com/x?ref=tw", "https://site.com/x"),
       ("https://site.com/x?gclid=1&z=9&y=8", "https://site.com/x?y=8&z=9"),

@@ -583,6 +583,35 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("jaro_winkler non-BMP contract: UTF-16 code units, surrogate " +
+      "pairs count as two positions (pinned divergence from code-point " +
+      "and UTF-8-byte walks)") {
+    GraftFunctions.register(spark)
+    // U+1D54F / U+1D550 share the high surrogate \uD835: under the
+    // contracted UTF-16-unit walk each string is TWO units, position 0
+    // matches, so jaro = (1/2 + 1/2 + 1)/3 = 2/3. A code-point walk
+    // sees two distinct 1-char strings (window 0, no match -> 0.0);
+    // DuckDB's UTF-8 byte walk is a third convention (4-byte sequences
+    // sharing 3 bytes). Non-BMP input must NOT expect cross-engine
+    // agreement — q202's pipeline normalizes to ASCII before the call.
+    val astral = Seq(
+      (0L, "𝕏", "𝕐", 2.0 / 3.0),
+      // identical astral strings still score exactly 1
+      (1L, "𝕏", "𝕏", 1.0),
+      // BMP + astral mix: "a𝕏" vs "a𝕐" = 3 units, window 0, units 0,1
+      // match in place -> jaro = (2/3+2/3+1)/3 = 7/9; jaro > 0.7 and
+      // prefix-2 (unit-wise) boost applies: 7/9 + 2*0.1*(2/9)
+      (2L, "a𝕏", "a𝕐",
+        7.0 / 9.0 + 2 * 0.1 * (1.0 - 7.0 / 9.0)))
+    val got = astral.map(c => (c._1, c._2, c._3)).toDF("i", "a", "b")
+      .select(col("i"),
+        call_function("jaro_winkler", col("a"), col("b")).as("s"))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    astral.map(_._4).zip(got).zipWithIndex.foreach { case ((want, g), i) =>
+      assert(math.abs(g - want) < 1e-12, s"astral case $i: got $g want $want")
+    }
+  }
+
   test("lexicalDiversity: hand entropy/TTR/hapax, empty doc returns " +
       "n=0 with null ratios, blank tokens never count") {
     val docs = Seq(
