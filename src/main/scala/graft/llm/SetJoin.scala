@@ -99,16 +99,26 @@ object SetJoin {
       .select("__ida", "__idb").distinct()
 
     // exact verification: merge-walk intersection, integer gate, ONE
-    // IEEE division for the reported score
+    // IEEE division for the reported score. The corpus side of both
+    // joins is hinted SHUFFLE_HASH so the candidate-pair frame — the
+    // side whose volume grows with true duplicate density (24.75M rows
+    // at the ×100 rehearsal, each carrying a shingle array after the
+    // first join) — STREAMS through the probe instead of being sorted:
+    // a sort-merge join would buffer/sort those wide rows and the
+    // old-gen pressure of that sort outlives the query (measured: the
+    // sf10 adjacent second run was 1.6× SLOWER than its first). The
+    // hash build side is corpus/partitions-bounded (|docs|/P shingle
+    // arrays), independent of candidate volume — the memory contract a
+    // verify stage needs at any duplication level.
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.GraftFunctions.register)
     val inter = call_function("sorted_intersect_count",
       col("__sh_a"), col("__sh_b"))
     cand
       .join(sets.select(col("__id").as("__ida"), col("__sh").as("__sh_a"),
-        col("__sz").as("__sza")), "__ida")
+        col("__sz").as("__sza")).hint("shuffle_hash"), "__ida")
       .join(sets.select(col("__id").as("__idb"), col("__sh").as("__sh_b"),
-        col("__sz").as("__szb")), "__idb")
+        col("__sz").as("__szb")).hint("shuffle_hash"), "__idb")
       .withColumn("__i", inter.cast("long"))
       .filter(lit(d) * col("__i") >=
         lit(n) * (col("__sza") + col("__szb") - col("__i")))

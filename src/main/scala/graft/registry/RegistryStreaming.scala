@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Dbf, HtmlForm, Listing, ParquetSink, ReportCsv, Staging, Tables}
+import graft.operators._
+
+/** Event streams: windowed aggs, sessionization, funnels, attribution, paths,
+  * transition matrices (batch twins of the streaming surfaces).
+  *
+  * Registry shard of [[SparkEntry]] — entries moved verbatim; see SURVEY.md §2
+  * for the operator-row mapping.
+  */
+private[graft] trait RegistryStreaming extends RegistryBase {
+
+  protected def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2 row 36 — tumbling-window aggregate over events (batch form of the
+    // streaming windowed agg; streaming twin exercised in scalatest).
+    "q36_windowed_agg" -> { (s, dir) =>
+      ordered(streaming.Events.tumblingAgg(Tables.events(s, dir)))
+    },
+
+    // §2 row 37 — gap-based sessionization (batch window form; streaming
+    // flatMapGroupsWithState twin exercised in scalatest).
+    "q37_sessionize" -> { (s, dir) =>
+      ordered(streaming.Events.sessionize(Tables.events(s, dir)))
+    },
+
+    // §2 row 39 — ingestion dedup: one event per (user, type), earliest
+    // (ts, event_id) wins; single min_by groupBy (streaming twin:
+    // dropDuplicatesWithinWatermark, exercised in scalatest).
+    "q39_ingest_dedup" -> { (s, dir) =>
+      ordered(streaming.Events.ingestDedup(
+        Tables.events(s, dir), Seq("user_id", "event_type")))
+    },
+
+    // Native session_window sessionization (the Spark-idiomatic twin of
+    // q37's window/cumsum form; streaming variant in streaming/Events).
+    "q47_session_window" -> { (s, dir) =>
+      ordered(streaming.Events.sessionWindowAgg(Tables.events(s, dir)))
+    },
+
+    // Trailing-5-events rolling mean per user: one window shuffle+sort,
+    // row-bounded frame, DECIMAL(28,6)-exact sums with one IEEE division.
+    "q80_rolling_agg" -> { (s, dir) =>
+      ordered(streaming.Events.rollingAgg(Tables.events(s, dir), n = 5))
+    },
+
+    // Ordered funnel view→click→purchase: per-user first-timestamps per
+    // stage via conditional min, depth folded from the ordering chain —
+    // one map-side-combinable aggregation, no window, no self-join.
+    "q86_funnel" -> { (s, dir) =>
+      ordered(streaming.Events.funnelDepth(
+        Tables.events(s, dir), Seq("view", "click", "purchase")))
+    },
+
+    // Time-constrained funnel: view -> click -> purchase where each
+    // stage must land within 2 days of the prior — k-1 fixed rounds of
+    // one user-keyed join + one combinable min each; a null prior stage
+    // nulls everything after it.
+    "q176_funnel_within" -> { (s, dir) =>
+      ordered(streaming.Events.funnelWithin(
+        Tables.events(s, dir), Seq("view", "click", "purchase"),
+        within = "2 days"))
+    },
+
+    // Most-common opening paths: each user's first 3 events (bounded
+    // heap, never a history sort) joined into a path string, top-10 by
+    // user count with deterministic ties.
+    "q173_common_paths" -> { (s, dir) =>
+      ordered(streaming.Events.commonPaths(
+        Tables.events(s, dir), steps = 3, topN = 10))
+    },
+
+    // First-order event transition matrix (the Markov what-happens-after
+    // table): one per-user lead window, one combinable pair count, row
+    // totals broadcast back, each probability one IEEE division of
+    // exact longs.
+    "q165_transitions" -> { (s, dir) =>
+      ordered(streaming.Events.transitionMatrix(Tables.events(s, dir)))
+    },
+
+    // First/last-touch conversion attribution: one user-keyed interval
+    // join (lookback-bounded, per-user pair space) + one combinable
+    // struct-min/max aggregation per conversion — no per-conversion
+    // window sort. Unattributed conversions kept with null credit.
+    "q159_attribution" -> { (s, dir) =>
+      ordered(streaming.Events.attribution(
+        Tables.events(s, dir), convType = "purchase",
+        touchTypes = Seq("view", "click"), lookback = "2 days"))
+    },
+  )
+
+  protected def oraclesStreaming: Map[String, String] = Map(
+
+    "q36_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS janela_inicio,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS janela_fim,
+        |  event_type, count(*) AS eventos,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS valor_total
+        |FROM events GROUP BY 1, 2, 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q37_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS novo
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(novo) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sessao
+        |    , ts
+        |  FROM e)
+        |SELECT user_id, sessao, count(*) AS eventos,
+        |  min(ts) AS inicio, max(ts) AS fim
+        |FROM s GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q39_ingest_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // session_window boundary semantics match q37's cumsum form: a new
+    // session starts only when the gap EXCEEDS the threshold (verified
+    // empirically — exactly-gap spacing merges).
+    "q47_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS novo
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    CAST(sum(novo) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sessao
+        |    , ts
+        |  FROM e)
+        |SELECT user_id, eventos, inicio, fim FROM (
+        |  SELECT user_id, sessao, count(*) AS eventos,
+        |    min(ts) AS inicio, max(ts) AS fim
+        |  FROM s GROUP BY 1, 2)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Trailing-5 rolling mean: decimal-exact running sums, one division.
+    "q80_rolling_agg" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(cnt AS BIGINT) AS eventos_janela,
+        |  CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) AS media_movel
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    count(*) OVER w AS cnt,
+        |    sum(CAST(value AS DECIMAL(28,6))) OVER w AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // First-timestamp-per-stage funnel depth.
+    "q86_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(CASE WHEN t0 IS NULL THEN 0
+        |            WHEN t1 IS NULL OR t1 < t0 THEN 1
+        |            WHEN t2 IS NULL OR t2 < t1 THEN 2
+        |            ELSE 3 END AS INT) AS etapas
+        |FROM f ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the staged min-resolution chain with the same window
+    // bounds.
+    "q176_funnel_within" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS ts_0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT s0.user_id, ts_0, min(e.ts) AS ts_1
+        |  FROM s0 LEFT JOIN events e
+        |    ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |    AND e.ts >= ts_0 AND e.ts <= ts_0 + INTERVAL 2 DAY
+        |  GROUP BY 1, 2),
+        |s2 AS (
+        |  SELECT s1.user_id, ts_0, ts_1, min(e.ts) AS ts_2
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |    AND e.ts >= ts_1 AND e.ts <= ts_1 + INTERVAL 2 DAY
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, ts_0, ts_1, ts_2,
+        |  CAST(CASE WHEN ts_2 IS NOT NULL THEN 3
+        |            WHEN ts_1 IS NOT NULL THEN 2
+        |            ELSE 1 END AS INT) AS etapas
+        |FROM s2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the first-3 ranking, the ordered path join and the
+    // deterministic top-10 cut.
+    "q173_common_paths" ->
+      """SELECT * FROM (
+        |  WITH rk AS (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS r
+        |    FROM events),
+        |  p AS (
+        |    SELECT user_id, string_agg(event_type, '>' ORDER BY r) AS caminho
+        |    FROM rk WHERE r <= 3 GROUP BY user_id),
+        |  c AS (SELECT caminho, CAST(count(*) AS BIGINT) AS usuarios
+        |        FROM p GROUP BY 1)
+        |  SELECT caminho, usuarios FROM c
+        |  ORDER BY usuarios DESC, caminho LIMIT 10)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-user lead, the pair counts and the single IEEE
+    // division per probability.
+    "q165_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS de,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS para
+        |  FROM events),
+        |cnt AS (
+        |  SELECT de, para, CAST(count(*) AS BIGINT) AS transicoes
+        |  FROM nxt WHERE para IS NOT NULL GROUP BY de, para),
+        |tot AS (SELECT de, CAST(sum(transicoes) AS BIGINT) AS t
+        |        FROM cnt GROUP BY de)
+        |SELECT cnt.de, para, transicoes,
+        |  CAST(transicoes AS DOUBLE) / CAST(t AS DOUBLE) AS probabilidade
+        |FROM cnt JOIN tot ON cnt.de = tot.de
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the lookback interval join and picks first/last touch by
+    // the same (ts, id, type) ordering (window form — the engine's
+    // struct-min/max is the sort-free equivalent).
+    "q159_attribution" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conversao_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS tuid, ts AS tts, event_id AS tid,
+        |    event_type AS ttype
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (
+        |  SELECT c.conversao_id, c.user_id, t.tts, t.tid, t.ttype
+        |  FROM conv c LEFT JOIN touch t
+        |    ON c.user_id = t.tuid AND t.tts < c.cts
+        |    AND t.tts >= c.cts - INTERVAL 2 DAY),
+        |rk AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY conversao_id
+        |      ORDER BY tts ASC, tid ASC) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY conversao_id
+        |      ORDER BY tts DESC, tid DESC) AS rl
+        |  FROM pairs)
+        |SELECT conversao_id, user_id,
+        |  CAST(count(tid) AS BIGINT) AS n_toques,
+        |  max(CASE WHEN rf = 1 THEN tid END) AS primeiro_id,
+        |  max(CASE WHEN rf = 1 THEN ttype END) AS primeiro_tipo,
+        |  max(CASE WHEN rl = 1 THEN tid END) AS ultimo_id,
+        |  max(CASE WHEN rl = 1 THEN ttype END) AS ultimo_tipo
+        |FROM rk GROUP BY conversao_id, user_id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+  )
+}

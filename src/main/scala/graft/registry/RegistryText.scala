@@ -1,0 +1,756 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Dbf, HtmlForm, Listing, ParquetSink, ReportCsv, Staging, Tables}
+import graft.operators._
+
+/** Text analysis: language-ID, quality, tokens, LMs, classifiers, collocations,
+  * vocabulary audits, keyword extraction.
+  *
+  * Registry shard of [[SparkEntry]] — entries moved verbatim; see SURVEY.md §2
+  * for the operator-row mapping.
+  */
+private[graft] trait RegistryText extends RegistryBase {
+
+  protected def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2 row 31 — language-ID: marker-vocabulary scores + argmax.
+    "q31_lang_id" -> { (s, dir) =>
+      val toks = llm.TextAnalysis.tokens(col("text"))
+      val (scores, pred) = llm.TextAnalysis.langId(toks)
+      // Spread: the marker-score lambdas are interpreted (higher-order) —
+      // keep them parallel on narrow scans.
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
+        col("doc_id") +:
+          scores.map { case (lang, sc) => sc.cast("long").as(s"score_$lang") } :+
+          pred.as("lang_pred"): _*))
+    },
+
+    // §2 row 32 — quality scoring from length/punct/digit/stopword ratios.
+    "q32_quality_score" -> { (s, dir) =>
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        llm.TextAnalysis.qualityScore(col("text")).as("qualidade")))
+    },
+
+    // §2 row 33 — token counting: whitespace, BPE-ish regex, chars/4.
+    "q33_token_count" -> { (s, dir) =>
+      ordered(llm.Spread(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        llm.TextAnalysis.wsTokenCount(col("text")).as("tokens_ws"),
+        llm.TextAnalysis.bpeTokenCount(col("text")).as("tokens_bpe"),
+        llm.TextAnalysis.estTokenCount(col("text")).as("tokens_est"),
+      ))
+    },
+
+    // §2 row 34 — document fingerprint: min-md5 over word 3-shingles.
+    // Explode form: md5 runs as a codegen'd projection over shingle rows
+    // (inside a higher-order `transform` it would be interpreted —
+    // CodegenFallback); the groupBy collapses map-side to one row per doc
+    // since each doc's shingles never span partitions.
+    "q34_fingerprint" -> { (s, dir) =>
+      // Spread: parallelism floor for the CPU-bound shingle/md5 map side;
+      // native word_shingles keeps the whole projection codegen'd.
+      val exploded = llm.Spread(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode_outer(llm.TextAnalysis.shingleSetSorted(
+            llm.TextAnalysis.tokens(col("text")), 3)).as("shingle"))
+      ordered(exploded.groupBy("doc_id").agg(
+        min(md5(col("shingle").cast("binary"))).as("impressao_digital"),
+        count(col("shingle")).as("n_shingles"),
+      ))
+    },
+
+    // Corpus-relative token frequency scoring: two passes (vocabulary
+    // aggregation, then the instance join back through it) — the
+    // rare-token quality signal. Exact end-to-end: counts are longs, the
+    // mean is one IEEE division of two exact longs.
+    "q55_token_frequency" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.tokenFrequencyScore(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // Gopher-style n-gram repetition quality signals: top token / top
+    // bigram / duplicated-trigram coverage per document.
+    "q59_repetition" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.ngramRepetition(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // Bigram language-model quality scoring (the CCNet-perplexity-class
+    // filter in exact form): mean add-one-smoothed bigram probability per
+    // document — corpus unigram/bigram counts, instance joins back through
+    // them, decimal-exact per-doc sum. Arithmetic mean (not log/geometric)
+    // keeps every step IEEE-reproducible in the oracle.
+    "q65_bigram_lm" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.bigramLmScore(
+        Tables.documents(s, dir), "doc_id", "text"))
+    },
+
+    // Global n-gram heavy hitters: exact top-25 trigrams by occurrence
+    // (ties broken lexicographically), with document frequencies —
+    // per-partition top-k heaps, no global sort.
+    "q70_heavy_hitters" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.topNgrams(
+        Tables.documents(s, dir), "doc_id", "text", n = 3, k = 25))
+    },
+
+    // BPE vocabulary induction (Sennrich 2016): ONE corpus pass builds
+    // the weighted word vocabulary, then every merge iteration is
+    // vocab-linear with a single-row argmax (k-means collect
+    // discipline). Iterative driver loop over aggregations -> not
+    // SQL-reproducible in one query: rows-only here; BpeSpec proves the
+    // merge table equals an independent single-node replay and the
+    // textbook sequence on the canonical corpus.
+    "q104_bpe_train" -> { (s, dir) =>
+      ordered(llm.Bpe.train(
+        Tables.documents(s, dir).select("text"), "text", numMerges = 12))
+    },
+
+    // Hashed linear classifier inference (fastText-style quality filter):
+    // unigram+bigram features md5-hashed into 1024 buckets, weights a
+    // broadcast (bucket -> fixed-point milli-weight) table derived
+    // deterministically from md5 so the oracle rebuilds the same model;
+    // per-doc margin is an exact BIGINT sum, label its sign.
+    "q109_quality_classifier" -> { (s, dir) =>
+      val buckets = 1024
+      val weights = s.range(buckets).select(
+        col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w:"), col("id").cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 2001 - 1000)
+          .as("w_milli"))
+      ordered(llm.TextAnalysis.linearTextScore(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        weights, "doc_id", "text", buckets))
+    },
+
+    // Reference-LM cross-scoring (CCNet's actual filter design): the
+    // bigram model fits on the 'en' slice (the clean reference) and
+    // scores every OTHER document — unseen grams fall back to the
+    // smoothing floor, so out-of-domain text scores low. The model
+    // tables are reference-only aggregations, reusable across batches.
+    "q118_lm_cross_score" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      ordered(llm.TextAnalysis.bigramLmCrossScore(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        "doc_id", "text"))
+    },
+
+    // Dictionary/taxonomy tagging: a phrase→label table (multi-word
+    // phrases match as contiguous bigrams) broadcast-joined against one
+    // scan-level 1..2-gram fan-out, one (doc, label) aggregation.
+    // Neutral demo taxonomy over the synthetic corpus vocabulary.
+    "q122_dict_tagging" -> { (s, dir) =>
+      import s.implicits._
+      val dict = Seq(
+        ("hash join", "joins"), ("merge join", "joins"), ("join", "joins"),
+        ("table scan", "scans"), ("scan", "scans"),
+        ("stream", "streaming"), ("window", "streaming"),
+        ("group", "olap"), ("agg", "olap"), ("sort", "olap"),
+      ).toDF("frase", "etiqueta")
+      ordered(llm.TextAnalysis.tagByDictionary(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        dict, "doc_id", "text", maxN = 2))
+    },
+
+    // Distributed classifier TRAINING (q109's fit half): 3 full-batch
+    // perceptron epochs over hashed unigram+bigram features, label
+    // +1 = 'en'. All-integer algebra — the oracle replays every epoch
+    // as an unrolled CTE chain, bit-for-bit. The corpus shuffles once
+    // (feature build); epochs move only bucket-level partials.
+    "q123_perceptron_train" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      ordered(llm.TextAnalysis.trainPerceptron(
+        docs, "doc_id", "text", "y", buckets = 256, epochs = 3))
+    },
+
+    // Train→apply in ONE plan: the q123 perceptron's fitted weights feed
+    // q109's inference join over the whole corpus — the self-contained
+    // quality-filter loop (fit on the labeled slice, gate everything).
+    // The trained model is a ≤256-row broadcast; the corpus pays one
+    // feature fan-out per side.
+    "q125_selftrain_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val w = llm.TextAnalysis.trainPerceptron(
+        docs.select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y")),
+        "doc_id", "text", "y", buckets = 256, epochs = 3)
+      ordered(llm.TextAnalysis.linearTextScore(
+        docs.select("doc_id", "text"),
+        w.select(col("bucket"), col("w").as("w_milli")),
+        "doc_id", "text", buckets = 256))
+    },
+
+    // Calibration/reliability audit of the self-trained gate: q125's
+    // train→score pipeline, then per (sign, margin-magnitude) bin the
+    // population, observed positive rate and mean margin — the
+    // reliability-diagram table that says WHERE the classifier's scores
+    // can be trusted as a curation threshold. Bins are scan-level
+    // (sign × decimal digit count — exact in any engine), never a
+    // global ntile sort. Oracle chains the full training replay into
+    // the binning.
+    "q134_calibration_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val labeled = docs.select(col("doc_id"), col("text"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+      val w = llm.TextAnalysis.trainPerceptron(
+        labeled, "doc_id", "text", "y", buckets = 256, epochs = 3)
+      val scoredDocs = llm.TextAnalysis.linearTextScore(
+        docs.select("doc_id", "text"),
+        w.select(col("bucket"), col("w").as("w_milli")),
+        "doc_id", "text", buckets = 256)
+      ordered(llm.TextAnalysis.calibrationAudit(
+        scoredDocs.join(labeled.select("doc_id", "y"), "doc_id"),
+        "margem_milli", "y"))
+    },
+
+    // PMI collocation extraction: adjacent token pairs that co-occur far
+    // beyond their unigram frequencies — ranked by the exact PMI RATIO
+    // (log-free: integer DECIMAL products + one IEEE division), support
+    // cut applied to the counted bigram table before any join. Feeds
+    // the q122 phrase-table tagger.
+    "q154_collocations" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.collocations(
+        Tables.documents(s, dir), "doc_id", "text", minCount = 8L))
+    },
+
+    // Multinomial Naive Bayes language ID, fit on the %3!=0 train split
+    // and applied to the WHOLE corpus in one plan — the generative
+    // counterpart of q123/q125. Every model term is one IEEE op chain
+    // from exact integer counts; apply-side sums accumulate in
+    // DECIMAL(38,18) so the scores are order-independent, and the
+    // argmax ties break on the class name.
+    "q184_naive_bayes" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+      val model = llm.TextAnalysis.naiveBayesFit(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", "lang")
+      ordered(llm.TextAnalysis.naiveBayesApply(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id")))
+    },
+
+    // Chi-squared token-class feature selection over the documents
+    // corpus (class = lang, doc-level presence, min df 5): the
+    // chi2 >= 3.84 (p ~ 0.05, df 1) selection is decided in exact
+    // integers
+    // (den*N*(ad-bc)^2 >= num*margins), the reported chi2 is one IEEE
+    // division.
+    "q188_chi2_features" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.chiSquaredFeatures(
+        Tables.documents(s, dir).select("doc_id", "text", "lang"),
+        "doc_id", "text", "lang",
+        minDf = 5L, threshNum = 384L, threshDen = 100L))
+    },
+
+    // Vocabulary coverage / OOV audit: top-20 unigram vocabulary fit
+    // on the doc_id%3==0 training slice (count desc, token asc - the
+    // deterministic q70 top-k; 20 of the corpus's 31 types, so real
+    // OOV mass), broadcast onto the full corpus's token
+    // stream; exact counts, one division per doc.
+    "q196_vocab_coverage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val vocab = llm.TextAnalysis.topNgrams(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        n = 1, k = 20)
+      ordered(llm.TextAnalysis.vocabCoverage(
+        docs, "doc_id", "text", vocab, "ngram"))
+    },
+
+    // TextRank corpus keywords: scan-level adjacency explode ->
+    // mirrored co-occurrence edges -> the q140 decimal-exact PageRank
+    // -> one TakeOrdered top-20 with the (rank desc, token asc)
+    // tie-break.
+    "q199_textrank" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.textRankKeywords(
+        Tables.documents(s, dir), "text", iters = 3, k = 20))
+    },
+
+    // Per-document lexical diversity: token entropy via the
+    // deterministic token-sorted fold, type-token and hapax ratios as
+    // single divisions; empty docs emit n=0 with null ratios.
+    "q205_lexical_diversity" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.lexicalDiversity(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text"))
+    },
+
+    // Vocabulary-coverage / OOV audit: the tokenizer-fit sanity pass —
+    // vocab = the distinct tokens of the 'en' slice (the fit corpus),
+    // every other doc audited for out-of-vocabulary rate via one
+    // broadcast probe + one combinable aggregation. Runs the single
+    // unified vocabCoverage form (token + type OOV, null rate on
+    // empty docs) q196 also uses.
+    "q126_vocab_coverage" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.filter(col("lang") === "en")
+        .select(explode(llm.TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "").distinct()
+      ordered(llm.TextAnalysis.vocabCoverage(
+        docs.filter(col("lang") =!= "en"), "doc_id", "text",
+        vocab, "token"))
+    },
+  )
+
+  protected def oraclesText: Map[String, String] = Map(
+
+    "q31_lang_id" ->
+      """SELECT doc_id,
+        |  len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) AS score_en,
+        |  len(list_filter(tk, t -> t IN ('data','value','batch','row'))) AS score_pt,
+        |  len(list_filter(tk, t -> t IN ('query','scan','merge'))) AS score_es,
+        |  CASE
+        |    WHEN len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))) > 0
+        |      THEN 'en'
+        |    WHEN len(list_filter(tk, t -> t IN ('data','value','batch','row'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('data','value','batch','row'))) > 0
+        |      THEN 'pt'
+        |    WHEN len(list_filter(tk, t -> t IN ('query','scan','merge'))) >= greatest(
+        |        len(list_filter(tk, t -> t IN ('the','a','fast','slow','small'))),
+        |        len(list_filter(tk, t -> t IN ('data','value','batch','row'))),
+        |        len(list_filter(tk, t -> t IN ('query','scan','merge'))))
+        |      AND len(list_filter(tk, t -> t IN ('query','scan','merge'))) > 0
+        |      THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |      FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q32_quality_score" ->
+      """SELECT doc_id,
+        |  0.4 * (CAST(len(list_filter(tk, t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |         / greatest(CAST(len(tk) AS DOUBLE), 1.0)) +
+        |  0.3 * least(1.0,
+        |    (CAST(list_aggregate(list_transform(tk, t -> len(t)), 'sum') AS DOUBLE)
+        |     / greatest(CAST(len(tk) AS DOUBLE), 1.0)) / 8.0) -
+        |  0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0)) -
+        |  0.1 * (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |         / greatest(CAST(len(text) AS DOUBLE), 1.0))
+        |    AS qualidade
+        |FROM (SELECT doc_id, text,
+        |        string_split_regex(trim(lower(text)), '\s+') AS tk
+        |      FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q33_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS tokens_bpe,
+        |  CAST(ceil(CAST(len(text) AS DOUBLE) / 4.0) AS BIGINT) AS tokens_est
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS impressao_digital,
+        |  len(list_distinct(sh)) AS n_shingles
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |      ELSE [] END AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |        FROM documents))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same two passes: vocabulary counts, instance join, per-doc fold.
+    // sum() goes through CAST AS BIGINT (DuckDB HUGEINT -> float64
+    // otherwise — the q48 lesson); the mean divides the same exact longs.
+    "q55_token_frequency" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t, count(*) AS freq FROM tok GROUP BY t)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(min(freq) AS BIGINT) AS freq_min,
+        |  CAST(sum(freq) AS BIGINT) AS freq_soma,
+        |  CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS freq_media
+        |FROM tok JOIN vocab USING (t)
+        |GROUP BY doc_id ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Unigram/bigram/trigram counts per doc via list comprehensions (the
+    // q28 shingle idiom, multiplicity KEPT), folded to the same max /
+    // dup-sum signals; fractions are the same single exact-long divisions.
+    "q59_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |      ELSE [] END AS bi,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |      ELSE [] END AS tri
+        |  FROM t),
+        |uc AS (SELECT doc_id, max(c) AS top_token FROM (
+        |  SELECT doc_id, u, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS u FROM g) GROUP BY 1, 2) GROUP BY 1),
+        |bc AS (SELECT doc_id, max(c) AS top_bigrama FROM (
+        |  SELECT doc_id, b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bi) AS b FROM g) GROUP BY 1, 2) GROUP BY 1),
+        |tc AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigramas
+        |  FROM (SELECT doc_id, tr, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tri) AS tr FROM g) GROUP BY 1, 2) GROUP BY 1)
+        |SELECT g.doc_id, g.n_tokens,
+        |  CAST(coalesce(uc.top_token, 0) AS BIGINT) AS top_token,
+        |  CAST(coalesce(bc.top_bigrama, 0) AS BIGINT) AS top_bigrama,
+        |  CAST(coalesce(tc.dup_trigramas, 0) AS BIGINT) AS dup_trigramas,
+        |  CASE WHEN g.n_tokens >= 1 THEN CAST(coalesce(uc.top_token, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens AS DOUBLE) ELSE 0.0 END AS frac_top_token,
+        |  CASE WHEN g.n_tokens >= 2 THEN CAST(coalesce(bc.top_bigrama, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens - 1 AS DOUBLE) ELSE 0.0 END AS frac_top_bigrama,
+        |  CASE WHEN g.n_tokens >= 3 THEN CAST(coalesce(tc.dup_trigramas, 0) AS DOUBLE)
+        |    / CAST(g.n_tokens - 2 AS DOUBLE) ELSE 0.0 END AS frac_dup_trigramas
+        |FROM g LEFT JOIN uc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |  LEFT JOIN tc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same corpus counts, same instance joins, same add-one-smoothed IEEE
+    // division per bigram, same DECIMAL(38,18)-exact per-doc sum and final
+    // double mean.
+    "q65_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (SELECT u AS w, count(*) AS cu
+        |  FROM (SELECT unnest(tk) AS u FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |cb AS (SELECT g, count(*) AS cb FROM bg GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    CAST(cb.cb + 1 AS DOUBLE) / CAST(uni.cu + v.v AS DOUBLE) AS p
+        |  FROM bg JOIN cb USING (g)
+        |  JOIN uni ON split_part(bg.g, ' ', 1) = uni.w
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigramas,
+        |    sum(CAST(p AS DECIMAL(38,18))) AS psum
+        |  FROM p GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(sc.n_bigramas, 0) AS BIGINT) AS n_bigramas,
+        |  coalesce(CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigramas AS DOUBLE), 0.0)
+        |    AS lm_score
+        |FROM t LEFT JOIN sc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same trigram multiset, same exact counts, same deterministic
+    // (count DESC, gram ASC) top-25 cut.
+    "q70_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+        |    ELSE [] END) AS ngram
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT ngram,
+        |    CAST(count(*) AS BIGINT) AS ocorrencias,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM g GROUP BY 1
+        |  ORDER BY ocorrencias DESC, ngram LIMIT 25)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // The hashed model replayed: same md5 bucket hash, same md5-derived
+    // milli-weight table, same exact integer margin.
+    "q109_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |                         for i in range(1, len(tk))]) AS g
+        |  FROM t WHERE len(tk) >= 2),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM feats WHERE g <> ''),
+        |w AS (
+        |  SELECT CAST(range AS BIGINT) AS bucket,
+        |    CAST(('0x' || substring(md5('w:' || range), 1, 8)) AS BIGINT)
+        |      % 2001 - 1000 AS w_milli
+        |  FROM range(1024)),
+        |s AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(coalesce(w_milli, 0)) AS margem_milli
+        |  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(s.margem_milli, 0) AS BIGINT) AS margem_milli,
+        |  coalesce(s.margem_milli, 0) > 0 AS aprovado
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // q65's add-one bigram model with fit (reference = 'en') and apply
+    // (target = the rest) split; unseen grams coalesce to 0 counts.
+    "q118_lm_cross_score" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE lang = 'en'),
+        |tt AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE lang <> 'en'),
+        |uni AS (SELECT u AS w, count(*) AS cu
+        |  FROM (SELECT unnest(tk) AS u FROM rt) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |cb AS (SELECT g, count(*) AS cb FROM (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM rt) GROUP BY 1),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM tt),
+        |p AS (SELECT doc_id,
+        |    CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) /
+        |    CAST(coalesce(uni.cu, 0) + v.v AS DOUBLE) AS p
+        |  FROM bg LEFT JOIN cb USING (g)
+        |  LEFT JOIN uni ON split_part(bg.g, ' ', 1) = uni.w
+        |  CROSS JOIN v),
+        |sc AS (SELECT doc_id, count(*) AS n_bigramas,
+        |    sum(CAST(p AS DECIMAL(38,18))) AS psum
+        |  FROM p GROUP BY 1)
+        |SELECT tt.doc_id,
+        |  CAST(coalesce(sc.n_bigramas, 0) AS BIGINT) AS n_bigramas,
+        |  coalesce(CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigramas AS DOUBLE), 0.0)
+        |    AS lm_score
+        |FROM tt LEFT JOIN sc USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Same 1..2-gram fan-out as q109/q121, inline VALUES dictionary.
+    "q122_dict_tagging" ->
+      """WITH dict(frase, etiqueta) AS (VALUES
+        |  ('hash join', 'joins'), ('merge join', 'joins'), ('join', 'joins'),
+        |  ('table scan', 'scans'), ('scan', 'scans'),
+        |  ('stream', 'streaming'), ('window', 'streaming'),
+        |  ('group', 'olap'), ('agg', 'olap'), ('sort', 'olap')),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(tk) AS gr FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |                         for i in range(1, len(tk))]) AS gr
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT doc_id, etiqueta,
+        |  CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(count(DISTINCT frase) AS BIGINT) AS n_frases
+        |FROM grams JOIN dict ON grams.gr = dict.frase AND gr <> ''
+        |GROUP BY doc_id, etiqueta
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q123_perceptron_train" -> perceptronOracle(buckets = 256, epochs = 3),
+
+    "q125_selftrain_gate" -> selfTrainOracle(buckets = 256, epochs = 3),
+
+    // q125's training replay chained into the sign×digit-count binning
+    "q134_calibration_audit" -> calibrationOracle(buckets = 256, epochs = 3),
+
+    // Replays tokenize -> unigram/bigram counts -> support cut -> the
+    // exact DECIMAL PMI-ratio products and the single IEEE division.
+    "q154_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(tk) AS w FROM t)
+        |  WHERE w <> '' GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |cb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_par
+        |       FROM bg GROUP BY 1),
+        |nb AS (SELECT CAST(sum(n_par) AS BIGINT) AS b FROM cb)
+        |SELECT split_part(g, ' ', 1) AS token_a,
+        |  split_part(g, ' ', 2) AS token_b,
+        |  n_par, ua.c AS n_a, ub.c AS n_b,
+        |  CAST(CAST(n_par AS DECIMAL(38,0)) * n * n AS DOUBLE) /
+        |    CAST(CAST(b AS DECIMAL(38,0)) * ua.c * ub.c AS DOUBLE) AS lift
+        |FROM cb
+        |JOIN uni ua ON split_part(g, ' ', 1) = ua.w
+        |JOIN uni ub ON split_part(g, ' ', 2) = ub.w, nt, nb
+        |WHERE n_par >= 8
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays fit (smoothed log-counts, priors, denominators) and apply
+    // (decimal-accumulated posteriors, argmax with class-name
+    // tie-break) end-to-end from the raw text.
+    "q184_naive_bayes" ->
+      """WITH tokall AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |doctok AS (SELECT doc_id, t, count(*) AS n FROM tokall GROUP BY 1, 2),
+        |docn AS (SELECT doc_id, sum(n) AS n_doc FROM doctok GROUP BY 1),
+        |trdoc AS (SELECT doc_id, lang FROM documents WHERE doc_id % 3 <> 0),
+        |trtok AS (SELECT d.lang AS classe, t.t, count(*) AS cnt
+        |          FROM tokall t JOIN trdoc d USING (doc_id) GROUP BY 1, 2),
+        |cls AS (SELECT lang AS classe, count(*) AS dc FROM trdoc GROUP BY 1),
+        |tot AS (SELECT count(*) AS td FROM trdoc),
+        |voc AS (SELECT count(DISTINCT t) AS v FROM trtok),
+        |nc AS (SELECT classe, sum(cnt) AS n_c FROM trtok GROUP BY 1),
+        |ctbl AS (SELECT c.classe,
+        |    ln(CAST(c.dc AS DOUBLE) / CAST(t.td AS DOUBLE)) AS l_prior,
+        |    ln(CAST(n.n_c + voc.v AS DOUBLE)) AS l_denom
+        |  FROM cls c, tot t, voc, nc n WHERE n.classe = c.classe),
+        |mtok AS (SELECT classe, t, ln(CAST(cnt + 1 AS DOUBLE)) AS l_cnt
+        |  FROM trtok),
+        |m AS (SELECT d.doc_id, mt.classe,
+        |    sum(CAST(CAST(d.n AS DOUBLE) * mt.l_cnt AS DECIMAL(38,18))) AS s
+        |  FROM doctok d JOIN mtok mt USING (t) GROUP BY 1, 2),
+        |sc AS (SELECT dd.doc_id, dd.lang, c.classe,
+        |    CAST(c.l_prior AS DECIMAL(38,18))
+        |      - CAST(CAST(COALESCE(dn.n_doc, 0) AS DOUBLE) * c.l_denom
+        |          AS DECIMAL(38,18))
+        |      + COALESCE(m.s, CAST(0 AS DECIMAL(38,18))) AS sc
+        |  FROM documents dd
+        |  CROSS JOIN ctbl c
+        |  LEFT JOIN docn dn ON dn.doc_id = dd.doc_id
+        |  LEFT JOIN m ON m.doc_id = dd.doc_id AND m.classe = c.classe)
+        |SELECT doc_id, classe AS classe_prevista,
+        |  CAST(sc AS DOUBLE) AS pontuacao, lang
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY sc DESC, classe DESC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays presence, marginals, the integer selection gate and the
+    // edge division.
+    "q188_chi2_features" ->
+      """WITH pres AS (SELECT DISTINCT doc_id, lang AS classe, t FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |ntot AS (SELECT count(*) AS nn FROM documents),
+        |bycls AS (SELECT lang AS classe, count(*) AS nc FROM documents
+        |  GROUP BY 1),
+        |bytok AS (SELECT t, count(*) AS nt FROM pres GROUP BY 1
+        |  HAVING count(*) >= 5),
+        |byboth AS (SELECT classe, t, count(*) AS a FROM pres GROUP BY 1, 2),
+        |tab AS (SELECT cl.classe, tk.t AS token,
+        |    COALESCE(bb.a, 0) AS a, cl.nc - COALESCE(bb.a, 0) AS b,
+        |    tk.nt - COALESCE(bb.a, 0) AS c,
+        |    nt2.nn - cl.nc - tk.nt + COALESCE(bb.a, 0) AS d
+        |  FROM bytok tk CROSS JOIN bycls cl
+        |  LEFT JOIN byboth bb ON bb.classe = cl.classe AND bb.t = tk.t
+        |  CROSS JOIN ntot nt2),
+        |x AS (SELECT *,
+        |    CAST(a * d - b * c AS DECIMAL(38,0)) * (a * d - b * c)
+        |      * (a + b + c + d) AS num,
+        |    CAST((a + b) * (c + d) AS DECIMAL(38,0))
+        |      * ((a + c) * (b + d)) AS den
+        |  FROM tab)
+        |SELECT classe, token, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS qui2
+        |FROM x WHERE den > 0 AND num * 100 >= den * 384
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the adjacency zip, the mirrored distinct edge set, three
+    // damped PageRank rounds and the tie-broken top-20.
+    "q199_textrank" -> (pageRankSqlBody(
+      """tok AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS l FROM documents),
+        |pr0 AS (SELECT l[i] AS a, l[i + 1] AS b
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1,
+        |    len(l) - 1)) AS i) g),
+        |pf AS (SELECT a, b FROM pr0
+        |  WHERE a <> '' AND b <> '' AND a <> b),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a AS src, b AS dst FROM pf
+        |  UNION ALL
+        |  SELECT b, a FROM pf))""".stripMargin, 3) +
+      """
+        |SELECT token, rank FROM (
+        |  SELECT n AS token, r AS rank FROM r3
+        |  ORDER BY rank DESC, token ASC LIMIT 20)
+        |ORDER BY ALL NULLS FIRST""".stripMargin),
+
+    // Replays the blank-token drop, the (doc, type) counts and the
+    // token-sorted entropy fold; empty docs come back through the
+    // distinct-id left join with n=0 and null ratios.
+    "q205_lexical_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+        |cnt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_tipos,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax,
+        |    0.0 + list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY tok),
+        |      (acc, x) -> acc + x) AS clnc
+        |  FROM cnt GROUP BY doc_id),
+        |ids AS (SELECT DISTINCT doc_id FROM documents)
+        |SELECT ids.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_tipos, 0) AS n_tipos,
+        |  coalesce(n_hapax, 0) AS n_hapax,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_tipos AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE) END AS ttr,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_hapax AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE) END AS razao_hapax,
+        |  CASE WHEN n_tokens > 0 THEN ln(CAST(n_tokens AS DOUBLE)) -
+        |    clnc / CAST(n_tokens AS DOUBLE) END AS entropia
+        |FROM ids LEFT JOIN pd USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the training-slice vocabulary fit (multiplicity counts,
+    // count-desc token-asc top-20), the marked token stream and the
+    // per-doc exact counts + single division.
+    "q196_vocab_coverage" ->
+      """WITH tr AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+        |ttok AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS t FROM tr),
+        |voc AS (SELECT t FROM (SELECT t, count(*) AS c FROM ttok
+        |  GROUP BY 1 ORDER BY c DESC, t ASC LIMIT 20)),
+        |atok AS (SELECT doc_id, unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS t FROM documents),
+        |m AS (SELECT f.doc_id, f.t, (v.t IS NOT NULL) AS dentro
+        |  FROM (SELECT doc_id, t FROM atok WHERE t <> '') f
+        |  LEFT JOIN (SELECT DISTINCT t FROM voc) v ON f.t = v.t),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) FILTER (NOT dentro) AS BIGINT) AS n_oov,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_tipos,
+        |    CAST(count(DISTINCT t) FILTER (NOT dentro) AS BIGINT)
+        |      AS n_tipos_oov
+        |  FROM m GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_oov, 0) AS n_oov, COALESCE(n_tipos, 0) AS n_tipos,
+        |  COALESCE(n_tipos_oov, 0) AS n_tipos_oov,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+        |    CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  END AS taxa_oov
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN ag USING (doc_id)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+  )
+}
