@@ -157,6 +157,50 @@ object SpotBench {
         .join(broadcast(close), Seq("__ck"))
         .filter(col("__cx") === col("x") && col("__cy") === col("y"))
         .agg(count(lit(1L)).as("triangles"))
+    },
+    // q206's 100 TB shape measured honestly, split the way a long-lived
+    // corpus actually runs: fit/encode/index ONCE to a persisted
+    // cell-partitioned encoded table (+ codebook/centroid tables), then
+    // the query path alone against the stored artifacts — the rehearsal
+    // curve the graded q206 (in-query fit) can't show.
+    "pq_persist_build" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      val base = s"/tmp/graft-pqidx-${new java.io.File(dir).getName}"
+      val model = llm.Pq.fit(emb, "vec_id", "embedding", m = 8, k = 16,
+        samplePct = 30)
+      val idx = llm.Ivf.index(emb, "vec_id", "embedding", nCells = 16,
+        samplePct = 30)
+      llm.Pq.encode(emb, "vec_id", "embedding", model)
+        .join(idx.assigned.select("vec_id", "__cell"), Seq("vec_id"))
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$base/encoded")
+      idx.centroids.write.mode("overwrite").parquet(s"$base/centroids")
+      val cb = model.codebooks.zipWithIndex.flatMap { case (cents, sub) =>
+        cents.zipWithIndex.map { case (c, j) => (sub, j, c) } }
+      import s.implicits._
+      cb.toDF("__sub", "__code", "__cent")
+        .write.mode("overwrite").parquet(s"$base/codebook")
+      s.read.parquet(s"$base/encoded").groupBy().count()
+    },
+    "pq_persist_query" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val base = s"/tmp/graft-pqidx-${new java.io.File(dir).getName}"
+      val emb = graft.sources.Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") % 200 === 0)
+      val enc = s.read.parquet(s"$base/encoded")
+      val idx = llm.Ivf.IvfIndex(
+        enc.select(col("vec_id"), col("__cell")),
+        s.read.parquet(s"$base/centroids"))
+      // bounded collect: the codebook is m·k = 128 rows by construction
+      val rows = s.read.parquet(s"$base/codebook")
+        .orderBy("__sub", "__code").collect()
+      val m = rows.map(_.getInt(0)).max + 1
+      val codebooks = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toSeq).toSeq)
+      val model = llm.Pq.PqModel(m, codebooks.head.head.length, codebooks)
+      llm.Pq.ivfAdcTopK(idx, model, enc.select("vec_id", "codes"), emb, q,
+        "vec_id", "embedding", k = 10, nProbe = 6, shortlist = 100)
     })
 
   def main(args: Array[String]): Unit = {

@@ -277,9 +277,48 @@ private[graft] trait RegistryDedup extends RegistryBase {
           .select((col("doc_id") + 1000000L).as("doc_id"), messy.as("url")))
       ordered(llm.Curation.dedupByCanonicalUrl(urls, "doc_id", "url"))
     },
+
+    // §2 row 233 — winnowing fingerprints (Schleimer/Wilkerson/Aiken
+    // MOSS): portable md5 gram hashes, sliding-window rightmost-min as
+    // ONE combinable min(struct(hash, -pos)) over bounded window
+    // claims. The oracle replays tokenize -> k-gram -> hash -> claim ->
+    // argmin exactly (hash = low 60 bits = 15 hex digits, BIGINT both
+    // engines).
+    "q219_winnow_fingerprints" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      ordered(llm.Winnow.fingerprints(docs, "doc_id", "text", k = 4, w = 4)
+        .withColumn("pos", col("pos").cast("long")))
+    },
   )
 
   protected def oraclesDedup: Map[String, String] = Map(
+
+    "q219_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(tk[i+1:i+4], ' ') AS gram,
+        |    len(tk) - 4 AS gmax
+        |  FROM t, unnest(range(0, len(tk) - 3)) AS u(i)
+        |  WHERE len(tk) >= 4),
+        |h AS (
+        |  SELECT doc_id, pos, gmax,
+        |    CAST(('0x' || substring(md5(gram), 1, 15)) AS BIGINT) AS hv
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, pos, hv, s
+        |  FROM h, unnest(generate_series(
+        |    greatest(pos - 3, 0),
+        |    least(pos, greatest(gmax - 3, 0)))) AS w(s)),
+        |sel AS (
+        |  SELECT doc_id, s, hv, pos, row_number() OVER (
+        |    PARTITION BY doc_id, s ORDER BY hv ASC, pos DESC) AS rn
+        |  FROM c)
+        |SELECT DISTINCT doc_id, hv AS hash, pos
+        |FROM sel WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q25_exact_dedup" ->
       """WITH all_docs AS (

@@ -252,9 +252,38 @@ private[graft] trait RegistryLinkGraph extends RegistryBase {
         .select(col("p1").as("src"), col("p2").as("dst")).distinct()
       ordered(llm.Components.kCore(edges, "src", "dst", k = 82))
     },
+
+    // §2 row 232 — sorted-neighborhood blocking (Hernández-Stolfo
+    // merge/purge): global (c_name, id) rank via the distributed
+    // range-exchange rank engine (no single-task window), (w-1)-band
+    // pairing, exact banded-Levenshtein verify — the linear-candidate
+    // member of the blocking family next to rows 159/199.
+    "q218_snm_blocking" -> { (s, dir) =>
+      ordered(operators.Neighborhood.sortedNeighborhoodLink(
+          Tables.customer(s, dir), "c_custkey", "c_name",
+          window = 8, maxDist = 2)
+        .withColumn("edit_dist", col("edit_dist").cast("long")))
+    },
   )
 
   protected def oraclesLinkGraph: Map[String, String] = Map(
+
+    // Replays the global rank as the naive window row_number (the
+    // engine's range-exchange rank is spec-pinned equal), the
+    // rank-window pair space, and the edit gate.
+    "q218_snm_blocking" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS k,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rk
+        |  FROM customer WHERE c_name IS NOT NULL),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+        |    b.rk - a.rk AS dist
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7)
+        |SELECT id_a, id_b, key_a, key_b, dist,
+        |  CAST(levenshtein(key_a, key_b) AS BIGINT) AS edit_dist
+        |FROM p WHERE levenshtein(key_a, key_b) <= 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q140_pagerank" -> pageRankOracle(iters = 3),
 

@@ -155,9 +155,66 @@ private[graft] trait RegistrySimilarity extends RegistryBase {
         emb, q, "vec_id", "embedding", k = 10, nProbe = 6,
         shortlist = 100))
     },
+
+    // §2 row 234 — margin-based parallel-corpus mining (Artetxe &
+    // Schwenk: cos / neighborhood-average ratio, argmax per left id).
+    // A = vec_id%40==0, B = %40==1 — disjoint sides, the published
+    // two-corpus setting; k-NN averages decimal-folded, one division.
+    "q220_margin_mining" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      ordered(llm.Mining.marginMine(
+        emb.filter(col("vec_id") % 40 === 0),
+        emb.filter(col("vec_id") % 40 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0))
+    },
   )
 
   protected def oraclesSimilarity: Map[String, String] = Map(
+
+    // Replays the q29 decimal-dot cosine over A×B, both directions'
+    // top-4 decimal-folded neighborhood averages, the margin ratio and
+    // the per-id_a argmax with the pinned tie order.
+    "q220_margin_mining" ->
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 40 = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 40 = 1),
+        |na AS (SELECT vec_id, sqrt(CAST(list_aggregate(list_transform(
+        |    embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |    AS DECIMAL(38,18))), 'sum') AS DOUBLE)) AS nrm FROM a),
+        |nb AS (SELECT vec_id, sqrt(CAST(list_aggregate(list_transform(
+        |    embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+        |    AS DECIMAL(38,18))), 'sum') AS DOUBLE)) AS nrm FROM b),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_aggregate(list_transform(
+        |      list_zip(a.embedding, b.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)
+        |      AS DECIMAL(38,18))), 'sum') AS DOUBLE) /
+        |      (na.nrm * nb.nrm) AS cos
+        |  FROM a JOIN na ON na.vec_id = a.vec_id
+        |  CROSS JOIN b JOIN nb ON nb.vec_id = b.vec_id),
+        |ka AS (SELECT id_a,
+        |    CAST(SUM(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS nn
+        |  FROM (SELECT id_a, cos, row_number() OVER (PARTITION BY id_a
+        |      ORDER BY cos DESC, id_b ASC) AS r FROM p)
+        |  WHERE r <= 4 GROUP BY id_a),
+        |kb AS (SELECT id_b,
+        |    CAST(SUM(CAST(cos AS DECIMAL(38,18))) AS DOUBLE) /
+        |      CAST(COUNT(*) AS DOUBLE) AS nn
+        |  FROM (SELECT id_b, cos, row_number() OVER (PARTITION BY id_b
+        |      ORDER BY cos DESC, id_a ASC) AS r FROM p)
+        |  WHERE r <= 4 GROUP BY id_b),
+        |m AS (SELECT p.id_a, p.id_b, p.cos,
+        |    p.cos / (ka.nn / 2.0 + kb.nn / 2.0) AS margin
+        |  FROM p JOIN ka ON ka.id_a = p.id_a
+        |  JOIN kb ON kb.id_b = p.id_b),
+        |best AS (SELECT id_a, id_b, cos, margin, row_number() OVER (
+        |    PARTITION BY id_a
+        |    ORDER BY margin DESC, cos DESC, id_b ASC) AS rb FROM m)
+        |SELECT id_a, id_b, cos AS cosine, margin
+        |FROM best WHERE rb = 1 AND margin >= 1.0
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q29_cosine_topk" ->
       """WITH n AS (

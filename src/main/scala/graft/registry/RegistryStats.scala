@@ -365,9 +365,55 @@ private[graft] trait RegistryStats extends RegistryBase {
         Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
         "l_quantity"))
     },
+
+    // §2 row 236 — one-pass per-group Pearson correlation matrix: all
+    // six pairs of the four lineitem measures from ONE combinable
+    // DECIMAL(38,12)-sufficient-statistics aggregation, assembled at
+    // the edge in IEEE over exact sums (the q137 discipline, squared).
+    "q222_corr_matrix" -> { (s, dir) =>
+      ordered(operators.CorrMatrix.corrMatrix(
+        Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))
+    },
   )
 
+  private def corrPairSql(a: String, b: String): String =
+    s"""SELECT l_returnflag, col_a, col_b, n,
+       |  CASE WHEN n >= 2 AND vx > 0.0 AND vy > 0.0
+       |    THEN (nd * sxy - sx * sy) / sqrt(vx * vy) END AS corr
+       |FROM (
+       |  SELECT l_returnflag, '$a' AS col_a, '$b' AS col_b,
+       |    COUNT(*) FILTER (WHERE $a IS NOT NULL AND $b IS NOT NULL)
+       |      AS n,
+       |    CAST(COUNT(*) FILTER (WHERE $a IS NOT NULL
+       |      AND $b IS NOT NULL) AS DOUBLE) AS nd,
+       |    CAST(SUM(CAST(CASE WHEN $b IS NOT NULL THEN $a END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(CASE WHEN $a IS NOT NULL THEN $b END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL
+       |      THEN CAST($a AS DOUBLE) * CAST($b AS DOUBLE) END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(CASE WHEN $b IS NOT NULL
+       |      THEN CAST($a AS DOUBLE) * CAST($a AS DOUBLE) END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(CASE WHEN $a IS NOT NULL
+       |      THEN CAST($b AS DOUBLE) * CAST($b AS DOUBLE) END
+       |      AS DECIMAL(38,12))) AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY 1),
+       |LATERAL (SELECT nd * sxx - sx * sx AS vx,
+       |  nd * syy - sy * sy AS vy)""".stripMargin
+
   protected def oraclesStats: Map[String, String] = Map(
+
+    // One select per pair, each replaying the both-non-null guarded
+    // DECIMAL sufficient statistics and the identical IEEE assembly.
+    "q222_corr_matrix" -> (Seq(
+      ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+      ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+      ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+      .map { case (a, b) => corrPairSql(a, b) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY ALL NULLS FIRST")),
 
     // OLS closed form over exact DECIMAL sufficient statistics; the
     // doubles divide in the same order as the Spark expression

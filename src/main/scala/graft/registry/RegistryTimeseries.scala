@@ -165,9 +165,49 @@ private[graft] trait RegistryTimeseries extends RegistryBase {
       ordered(operators.Timeseries.rollingActive(ev, "user_id", "dia",
         window = 7))
     },
+
+    // §2 row 235 — Holt linear-trend smoothing per event_type over the
+    // day-bucketed value series: decimal day-bucket fold, then the
+    // sequential recursion as ONE aggregate HOF over the sorted series.
+    // The oracle replays the identical IEEE sequence as a recursive
+    // CTE — hash-compared, no tolerance.
+    "q221_holt_smoothing" -> { (s, dir) =>
+      ordered(operators.Smoothing.holtSmooth(
+        Tables.events(s, dir), Seq("event_type"), to_date(col("ts")),
+        "value", alpha = 0.5, beta = 0.3))
+    },
   )
 
   protected def oraclesTimeseries: Map[String, String] = Map(
+
+    "q221_holt_smoothing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dd)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |r AS (
+        |  SELECT s1.event_type, s1.n, 1 AS rn, s1.y AS l,
+        |    CASE WHEN s1.n >= 2 THEN s2.y - s1.y ELSE 0.0 END AS b
+        |  FROM s s1 LEFT JOIN s s2
+        |    ON s2.event_type = s1.event_type AND s2.rn = 2
+        |  WHERE s1.rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.rn + 1,
+        |    0.5 * s.y + 0.5 * (r.l + r.b),
+        |    0.3 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+        |  FROM r JOIN s ON s.event_type = r.event_type
+        |    AND s.rn = r.rn + 1)
+        |SELECT event_type, n, l AS nivel, b AS tendencia,
+        |  l + b AS previsao_1, l + 7.0 * b AS previsao_7
+        |FROM r WHERE rn = n
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // each group's own month calendar, the left join back and the
     // running ignore-nulls carry replayed exactly

@@ -569,9 +569,47 @@ private[graft] trait RegistryWarehouse extends RegistryBase {
         Unique(Seq("o_orderkey")),
         RefIntegrity("o_custkey", Tables.customer(s, dir), "c_custkey"))))
     },
+
+    // §2 row 237 — schema-evolution lake reads: batch 1 predates
+    // o_totalprice, batch 2 has it; mergeSchema fuses the footers at
+    // planning time and readEvolved fills the pre-column vintage with
+    // the declared default (a partition-value predicate). Graded
+    // against the plain UNION-ALL-with-defaults oracle.
+    "q223_schema_evolution" -> { (s, dir) =>
+      val root = s"${GraftSession.scratchRoot}/graft-q223"
+      val o = Tables.orders(s, dir)
+      sources.Evolution.writeBatch(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_orderstatus"), root, 1)
+      sources.Evolution.writeBatch(
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice"), root, 2)
+      ordered(sources.Evolution.readEvolved(s, root,
+          Map("o_totalprice" -> (2, 0.0)))
+        .groupBy(col("o_orderstatus").as("situacao"),
+          col("batch").cast("long").as("lote"))
+        .agg(count(lit(1L)).as("n"),
+          sum(col("o_totalprice").cast("decimal(38,6)")).cast("double")
+            .as("total")))
+    },
   )
 
   protected def oraclesWarehouse: Map[String, String] = Map(
+
+    "q223_schema_evolution" ->
+      """WITH ev AS (
+        |  SELECT o_orderstatus, 0.0 AS o_totalprice, 1 AS lote
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice, 2 AS lote
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderstatus AS situacao, CAST(lote AS BIGINT) AS lote,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS total
+        |FROM ev GROUP BY 1, 2
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q44_bucketed_range_join" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, p.periodo_codigo

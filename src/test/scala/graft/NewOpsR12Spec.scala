@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Mining, Winnow}
+import graft.operators.{CorrMatrix, Neighborhood, Smoothing}
+import graft.sources.{Evolution, Tables}
+
+/** Round-12 additions: sorted-neighborhood blocking, winnowing
+  * fingerprints, margin mining, Holt smoothing, the one-pass correlation
+  * matrix, and schema-evolution reads.
+  */
+class NewOpsR12Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- sorted-neighborhood blocking -------------------------------------
+
+  test("globalRank equals the single-window global row_number") {
+    val df = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val got = Neighborhood.globalRank(df, "c_custkey", col("c_name"))
+      .select(col("c_custkey"), col("__rank")).as[(Long, Long)]
+      .collect().toMap
+    val want = df
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_name"), col("c_custkey"))).cast("long"))
+      .select(col("c_custkey"), col("__rank")).as[(Long, Long)]
+      .collect().toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (1L to got.size.toLong))
+  }
+
+  test("SNM pairs = exactly the rank-window pairs, each once") {
+    val df = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    val w = 5
+    val pairs = Neighborhood
+      .sortedNeighborhoodPairs(df, "c_custkey", "c_name", w)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect()
+    assert(pairs.length == pairs.distinct.length, "no duplicate pairs")
+    val rank = Neighborhood.globalRank(df, "c_custkey", col("c_name"))
+      .select(col("c_custkey"), col("__rank")).as[(Long, Long)]
+      .collect().toMap
+    val brute = for {
+      (a, ra) <- rank.toSeq; (b, rb) <- rank.toSeq
+      if rb > ra && rb - ra < w
+    } yield (a, b, rb - ra)
+    assert(pairs.sorted.toSeq == brute.sorted)
+    assert(pairs.forall { case (_, _, d) => d >= 1 && d <= w - 1 })
+  }
+
+  // ---- winnowing --------------------------------------------------------
+
+  test("winnowing guarantee: shared run of w+k-1 tokens shares a fingerprint") {
+    val k = 3; val w = 4
+    val shared = "alpha beta gamma delta epsilon zeta"   // 6 = w+k-1 tokens
+    val docs = Seq(
+      (1L, s"one two three $shared x y z"),
+      (2L, s"$shared p q r s t u v"),
+      (3L, "totally different words only here nothing common at all"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .select(col("doc_id"), col("hash")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "docs sharing a w+k-1 token run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+  }
+
+  test("winnowing density: selections ~ 2/(w+1) of grams, deterministic") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    def run() = Winnow.fingerprints(docs, "doc_id", "text", 4, 4)
+      .select("doc_id", "hash", "pos").as[(Long, Long, Long)]
+      .collect().toSet
+    val a = run()
+    assert(a == run(), "fingerprints must be deterministic")
+    val grams = docs
+      .select(size(llm.TextAnalysis.tokens(col("text"))).as("n"))
+      .agg(sum(greatest(col("n") - 3, lit(0)))).as[Long].head()
+    val density = a.size.toDouble / grams
+    assert(density > 0.2 && density < 0.7,
+      s"winnow density $density out of the ~2/(w+1)=0.4 band")
+  }
+
+  test("fingerprintPairs finds the planted near-dup, jaccard-exact") {
+    val base = Tables.documents(spark, sfDir).limit(40)
+    val variants = base.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", concat(col("text"), lit(" trailing marker")))
+    val pairs = Winnow.fingerprintPairs(
+        base.unionByName(variants), "doc_id", "text", 4, 4, minShared = 2)
+      .select("id_a", "id_b", "shared", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    val planted = pairs.filter { case (a, b, _, _) => b - a == 1000000L }
+    assert(planted.nonEmpty, "planted near-dups must surface")
+    assert(planted.forall(_._4 > 0.5), "near-identical docs share most fingerprints")
+  }
+
+  // ---- margin mining ----------------------------------------------------
+
+  test("marginMine: hub correction beats raw cosine, output is argmax per id_a") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.filter(col("vec_id") % 7 === 0)
+    val b = emb.filter(col("vec_id") % 7 === 1)
+    val mined = Mining.marginMine(a, b, "vec_id", "embedding",
+        k = 4, threshold = 0.0)
+      .select("id_a", "id_b", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mined.map(_._1).distinct.length == mined.length,
+      "one best pair per left id")
+    assert(mined.nonEmpty)
+    // determinism
+    val again = Mining.marginMine(a, b, "vec_id", "embedding",
+        k = 4, threshold = 0.0)
+      .select("id_a", "id_b", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(mined.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a raised threshold only removes rows, never changes survivors
+    val strict = Mining.marginMine(a, b, "vec_id", "embedding",
+        k = 4, threshold = 1.0)
+      .select("id_a", "id_b", "cosine", "margin")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(strict.toSet.subsetOf(mined.toSet))
+    assert(strict.forall(_._4 >= 1.0))
+  }
+
+  // ---- Holt smoothing ---------------------------------------------------
+
+  test("holtSmooth replays the sequential recursion exactly") {
+    val rows = Seq(
+      ("g", 1, 10.0), ("g", 2, 12.0), ("g", 3, 15.0), ("g", 4, 13.0),
+      ("g", 5, 18.0), ("h", 1, 5.0), ("i", 1, 7.0), ("i", 2, 3.0))
+      .toDF("grp", "d", "v")
+    val got = Smoothing.holtSmooth(rows, Seq("grp"), col("d"), "v",
+        alpha = 0.5, beta = 0.3)
+      .select("grp", "n", "nivel", "tendencia", "previsao_1")
+      .as[(String, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // reference: driver-side fold, identical op order
+    def ref(vs: Seq[Double]): (Double, Double) = {
+      var l = vs.head
+      var b = if (vs.size >= 2) vs(1) - vs.head else 0.0
+      for (y <- vs.drop(1)) {
+        val nl = 0.5 * y + 0.5 * (l + b)
+        val nb = 0.3 * (nl - l) + 0.7 * b
+        l = nl; b = nb
+      }
+      (l, b)
+    }
+    val (lg, bg) = ref(Seq(10.0, 12.0, 15.0, 13.0, 18.0))
+    assert(got("g")._3 == lg && got("g")._4 == bg)
+    assert(got("g")._5 == lg + bg)
+    assert(got("h") == (("h", 1L, 5.0, 0.0, 5.0)))
+    val (li, bi) = ref(Seq(7.0, 3.0))
+    assert(got("i")._3 == li && got("i")._4 == bi)
+  }
+
+  test("holtSmooth day-buckets raw rows decimal-exactly before smoothing") {
+    val raw = Seq(("g", 1, 4.0), ("g", 1, 6.0), ("g", 2, 12.0))
+      .toDF("grp", "d", "v")
+    val got = Smoothing.holtSmooth(raw, Seq("grp"), col("d"), "v", 0.5, 0.3)
+      .select("n", "nivel").as[(Long, Double)].head()
+    assert(got._1 == 2L)         // two day buckets, not three rows
+    // series (10, 12): l2 = .5*12 + .5*(10+2) = 12
+    assert(got._2 == 12.0)
+  }
+
+  // ---- correlation matrix -----------------------------------------------
+
+  test("corrMatrix: exact on known series, pairwise-complete, long form") {
+    val df = Seq(
+      ("g", 1.0, 2.0, 1.0), ("g", 2.0, 4.0, 0.0),
+      ("g", 3.0, 6.0, 1.0), ("g", 4.0, 8.0, 0.0))
+      .toDF("grp", "x", "y", "z")
+    val m = CorrMatrix.corrMatrix(df, Seq("grp"), Seq("x", "y", "z"))
+      .select("col_a", "col_b", "n", "corr")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(m.size == 3)
+    assert(math.abs(m(("x", "y"))._4.get - 1.0) < 1e-12, "perfect correlation")
+    assert(m(("x", "z"))._4.get < 0.0, "x up, z alternating down-ish")
+    // null poisons only its own pairs
+    val withNull = Seq(
+      ("g", 1.0, 2.0, Some(1.0)), ("g", 2.0, 4.0, None),
+      ("g", 3.0, 6.0, Some(3.0)), ("g", 4.0, 8.0, Some(4.0)))
+      .toDF("grp", "x", "y", "z")
+    val m2 = CorrMatrix.corrMatrix(withNull, Seq("grp"), Seq("x", "y", "z"))
+      .select("col_a", "col_b", "n").as[(String, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m2(("x", "y")) == 4L && m2(("x", "z")) == 3L)
+  }
+
+  test("corrMatrix is one aggregation over the raw scan") {
+    val df = Tables.lineitem(spark, sfDir)
+    val plan = planString(CorrMatrix.corrMatrix(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assert(!plan.contains("Join"), "no self-joins for the matrix")
+    assert("HashAggregate".r.findAllIn(plan).size <= 4,
+      "one partial+final aggregation pair (plus AQE wrappers) only")
+  }
+
+  // ---- schema evolution -------------------------------------------------
+
+  test("evolved batches read as one table; defaults fill pre-column vintages") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-evo-spec").toString
+    val o = Tables.orders(spark, sfDir)
+    Evolution.writeBatch(
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey"), root, 1)
+    Evolution.writeBatch(
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice"), root, 2)
+    val merged = Evolution.readMerged(spark, root)
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_custkey", "o_totalprice", "batch"))
+    assert(merged.filter(col("batch") === 1 &&
+      col("o_totalprice").isNotNull).count() == 0)
+    val total = o.count()
+    assert(merged.count() == total)
+    val evolved = Evolution.readEvolved(spark, root,
+      Map("o_totalprice" -> (2, 0.0)))
+    assert(evolved.filter(col("o_totalprice").isNull).count() == 0)
+    assert(evolved.filter(col("batch") === 1)
+      .agg(sum("o_totalprice")).as[Double].head() == 0.0)
+    // partition pruning on the vintage column
+    val pruned = planString(
+      Evolution.readMerged(spark, root).filter(col("batch") === 2))
+    assert(!pruned.contains("batch=1"), "vintage filter must prune paths")
+  }
+}
