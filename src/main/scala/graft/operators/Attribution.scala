@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.CacheScope
+
+/** Multi-touch attribution beyond first/last-touch (row 176): the two
+  * published model-based attributions marketers actually run — exact
+  * Shapley values over observed touchpoint coalitions, and Markov-chain
+  * removal effects over first-order journey transitions.
+  */
+object Attribution {
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * cooperative-game attribution standard — each channel's credit is
+    * its average marginal contribution to the conversion rate across
+    * every possible coalition order).
+    *
+    * The coalition value is EMPIRICAL: v(S) = observed conversion rate
+    * of users whose distinct-touch set is exactly S (the standard
+    * data-driven convention; unobserved coalitions contribute v = 0 —
+    * a declared contract, stated here because silent zeros are the
+    * usual Shapley-implementation bug). φ_c = Σ_{S ⊆ K\{c}}
+    * |S|!·(k−1−|S|)!/k! · (v(S∪{c}) − v(S)), exact over all 2^k
+    * coalitions — exponential BY DEFINITION, so k is capped at 12
+    * (4096 coalitions; sampling approximations are a different
+    * operator's contract).
+    *
+    * Shape at scale: raw events collapse to (user, sorted touch-set
+    * key, converted) — combinable aggregations, the only pass over raw
+    * data; per-set rates are a |distinct sets| ≤ 2^k table; the
+    * channel list is a BOUNDED collect (≤ event-type cardinality, the
+    * k-means-centroid rule); the k·2^(k−1) (channel, coalition) grid is
+    * built driver-side as literals and joined against the tiny rate
+    * table. Determinism: v = nc/n is ONE division of exact BIGINTs;
+    * each term w·(v₁−v₀) is IEEE over identical doubles; the per-channel
+    * sum folds in coalition-mask order (the cramersV fold rule) so both
+    * engines add in the same sequence.
+    *
+    * Output: (canal, shapley) — Σ shapley over channels telescopes to
+    * v(K) − v(∅) by construction (the efficiency axiom), a property the
+    * spec pins.
+    */
+  def shapleyAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      convType: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touched = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(typeCol).cast("string").as("__c"))
+      .distinct()
+      .transform(CacheScope.persistTracked)
+    val convU = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u")).distinct()
+      .withColumn("__cv", lit(1L))
+    val users = touched.select("__u")
+      .unionByName(convU.select("__u")).distinct()
+    val sets = users
+      .join(touched.groupBy("__u")
+        .agg(array_sort(collect_set(col("__c"))).as("__set")),
+        Seq("__u"), "left")
+      .join(convU, Seq("__u"), "left")
+      .select(
+        concat_ws(",", coalesce(col("__set"),
+          array().cast("array<string>"))).as("__key"),
+        coalesce(col("__cv"), lit(0L)).as("__cv"))
+    val perSet = sets.groupBy("__key")
+      .agg(count(lit(1L)).as("__n"), sum(col("__cv")).as("__nc"))
+    val vdf = perSet.select(col("__key"),
+      (col("__nc").cast("double") / col("__n").cast("double")).as("__v"))
+    // bounded collect: the channel alphabet (≤ event-type cardinality)
+    val channels = touched.select("__c").distinct().orderBy("__c")
+      .collect().map(_.getString(0)).toSeq
+    val k = channels.size
+    require(k >= 1 && k <= 12,
+      s"exact Shapley is 2^k in coalitions; got k=$k channels (cap 12)")
+    def factL(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val grid = for {
+      c <- channels
+      mask <- 0 until (1 << k)
+      if (mask & (1 << channels.indexOf(c))) == 0
+    } yield {
+      val s = channels.zipWithIndex.collect {
+        case (ch, i) if (mask & (1 << i)) != 0 => ch
+      }
+      val w = (factL(s.size) * factL(k - 1 - s.size)).toDouble /
+        factL(k).toDouble
+      (c, s.mkString(","), (s :+ c).sorted.mkString(","), w, mask)
+    }
+    val gridDf = grid.toDF("canal", "__key0", "__key1", "__w", "__m")
+    val terms = gridDf
+      .join(broadcast(vdf.select(col("__key").as("__key0"),
+        col("__v").as("__v0"))), Seq("__key0"), "left")
+      .join(broadcast(vdf.select(col("__key").as("__key1"),
+        col("__v").as("__v1"))), Seq("__key1"), "left")
+      .select(col("canal"), col("__m"),
+        (col("__w") * (coalesce(col("__v1"), lit(0.0)) -
+          coalesce(col("__v0"), lit(0.0)))).as("__t"))
+    terms.groupBy("canal").agg(
+      aggregate(
+        array_sort(collect_list(struct(col("__m"), col("__t")))),
+        lit(0.0), (acc, x) => acc + x.getField("__t")).as("shapley"))
+  }
+
+  /** Markov removal-effect attribution (Anderl, Becker, von Wangenheim
+    * & Schumann, Int. J. Research in Marketing 2016 — the "Mapping the
+    * customer journey" model): build the first-order journey chain
+    * start → touches → {conv | null}, compute the chain's conversion
+    * probability, then for each channel REMOVE it (transitions into it
+    * divert to the null absorber) and re-compute; a channel's credit is
+    * its removal effect 1 − P₋c/P, normalized across channels.
+    *
+    * Journey contract: events order by (µs-truncated ts, tie id) — the
+    * cross-engine timestamp discipline; a journey truncates at its
+    * FIRST conversion event (absorbing), non-converters absorb in null
+    * from their last touch. Transition probabilities are ONE division
+    * of exact BIGINT counts.
+    *
+    * Absorption probabilities run `iters` fixed power iterations of
+    * x ← P·x with x(conv)=1, x(null)=0 — the q140 PageRank discipline:
+    * per-term products cast DECIMAL(38,18) and summed EXACTLY (order-
+    * free), one double cast per state per round, so the oracle's
+    * unrolled CTEs replay bit-for-bit. All frames after the first
+    * collapse are (variants ≤ k+1) × (states ≤ k+3) — broadcast-sized
+    * regardless of event volume; raw events are touched exactly once.
+    *
+    * Output: (canal, p_total, p_sem_canal, efeito_remocao, atribuicao).
+    */
+  def markovRemovalAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, convType: String,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val ev = events.select(col(userCol).as("__u"),
+      col(typeCol).cast("string").as("__t"),
+      col(tsCol).as("__ts"), col(tieCol).as("__tb"))
+    val w = Window.partitionBy("__u").orderBy(col("__ts"), col("__tb"))
+    val seq0 = ev.withColumn("__rn", row_number().over(w))
+    val firstConv = seq0.filter(col("__t") === convType)
+      .groupBy("__u").agg(min(col("__rn")).as("__fc"))
+    val wU = Window.partitionBy("__u")
+    val journey = seq0.join(firstConv, Seq("__u"), "left")
+      .filter(col("__fc").isNull || col("__rn") <= col("__fc"))
+      .withColumn("__state",
+        when(col("__t") === convType, lit("conv")).otherwise(col("__t")))
+    val trans = journey.select(col("__u"),
+      coalesce(lag(col("__state"), 1).over(w), lit("start")).as("__a"),
+      col("__state").as("__b"))
+    val terminal = journey
+      .withColumn("__mx", max(col("__rn")).over(wU))
+      .filter(col("__rn") === col("__mx") && col("__state") =!= "conv")
+      .select(col("__state").as("__a"), lit("null").as("__b"))
+    val counts = CacheScope.persistTracked(
+      trans.select("__a", "__b").unionByName(terminal)
+        .groupBy("__a", "__b").agg(count(lit(1L)).as("__c")))
+    // bounded collect: channel states (≤ event-type cardinality)
+    val channels = counts.select(col("__a").as("__s"))
+      .unionByName(counts.select(col("__b").as("__s"))).distinct()
+      .filter(!col("__s").isin("start", "conv", "null"))
+      .orderBy("__s").collect().map(_.getString(0)).toSeq
+    val spark = events.sparkSession
+    import spark.implicits._
+    val variants = ("total" +: channels).toDF("__var")
+    // removal: transitions INTO the removed channel divert to null;
+    // its out-edges become unreachable and drop from the state space
+    val vedges = counts.crossJoin(broadcast(variants))
+      .filter(col("__var") === "total" || col("__a") =!= col("__var"))
+      .withColumn("__b2",
+        when(col("__var") =!= "total" && col("__b") === col("__var"),
+          lit("null")).otherwise(col("__b")))
+      .groupBy(col("__var"), col("__a"), col("__b2").as("__b"))
+      .agg(sum(col("__c")).as("__c"))
+    val fromTot = vedges.groupBy("__var", "__a")
+      .agg(sum(col("__c")).as("__tot"))
+    val probs = CacheScope.persistTracked(
+      vedges.join(fromTot, Seq("__var", "__a"))
+        .select(col("__var"), col("__a"), col("__b"),
+          (col("__c").cast("double") / col("__tot").cast("double"))
+            .as("__p")))
+    val states = CacheScope.persistTracked(
+      probs.select(col("__var"), col("__a").as("__s"))
+        .unionByName(probs.select(col("__var"), col("__b").as("__s")))
+        .distinct())
+    val absorbing = when(col("__s") === "conv", lit(1.0))
+      .when(col("__s") === "null", lit(0.0))
+    var x = states.withColumn("__x", coalesce(absorbing, lit(0.0)))
+    for (_ <- 0 until iters) {
+      val folded = probs
+        .join(x.select(col("__var"), col("__s").as("__b"),
+          col("__x").as("__xb")), Seq("__var", "__b"))
+        .select(col("__var"), col("__a").as("__s"),
+          (col("__p") * col("__xb")).cast("decimal(38,18)").as("__t"))
+        .groupBy("__var", "__s")
+        .agg(sum(col("__t")).cast("decimal(38,18)").as("__in"))
+      x = states.join(folded, Seq("__var", "__s"), "left")
+        .select(col("__var"), col("__s"),
+          coalesce(absorbing,
+            coalesce(col("__in").cast("double"), lit(0.0))).as("__x"))
+        .localCheckpoint()
+    }
+    val pStart = x.filter(col("__s") === "start")
+      .select(col("__var"), col("__x"))
+    val pTotal = pStart.filter(col("__var") === "total")
+      .select(col("__x").as("__pt"))
+    val removals = pStart.filter(col("__var") =!= "total")
+      .crossJoin(broadcast(pTotal))
+      .select(col("__var").as("canal"), col("__pt").as("p_total"),
+        col("__x").as("p_sem_canal"),
+        when(col("__pt") > 0.0, lit(1.0) - col("__x") / col("__pt"))
+          .otherwise(lit(0.0)).as("efeito_remocao"))
+    val sumRem = removals.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("canal"),
+          col("efeito_remocao").as("__e")))),
+        lit(0.0), (acc, r) => acc + r.getField("__e")).as("__sum"))
+    removals.crossJoin(broadcast(sumRem))
+      .select(col("canal"), col("p_total"), col("p_sem_canal"),
+        col("efeito_remocao"),
+        when(col("__sum") > 0.0, col("efeito_remocao") / col("__sum"))
+          .as("atribuicao"))
+  }
+}

@@ -382,9 +382,40 @@ private[graft] trait RegistryCuration extends RegistryBase {
       val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
       ordered(llm.Curation.ppsSample(d, "doc_id", "n_chars", n = 60))
     },
+
+    // §2 row 238 — priority sampling (Duffield–Lund–Thorup JACM 2007):
+    // top-k of w/u per group with u = (md5-low-48 + 0.5)/2^48, the
+    // (k+1)-th priority as the estimator threshold. One IEEE division
+    // decides the sample — no pow/ln, no libm divergence.
+    "q224_priority_sample" -> { (s, dir) =>
+      ordered(operators.PrioritySample.prioritySample(
+        Tables.orders(s, dir), Seq("o_orderstatus"), "o_orderkey",
+        "o_totalprice", k = 100))
+    },
   )
 
   protected def oraclesCuration: Map[String, String] = Map(
+
+    "q224_priority_sample" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(o_totalprice AS DOUBLE) AS peso,
+        |    (CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+        |      1, 12)) AS BIGINT) + 0.5) / 281474976710656.0 AS u
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+        |p AS (SELECT o_orderstatus, o_orderkey, peso,
+        |    peso / u AS prioridade FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY prioridade DESC, o_orderkey ASC) AS rn FROM p),
+        |tau AS (SELECT o_orderstatus,
+        |    coalesce(max(CASE WHEN rn = 101 THEN prioridade END), 0.0)
+        |      AS tau
+        |  FROM r GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, o_orderkey, peso, prioridade,
+        |  CASE WHEN peso > tau THEN peso ELSE tau END AS peso_estimado
+        |FROM r JOIN tau USING (o_orderstatus) WHERE rn <= 100
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q48_seq_packing" ->
       """WITH d AS (

@@ -91,9 +91,169 @@ private[graft] trait RegistryStreaming extends RegistryBase {
         Tables.events(s, dir), convType = "purchase",
         touchTypes = Seq("view", "click"), lookback = "2 days"))
     },
+
+    // §2 row 239 — exact Shapley-value channel attribution over the
+    // observed touch-set coalitions (k=4 channels → 16 coalitions);
+    // the per-channel sum folds in coalition-mask order so the oracle
+    // adds in the identical sequence.
+    "q225_shapley_attribution" -> { (s, dir) =>
+      ordered(operators.Attribution.shapleyAttribution(
+        Tables.events(s, dir), "user_id", "event_type", "purchase"))
+    },
+
+    // §2 row 240 — Markov removal-effect attribution (Anderl 2016):
+    // first-order journey chain, 8 fixed power iterations with the
+    // q140 decimal-sum discipline, removal = divert-into-null. (8, not
+    // more: the oracle unrolls one CTE pair per iteration and DuckDB's
+    // planner cost grows superlinearly in unroll depth — the graded
+    // contract is the fixed-iteration model, not convergence.)
+    "q226_markov_attribution" -> { (s, dir) =>
+      ordered(operators.Attribution.markovRemovalAttribution(
+        Tables.events(s, dir), "user_id", "event_type", "ts",
+        "event_id", "purchase", iters = 8))
+    },
   )
 
+  /** q225's oracle: the coalition grid is generated HERE with the same
+    * channel order / mask semantics as the operator's driver-side grid
+    * (channels alphabetical, bit i = channels(i)), weights emitted as
+    * exact integer-factorial literals divided once.
+    */
+  private lazy val shapleySql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val k = channels.size
+    def factL(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val rows = for {
+      c <- channels
+      mask <- 0 until (1 << k)
+      if (mask & (1 << channels.indexOf(c))) == 0
+    } yield {
+      val s = channels.zipWithIndex.collect {
+        case (ch, i) if (mask & (1 << i)) != 0 => ch
+      }
+      val num = factL(s.size) * factL(k - 1 - s.size)
+      s"('$c', '${s.mkString(",")}', '${(s :+ c).sorted.mkString(",")}', " +
+        s"CAST($num AS DOUBLE) / CAST(${factL(k)} AS DOUBLE), $mask)"
+    }
+    s"""WITH touched AS (
+       |  SELECT DISTINCT user_id AS u, event_type AS c FROM events
+       |  WHERE event_type <> 'purchase'),
+       |convu AS (SELECT DISTINCT user_id AS u FROM events
+       |  WHERE event_type = 'purchase'),
+       |users AS (SELECT u FROM touched UNION SELECT u FROM convu),
+       |sets AS (
+       |  SELECT users.u,
+       |    coalesce(array_to_string(list_sort(list(touched.c)
+       |      FILTER (WHERE touched.c IS NOT NULL)), ','), '') AS key,
+       |    CASE WHEN convu.u IS NULL THEN 0 ELSE 1 END AS cv
+       |  FROM users LEFT JOIN touched ON touched.u = users.u
+       |  LEFT JOIN convu ON convu.u = users.u
+       |  GROUP BY users.u, convu.u),
+       |v AS (SELECT key,
+       |    CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS v
+       |  FROM sets GROUP BY key),
+       |grid(canal, k0, k1, w, m) AS (VALUES
+       |  ${rows.mkString(",\n  ")}),
+       |terms AS (
+       |  SELECT canal, m,
+       |    w * (coalesce(v1.v, 0.0) - coalesce(v0.v, 0.0)) AS t
+       |  FROM grid LEFT JOIN v v0 ON v0.key = grid.k0
+       |  LEFT JOIN v v1 ON v1.key = grid.k1)
+       |SELECT canal, 0.0 + list_reduce(list(t ORDER BY m),
+       |  (acc, x) -> acc + x) AS shapley
+       |FROM terms GROUP BY canal
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
+  /** q226's oracle: journey construction, variant edge rewrites and the
+    * unrolled decimal-sum power iterations (the pageRankSqlBody
+    * pattern), iteration count matched to the operator's.
+    */
+  private def markovSql(iters: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val base = s"""WITH ev AS (
+       |  SELECT user_id AS u, event_type AS t, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+       |  FROM events),
+       |fc AS (SELECT u, min(rn) AS fc FROM ev
+       |  WHERE t = 'purchase' GROUP BY u),
+       |j AS (
+       |  SELECT ev.u,
+       |    CASE WHEN t = 'purchase' THEN 'conv' ELSE t END AS state, rn
+       |  FROM ev LEFT JOIN fc USING (u)
+       |  WHERE fc.fc IS NULL OR rn <= fc.fc),
+       |tr AS (
+       |  SELECT u,
+       |    coalesce(lag(state) OVER (PARTITION BY u ORDER BY rn),
+       |      'start') AS a,
+       |    state AS b
+       |  FROM j),
+       |term AS (
+       |  SELECT state AS a, 'null' AS b
+       |  FROM (SELECT u, state, rn,
+       |      max(rn) OVER (PARTITION BY u) AS mx FROM j)
+       |  WHERE rn = mx AND state <> 'conv'),
+       |cnt AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT a, b FROM tr UNION ALL SELECT a, b FROM term)
+       |  GROUP BY a, b),
+       |variants(v) AS (VALUES ('total'),
+       |  ${channels.map(c => s"('$c')").mkString(", ")}),
+       |ve AS (
+       |  SELECT v, a,
+       |    CASE WHEN v <> 'total' AND b = v THEN 'null' ELSE b END AS b,
+       |    CAST(sum(c) AS BIGINT) AS c
+       |  FROM cnt, variants
+       |  WHERE v = 'total' OR a <> v
+       |  GROUP BY 1, 2, 3),
+       |tot AS (SELECT v, a, CAST(sum(c) AS BIGINT) AS tot
+       |  FROM ve GROUP BY 1, 2),
+       |pr AS (SELECT ve.v, ve.a, ve.b,
+       |    CAST(ve.c AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p
+       |  FROM ve JOIN tot ON tot.v = ve.v AND tot.a = ve.a),
+       |st AS (SELECT DISTINCT v, s FROM (
+       |    SELECT v, a AS s FROM pr UNION ALL SELECT v, b FROM pr)),
+       |x0 AS (SELECT v, s,
+       |    CASE WHEN s = 'conv' THEN 1.0 ELSE 0.0 END AS x
+       |  FROM st)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""",
+         |f$i AS (
+         |  SELECT pr.v, pr.a AS s,
+         |    CAST(sum(CAST(pr.p * x.x AS DECIMAL(38,18)))
+         |      AS DECIMAL(38,18)) AS xin
+         |  FROM pr JOIN x${i - 1} x ON x.v = pr.v AND x.s = pr.b
+         |  GROUP BY 1, 2),
+         |x$i AS (
+         |  SELECT st.v, st.s,
+         |    CASE WHEN st.s = 'conv' THEN 1.0 WHEN st.s = 'null' THEN 0.0
+         |      ELSE coalesce(CAST(xin AS DOUBLE), 0.0) END AS x
+         |  FROM st LEFT JOIN f$i ON f$i.v = st.v AND f$i.s = st.s)"""
+        .stripMargin
+    }.mkString
+    base + rounds + s""",
+       |ps AS (SELECT v, x FROM x$iters WHERE s = 'start'),
+       |ptot AS (SELECT x AS pt FROM ps WHERE v = 'total'),
+       |rem AS (SELECT v AS canal, pt AS p_total, ps.x AS p_sem_canal,
+       |    CASE WHEN pt > 0.0 THEN 1.0 - ps.x / pt ELSE 0.0 END
+       |      AS efeito_remocao
+       |  FROM ps, ptot WHERE v <> 'total'),
+       |sr AS (SELECT 0.0 + list_reduce(
+       |    list(efeito_remocao ORDER BY canal),
+       |    (acc, x) -> acc + x) AS srem FROM rem)
+       |SELECT canal, p_total, p_sem_canal, efeito_remocao,
+       |  CASE WHEN srem > 0.0 THEN efeito_remocao / srem END
+       |    AS atribuicao
+       |FROM rem, sr
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   protected def oraclesStreaming: Map[String, String] = Map(
+
+    "q225_shapley_attribution" -> shapleySql,
+
+    "q226_markov_attribution" -> markovSql(8),
 
     "q36_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS janela_inicio,

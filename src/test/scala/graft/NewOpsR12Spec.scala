@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Mining, Winnow}
-import graft.operators.{CorrMatrix, Neighborhood, Smoothing}
+import graft.operators.{Attribution, CorrMatrix, Neighborhood,
+  PrioritySample, Smoothing}
 import graft.sources.{Evolution, Tables}
 
 /** Round-12 additions: sorted-neighborhood blocking, winnowing
@@ -197,6 +198,103 @@ class NewOpsR12Spec extends SparkSpec {
     assert(!plan.contains("Join"), "no self-joins for the matrix")
     assert("HashAggregate".r.findAllIn(plan).size <= 4,
       "one partial+final aggregation pair (plus AQE wrappers) only")
+  }
+
+  // ---- priority sampling ------------------------------------------------
+
+  test("prioritySample = brute top-k of w/u; small groups keep all, tau=0") {
+    val o = Tables.orders(spark, sfDir)
+    val k = 20
+    val got = PrioritySample.prioritySample(
+        o, Seq("o_orderstatus"), "o_orderkey", "o_totalprice", k)
+      .select("o_orderstatus", "o_orderkey", "peso", "peso_estimado")
+      .as[(String, Long, Double, Double)].collect()
+    // brute replay driver-side: same u formula, same ordering
+    val raw = o.select(col("o_orderstatus"), col("o_orderkey"),
+        col("o_totalprice").cast("double"))
+      .as[(String, Long, Double)].collect().filter(_._3 > 0)
+    def u(id: Long): Double = {
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(6).map("%02x".format(_)).mkString, 16)
+      (h + 0.5) / 281474976710656.0
+    }
+    val brute = raw.groupBy(_._1).toSeq.flatMap { case (st, rows) =>
+      val ranked = rows.toSeq.map { case (_, id, w) => (id, w, w / u(id)) }
+        .sortBy { case (id, _, pr) => (-pr, id) }
+      val tau = if (ranked.size > k) ranked(k)._3 else 0.0
+      ranked.take(k).map { case (id, w, _) =>
+        (st, id, w, math.max(w, tau)) }
+    }.toSet
+    assert(got.toSet == brute)
+    // group smaller than k: every row kept, estimator = own weight
+    val tiny = Seq(("g", 1L, 5.0), ("g", 2L, 7.0)).toDF(
+      "grp", "id", "w")
+    val all = PrioritySample.prioritySample(tiny, Seq("grp"), "id", "w", 10)
+      .select("id", "peso", "peso_estimado")
+      .as[(Long, Double, Double)].collect().toSet
+    assert(all == Set((1L, 5.0, 5.0), (2L, 7.0, 7.0)))
+  }
+
+  // ---- Shapley attribution ----------------------------------------------
+
+  test("shapley: hand case + efficiency axiom on real events") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, "a", ts0), (1L, "b", ts0), (1L, "purchase", ts0),
+      (2L, "a", ts0), (3L, "b", ts0))
+      .toDF("user_id", "event_type", "ts")
+    val phi = Attribution.shapleyAttribution(ev, "user_id", "event_type",
+        "purchase")
+      .select("canal", "shapley").as[(String, Double)].collect().toMap
+    // v(ab)=1, v(a)=0, v(b)=0, v(empty)=0 -> phi_a = phi_b = 0.5
+    assert(phi == Map("a" -> 0.5, "b" -> 0.5))
+    // efficiency: sum phi = v(K) - v(empty) on the real event corpus
+    val events = Tables.events(spark, sfDir)
+    val phis = Attribution.shapleyAttribution(events, "user_id",
+        "event_type", "purchase")
+      .select("shapley").as[Double].collect()
+    val touched = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type")).distinct()
+    val perUser = touched.groupBy("user_id")
+      .agg(countDistinct("event_type").as("k"))
+    val convs = events.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("c", lit(1L))
+    val kAll = touched.select("event_type").distinct().count()
+    val full = perUser.filter(col("k") === kAll)
+      .join(convs, Seq("user_id"), "left")
+    val vK =
+      if (full.count() == 0) 0.0
+      else full.agg(sum(coalesce(col("c"), lit(0L))).cast("double") /
+        count(lit(1L)).cast("double")).as[Double].head()
+    // v(empty): conversion rate of users with zero touches
+    val zeroTouch = convs.join(perUser, Seq("user_id"), "left_anti")
+    val nZero = zeroTouch.count()
+    val vEmpty = if (nZero > 0) 1.0 else 0.0  // all zero-touch users seen converted
+    assert(math.abs(phis.sum - (vK - vEmpty)) < 1e-12,
+      s"efficiency: sum=${phis.sum}, vK=$vK, vEmpty=$vEmpty")
+  }
+
+  // ---- Markov removal attribution ---------------------------------------
+
+  test("markov removal: hand chain attributes the on-path channel fully") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, "a", t(1), 10L), (1L, "purchase", t(2), 11L),
+      (2L, "a", t(1), 20L), (2L, "purchase", t(2), 21L),
+      (3L, "b", t(1), 30L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Attribution.markovRemovalAttribution(
+        ev, "user_id", "event_type", "ts", "event_id", "purchase",
+        iters = 8)
+      .select("canal", "p_total", "efeito_remocao", "atribuicao")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // chain: start->a (2/3) -> conv; start->b (1/3) -> null
+    assert(math.abs(out("a")._2 - 2.0 / 3.0) < 1e-12)
+    assert(out("a")._3 == 1.0 && out("a")._4 == 1.0)
+    assert(out("b")._3 == 0.0 && out("b")._4 == 0.0)
   }
 
   // ---- schema evolution -------------------------------------------------
