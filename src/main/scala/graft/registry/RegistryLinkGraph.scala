@@ -253,6 +253,23 @@ private[graft] trait RegistryLinkGraph extends RegistryBase {
       ordered(llm.Components.kCore(edges, "src", "dst", k = 82))
     },
 
+    // §2 row 241 — TF-IDF token-set cosine name matching (Cohen/
+    // Ravikumar/Fienberg 2003's TFIDF baseline): the linkage axis edit
+    // distance cannot see — token-PERMUTED variants ("small ring" →
+    // "ring small") score cosine 1.0 where Levenshtein reads ~10 edits.
+    // Log-free idf (N/df, one exact division), DECIMAL-folded norms.
+    "q227_tfidf_name_match" -> { (s, dir) =>
+      val p = Tables.part(s, dir).filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").as("id"),
+          lower(trim(col("p_name"))).as("nome"))
+      val variants = p.filter(col("id") % 5 === 0).select(
+        (col("id") + 1000000L).as("id"),
+        concat_ws(" ", reverse(llm.TextAnalysis.tokens(col("nome"))))
+          .as("nome"))
+      ordered(operators.TfIdfLink.tfidfNamePairs(
+        p.unionByName(variants), "id", "nome", threshold = 0.8))
+    },
+
     // §2 row 232 — sorted-neighborhood blocking (Hernández-Stolfo
     // merge/purge): global (c_name, id) rank via the distributed
     // range-exchange rank engine (no single-task window), (w-1)-band
@@ -267,6 +284,48 @@ private[graft] trait RegistryLinkGraph extends RegistryBase {
   )
 
   protected def oraclesLinkGraph: Map[String, String] = Map(
+
+    // Replays tokenize → df → log-free idf → decimal norms → shared-
+    // token pairs → decimal shared-weight sum → one cosine division.
+    "q227_tfidf_name_match" ->
+      """WITH base AS (
+        |  SELECT p_partkey AS id, lower(trim(p_name)) AS nome FROM part
+        |  WHERE p_partkey % 3 = 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000,
+        |    array_to_string(list_reverse(
+        |      string_split_regex(trim(lower(trim(p_name))), '\s+')), ' ')
+        |  FROM part WHERE p_partkey % 3 = 0 AND p_partkey % 5 = 0),
+        |tok AS (
+        |  SELECT DISTINCT id, t FROM (
+        |    SELECT id, unnest(string_split_regex(trim(lower(nome)),
+        |      '\s+')) AS t
+        |    FROM base)
+        |  WHERE t <> ''),
+        |nn AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n FROM tok),
+        |w AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(n AS DOUBLE) / CAST(count(*) AS DOUBLE) AS w
+        |  FROM tok, nn GROUP BY t, n
+        |  HAVING count(*) <= n * 0.5),
+        |nrm AS (
+        |  SELECT id, sqrt(CAST(sum(CAST(w.w * w.w AS DECIMAL(38,12)))
+        |    AS DOUBLE)) AS nrm
+        |  FROM tok JOIN w USING (t) GROUP BY id),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, w.w
+        |  FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id
+        |  JOIN w ON w.t = a.t),
+        |sc AS (
+        |  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS tokens_comuns,
+        |    CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE) AS s
+        |  FROM p GROUP BY 1, 2)
+        |SELECT id_a, id_b, tokens_comuns,
+        |  s / (na.nrm * nb.nrm) AS cosseno
+        |FROM sc JOIN nrm na ON na.id = sc.id_a
+        |JOIN nrm nb ON nb.id = sc.id_b
+        |WHERE s / (na.nrm * nb.nrm) >= 0.8
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the global rank as the naive window row_number (the
     // engine's range-exchange rank is spec-pinned equal), the

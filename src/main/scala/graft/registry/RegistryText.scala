@@ -292,9 +292,67 @@ private[graft] trait RegistryText extends RegistryBase {
         docs.filter(col("lang") =!= "en"), "doc_id", "text",
         vocab, "token"))
     },
+
+    // §2 row 242 — intra-document language segmentation: 20-token
+    // windows through the row-31 marker classifier, run-length-merged
+    // into per-document language segments. Integer scores decide every
+    // boundary; the oracle replays window slicing, the q31 argmax CASE
+    // and the lag/cumsum merge.
+    "q228_lang_segments" -> { (s, dir) =>
+      ordered(llm.LangSegment.langSegments(
+        Tables.documents(s, dir), "doc_id", "text", window = 20))
+    },
   )
 
+  /** q228's oracle: the q31 marker-count argmax applied to the window's
+    * token slice `wt` (same marker lists, same declaration-order
+    * tie-break, `und` on all-zero).
+    */
+  private lazy val langCaseOnWt: String = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "fast", "slow", "small"),
+      "pt" -> Seq("data", "value", "batch", "row"),
+      "es" -> Seq("query", "scan", "merge"))
+    def score(m: Seq[String]) =
+      s"len(list_filter(wt, t -> t IN (${m.map("'" + _ + "'").mkString(",")})))"
+    val all = markers.map { case (_, m) => score(m) }.mkString(", ")
+    val whens = markers.map { case (lang, m) =>
+      s"WHEN ${score(m)} >= greatest($all) AND ${score(m)} > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"CASE\n    $whens\n    ELSE 'und' END"
+  }
+
   protected def oraclesText: Map[String, String] = Map(
+
+    "q228_lang_segments" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+')
+         |    AS tk
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, len(tk) AS n, i AS w,
+         |    tk[i*20+1 : least((i+1)*20, len(tk))] AS wt
+         |  FROM t, unnest(range(0, ((len(tk)-1)//20) + 1)) AS u(i)
+         |  WHERE len(tk) > 0),
+         |s AS (
+         |  SELECT doc_id, n, w, $langCaseOnWt AS lang FROM w),
+         |r AS (
+         |  SELECT doc_id, n, w, lang,
+         |    CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY w)
+         |        IS NULL
+         |      OR lag(lang) OVER (PARTITION BY doc_id ORDER BY w)
+         |        <> lang THEN 1 ELSE 0 END AS chg
+         |  FROM s),
+         |rr AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY doc_id ORDER BY w
+         |    ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM r)
+         |SELECT doc_id, CAST(run - 1 AS BIGINT) AS seg, min(lang) AS lang,
+         |  CAST(min(w) * 20 AS BIGINT) AS token_inicio,
+         |  CAST(least(max(w + 1) * 20, max(n)) AS BIGINT) AS token_fim,
+         |  CAST(count(*) AS BIGINT) AS n_janelas
+         |FROM rr GROUP BY doc_id, run
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q31_lang_id" ->
       """SELECT doc_id,
