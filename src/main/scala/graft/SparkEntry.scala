@@ -15,7 +15,7 @@ object SparkEntry
   def entry(spark: SparkSession): DataFrame =
     queries("q08_predicate_filter")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queriesCore ++ queriesWarehouse ++ queriesDedup ++ queriesLinkGraph ++ queriesSimilarity ++ queriesText ++ queriesRetrieval ++ queriesCuration ++ queriesMultimodal ++ queriesStreaming ++ queriesStats ++ queriesTimeseries
 

@@ -22,6 +22,22 @@ object Explain {
   */
 object SpotBench {
 
+  /** q183's corpus, verbatim (customer names + planted one-deletion
+    * variants) — shared by the stage-decomposition probes below.
+    */
+  private def q183Corpus(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = graft.sources.Tables.customer(s, dir).select(
+      col("c_custkey"), lower(trim(col("c_name"))).as("nome"))
+    val variants = c.filter(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(substring(col("nome"), 1, 12),
+          substring(col("nome"), 14, 100000)).as("nome"))
+    c.unionByName(variants)
+  }
+
   /** Perf-probe variants — same inputs as their graded twins, internals
     * deliberately altered for attribution experiments.
     */
@@ -41,6 +57,228 @@ object SpotBench {
       llm.Dedup.simhashPairsPortable(
         docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
         maxBlock = Int.MaxValue)
+    },
+    // q183 stage decomposition: the FastSS edit join's cost split into
+    // (a) deletion-variant explode + per-id distinct, (b) + the block
+    // self-join producing distinct candidate pairs, so the full query's
+    // residual is the two verify joins + banded levenshtein. Inputs are
+    // exactly q183's corpus.
+    "q183_variants_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val rec = q183Corpus(s, dir)
+      val variants = rec.select(col("c_custkey").as("__id"),
+          col("nome").as("__v"))
+        .select(col("__id"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      variants.select(col("__id"), col("__v").as("__block")).distinct()
+        .agg(count(lit(1L)).as("n"))
+    },
+    "q183_cand_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val rec = q183Corpus(s, dir)
+      val variants = rec.select(col("c_custkey").as("__id"),
+          col("nome").as("__v"))
+        .select(col("__id"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      val keyed = variants.select(col("__id"), col("__v").as("__block"))
+        .distinct()
+      llm.Dedup.tiledPairs(keyed, Seq.empty, llm.Dedup.AdaptiveBlock)
+        .select(least(col("id_a"), col("id_b")).as("a"),
+          greatest(col("id_a"), col("id_b")).as("b"))
+        .distinct()
+        .agg(count(lit(1L)).as("n"))
+    },
+    // q27 stage decomposition: simhash cost split into (a) the
+    // signature aggregation alone, (b) + banded block explode +
+    // tiledPairs candidate generation (hamming/distinct dropped), so
+    // the graded query's residual is hamming verify + pair distinct.
+    "q27_sig_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      val all = docs.unionByName(variants)
+      val m = md5(col("__tok").cast("binary"))
+      val tokRows = all.select(col("doc_id").as("__id"),
+          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
+        .select(col("__id") +: (0 until 4).map(j =>
+          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+      val chunkVals = (0 until 4).map { j =>
+        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+          .reduce(_ + _).as(s"__v$j")
+      }
+      tokRows.groupBy("__id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("__id") +: chunkVals: _*)
+        .agg(count(lit(1L)).as("n"))
+    },
+    "q27_pairs_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      val all = docs.unionByName(variants)
+      val m = md5(col("__tok").cast("binary"))
+      val tokRows = all.select(col("doc_id").as("__id"),
+          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
+        .select(col("__id") +: (0 until 4).map(j =>
+          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+      val chunkVals = (0 until 4).map { j =>
+        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+          .reduce(_ + _).as(s"__v$j")
+      }
+      val sh = tokRows.groupBy("__id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("__id") +: chunkVals: _*)
+        .transform(llm.CacheScope.persistTracked)
+      val keyed = sh.select(col("__id") +:
+        (0 until 4).map(j => col(s"__v$j")) :+
+        explode(array((0 until 4).map { j =>
+          lit(j.toLong * 65536L) + col(s"__v$j")
+        }: _*)).as("__block"): _*)
+      llm.Dedup.tiledPairs(keyed, (0 until 4).map(j => s"__v$j"),
+          llm.Dedup.AdaptiveBlock, cache = false)
+        .agg(count(lit(1L)).as("n"))
+    },
+    // q186's candidate layer in the r12 (join-back) shape: bare-id
+    // candidate pairs distinct'd, then two joins to recover strings —
+    // the A/B control for payload-carry at maxDist=2, where the variant
+    // table is ~170× rows and the payload bytes are not free.
+    "q186_cand_oldshape" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), lower(trim(col("c_name"))).as("nome"),
+        col("c_nationkey").as("nacao"))
+      val v = c.filter(col("id") % 7 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("nome"), 1, 12),
+          substring(col("nome"), 14, 100000)).as("nome"),
+        col("nacao"))
+      val all = c.unionByName(v)
+      val strs = llm.CacheScope.persistTracked(llm.Spread(
+        all.select(col("id").as("__id"), col("nome").as("__s"),
+            col("nacao").cast("string").as("__st"))
+          .filter(col("__s").isNotNull && col("__st").isNotNull))
+        .withColumn("__len", length(col("__s")).cast("long")))
+      var variants = strs.select(col("__id"), col("__st"),
+        col("__s").as("__v"))
+      for (_ <- 1 to 2) {
+        variants = variants.select(col("__id"), col("__st"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      }
+      val keyed = variants.select(col("__id"),
+          concat_ws("\u0000", col("__st"), col("__v")).as("__block"))
+        .distinct()
+      val cand = llm.Dedup.tiledPairs(keyed, Seq.empty, llm.Dedup.AdaptiveBlock)
+        .select(least(col("id_a"), col("id_b")).as("__ida"),
+          greatest(col("id_a"), col("id_b")).as("__idb"))
+        .distinct()
+      cand
+        .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
+          col("__len").as("__la")), "__ida")
+        .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
+          col("__len").as("__lb")), "__idb")
+        .filter(abs(col("__la") - col("__lb")) <= 2)
+        .select(col("__ida"), col("__idb"),
+          levenshtein(col("__sa"), col("__sb"), 2).cast("long").as("dist"))
+        .filter(col("dist") >= 0L && col("dist") <= 2L)
+        .agg(count(lit(1L)).as("n"))
+    },
+    // the same candidate layer through the CURRENT payload-carry core
+    "q186_cand_newshape" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val c = graft.sources.Tables.customer(s, dir).select(
+        col("c_custkey").as("id"), lower(trim(col("c_name"))).as("nome"),
+        col("c_nationkey").as("nacao"))
+      val v = c.filter(col("id") % 7 === 0).select(
+        (col("id") + 10000000L).as("id"),
+        concat(substring(col("nome"), 1, 12),
+          substring(col("nome"), 14, 100000)).as("nome"),
+        col("nacao"))
+      operators.Linkage.editJoinDeletesOn(
+          c.unionByName(v), "id", "nome", "nacao", maxDist = 2)
+        .agg(count(lit(1L)).as("n"))
+    },
+    // q183 verify-stage A/B #1: carry (string, len) through tiledPairs
+    // as payload so the verify stage needs NO joins back to the corpus —
+    // pairs arrive with both strings attached.
+    "q183_payload" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val rec = q183Corpus(s, dir)
+      val strs = rec.select(col("c_custkey").as("__id"),
+        col("nome").as("__s"), length(col("nome")).cast("long").as("__len"))
+      val variants = strs.select(col("__id"), col("__s"), col("__len"),
+          col("__s").as("__v"))
+        .select(col("__id"), col("__s"), col("__len"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      val keyed = variants
+        .select(col("__id"), col("__s"), col("__len"),
+          col("__v").as("__block"))
+        .distinct()
+      llm.Dedup.tiledPairs(keyed, Seq("__s", "__len"),
+          llm.Dedup.AdaptiveBlock)
+        .filter(abs(col("__len_a") - col("__len_b")) <= 1)
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          levenshtein(col("__s_a"), col("__s_b"), 1).cast("long")
+            .as("dist"))
+        .filter(col("dist") >= 0L && col("dist") <= 1L)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // q183 verify-stage A/B #2: keep the candidate→corpus joins but
+    // force SHUFFLE_HASH (no sort of the big pair side — the q181 cure).
+    "q183_shash" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val rec = q183Corpus(s, dir)
+      val strs = rec.select(col("c_custkey").as("__id"),
+        col("nome").as("__s"), length(col("nome")).cast("long").as("__len"))
+      val variants = strs.select(col("__id"), col("__s").as("__v"))
+        .select(col("__id"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      val keyed = variants.select(col("__id"), col("__v").as("__block"))
+        .distinct()
+      val cand = llm.Dedup.tiledPairs(keyed, Seq.empty,
+          llm.Dedup.AdaptiveBlock)
+        .select(least(col("id_a"), col("id_b")).as("__ida"),
+          greatest(col("id_a"), col("id_b")).as("__idb"))
+        .distinct()
+      cand
+        .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
+          col("__len").as("__la")).hint("shuffle_hash"), "__ida")
+        .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
+          col("__len").as("__lb")).hint("shuffle_hash"), "__idb")
+        .filter(abs(col("__la") - col("__lb")) <= 1)
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+          levenshtein(col("__sa"), col("__sb"), 1).cast("long").as("dist"))
+        .filter(col("dist") >= 0L && col("dist") <= 1L)
+        .orderBy(col("id_a"), col("id_b"))
     },
     // IVF fit+route probes: flat vs two-level at the same TOTAL cell
     // count — the measurement behind Dedup.FlatCellLimit. Each probe

@@ -84,6 +84,7 @@ object Components {
       // exact fixpoint test: identical edge SETS (both are distinct)
       converged = nextCount == undCount &&
         next.join(und, Seq("__lo", "__hi"), "left_anti").isEmpty
+      Roll.free(und) // next is materialized and the probe is done
       und = next
       undCount = nextCount
       iter += 1
@@ -183,7 +184,7 @@ object Components {
           (col("__r") / col("__out").cast("double"))
             .cast("decimal(38,18)").as("__c"))
         .groupBy("__n").agg(sum(col("__c")).cast("decimal(38,18)").as("__in"))
-      ranks = base
+      val next = base
         .join(contrib, Seq("__n"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("__n"), col("__out"),
@@ -191,6 +192,8 @@ object Components {
             (coalesce(col("__in"), zeroDec).cast("double") +
               col("__dang").cast("double") / nCount)).as("__r"))
         .localCheckpoint()
+      Roll.free(ranks) // superseded round's blocks — residency stays ≤ 2
+      ranks = next
     }
     ranks.select(col("__n").as("vertice"), col("__r").as("rank"))
   }
@@ -215,6 +218,16 @@ object Components {
     * `maxIter` guards the pathology and fails loudly rather than
     * returning a non-core.
     *
+    * Memory contract (the r12 sf10 lesson — 29M edges OOM'd a 16 GiB
+    * driver): each round FREES the previous round's checkpoint blocks
+    * via [[graft.llm.Roll.free]] once the new frontier is materialized,
+    * so residency is ≤ 2 edge snapshots, not rounds × edges; and past
+    * `spillEdges` rows the round checkpoints DISK_ONLY — the frontier
+    * streams from local disk instead of competing with the peel's own
+    * shuffles for the unified pool. Degree aggregation reads the
+    * checkpoint once per round either way; the spill trades that scan
+    * against not owning ~rounds × |E| of storage memory.
+    *
     * Not SQL-expressible (the fixpoint is not monotone-recursive), so
     * the graded query is rows-only; the spec pins K4-with-pendants and a
     * cascading peel by hand. Output: (vertice, grau_core) for the
@@ -222,7 +235,7 @@ object Components {
     */
   def kCore(
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, spillEdges: Long = 16000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -230,6 +243,10 @@ object Components {
       .filter(col("a") < col("b"))
       .distinct()
       .localCheckpoint()
+    val storage =
+      if (e.count() > spillEdges)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("a").as("v")).unionByName(ed.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1L)).as("grau"))
@@ -243,14 +260,18 @@ object Components {
       if (weak.isEmpty) done = true
       else {
         val strong = deg.filter(col("grau") >= k).select(col("v"))
-        e = e
+        val next = e
           .join(strong.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(strong.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .localCheckpoint()
+          .localCheckpoint(true, storage)
+        Roll.free(e) // the eager checkpoint above no longer reads it
+        e = next
         it += 1
       }
     }
-    degrees(e).select(col("v").as("vertice"), col("grau").as("grau_core"))
+    val out = degrees(e)
+      .select(col("v").as("vertice"), col("grau").as("grau_core"))
+    out
   }
 
   /** Exact per-vertex triangle counting — the clustering-coefficient
@@ -410,6 +431,7 @@ object Components {
       .withColumn("nivel", lit(0L))
       .localCheckpoint()
     var frontier = levels.select("vertice")
+    var prevNext: Option[DataFrame] = None
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       val next = frontier.join(adj, col("vertice") === col("__a"))
@@ -417,7 +439,14 @@ object Components {
         .join(levels.select("vertice"), Seq("vertice"), "left_anti")
         .withColumn("nivel", lit(depth + 1L))
         .localCheckpoint()
-      levels = levels.unionByName(next).localCheckpoint()
+      val grown = levels.unionByName(next).localCheckpoint()
+      // superseded snapshots: the old cumulative levels, and the
+      // PREVIOUS round's frontier (this round's `next` stays live — it
+      // is the frontier the next round's join reads)
+      Roll.free(levels)
+      prevNext.foreach(Roll.free)
+      prevNext = Some(next)
+      levels = grown
       frontier = next.select("vertice")
       depth += 1
     }

@@ -214,60 +214,93 @@ object Pq {
     * [[searchAdc]] (joined per query_id here, so a vector pays only the
     * queries that probed its cell), one DECIMAL-combinable sum, ADC
     * shortlist, exact refine on the shortlist's original vectors.
+    *
+    * Query batches larger than `queryTile` are folded in SEQUENTIAL
+    * tiles: each tile's ADC pass runs eagerly (per-tile top-k local-
+    * checkpointed — tile×k rows) before the next starts, so in-flight
+    * state — the queries×m×k broadcast LUT, the (query × probed-code)
+    * fold, both rank sorts — is bounded by the TILE, not the batch.
+    * The r12 sf10 rehearsal's 10k-query batch left enough old-gen
+    * residue that the second adjacent run was SLOWER than the first
+    * (115.7 → 142.5 s); a fixed tile bound is the q181 verify-tiling
+    * discipline applied to the ADC fold. Cost: the cell-pruned encoded
+    * scan repeats per tile (the tiled path persists it), the classic
+    * batch/scan trade.
     */
   def ivfAdcTopK(
       idx: Ivf.IvfIndex, model: PqModel, encoded: DataFrame,
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nProbe: Int, shortlist: Int): DataFrame = {
+      k: Int, nProbe: Int, shortlist: Int,
+      queryTile: Int = 4096): DataFrame = {
     require(shortlist >= k, s"need shortlist >= k, got $shortlist < $k")
+    require(queryTile >= 1, s"need queryTile >= 1, got $queryTile")
     val spark = queries.sparkSession
     import spark.implicits._
-    val qd = queries.select(col(idCol).as("query_id"),
+    val qdAll = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), _.cast("double")).as("__qv"))
       .transform(CacheScope.persistTracked)
-    val probeW = Window.partitionBy("query_id")
-      .orderBy(col("__pd").asc, col("__cell").asc)
-    val probes = qd
-      .crossJoin(broadcast(idx.centroids))
-      .withColumn("__pd", Kmeans.sqDist(col("__qv"),
-        transform(col("__centroid"), _.cast("double"))))
-      .withColumn("__pr", row_number().over(probeW))
-      .filter(col("__pr") <= nProbe)
-      .select("query_id", "__cell")
-    val encCells = encoded.join(
-      idx.assigned.select(col(idCol), col("__cell")), Seq(idCol))
     val cb = model.codebooks.zipWithIndex.flatMap { case (cents, s) =>
       cents.zipWithIndex.map { case (c, j) => (s, j, c) }
     }.toDF("__sub", "__code", "__cent")
-    val lut = qd.crossJoin(broadcast(cb))
-      .select(col("query_id"), col("__sub"), col("__code"),
-        Kmeans.sqDist(
-          slice(col("__qv"), col("__sub") * model.subDim + 1,
-            lit(model.subDim)),
-          col("__cent")).as("__d"))
-    val cand = encCells
-      .join(broadcast(probes), Seq("__cell"))
-      .select(col(idCol).as("corpus_id"), col("query_id"),
-        posexplode(col("codes")).as(Seq("__sub", "__code")))
-      .join(broadcast(lut), Seq("query_id", "__sub", "__code"))
-      .groupBy("query_id", "corpus_id")
-      .agg(sum(col("__d").cast("decimal(38,12)")).cast("double")
-        .as("__adc"))
-    val slW = Window.partitionBy("query_id")
-      .orderBy(col("__adc").asc, col("corpus_id").asc)
-    val short = cand.withColumn("__sr", row_number().over(slW))
-      .filter(col("__sr") <= shortlist)
-      .select("query_id", "corpus_id")
     val cv = corpus.select(col(idCol).as("corpus_id"),
       transform(col(vecCol), _.cast("double")).as("__cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("dist2").asc, col("corpus_id").asc)
-    short.join(broadcast(qd), Seq("query_id"))
-      .join(cv, Seq("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        Kmeans.sqDist(col("__qv"), col("__cv")).as("dist2"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+
+    def oneBatch(qd: DataFrame, encCells: DataFrame): DataFrame = {
+      val probeW = Window.partitionBy("query_id")
+        .orderBy(col("__pd").asc, col("__cell").asc)
+      val probes = qd
+        .crossJoin(broadcast(idx.centroids))
+        .withColumn("__pd", Kmeans.sqDist(col("__qv"),
+          transform(col("__centroid"), _.cast("double"))))
+        .withColumn("__pr", row_number().over(probeW))
+        .filter(col("__pr") <= nProbe)
+        .select("query_id", "__cell")
+      val lut = qd.crossJoin(broadcast(cb))
+        .select(col("query_id"), col("__sub"), col("__code"),
+          Kmeans.sqDist(
+            slice(col("__qv"), col("__sub") * model.subDim + 1,
+              lit(model.subDim)),
+            col("__cent")).as("__d"))
+      val cand = encCells
+        .join(broadcast(probes), Seq("__cell"))
+        .select(col(idCol).as("corpus_id"), col("query_id"),
+          posexplode(col("codes")).as(Seq("__sub", "__code")))
+        .join(broadcast(lut), Seq("query_id", "__sub", "__code"))
+        .groupBy("query_id", "corpus_id")
+        .agg(sum(col("__d").cast("decimal(38,12)")).cast("double")
+          .as("__adc"))
+      val slW = Window.partitionBy("query_id")
+        .orderBy(col("__adc").asc, col("corpus_id").asc)
+      val short = cand.withColumn("__sr", row_number().over(slW))
+        .filter(col("__sr") <= shortlist)
+        .select("query_id", "corpus_id")
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dist2").asc, col("corpus_id").asc)
+      short.join(broadcast(qd), Seq("query_id"))
+        .join(cv, Seq("corpus_id"))
+        .select(col("query_id"), col("corpus_id"),
+          Kmeans.sqDist(col("__qv"), col("__cv")).as("dist2"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
+
+    val assignedCells =
+      encoded.join(idx.assigned.select(col(idCol), col("__cell")),
+        Seq(idCol))
+    val nTiles =
+      ((qdAll.count() + queryTile - 1) / queryTile).toInt
+    if (nTiles <= 1) oneBatch(qdAll, assignedCells)
+    else {
+      // deterministic hash tiling (xxhash64 is fixed-seed); per-tile
+      // results checkpoint eagerly so tiles execute one at a time
+      val encCells = CacheScope.persistTracked(assignedCells)
+      (0 until nTiles).map { t =>
+        oneBatch(
+          qdAll.filter(
+            pmod(xxhash64(col("query_id")), lit(nTiles.toLong)) === t),
+          encCells).localCheckpoint(true)
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** Fit + encode + search in one call (spec/bench convenience; long-lived

@@ -194,11 +194,13 @@ object Attribution {
           (col("__p") * col("__xb")).cast("decimal(38,18)").as("__t"))
         .groupBy("__var", "__s")
         .agg(sum(col("__t")).cast("decimal(38,18)").as("__in"))
-      x = states.join(folded, Seq("__var", "__s"), "left")
+      val next = states.join(folded, Seq("__var", "__s"), "left")
         .select(col("__var"), col("__s"),
           coalesce(absorbing,
             coalesce(col("__in").cast("double"), lit(0.0))).as("__x"))
         .localCheckpoint()
+      graft.llm.Roll.free(x) // superseded iterate — residency stays ≤ 2
+      x = next
     }
     val pStart = x.filter(col("__s") === "start")
       .select(col("__var"), col("__x"))

@@ -79,10 +79,20 @@ object CorrMatrix {
       val syy = col(s"__syy_$p").cast("double")
       val vx = n * sxx - sx * sx
       val vy = n * syy - sy * sy
+      // zero-variance gate on the EXACT decimal sufficient statistics:
+      // n·Σx² > (Σx)² decided in DECIMAL, so a constant column can never
+      // pass on double-rounding residue (the doubles above are for the
+      // VALUE of r only; the double > 0 guards stay to keep the sqrt
+      // denominator nonzero when decimal says positive but double
+      // underflows — that edge emits null, never NaN or Infinity)
+      val nD = col(s"__n_$p").cast(d)
+      val vxPos = nD * col(s"__sxx_$p") > col(s"__sx_$p") * col(s"__sx_$p")
+      val vyPos = nD * col(s"__syy_$p") > col(s"__sy_$p") * col(s"__sy_$p")
       struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         col(s"__n_$p").as("n"),
-        when(col(s"__n_$p") >= 2L && vx > 0.0 && vy > 0.0,
+        when(col(s"__n_$p") >= 2L && vxPos && vyPos &&
+            vx > 0.0 && vy > 0.0,
           (n * sxy - sx * sy) / sqrt(vx * vy)).as("corr"))
     }
     folded

@@ -289,48 +289,94 @@ object Linkage {
           col("__st").isNotNull && col("__st") =!= ""),
       maxDist, maxBlock)
 
-  /** Shared FastSS core over a pre-projected (__id, __s, __st) frame. */
+  /** Shared FastSS core over a pre-projected (__id, __s, __st) frame.
+    *
+    * Two verify shapes, switched on the neighborhood size (both A/B'd
+    * warm at sf1, round 13):
+    *
+    *   - maxDist ≤ 1 (≈ len+1 variants/row): the (string, len) payload
+    *     rides THROUGH the pair engine, so candidate pairs arrive with
+    *     both sides' strings attached and the verify stage is join-free.
+    *     The r12 shape (bare-id candidates joined back to the corpus
+    *     twice) spent ~64% of q183's sf1 wall in those joins: 46.4 →
+    *     33.3 s with the payload carry; a SHUFFLE_HASH hint on the
+    *     joins measured 49 s, i.e. the cost was the joins existing at
+    *     all, not their strategy. Pair dedup moves BELOW the banded
+    *     levenshtein — distinct runs on accepted OUTPUT pairs (near-dup
+    *     density), and re-verifying a pair once per shared variant is
+    *     O(maxDist·len) on the few multi-variant collisions.
+    *
+    *   - maxDist ≥ 2 (≈ len²/2 variants/row): payload bytes dominate
+    *     the variant shuffle and near-dup pairs share MANY variants, so
+    *     bare-id candidates + distinct + two joins back to the corpus
+    *     win — q186's candidate layer measured 34.6 s join-back vs
+    *     82.1 s payload-carry at sf1. The corpus frame is persisted
+    *     (referenced three times: variants + both join probes).
+    */
   private def editJoinCore(
       strsIn: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
-    val strs = graft.llm.CacheScope.persistTracked(
-      graft.llm.Spread(strsIn)
-        .withColumn("__len", length(col("__s")).cast("long")))
+    val strsBare = graft.llm.Spread(strsIn)
+      .withColumn("__len", length(col("__s")).cast("long"))
+    val strs =
+      if (maxDist <= 1) strsBare
+      else graft.llm.CacheScope.persistTracked(strsBare)
+    val carry =
+      if (maxDist <= 1) Seq(col("__s"), col("__len")) else Seq.empty
     // ≤d-deletion neighborhood: d rounds of explode(self ∪ one-char
     // deletions), distinct per id. sequence(1,0) would step BACKWARD
     // (Spark's sign-inferred step) — guard the empty string explicitly.
-    var variants = strs.select(col("__id"), col("__st"),
-      col("__s").as("__v"))
+    var variants = strs.select(
+      Seq(col("__id"), col("__st")) ++ carry :+ col("__s").as("__v"): _*)
     for (_ <- 1 to maxDist) {
-      variants = variants.select(col("__id"), col("__st"), explode(expr(
-        "case when length(__v) = 0 then array(__v) else " +
-          "array_union(array(__v), transform(sequence(1, length(__v)), " +
-          "i -> concat(substring(__v, 1, i-1), " +
-          "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+      variants = variants.select(
+        Seq(col("__id"), col("__st")) ++ carry :+ explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"): _*)
     }
     // stratum is part of the block identity: variants collide only
     // within equal strata (NUL-joined — the key is opaque to tiledPairs)
-    val keyed = variants.select(col("__id"),
-        concat_ws("\u0000", col("__st"), col("__v")).as("__block"))
-      .distinct()
-    val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
-      .select(
-        least(col("id_a"), col("id_b")).as("__ida"),
-        greatest(col("id_a"), col("id_b")).as("__idb"))
-      .distinct()
-    cand
-      .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
-        col("__len").as("__la")), "__ida")
-      .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
-        col("__len").as("__lb")), "__idb")
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      // thresholded levenshtein BANDS the DP (O(maxDist·L) per pair,
-      // bails with -1 past the threshold) — emitted distances are the
-      // exact DP values, so the output (and the oracle) are unchanged;
-      // only the cost of REJECTING over-threshold candidates drops
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
-          .as("dist"))
-      .filter(col("dist") >= 0L && col("dist") <= maxDist)
+    val block = concat_ws("\u0000", col("__st"), col("__v")).as("__block")
+    if (maxDist <= 1) {
+      // payload aliased AWAY from tiledPairs' reserved internals (__s
+      // is its salt-factor column — an unaliased __s payload is
+      // silently clobbered by the salt integer)
+      val keyed = variants.select(col("__id"), col("__s").as("__str"),
+          col("__len").as("__slen"), block)
+        .distinct()
+      graft.llm.Dedup.tiledPairs(keyed, Seq("__str", "__slen"), maxBlock)
+        .filter(abs(col("__slen_a") - col("__slen_b")) <= maxDist)
+        // thresholded levenshtein BANDS the DP (O(maxDist·L) per pair,
+        // bails with -1 past the threshold) — emitted distances are the
+        // exact DP values, so the output (and the oracle) are
+        // unchanged; only the cost of REJECTING over-threshold
+        // candidates drops
+        .select(
+          least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          levenshtein(col("__str_a"), col("__str_b"), maxDist)
+            .cast("long").as("dist"))
+        .filter(col("dist") >= 0L && col("dist") <= maxDist)
+        .distinct()
+    } else {
+      val keyed = variants.select(col("__id"), block).distinct()
+      val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
+        .select(
+          least(col("id_a"), col("id_b")).as("__ida"),
+          greatest(col("id_a"), col("id_b")).as("__idb"))
+        .distinct()
+      cand
+        .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
+          col("__len").as("__la")), "__ida")
+        .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
+          col("__len").as("__lb")), "__idb")
+        .filter(abs(col("__la") - col("__lb")) <= maxDist)
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+          levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
+            .as("dist"))
+        .filter(col("dist") >= 0L && col("dist") <= maxDist)
+    }
   }
 }

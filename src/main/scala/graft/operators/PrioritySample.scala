@@ -46,6 +46,12 @@ object PrioritySample {
       df: DataFrame, groupCols: Seq[String], idCol: String,
       weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // an empty key list would collapse the rank window to ONE task over
+    // the whole input and degrade the tau join to a cross join — the
+    // global case wants a bounded-heap top-k, not this operator's shape
+    require(groupCols.nonEmpty,
+      "prioritySample needs at least one group column; for a global " +
+        "sample pass a constant group column")
     val g = groupCols.map(col)
     val scored = df
       .filter(col(weightCol).isNotNull && col(weightCol) > 0)

@@ -52,8 +52,14 @@ object Evolution {
       defaults: Map[String, (Int, Any)]): DataFrame = {
     val merged = readMerged(spark, root)
     defaults.foldLeft(merged) { case (df, (c, (firstBatch, dflt))) =>
+      // a default may be declared ahead of the first batch that writes
+      // the column — then NO vintage carries it and col(c) would be
+      // unresolved; synthesize the default for every pre-firstBatch row
+      val existing =
+        if (df.columns.contains(c)) col(c)
+        else when(lit(false), lit(dflt)) // typed null of the default's type
       df.withColumn(c,
-        when(col("batch") < firstBatch, lit(dflt)).otherwise(col(c)))
+        when(col("batch") < firstBatch, lit(dflt)).otherwise(existing))
     }
   }
 }
