@@ -156,6 +156,40 @@ object SpotBench {
           llm.Dedup.AdaptiveBlock, cache = false)
         .agg(count(lit(1L)).as("n"))
     },
+    // q27's raw candidate stream (tiledPairs output, payload carried,
+    // hamming NOT yet filtered) — for `count:` cardinality attribution
+    "q27_cand_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val variants = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+      val all = docs.unionByName(variants)
+      val m = md5(col("__tok").cast("binary"))
+      val tokRows = all.select(col("doc_id").as("__id"),
+          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
+        .select(col("__id") +: (0 until 4).map(j =>
+          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+      val chunkVals = (0 until 4).map { j =>
+        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+          .reduce(_ + _).as(s"__v$j")
+      }
+      val sh = tokRows.groupBy("__id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("__id") +: chunkVals: _*)
+        .transform(llm.CacheScope.persistTracked)
+      val keyed = sh.select(col("__id") +:
+        (0 until 4).map(j => col(s"__v$j")) :+
+        explode(array((0 until 4).map { j =>
+          lit(j.toLong * 65536L) + col(s"__v$j")
+        }: _*)).as("__block"): _*)
+      llm.Dedup.tiledPairs(keyed, (0 until 4).map(j => s"__v$j"),
+        llm.Dedup.AdaptiveBlock, cache = false)
+    },
     // q186's candidate layer in the r12 (join-back) shape: bare-id
     // candidate pairs distinct'd, then two joins to recover strings —
     // the A/B control for payload-carry at maxDist=2, where the variant
@@ -449,6 +483,16 @@ object SpotBench {
         val Array(k, v) = arg.split("=", 2)
         spark.conf.set(k, v)
         println(s"SPOT-CONF $k=$v")
+      } else if (arg.startsWith("count:")) {
+        // cardinality probe: row count instead of a timed noop write —
+        // for attributing stage costs to data volume
+        val name = arg.stripPrefix("count:")
+        val q = if (name.startsWith("probe:")) probes(name.stripPrefix("probe:"))
+          else SparkEntry.queries(name)
+        val n = q(spark, sfDir).count()
+        llm.CacheScope.releaseAll(blocking = true)
+        System.gc()
+        println(s"SPOT-COUNT $name $n")
       } else {
         val q = if (arg.startsWith("probe:")) probes(arg.stripPrefix("probe:"))
           else SparkEntry.queries(arg)

@@ -770,22 +770,79 @@ object Dedup {
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("__sim"))
       .transform(CacheScope.persistTracked)
-    // Band j's 16-bit chunk, offset into a per-band-disjoint block keyspace.
-    val keyed = sh.select(col("__id"), col("__sim"),
-      explode(array((0 until 4).map { j =>
+    simhashTail(sh, Seq("__sim"),
+      (0 until 4).map { j =>
         lit(j.toLong * 65536L) +
           shiftright(col("__sim"), j * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as("__block"))
-    tiledPairs(keyed, Seq("__sim"), maxBlock, cache = false)
+      },
+      bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))),
+      maxHamming, maxBlock)
+  }
+
+  /** Shared candidate tail of the simhash family: exact-signature
+    * collapse → banded representative pairs → group expansion.
+    *
+    * Identical signatures band identically in EVERY band — on a corpus
+    * with verbatim replicas (the CommonCrawl refetch reality, and this
+    * testbed's ×10 replication) each g-member identical-signature group
+    * used to re-generate its C(g,2) pairs in all 4 bands AND pile onto
+    * the band buckets' collision volume (measured at sf1: 352M raw
+    * candidates for 24.5M survivors). Collapsing to ONE representative
+    * per distinct signature before banding makes the banded join's
+    * input the number of DISTINCT signatures; survivors then expand
+    * back through two member joins (cross-group pairs — output-bound by
+    * construction) plus the within-group all-pairs (hamming 0, emitted
+    * through the same tiled engine so a million-replica group cannot
+    * serialize into one task). Output is IDENTICAL to banding the raw
+    * corpus: every within-group pair is hamming 0 ≤ maxHamming, and a
+    * cross pair's hamming depends only on the two signatures.
+    * The survivor-pair `distinct` now runs on representative pairs
+    * (near-dup DENSITY of the deduplicated signature space), not on
+    * member pairs.
+    *
+    * `sh`: one row per doc — `__id` + the signature columns (names must
+    * avoid [[tiledPairs]]' reserved internals). `bandKeys`: one blocking
+    * expression per band over the signature columns. `hammingAB`: the
+    * Hamming distance over `<sig>_a` / `<sig>_b`-suffixed columns.
+    */
+  private def simhashTail(
+      sh: DataFrame, sigCols: Seq[String], bandKeys: Seq[Column],
+      hammingAB: Column, maxHamming: Int, maxBlock: Int): DataFrame = {
+    val sig = sigCols.map(col)
+    val reps = CacheScope.persistTracked(
+      sh.groupBy(sig: _*).agg(min(col("__id")).as("__rep")))
+    val memb = CacheScope.persistTracked(
+      sh.join(reps, sigCols).select(col("__id"), col("__rep")))
+    val repKeyed = reps.select(
+      col("__rep").as("__id") +: sig :+
+        explode(array(bandKeys: _*)).as("__block"): _*)
+    val repPairs = tiledPairs(repKeyed, sigCols, maxBlock, cache = false)
       // hamming is symmetric, so the id normalization cannot change it
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        bit_count(col("__sim_a").bitwiseXOR(col("__sim_b"))).as("hamming"))
-      // filter BEFORE distinct: hamming is a pure function of the pair, so
-      // duplicates agree on it — and most candidates fail the cut, so the
-      // dedup shuffle carries survivors only
+      .select(least(col("id_a"), col("id_b")).as("__ra"),
+        greatest(col("id_a"), col("id_b")).as("__rb"),
+        hammingAB.as("hamming"))
+      // filter BEFORE distinct: hamming is a pure function of the pair,
+      // so duplicates agree on it — and most candidates fail the cut, so
+      // the dedup shuffle carries survivors only
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val cross = repPairs
+      .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
+        "__ra")
+      .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
+        "__rb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
+    val within = tiledPairs(
+        memb.select(col("__id"), col("__rep").as("__block")),
+        Seq.empty, maxBlock, cache = false)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (lit(0): Column).cast(
+          org.apache.spark.sql.types.IntegerType).as("hamming"))
+    // disjoint by construction (same group vs different groups), and
+    // each side emits every pair exactly once — no final distinct
+    cross.unionByName(within)
   }
 
   /** [[simhashPairs]] with portable hashing: the 64-bit token hash is the
@@ -815,24 +872,15 @@ object Dedup {
       // counts + both tile sides re-derive the banded explode from this
       // compact signature (tiledPairs runs with cache=false)
       .transform(CacheScope.persistTracked)
-    val vCols = (0 until 4).map(j => col(s"__v$j"))
     // Band j's chunk value, offset into a per-band-disjoint block keyspace;
     // oversized buckets route through the exact tiling (see simhashPairs).
-    val keyed = sh.select(col("__id") +: vCols :+
-      explode(array((0 until 4).map { j =>
-        lit(j.toLong * 65536L) + col(s"__v$j")
-      }: _*)).as("__block"): _*)
-    val hamming = (0 until 4).map(j =>
-        bit_count(col(s"__v${j}_a").bitwiseXOR(col(s"__v${j}_b")).cast("long")))
-      .reduce(_ + _).cast("int")
-    tiledPairs(keyed, (0 until 4).map(j => s"__v$j"), maxBlock, cache = false)
-      // hamming is symmetric — unaffected by the id normalization
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        hamming.as("hamming"))
-      // filter before distinct — see simhashPairs
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    simhashTail(sh, (0 until 4).map(j => s"__v$j"),
+      (0 until 4).map(j => lit(j.toLong * 65536L) + col(s"__v$j")),
+      (0 until 4).map(j =>
+          bit_count(col(s"__v${j}_a").bitwiseXOR(col(s"__v${j}_b"))
+            .cast("long")))
+        .reduce(_ + _).cast("int"),
+      maxHamming, maxBlock)
   }
 
   /** Sentinel `maxBlock` value: derive the tile size from the observed
