@@ -453,4 +453,67 @@ object Similarity {
       .groupBy(col(idCol), col("j"))
       .agg(sum(col("__c")).cast("double").as("valor"))
   }
+
+  /** Simplified (centroid-based) silhouette — the clustering-quality
+    * audit for an ASSIGNED corpus (IVF cells, k-means labels, any
+    * taxonomy): per point, a = distance to the OWN cluster's centroid,
+    * b = the nearest OTHER centroid's distance, s = (b − a)/max(a, b)
+    * (Rousseeuw 1987's silhouette with the O(n²) pairwise means
+    * replaced by centroid distances — the standard large-n form, e.g.
+    * scikit-learn's "simplified silhouette"; exact pairwise silhouette
+    * at corpus scale is a different operator's contract).
+    *
+    * Shape: centroids via [[groupCentroid]] (one combinable decimal
+    * aggregation), folded to |clusters| vectors and BROADCAST; each
+    * point scores against all k centroids at scan level — the corpus
+    * never shuffles, the per-cluster rollup is map-side combinable.
+    * Determinism: squared distances accumulate per-dimension products
+    * in DECIMAL(38,18) (order-free), b's argmin is a decimal MIN (no
+    * float decides which centroid is nearest), a/b take ONE sqrt each
+    * (IEEE-correctly-rounded), s is one subtraction + one division,
+    * and the per-cluster mean sums s through DECIMAL casts.
+    *
+    * Output: one row per cluster — n, silhueta_media; zero-distance
+    * points (exactly on both centroids) contribute s = 0.
+    */
+  def simplifiedSilhouette(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val pts = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+    val cvec = groupCentroid(pts, labelCol, vecCol)
+      .groupBy(labelCol).agg(
+        transform(
+          array_sort(collect_list(struct(col("posicao"), col("valor")))),
+          s => s.getField("valor")).as("__cvec"))
+      .select(col(labelCol).as("__cl"), col("__cvec"))
+    def sq2(v: Column, c: Column): Column = aggregate(
+      zip_with(v, c, (x, y) => {
+        val d = x.cast("double") - y
+        (d * d).cast("decimal(38,18)")
+      }),
+      lit(0).cast("decimal(38,18)"),
+      (acc, t) => (acc + t).cast("decimal(38,18)"))
+    val scored = Spread(pts)
+      .select(col(idCol).as("__id"), col(labelCol).as("__l"),
+        col(vecCol).as("__v"))
+      .crossJoin(broadcast(cvec))
+      .select(col("__id"), col("__l"), col("__cl"),
+        sq2(col("__v"), col("__cvec")).as("__d2"))
+    val own = scored.filter(col("__l") === col("__cl"))
+      .select(col("__id"), col("__l"), col("__d2").as("__a2"))
+    val other = scored.filter(col("__l") =!= col("__cl"))
+      .groupBy("__id").agg(min(col("__d2")).as("__b2"))
+    own.join(other, Seq("__id"))
+      .select(col("__l"),
+        sqrt(col("__a2").cast("double")).as("__a"),
+        sqrt(col("__b2").cast("double")).as("__b"))
+      .withColumn("__s",
+        when(greatest(col("__a"), col("__b")) > 0.0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("__l").as("cluster"))
+      .agg(count(lit(1L)).as("n"),
+        (sum(col("__s").cast("decimal(38,18)")).cast("double") /
+          count(lit(1L)).cast("double")).as("silhueta_media"))
+  }
 }

@@ -223,4 +223,77 @@ object Attribution {
         when(col("__sum") > 0.0, col("efeito_remocao") / col("__sum"))
           .as("atribuicao"))
   }
+
+  /** Position-based (U-shaped) + time-decay multi-touch attribution —
+    * the two RULE-based models between first/last-touch (row 176) and
+    * the model-based pair above (Shapley / Markov): position credits
+    * 40/20/40 (first and last touch 0.4 each, the middle splits 0.2
+    * evenly; 1-touch journeys get 1.0, 2-touch 0.5/0.5), time-decay
+    * credits halve per elapsed half-life before the conversion.
+    *
+    * Journey = the touches strictly before a user's FIRST conversion
+    * (the q226 journey rule), ordered by (ts, orderCol) — the same
+    * total order both attribution siblings use. Non-converting users
+    * contribute nothing (position/decay are conversion-credit models).
+    *
+    * Determinism (the engine-vs-oracle contract): decay weights are
+    * INTEGERS — w = 2^(18 − k) with k = full half-lives elapsed,
+    * integer-division of epoch-µs and clamped at 18 (beyond, the
+    * credit ratio is ≤ 2⁻¹⁸ ≈ 4 ppm — below attribution noise; the
+    * clamp keeps every weight an exact long and the per-journey total
+    * an exact integer sum, so each decay credit is ONE IEEE division
+    * of exact integers — no pow(), whose rounding is not IEEE-mandated
+    * and differs across engines). Position credits are fixed literals
+    * except the middle split's one division; per-channel sums of both
+    * credits accumulate through DECIMAL(38,18) casts (the q184 rule).
+    *
+    * Scale: two combinable aggregations over the journey frame (per-
+    * user stats, per-channel rollup) + one row_number window per user
+    * — journeys are bounded per user; nothing collects. Output:
+    * (canal, toques, credito_posicional, credito_decaimento).
+    */
+  def positionalAttribution(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      orderCol: String, convType: String,
+      halfLifeSeconds: Long = 86400L): DataFrame = {
+    require(halfLifeSeconds > 0,
+      s"need halfLifeSeconds > 0, got $halfLifeSeconds")
+    val wSeq = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__o"))
+    val ev = CacheScope.persistTracked(events
+      .select(col(userCol).as("__u"), col(typeCol).cast("string").as("__c"),
+        col(tsCol).as("__ts"), col(orderCol).as("__o"))
+      .withColumn("__rn", row_number().over(wSeq).cast("long")))
+    // first conversion per user: its rank bounds the journey, its
+    // timestamp anchors the decay clock (min_by is deterministic —
+    // __rn is unique within the user)
+    val fc = ev.filter(col("__c") === convType)
+      .groupBy("__u")
+      .agg(min(col("__rn")).as("__fc"), min_by(col("__ts"), col("__rn")).as("__tc"))
+    val touches = ev.join(fc, Seq("__u")).filter(col("__rn") < col("__fc"))
+    val jStats = touches.groupBy("__u").agg(
+      count(lit(1L)).as("__n"),
+      min(col("__rn")).as("__rmin"), max(col("__rn")).as("__rmax"))
+    val n = col("__n")
+    val isEnd = col("__rn") === col("__rmin") || col("__rn") === col("__rmax")
+    val kExpr =
+      s"((unix_micros(__tc) - unix_micros(__ts)) div ${halfLifeSeconds * 1000000L}L)"
+    val scored = touches.join(jStats, Seq("__u"))
+      .withColumn("__pc",
+        when(n === 1L, lit(1.0))
+          .when(isEnd && n === 2L, lit(0.5))
+          .when(isEnd, lit(0.4))
+          .otherwise(lit(0.2) / (n - 2L).cast("double")))
+      .withColumn("__w",
+        expr(s"shiftleft(1L, cast(18 - least($kExpr, 18L) as int))"))
+    val wTot = scored.groupBy("__u").agg(sum(col("__w")).as("__wt"))
+    scored.join(wTot, Seq("__u"))
+      .withColumn("__dc", col("__w").cast("double") / col("__wt").cast("double"))
+      .groupBy(col("__c").as("canal"))
+      .agg(count(lit(1L)).as("toques"),
+        sum(col("__pc").cast("decimal(38,18)")).cast("double")
+          .as("credito_posicional"),
+        sum(col("__dc").cast("decimal(38,18)")).cast("double")
+          .as("credito_decaimento"))
+  }
 }

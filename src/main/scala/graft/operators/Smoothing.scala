@@ -84,5 +84,99 @@ object Smoothing {
         (col("__f.l") + lit(7.0) * col("__f.b")).as("previsao_7")): _*)
   }
 
+  /** EWMA control chart (Roberts, Technometrics 1959) — the drift
+    * monitor BETWEEN row 167's memoryless z-score and row 206's
+    * all-memory CUSUM: z_t = λ·y_t + (1−λ)·z_{t−1} geometrically
+    * discounts history, catching sustained small shifts a point flag
+    * misses while re-centering faster than CUSUM after a regime ends.
+    * Control limits are the exact finite-horizon form
+    *
+    *   μ ± L·σ·√( λ/(2−λ) · (1 − (1−λ)^{2t}) )
+    *
+    * with z_0 = μ (the in-series mean — the standard retrospective
+    * chart), σ the sample standard deviation of the bucketed series.
+    *
+    * Same shape contract as [[holtSmooth]]: one DECIMAL-summed
+    * day-bucket pre-aggregation over raw rows, then the recursion as
+    * ONE `aggregate` fold over the array_sort'd series — per-group
+    * series are calendar-bounded, so the fold length never scales with
+    * row volume. The discount power (1−λ)^{2t} is NOT computed with
+    * pow() (whose rounding is not IEEE-mandated and may differ between
+    * the JVM and the oracle's libm): it rides the fold as r2_t =
+    * r2_{t−1}·rr, one IEEE multiply per step that a recursive CTE
+    * replays bit-for-bit. μ and σ come from exact decimal sums; every
+    * remaining op (one division, sqrt, multiplies) is IEEE-exact, so
+    * the alarm's float comparison is engine-deterministic. σ is the
+    * POPULATION form from exact sums (the zScoreFlags tree).
+    *
+    * Output: one row per (group…, time) — valor, ewma, lim_inferior,
+    * lim_superior, alarme.
+    */
+  def ewmaChart(
+      df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: String, lambda: Double = 0.25,
+      limitL: Double = 3.0): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(lambda > 0 && lambda < 1, s"need lambda in (0,1), got $lambda")
+    require(limitL > 0, s"need limitL > 0, got $limitL")
+    val g = groupCols.map(col)
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0 - lambda)
+    val rr = lit((1.0 - lambda) * (1.0 - lambda))
+    val cFac = lit(lambda / (2.0 - lambda))
+    val daily = df
+      .filter(valueColNotNull(valueCol))
+      .groupBy(g :+ dayCol.as("__d"): _*)
+      .agg(sum(col(valueCol).cast("decimal(38,6)")).cast("double")
+        .as("__y"))
+    val series = daily
+      .groupBy(g: _*)
+      .agg(
+        array_sort(collect_list(struct(col("__d"), col("__y")))).as("__s"),
+        count(lit(1L)).as("n"),
+        sum(col("__y").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as("__sx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__sxx"))
+      .withColumn("__mu", col("__sx").cast("double") / col("n").cast("double"))
+      // population σ from the exact sums — the proven q150 (zScoreFlags)
+      // expression tree, replayed verbatim by the oracle
+      .withColumn("__sigma", sqrt(greatest(
+        col("__sxx").cast("double") / col("n").cast("double") -
+          col("__mu") * col("__mu"), lit(0.0))))
+    // the fold carries (z, r2) and APPENDS each step's pair — the
+    // per-point chart needs every z_t, not just the last
+    val folded = aggregate(
+      col("__s"),
+      struct(col("__mu").as("z"), lit(1.0).as("r2"),
+        expr("CAST(array() AS ARRAY<STRUCT<z: DOUBLE, r2: DOUBLE>>)")
+          .as("arr")),
+      (st, e) => {
+        val zNew = lam * e.getField("__y") + oneMinus * st.getField("z")
+        val r2New = st.getField("r2") * rr
+        struct(zNew.as("z"), r2New.as("r2"),
+          concat(st.getField("arr"),
+            array(struct(zNew.as("z"), r2New.as("r2")))).as("arr"))
+      })
+    series
+      .withColumn("__zs", folded.getField("arr"))
+      .select(g ++ Seq(col("__mu"), col("__sigma"),
+        posexplode(zip_with(col("__s"), col("__zs"),
+          (s, z) => struct(s.getField("__d").as("__d"),
+            s.getField("__y").as("__y"), z.getField("z").as("__z"),
+            z.getField("r2").as("__r2")))).as(Seq("__i", "__e"))): _*)
+      .withColumn("__hw",
+        lit(limitL) * col("__sigma") *
+          sqrt(cFac * (lit(1.0) - col("__e.__r2"))))
+      .select(g ++ Seq(
+        col("__e.__d").as("tempo"),
+        col("__e.__y").as("valor"),
+        col("__e.__z").as("ewma"),
+        (col("__mu") - col("__hw")).as("lim_inferior"),
+        (col("__mu") + col("__hw")).as("lim_superior"),
+        coalesce(abs(col("__e.__z") - col("__mu")) > col("__hw"),
+          lit(false)).as("alarme")): _*)
+  }
+
   private def valueColNotNull(c: String): Column = col(c).isNotNull
 }

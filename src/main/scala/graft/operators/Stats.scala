@@ -1475,4 +1475,143 @@ object Stats {
           (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * d)
           .as("ks_lambda")): _*)
   }
+
+  /** Split-conformal prediction intervals (Vovk 2005; Lei et al. JASA
+    * 2018 — the distribution-free coverage guarantee every deployed
+    * regressor should ship with): the calibration set's absolute
+    * residuals |y − ŷ| yield q̂ = the ⌈(n+1)(1−α)⌉-th smallest residual
+    * (an EXACT order statistic, not an interpolated quantile — the
+    * finite-sample guarantee is stated for exactly this rank), and
+    * every scored row gets [ŷ − q̂, ŷ + q̂] with P(y ∈ interval) ≥ 1−α
+    * under exchangeability.
+    *
+    * Shape: one rank window over the CALIBRATION set only (bounded by
+    * the calibration sample, never the apply scan), the 1-row q̂
+    * broadcast onto the apply side — the offline-fit/online-apply
+    * discipline of rows 185/189. Rank ties on the residual break by
+    * the id column so the selected order statistic is engine-
+    * deterministic. Fails loudly when (n+1)(1−α) > n (calibration too
+    * small for the requested coverage — the silent-∞ alternative hides
+    * a meaningless interval).
+    *
+    * Output: apply rows (idCol, pred, y, lo, hi, coberto) — coberto
+    * (y inside the interval) makes the empirical coverage one
+    * aggregation away.
+    */
+  def conformalIntervals(
+      calib: DataFrame, apply: DataFrame, idCol: String,
+      predCol: String, actualCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"need alpha in (0,1), got $alpha")
+    val res = calib
+      .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        abs(col(actualCol).cast("double") - col(predCol).cast("double"))
+          .as("__r"))
+    val wR = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .orderBy(col("__r").asc, col("__id").asc)
+    val ranked = res
+      .withColumn("__rk", row_number().over(wR).cast("long"))
+      .withColumn("__n", count(lit(1L)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+    // rank = ceil((n+1)(1-alpha)) decided in integer arithmetic:
+    // ceil(m·(1-alpha)) = m - floor(m·alpha) only for integral alpha·m —
+    // stay with the double ceil but compare as long (both engines
+    // evaluate the identical IEEE product and ceil)
+    val withTarget = ranked.withColumn("__target",
+      ceil((col("__n") + 1L).cast("double") * lit(1.0 - alpha))
+        .cast("long"))
+    // the selected row is rank least(target, n) so the frame is never
+    // empty — when target > n the projection RAISES instead of letting
+    // an empty join silently emit zero intervals (an empty qhat would
+    // also be pruned whole by AQE's empty-relation propagation, taking
+    // any side-channel assertion with it)
+    val qhat = withTarget
+      .filter(col("__rk") === least(col("__target"), col("__n")))
+      .select(
+        when(col("__target") > col("__n"),
+          raise_error(concat(
+            lit(s"conformal: calibration too small for alpha=$alpha"),
+            lit(" — need ceil((n+1)(1-alpha)) <= n, got target="),
+            col("__target"), lit(" with n="), col("__n"))))
+          .otherwise(col("__r")).as("__qhat"),
+        col("__n").as("__ncal"))
+    apply
+      .filter(col(predCol).isNotNull)
+      .join(broadcast(qhat))
+      .select(col(idCol), col(predCol).cast("double").as("pred"),
+        col(actualCol).cast("double").as("observado"),
+        (col(predCol).cast("double") - col("__qhat")).as("lo"),
+        (col(predCol).cast("double") + col("__qhat")).as("hi"),
+        (col(actualCol).cast("double") >=
+          col(predCol).cast("double") - col("__qhat") &&
+          col(actualCol).cast("double") <=
+            col(predCol).cast("double") + col("__qhat")).as("coberto"))
+  }
+
+  /** Off-policy evaluation by inverse-propensity scoring (Horvitz &
+    * Thompson 1952; SNIPS per Swaminathan & Joachims NeurIPS 2015) —
+    * "what would this other policy have earned on the traffic we
+    * already logged": for a deterministic target policy π, V̂_IPS =
+    * (1/n)·Σ 1{a_i = π(x_i)}·r_i / p̂(a_i|x_i) and the self-normalized
+    * V̂_SNIPS divides by Σ of the same weights instead of n (trading a
+    * little bias for much less variance — the estimator actually used).
+    *
+    * Both the behavior propensities p̂(a|x) and the greedy target
+    * policy π(x) = argmax_a average-reward(x, a) are fit from the log
+    * itself in the SAME plan: one (context, action) aggregation
+    * (combinable counts + DECIMAL reward sums), a context-level
+    * rollup, and an argmax window ordered (reward desc, action asc) so
+    * ties are engine-deterministic. Estimates divide exact decimal
+    * sums ONCE per output cell.
+    *
+    * Scale: everything after the first aggregation is bounded by
+    * |contexts| × |actions|; the per-row weighting joins the propensity
+    * table back BROADCAST. Output: one row per context — n, acao_alvo,
+    * v_ips, v_snips.
+    */
+  def ipsPolicyValue(
+      log: DataFrame, contextCol: String, actionCol: String,
+      rewardCol: String): DataFrame = {
+    val ca = log
+      .filter(col(actionCol).isNotNull && col(rewardCol).isNotNull)
+      .select(col(contextCol).as("__x"), col(actionCol).as("__a"),
+        col(rewardCol).cast("double").as("__r"))
+      .transform(graft.llm.CacheScope.persistTracked)
+    val cells = ca.groupBy("__x", "__a").agg(
+      count(lit(1L)).as("__nc"),
+      sum(col("__r").cast("decimal(38,12)")).cast("decimal(38,12)")
+        .as("__sr"))
+    val wCtx = org.apache.spark.sql.expressions.Window.partitionBy("__x")
+    val wArg = org.apache.spark.sql.expressions.Window.partitionBy("__x").orderBy(
+      (col("__sr").cast("double") / col("__nc").cast("double")).desc,
+      col("__a").asc)
+    val fitted = cells
+      .withColumn("__nx", sum(col("__nc")).over(wCtx))
+      .withColumn("__pi", row_number().over(wArg))
+      .select(col("__x"), col("__a"),
+        (col("__nc").cast("double") / col("__nx").cast("double"))
+          .as("__p"),
+        (col("__pi") === 1).as("__alvo"))
+    val weighted = ca.join(broadcast(fitted), Seq("__x", "__a"))
+      .select(col("__x"), col("__a"),
+        when(col("__alvo"), col("__r") / col("__p")).otherwise(lit(0.0))
+          .as("__wr"),
+        when(col("__alvo"), lit(1.0) / col("__p")).otherwise(lit(0.0))
+          .as("__w"))
+    val target = fitted.filter(col("__alvo"))
+      .select(col("__x"), col("__a").as("acao_alvo"))
+    weighted.groupBy("__x").agg(
+        count(lit(1L)).as("n"),
+        sum(col("__wr").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as("__swr"),
+        sum(col("__w").cast("decimal(38,12)")).cast("decimal(38,12)")
+          .as("__sw"))
+      .join(target, Seq("__x"))
+      .select(col("__x").as("contexto"), col("acao_alvo"), col("n"),
+        (col("__swr").cast("double") / col("n").cast("double"))
+          .as("v_ips"),
+        when(col("__sw") > lit(0).cast("decimal(38,12)"),
+          col("__swr").cast("double") / col("__sw").cast("double"))
+          .otherwise(lit(0.0)).as("v_snips"))
+  }
 }

@@ -16,6 +16,19 @@ private[graft] trait RegistryCuration extends RegistryBase {
 
   protected def queriesCuration: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 246 — popularity^0.75 negative sampling (word2vec / BPR
+    // data prep): item CDF as exact integer weights (sqrt(sqrt(n³)) —
+    // no pow), bucketed inverted-CDF lookup as ONE equi-join, draws
+    // from the portable md5 dyadic uniform.
+    "q232_negative_sampling" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val inter = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("usuario"),
+          col("l_partkey").as("item"))
+      ordered(llm.Negative.negativeSample(inter, "usuario", "item", k = 2))
+    },
+
     // Sequence packing for pretraining batches: per-language running token
     // offsets → fixed-budget bin assignment (one window cumsum), plus the
     // per-bin fill summary.
@@ -395,6 +408,33 @@ private[graft] trait RegistryCuration extends RegistryBase {
   )
 
   protected def oraclesCuration: Map[String, String] = Map(
+
+    "q232_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |cnt AS (SELECT i, count(*) AS n FROM pos GROUP BY i),
+        |wt AS (SELECT i,
+        |    CAST(floor(sqrt(sqrt(CAST(
+        |      CAST(n AS DECIMAL(38,0)) * n * n AS DOUBLE))) * 1000000.0)
+        |      AS BIGINT) AS w
+        |  FROM cnt),
+        |cum AS (SELECT i, w, sum(w) OVER (ORDER BY i) AS hi FROM wt),
+        |cum2 AS (SELECT i, hi - w AS lo, hi FROM cum),
+        |tot AS (SELECT max(hi) AS total FROM cum),
+        |draws AS (
+        |  SELECT u, i, j,
+        |    CAST(floor(((CAST(CAST(('0x' || substring(
+        |      md5(u || ':' || i || ':' || j), 1, 12)) AS BIGINT)
+        |      AS DOUBLE) + 0.5) / 281474976710656.0)
+        |      * CAST(total AS DOUBLE)) AS BIGINT) AS t
+        |  FROM pos CROSS JOIN tot
+        |  CROSS JOIN (SELECT unnest(range(1, 3)) AS j))
+        |SELECT d.u AS usuario, d.i AS item, CAST(d.j AS BIGINT) AS sorteio,
+        |  c.i AS item_negativo
+        |FROM draws d JOIN cum2 c ON d.t >= c.lo AND d.t < c.hi
+        |WHERE c.i <> d.i
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q224_priority_sample" ->
       """WITH s AS (

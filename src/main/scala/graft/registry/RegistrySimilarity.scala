@@ -15,6 +15,15 @@ import graft.operators._
 private[graft] trait RegistrySimilarity extends RegistryBase {
 
   protected def queriesSimilarity: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2 row 247 — simplified (centroid) silhouette: clustering-quality
+    // audit over the labeled embeddings; decimal-exact squared
+    // distances, decimal argmin for the nearest other centroid, one
+    // sqrt per side.
+    "q233_silhouette" -> { (s, dir) =>
+      ordered(llm.Similarity.simplifiedSilhouette(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label"))
+    },
     // §2 row 29 — brute-force cosine top-k: broadcast query set, decimal
     // -exact dot products, per-query window top-k.
     "q29_cosine_topk" -> { (s, dir) =>
@@ -170,6 +179,35 @@ private[graft] trait RegistrySimilarity extends RegistryBase {
   )
 
   protected def oraclesSimilarity: Map[String, String] = Map(
+
+    "q233_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |c AS (SELECT label AS cl, pos,
+        |    CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS cv
+        |  FROM e GROUP BY cl, pos),
+        |d AS (SELECT e.vec_id, e.label, c.cl,
+        |    sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(38,18))) AS d2
+        |  FROM e JOIN c ON e.pos = c.pos
+        |  GROUP BY e.vec_id, e.label, c.cl),
+        |own AS (SELECT vec_id, label, d2 AS a2 FROM d WHERE label = cl),
+        |oth AS (SELECT vec_id, min(d2) AS b2 FROM d WHERE label <> cl
+        |  GROUP BY vec_id),
+        |sv AS (SELECT own.label,
+        |    sqrt(CAST(a2 AS DOUBLE)) AS a, sqrt(CAST(b2 AS DOUBLE)) AS b
+        |  FROM own JOIN oth ON own.vec_id = oth.vec_id)
+        |SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CASE WHEN greatest(a, b) > 0.0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END
+        |    AS DECIMAL(38,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS silhueta_media
+        |FROM sv GROUP BY label
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // Replays the q29 decimal-dot cosine over A×B, both directions'
     // top-4 decimal-folded neighborhood averages, the margin ratio and

@@ -16,6 +16,41 @@ private[graft] trait RegistryStats extends RegistryBase {
 
   protected def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 245 — split-conformal prediction intervals (Lei 2018):
+    // segment-mean predictor fit on the even-key calibration half, q̂ =
+    // the exact ceil((n+1)(1-α)) order statistic of calibration
+    // |residuals|, intervals applied to the odd-key half.
+    "q231_conformal_interval" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+          col("o_totalprice"))
+      val cal = joined.filter(col("o_orderkey") % 2 === 0)
+      val fit = cal.groupBy("seg").agg(
+        (sum(col("o_totalprice").cast("decimal(38,12)")).cast("double") /
+          count(lit(1L)).cast("double")).as("pred"))
+      ordered(operators.Stats.conformalIntervals(
+        cal.join(fit, Seq("seg")),
+        joined.filter(col("o_orderkey") % 2 === 1).join(fit, Seq("seg")),
+        "o_orderkey", "pred", "o_totalprice", alpha = 0.1))
+    },
+
+    // §2 row 248 — off-policy evaluation (IPS + SNIPS, Horvitz-Thompson
+    // / Swaminathan-Joachims): behavior propensities and the greedy
+    // target policy fit from the log in the same plan, estimates from
+    // exact decimal sums.
+    "q234_ips_policy_eval" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") =!= "purchase")
+        .select((col("user_id") % 4).as("contexto"),
+          col("event_type").as("acao"), col("value").as("recompensa"))
+      ordered(operators.Stats.ipsPolicyValue(
+        ev, "contexto", "acao", "recompensa"))
+    },
+
     // Per-group trend fitting: OLS slope/intercept of order value over
     // time per market segment — grouped regression as ONE combinable
     // aggregation of exact-DECIMAL sufficient statistics (the only
@@ -405,6 +440,59 @@ private[graft] trait RegistryStats extends RegistryBase {
        |  nd * syy - sy * sy AS vy)""".stripMargin
 
   protected def oraclesStats: Map[String, String] = Map(
+
+    "q231_conformal_interval" ->
+      """WITH j AS (
+        |  SELECT o_orderkey AS k, c_mktsegment AS seg, o_totalprice AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |fit AS (SELECT seg, CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pred
+        |  FROM j WHERE k % 2 = 0 GROUP BY seg),
+        |cal AS (SELECT k, abs(CAST(y AS DOUBLE) - pred) AS r
+        |  FROM j JOIN fit USING (seg) WHERE k % 2 = 0),
+        |rk AS (SELECT r, row_number() OVER (ORDER BY r, k) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM cal),
+        |q AS (SELECT r AS qhat FROM rk
+        |  WHERE rk = CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT))
+        |SELECT k AS o_orderkey, pred, CAST(y AS DOUBLE) AS observado,
+        |  pred - qhat AS lo, pred + qhat AS hi,
+        |  (CAST(y AS DOUBLE) >= pred - qhat AND
+        |   CAST(y AS DOUBLE) <= pred + qhat) AS coberto
+        |FROM j JOIN fit USING (seg) CROSS JOIN q
+        |WHERE k % 2 = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q234_ips_policy_eval" ->
+      """WITH lg AS (
+        |  SELECT user_id % 4 AS x, event_type AS a, value AS r
+        |  FROM events WHERE event_type <> 'purchase'
+        |    AND event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT x, a, count(*) AS nc,
+        |    CAST(sum(CAST(r AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sr
+        |  FROM lg GROUP BY x, a),
+        |fit AS (SELECT x, a,
+        |    CAST(nc AS DOUBLE) /
+        |      CAST(sum(nc) OVER (PARTITION BY x) AS DOUBLE) AS p,
+        |    row_number() OVER (PARTITION BY x
+        |      ORDER BY CAST(sr AS DOUBLE) / CAST(nc AS DOUBLE) DESC,
+        |      a ASC) = 1 AS alvo
+        |  FROM cells),
+        |wtd AS (SELECT lg.x,
+        |    CASE WHEN alvo THEN r / p ELSE 0.0 END AS wr,
+        |    CASE WHEN alvo THEN 1.0 / p ELSE 0.0 END AS wgt
+        |  FROM lg JOIN fit ON lg.x = fit.x AND lg.a = fit.a),
+        |agg AS (SELECT x, count(*) AS n,
+        |    CAST(sum(CAST(wr AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS swr,
+        |    CAST(sum(CAST(wgt AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sw
+        |  FROM wtd GROUP BY x),
+        |tgt AS (SELECT x, a AS acao_alvo FROM fit WHERE alvo)
+        |SELECT agg.x AS contexto, acao_alvo, CAST(n AS BIGINT) AS n,
+        |  CAST(swr AS DOUBLE) / CAST(n AS DOUBLE) AS v_ips,
+        |  CASE WHEN sw > 0 THEN CAST(swr AS DOUBLE) / CAST(sw AS DOUBLE)
+        |       ELSE 0.0 END AS v_snips
+        |FROM agg JOIN tgt ON agg.x = tgt.x
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     // One select per pair, each replaying the both-non-null guarded
     // DECIMAL sufficient statistics and the identical IEEE assembly.

@@ -16,6 +16,16 @@ private[graft] trait RegistryStreaming extends RegistryBase {
 
   protected def queriesStreaming: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 243 — position-based (U-shaped) + time-decay attribution:
+    // the rule-based siblings of q225/q226 on the same journey contract.
+    // Decay weights are exact integer halvings (no pow), so every
+    // credit is one IEEE division; channel rollups sum through DECIMAL.
+    "q229_position_decay" -> { (s, dir) =>
+      ordered(operators.Attribution.positionalAttribution(
+        Tables.events(s, dir), "user_id", "event_type", "ts",
+        "event_id", "purchase", halfLifeSeconds = 86400L))
+    },
+
     // §2 row 36 — tumbling-window aggregate over events (batch form of the
     // streaming windowed agg; streaming twin exercised in scalatest).
     "q36_windowed_agg" -> { (s, dir) =>
@@ -250,6 +260,39 @@ private[graft] trait RegistryStreaming extends RegistryBase {
   }
 
   protected def oraclesStreaming: Map[String, String] = Map(
+
+    "q229_position_decay" ->
+      """WITH ev AS (
+        |  SELECT user_id AS u, event_type AS c, ts, event_id AS o,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |fc AS (SELECT u, min(rn) AS fc FROM ev WHERE c = 'purchase'
+        |  GROUP BY u),
+        |fct AS (SELECT ev.u, ev.ts AS tc FROM ev
+        |  JOIN fc ON ev.u = fc.u AND ev.rn = fc.fc),
+        |t AS (SELECT ev.u, ev.c, ev.ts, ev.rn, fct.tc
+        |  FROM ev JOIN fc ON ev.u = fc.u JOIN fct ON ev.u = fct.u
+        |  WHERE ev.rn < fc.fc),
+        |j AS (SELECT u, count(*) AS n, min(rn) AS rmin, max(rn) AS rmax
+        |  FROM t GROUP BY u),
+        |sc AS (SELECT t.u, t.c,
+        |  CASE WHEN j.n = 1 THEN 1.0
+        |       WHEN (t.rn = j.rmin OR t.rn = j.rmax) AND j.n = 2 THEN 0.5
+        |       WHEN t.rn = j.rmin OR t.rn = j.rmax THEN 0.4
+        |       ELSE 0.2 / CAST(j.n - 2 AS DOUBLE) END AS pc,
+        |  (CAST(1 AS BIGINT) << CAST(18 - least(
+        |    (epoch_us(t.tc) - epoch_us(t.ts)) // 86400000000, 18) AS INT))
+        |    AS w
+        |  FROM t JOIN j ON t.u = j.u),
+        |wt AS (SELECT u, sum(w) AS wtot FROM sc GROUP BY u)
+        |SELECT sc.c AS canal, CAST(count(*) AS BIGINT) AS toques,
+        |  CAST(sum(CAST(pc AS DECIMAL(38,18))) AS DOUBLE)
+        |    AS credito_posicional,
+        |  CAST(sum(CAST(CAST(sc.w AS DOUBLE) / CAST(wt.wtot AS DOUBLE)
+        |    AS DECIMAL(38,18))) AS DOUBLE) AS credito_decaimento
+        |FROM sc JOIN wt ON sc.u = wt.u
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q225_shapley_attribution" -> shapleySql,
 

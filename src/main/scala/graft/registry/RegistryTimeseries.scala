@@ -16,6 +16,17 @@ private[graft] trait RegistryTimeseries extends RegistryBase {
 
   protected def queriesTimeseries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 244 — EWMA control chart (Roberts 1959): day-bucketed
+    // per-type value series, z-recursion + discount power as ONE
+    // aggregate fold (no pow() — its rounding is not IEEE-mandated),
+    // population-σ limits from exact decimal sums. The oracle replays
+    // the identical IEEE sequence as a recursive CTE.
+    "q230_ewma_chart" -> { (s, dir) =>
+      ordered(operators.Smoothing.ewmaChart(
+        Tables.events(s, dir), Seq("event_type"), to_date(col("ts")),
+        "value", lambda = 0.25, limitL = 3.0))
+    },
+
     // Calendar gap-fill + forward-fill: per-customer monthly order
     // totals with every month of each customer's span PRESENT (absent
     // months get null value + presence flag + the carried last value) —
@@ -179,6 +190,44 @@ private[graft] trait RegistryTimeseries extends RegistryBase {
   )
 
   protected def oraclesTimeseries: Map[String, String] = Map(
+
+    "q230_ewma_chart" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dd,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type, dd, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dd) AS rn
+        |  FROM d),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS sxx
+        |  FROM s GROUP BY event_type),
+        |ms AS (SELECT event_type, n,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |    sqrt(greatest(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sigma
+        |  FROM st),
+        |r AS (
+        |  SELECT event_type, 0 AS rn, mu AS z,
+        |    CAST(1.0 AS DOUBLE) AS r2 FROM ms
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1, 0.25 * s.y + 0.75 * r.z,
+        |    r.r2 * CAST(0.5625 AS DOUBLE)
+        |  FROM r JOIN s ON s.event_type = r.event_type
+        |    AND s.rn = r.rn + 1)
+        |SELECT s.event_type, s.dd AS tempo, s.y AS valor, r.z AS ewma,
+        |  ms.mu - 3.0 * ms.sigma * sqrt((CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - r.r2))
+        |    AS lim_inferior,
+        |  ms.mu + 3.0 * ms.sigma * sqrt((CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - r.r2))
+        |    AS lim_superior,
+        |  coalesce(abs(r.z - ms.mu) >
+        |    3.0 * ms.sigma * sqrt((CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE)) * (CAST(1.0 AS DOUBLE) - r.r2)), FALSE)
+        |    AS alarme
+        |FROM s JOIN r ON r.event_type = s.event_type AND r.rn = s.rn
+        |JOIN ms ON ms.event_type = s.event_type
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q221_holt_smoothing" ->
       """WITH RECURSIVE d AS (
