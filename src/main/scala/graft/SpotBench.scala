@@ -156,6 +156,34 @@ object SpotBench {
           llm.Dedup.AdaptiveBlock, cache = false)
         .agg(count(lit(1L)).as("n"))
     },
+    // q161's layers in isolation: the co-purchase edge construction
+    // (order-blocked self-join + distinct) vs one degree aggregation —
+    // locates the sf10 16 GiB OOM between the query's input side and
+    // the peel loop.
+    "q161_edges_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ps = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      ps.select(col("o"), col("p").as("p1"))
+        .join(ps.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+        .agg(count(lit(1L)).as("n"))
+    },
+    "q161_edges_degrees" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ps = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = ps.select(col("o"), col("p").as("p1"))
+        .join(ps.select(col("o"), col("p").as("p2")), Seq("o"))
+        .filter(col("p1") < col("p2"))
+        .select(col("p1").as("a"), col("p2").as("b")).distinct()
+      e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1L)).as("grau"))
+        .agg(count(lit(1L)).as("n"))
+    },
     // q27's raw candidate stream (tiledPairs output, payload carried,
     // hamming NOT yet filtered) — for `count:` cardinality attribution
     "q27_cand_stream" -> { (s, dir) =>

@@ -237,12 +237,21 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 50, spillEdges: Long = 16000000L): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    // the INITIAL snapshot checkpoints DISK_ONLY unconditionally: it
+    // materializes concurrently with the caller's edge construction
+    // (often a join + distinct — the heaviest execution-memory stage of
+    // the whole operator), and a MEMORY_AND_DISK store would pin the
+    // protected storage half of the unified pool exactly when execution
+    // needs it (measured at sf10/16 GiB: construction alone completes,
+    // construction + memory checkpoint dies UNABLE_TO_ACQUIRE in the
+    // distinct's aggregate pages)
     var e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val storage =
       if (e.count() > spillEdges)
         org.apache.spark.storage.StorageLevel.DISK_ONLY
