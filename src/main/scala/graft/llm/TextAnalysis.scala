@@ -916,4 +916,52 @@ object TextAnalysis {
         when(col("n_tokens") > 0L, log(n) - col("__clnc") / n)
           .as("entropia"))
   }
+
+  /** Good–Turing frequency re-estimation (Good, Biometrika 1953; the
+    * Gale & Sampson 1995 presentation) — the vocabulary-MASS audit next
+    * to the coverage rows (141/212): from the corpus' frequency-of-
+    * frequencies table N_r = |{tokens seen exactly r times}|, the
+    * Turing estimator r* = (r+1)·N_{r+1}/N_r re-discounts each count,
+    * and the unseen mass P₀ = N_1/N answers the question coverage
+    * audits beg: how much probability belongs to tokens the corpus has
+    * NOT shown yet — the "will a bigger crawl still surprise the
+    * tokenizer" number.
+    *
+    * Shape: token explode → token counts → frequency-of-frequencies —
+    * two combinable aggregations; the N_r table is tiny (distinct
+    * counts are O(√N)), the total re-derives from it as Σ r·N_r (no
+    * second corpus scan). r* joins N_{r+1} by r+1 and is null where
+    * the classic N_{r+1} = 0 gap bites — smoothing the gaps is SGT, a
+    * DIFFERENT contract, stated not silently substituted. Every ratio
+    * is one division of exact longs.
+    *
+    * Output: one row per observed r — (r, n_r, r_star, massa = r·N_r/N)
+    * — plus the r = 0 row whose massa is the Turing unseen mass N_1/N
+    * (n_r and r_star null: nothing was observed zero times).
+    */
+  def goodTuring(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = Spread(docs)
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+    val nr = CacheScope.persistTracked(
+      toks.groupBy("__t").agg(count(lit(1L)).as("r"))
+        .groupBy("r").agg(count(lit(1L)).as("n_r")))
+    val tot = nr.agg(sum(col("r") * col("n_r")).as("__n"))
+    val next = nr.select((col("r") - 1L).as("r"), col("n_r").as("__nn"))
+    val rows = nr.join(next, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("n_r"),
+        (((col("r") + 1L) * col("__nn")).cast("double") /
+          col("n_r").cast("double")).as("r_star"),
+        ((col("r") * col("n_r")).cast("double") /
+          col("__n").cast("double")).as("massa"))
+    val n1 = nr.filter(col("r") === 1L).select(col("n_r").as("__n1"))
+    val zero = tot.join(broadcast(n1), lit(true), "left")
+      .select(lit(0L).as("r"), lit(null).cast("long").as("n_r"),
+        lit(null).cast("double").as("r_star"),
+        (coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("massa"))
+    rows.unionByName(zero)
+  }
 }

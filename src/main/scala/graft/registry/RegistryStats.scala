@@ -16,6 +16,30 @@ private[graft] trait RegistryStats extends RegistryBase {
 
   protected def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 249 — Poisson bootstrap CI (Chamandy et al. 2012): one
+    // scan computes all B replicates (per-(row,b) Poisson(1) weights
+    // from the md5 dyadic uniform against driver-computed CDF literals
+    // — libm never runs in either engine), CI = exact order statistics
+    // of the replicate means.
+    "q235_bootstrap_ci" -> { (s, dir) =>
+      ordered(operators.Bootstrap.bootstrapMeanCi(
+        Tables.orders(s, dir), Seq("o_orderpriority"), "o_orderkey",
+        "o_totalprice", b = 100, alpha = 0.05))
+    },
+
+    // §2 row 250 — exact 1-D Wasserstein-1 drift distance between the
+    // pre/post-1995 order-value distributions per priority: integer
+    // CDF cross-products × integer value gaps, decimal-summed, two
+    // edge divisions.
+    "q236_wasserstein" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("grupo"),
+        (col("o_orderdate") < to_date(lit("1995-01-01"))).as("lado"),
+        col("o_totalprice").as("valor"))
+      ordered(operators.Wasserstein.wasserstein1d(
+        o, Seq("grupo"), "lado", "valor", scale = 2))
+    },
+
     // §2 row 245 — split-conformal prediction intervals (Lei 2018):
     // segment-mean predictor fit on the even-key calibration half, q̂ =
     // the exact ceil((n+1)(1-α)) order statistic of calibration
@@ -439,7 +463,90 @@ private[graft] trait RegistryStats extends RegistryBase {
        |LATERAL (SELECT nd * sxx - sx * sx AS vx,
        |  nd * syy - sy * sy AS vy)""".stripMargin
 
+  /** q235's oracle: the Poisson(1) CDF thresholds are the OPERATOR's
+    * own driver-computed literals (Bootstrap.PoissonCdf), interpolated
+    * with Scala's shortest-roundtrip Double.toString so both engines
+    * parse back the identical doubles — the transcendental exp(-1) is
+    * evaluated exactly once, on the driver.
+    */
+  private lazy val bootstrapCiSql: String = {
+    val caseW = operators.Bootstrap.PoissonCdf.zipWithIndex
+      .map { case (c, m) => s"WHEN u <= $c THEN $m" }
+      .mkString(" ")
+    val lo = 0.05 / 2.0
+    val hi = 1.0 - 0.05 / 2.0
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS g, o_orderkey AS id,
+       |    CAST(o_totalprice AS DOUBLE) AS x
+       |  FROM orders WHERE o_totalprice IS NOT NULL),
+       |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS media
+       |  FROM base GROUP BY g),
+       |draws AS (SELECT g, id, x, j,
+       |    (CAST(CAST(('0x' || substring(md5(id || ':' || j), 1, 12))
+       |      AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+       |  FROM base CROSS JOIN (SELECT unnest(range(1, 101)) AS j)),
+       |wtd AS (SELECT g, j, CASE $caseW ELSE 9 END AS w, x FROM draws),
+       |rep AS (SELECT g, j, sum(w) AS sw,
+       |    CAST(sum(CAST(CAST(w AS DOUBLE) * x AS DECIMAL(38,12)))
+       |      AS DECIMAL(38,12)) AS swx
+       |  FROM wtd GROUP BY g, j HAVING sum(w) > 0),
+       |mm AS (SELECT g, j,
+       |    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mb FROM rep),
+       |rk AS (SELECT g, j, mb,
+       |    row_number() OVER (PARTITION BY g ORDER BY mb, j) AS rk,
+       |    count(*) OVER (PARTITION BY g) AS bv
+       |  FROM mm),
+       |ci AS (SELECT g, CAST(max(bv) AS BIGINT) AS b_validos,
+       |    min(CASE WHEN rk =
+       |      CAST(ceil(CAST(bv AS DOUBLE) * $lo) AS BIGINT)
+       |      THEN mb END) AS ic_inferior,
+       |    max(CASE WHEN rk =
+       |      CAST(ceil(CAST(bv AS DOUBLE) * $hi) AS BIGINT)
+       |      THEN mb END) AS ic_superior
+       |  FROM rk GROUP BY g)
+       |SELECT pt.g AS o_orderpriority, n, media, b_validos,
+       |  ic_inferior, ic_superior
+       |FROM pt JOIN ci ON pt.g = ci.g
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+
+    "q235_bootstrap_ci" -> bootstrapCiSql,
+
+    "q236_wasserstein" ->
+      """WITH base AS (
+        |  SELECT o_orderpriority AS grupo,
+        |    o_orderdate < DATE '1995-01-01' AS sa,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |pv AS (SELECT grupo, v,
+        |    sum(CASE WHEN sa THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN sa THEN 0 ELSE 1 END) AS cb
+        |  FROM base GROUP BY grupo, v),
+        |cum AS (SELECT grupo, v,
+        |    sum(ca) OVER (PARTITION BY grupo ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY grupo ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+        |    sum(ca) OVER (PARTITION BY grupo) AS na,
+        |    sum(cb) OVER (PARTITION BY grupo) AS nb,
+        |    CAST((lead(v) OVER (PARTITION BY grupo ORDER BY v) - v) * 100
+        |      AS BIGINT) AS gapi
+        |  FROM pv),
+        |agg AS (SELECT grupo, max(na) AS n_a, max(nb) AS n_b,
+        |    sum(CASE WHEN gapi IS NOT NULL THEN
+        |      CAST(abs(cuma * nb - cumb * na) * gapi AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS s
+        |  FROM cum GROUP BY grupo)
+        |SELECT grupo, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(s AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) / 100.0
+        |  END AS w1
+        |FROM agg ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q231_conformal_interval" ->
       """WITH j AS (

@@ -16,6 +16,15 @@ private[graft] trait RegistryText extends RegistryBase {
 
   protected def queriesText: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 251 — Good–Turing unseen-mass estimation over the corpus
+    // vocabulary: frequency-of-frequencies, Turing-discounted r*, and
+    // P0 = N1/N (the "will a bigger crawl still surprise the
+    // tokenizer" audit).
+    "q237_good_turing" -> { (s, dir) =>
+      ordered(llm.TextAnalysis.goodTuring(
+        Tables.documents(s, dir), "text"))
+    },
+
     // §2 row 31 — language-ID: marker-vocabulary scores + argmax.
     "q31_lang_id" -> { (s, dir) =>
       val toks = llm.TextAnalysis.tokens(col("text"))
@@ -323,6 +332,30 @@ private[graft] trait RegistryText extends RegistryBase {
   }
 
   protected def oraclesText: Map[String, String] = Map(
+
+    "q237_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (SELECT t, count(*) AS r FROM toks WHERE t <> ''
+        |  GROUP BY t),
+        |nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc
+        |  GROUP BY r),
+        |tot AS (SELECT sum(r * n_r) AS n FROM nr),
+        |rows_ AS (
+        |  SELECT nr.r, nr.n_r,
+        |    CAST((nr.r + 1) * nx.n_r AS DOUBLE) / CAST(nr.n_r AS DOUBLE)
+        |      AS r_star,
+        |    CAST(nr.r * nr.n_r AS DOUBLE) / CAST(tot.n AS DOUBLE) AS massa
+        |  FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tot),
+        |zero AS (
+        |  SELECT CAST(0 AS BIGINT) AS r, CAST(NULL AS BIGINT) AS n_r,
+        |    CAST(NULL AS DOUBLE) AS r_star,
+        |    CAST(coalesce((SELECT n_r FROM nr WHERE r = 1), 0) AS DOUBLE)
+        |      / CAST(tot.n AS DOUBLE) AS massa
+        |  FROM tot)
+        |SELECT * FROM rows_ UNION ALL SELECT * FROM zero
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q228_lang_segments" ->
       s"""WITH t AS (

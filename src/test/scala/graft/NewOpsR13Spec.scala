@@ -4,8 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Negative, Similarity}
-import graft.operators.{Attribution, Smoothing, Stats}
+import graft.llm.{Negative, Similarity, TextAnalysis}
+import graft.operators.{Attribution, Bootstrap, Smoothing, Stats, Wasserstein}
 
 /** Round-13 additions: position/time-decay attribution, the EWMA control
   * chart, split-conformal intervals, popularity^0.75 negative sampling,
@@ -188,5 +188,76 @@ class NewOpsR13Spec extends SparkSpec {
     assert(r.getAs[Double]("v_ips") == 8.0)
     assert(r.getAs[Double]("v_snips") == 8.0)
     assert(r.getAs[Long]("n") == 4L)
+  }
+
+  // ---- Poisson bootstrap CI -------------------------------------------------
+
+  test("bootstrap CI: deterministic, brackets the mean, exact replicate count") {
+    val df = (1 to 400).map(i => ("g", i.toLong, 100.0 + (i % 21) - 10))
+      .toDF("g", "id", "x")
+    val a = Bootstrap.bootstrapMeanCi(df, Seq("g"), "id", "x", b = 100)
+      .collect().head
+    val b = Bootstrap.bootstrapMeanCi(df, Seq("g"), "id", "x", b = 100)
+      .collect().head
+    assert(a.toString == b.toString)
+    assert(a.getAs[Long]("n") == 400L)
+    assert(a.getAs[Long]("b_validos") == 100L)
+    val (media, lo, hi) = (a.getAs[Double]("media"),
+      a.getAs[Double]("ic_inferior"), a.getAs[Double]("ic_superior"))
+    assert(lo < media && media < hi)
+    // a ±10 population: the 95% CI of a 400-row mean is well inside ±2
+    assert(hi - lo < 4.0 && hi - lo > 0.0)
+  }
+
+  test("bootstrap Poisson CDF thresholds are a valid monotone CDF") {
+    val cs = Bootstrap.PoissonCdf
+    assert(cs.size == 9)
+    assert(cs.zip(cs.tail).forall { case (a, b) => a < b })
+    assert(math.abs(cs.head - math.exp(-1.0)) < 1e-15)
+    assert(cs.last > 0.999998 && cs.last < 1.0) // c_8 = 1 − 1.13e-6
+  }
+
+  // ---- 1-D Wasserstein ------------------------------------------------------
+
+  test("W1: zero for identical samples, exact for a constant shift") {
+    val df = ((1 to 50).map(i => ("g", true, i.toDouble)) ++
+      (1 to 50).map(i => ("g", false, i.toDouble + 7.25)))
+      .toDF("g", "lado", "v")
+    val out = Wasserstein.wasserstein1d(df, Seq("g"), "lado", "v")
+      .collect().head
+    assert(out.getAs[Long]("n_a") == 50L && out.getAs[Long]("n_b") == 50L)
+    assert(math.abs(out.getAs[Double]("w1") - 7.25) < 1e-9)
+    val same = ((1 to 50).map(i => ("g", true, i.toDouble)) ++
+      (1 to 50).map(i => ("g", false, i.toDouble))).toDF("g", "lado", "v")
+    assert(Wasserstein.wasserstein1d(same, Seq("g"), "lado", "v")
+      .collect().head.getAs[Double]("w1") == 0.0)
+    // hand case: A={0,10}, B={5,15} -> W1 = 5
+    val hand = Seq(("g", true, 0.0), ("g", true, 10.0),
+      ("g", false, 5.0), ("g", false, 15.0)).toDF("g", "lado", "v")
+    assert(Wasserstein.wasserstein1d(hand, Seq("g"), "lado", "v")
+      .collect().head.getAs[Double]("w1") == 5.0)
+    // a group with one side missing emits null
+    val oneSide = Seq(("h", true, 1.0)).toDF("g", "lado", "v")
+    assert(Wasserstein.wasserstein1d(oneSide, Seq("g"), "lado", "v")
+      .collect().head.isNullAt(3))
+  }
+
+  // ---- Good-Turing ----------------------------------------------------------
+
+  test("Good-Turing replays the textbook frequency-of-frequencies table") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.goodTuring(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // counts a:3 b:2 c:1 -> N=6, N_1=N_2=N_3=1
+    assert(out(1L)._1.contains(1L))
+    assert(out(1L)._2.contains(2.0))           // r*=2*N_2/N_1
+    assert(out(1L)._3 == 1.0 / 6.0)
+    assert(out(2L)._2.contains(3.0))           // r*=3*N_3/N_2
+    assert(out(2L)._3 == 2.0 / 6.0)
+    assert(out(3L)._2.isEmpty)                 // N_4 = 0 -> null
+    assert(out(3L)._3 == 0.5)
+    assert(out(0L)._1.isEmpty && out(0L)._2.isEmpty)
+    assert(out(0L)._3 == 1.0 / 6.0)            // P0 = N_1/N
   }
 }
