@@ -291,92 +291,148 @@ object Linkage {
 
   /** Shared FastSS core over a pre-projected (__id, __s, __st) frame.
     *
-    * Two verify shapes, switched on the neighborhood size (both A/B'd
-    * warm at sf1, round 13):
+    * Two shapes, switched on the distance bound:
     *
-    *   - maxDist ≤ 1 (≈ len+1 variants/row): the (string, len) payload
-    *     rides THROUGH the pair engine, so candidate pairs arrive with
-    *     both sides' strings attached and the verify stage is join-free.
-    *     The r12 shape (bare-id candidates joined back to the corpus
-    *     twice) spent ~64% of q183's sf1 wall in those joins: 46.4 →
-    *     33.3 s with the payload carry; a SHUFFLE_HASH hint on the
-    *     joins measured 49 s, i.e. the cost was the joins existing at
-    *     all, not their strategy. Pair dedup moves BELOW the banded
-    *     levenshtein — distinct runs on accepted OUTPUT pairs (near-dup
-    *     density), and re-verifying a pair once per shared variant is
-    *     O(maxDist·len) on the few multi-variant collisions.
+    *   - maxDist <= 1: [[editJoinPositional]] — position-keyed channels
+    *     where the deletion filter sharpens from complete to EXACT and
+    *     the verification DP disappears entirely (round 14, the sf10
+    *     cure; see its scaladoc for the theorem).
     *
-    *   - maxDist ≥ 2 (≈ len²/2 variants/row): payload bytes dominate
-    *     the variant shuffle and near-dup pairs share MANY variants, so
-    *     bare-id candidates + distinct + two joins back to the corpus
-    *     win — q186's candidate layer measured 34.6 s join-back vs
-    *     82.1 s payload-carry at sf1. The corpus frame is persisted
-    *     (referenced three times: variants + both join probes).
+    *   - maxDist >= 2 (~ len²/2 variants/row): position-less ≤d-deletion
+    *     neighborhoods. Payload bytes dominate the variant shuffle and
+    *     near-dup pairs share MANY variants, so bare-id candidates +
+    *     distinct + two joins back to the corpus win — q186's candidate
+    *     layer measured 34.6 s join-back vs 82.1 s payload-carry at
+    *     sf1. The corpus frame is persisted (referenced three times:
+    *     variants + both join probes); verification is one BANDED exact
+    *     DP per candidate (Spark's thresholded `levenshtein(l, r, k)`,
+    *     O(d·L), bails with -1 past the threshold — emitted distances
+    *     are the exact DP values, so the oracle replay matches).
     */
   private def editJoinCore(
       strsIn: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
     val strsBare = graft.llm.Spread(strsIn)
       .withColumn("__len", length(col("__s")).cast("long"))
-    val strs =
-      if (maxDist <= 1) strsBare
-      else graft.llm.CacheScope.persistTracked(strsBare)
-    val carry =
-      if (maxDist <= 1) Seq(col("__s"), col("__len")) else Seq.empty
-    // ≤d-deletion neighborhood: d rounds of explode(self ∪ one-char
+    if (maxDist <= 1) return editJoinPositional(strsBare, maxDist, maxBlock)
+    val strs = graft.llm.CacheScope.persistTracked(strsBare)
+    // <=d-deletion neighborhood: d rounds of explode(self U one-char
     // deletions), distinct per id. sequence(1,0) would step BACKWARD
     // (Spark's sign-inferred step) — guard the empty string explicitly.
-    var variants = strs.select(
-      Seq(col("__id"), col("__st")) ++ carry :+ col("__s").as("__v"): _*)
+    var variants = strs.select(col("__id"), col("__st"), col("__s").as("__v"))
     for (_ <- 1 to maxDist) {
       variants = variants.select(
-        Seq(col("__id"), col("__st")) ++ carry :+ explode(expr(
+        col("__id"), col("__st"), explode(expr(
           "case when length(__v) = 0 then array(__v) else " +
             "array_union(array(__v), transform(sequence(1, length(__v)), " +
             "i -> concat(substring(__v, 1, i-1), " +
-            "substring(__v, i+1, 2147483647)))) end")).as("__v"): _*)
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
     }
     // stratum is part of the block identity: variants collide only
     // within equal strata (NUL-joined — the key is opaque to tiledPairs)
     val block = concat_ws("\u0000", col("__st"), col("__v")).as("__block")
-    if (maxDist <= 1) {
-      // payload aliased AWAY from tiledPairs' reserved internals (__s
-      // is its salt-factor column — an unaliased __s payload is
-      // silently clobbered by the salt integer)
-      val keyed = variants.select(col("__id"), col("__s").as("__str"),
-          col("__len").as("__slen"), block)
-        .distinct()
-      graft.llm.Dedup.tiledPairs(keyed, Seq("__str", "__slen"), maxBlock)
-        .filter(abs(col("__slen_a") - col("__slen_b")) <= maxDist)
-        // thresholded levenshtein BANDS the DP (O(maxDist·L) per pair,
-        // bails with -1 past the threshold) — emitted distances are the
-        // exact DP values, so the output (and the oracle) are
-        // unchanged; only the cost of REJECTING over-threshold
-        // candidates drops
-        .select(
-          least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"),
-          levenshtein(col("__str_a"), col("__str_b"), maxDist)
-            .cast("long").as("dist"))
-        .filter(col("dist") >= 0L && col("dist") <= maxDist)
-        .distinct()
-    } else {
-      val keyed = variants.select(col("__id"), block).distinct()
-      val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
-        .select(
-          least(col("id_a"), col("id_b")).as("__ida"),
-          greatest(col("id_a"), col("id_b")).as("__idb"))
-        .distinct()
-      cand
-        .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
-          col("__len").as("__la")), "__ida")
-        .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
-          col("__len").as("__lb")), "__idb")
-        .filter(abs(col("__la") - col("__lb")) <= maxDist)
-        .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-          levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
-            .as("dist"))
-        .filter(col("dist") >= 0L && col("dist") <= maxDist)
-    }
+    val keyed = variants.select(col("__id"), block).distinct()
+    val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
+      .select(
+        least(col("id_a"), col("id_b")).as("__ida"),
+        greatest(col("id_a"), col("id_b")).as("__idb"))
+      .distinct()
+    cand
+      .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
+        col("__len").as("__la")), "__ida")
+      .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
+        col("__len").as("__lb")), "__idb")
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist)
+  }
+
+  /** maxDist <= 1 core: POSITION-KEYED FastSS channels (round 14 — the
+    * sf10 cure for q183). At d = 1 the deletion filter sharpens from
+    * complete to EXACT, so verification disappears — no Levenshtein DP
+    * runs anywhere on this path:
+    *
+    *   - '''dist 0''' — equal strings. Identical (stratum, string) rows
+    *     form one CLASS; within-class member pairs ARE the answer
+    *     (block = class through the shared tiling engine).
+    *   - '''substitution''' — a = b except at exactly one position i.
+    *     Then delete(a,i) = delete(b,i): both land in block
+    *     (stratum, i, variant). CONVERSELY any two distinct members of
+    *     that block are the variant with one char inserted at the SAME
+    *     i, so they agree outside i and differ at i — every block pair
+    *     is a true distance-1 pair, emitted exactly once (deleting any
+    *     j != i keeps the differing char, so the pair collides in no
+    *     other block). Position-keying is what kills the r13 sf10
+    *     blowup: a position-LESS block collided every string reaching
+    *     the variant from ANY position (~alphabet x length members on
+    *     id-like corpora — >60 GB of spilled candidates at sf10), while
+    *     a (position, variant) block holds at most |alphabet| strings.
+    *   - '''indel''' — |a| = |b| + 1 and b = delete(a, i): a's variant
+    *     EQUALS b, a plain (stratum, variant) JOIN (stratum, string)
+    *     equi-join whose every hit is a true distance-1 pair;
+    *     array_distinct over each class's variants makes each pair hit
+    *     once ("aab"->"ab" from two positions is one variant row).
+    *
+    * The channels are DISJOINT (equal strings / equal-length unequal
+    * strings / length gap 1), so the union needs no cross-channel
+    * dedup. Classes collapse before the channels (the q27/q227
+    * representative discipline), so a replicated corpus (gen_scale's
+    * verbatim xk) pays candidate work on DISTINCT strings only; the
+    * member cross-products — the true output's own volume — are
+    * restored by two output-bound equi-joins at the end.
+    *
+    * Completeness at d = 1 is case arithmetic: ed <= 1 means equal,
+    * one substitution, or one indel — each case has its channel.
+    */
+  private def editJoinPositional(
+      members0: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
+    // class key = (stratum, string) — NUL-joined, opaque to the engine
+    val members = graft.llm.CacheScope.persistTracked(
+      members0.withColumn(
+        "__ck", concat_ws("\u0000", col("__st"), col("__s"))))
+    val zero = graft.llm.Dedup.tiledPairs(
+        members.select(col("__id"), col("__ck").as("__block")),
+        Seq.empty, maxBlock, cache = false)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        lit(0L).as("dist"))
+    if (maxDist == 0) return zero
+    val classes = graft.llm.CacheScope.persistTracked(
+      members.select("__st", "__s", "__ck").distinct())
+    // strings with at least one deletion variant (len > 0); the empty
+    // string still pairs via the exact channel and as the indel join's
+    // right side ("" is the variant of every single-char string)
+    val deletable = classes.filter(length(col("__s")) > 0)
+    val subKeyed = deletable.select(col("__ck").as("__id"), col("__st"),
+        posexplode(expr(
+          "transform(sequence(1, length(__s)), i -> " +
+            "concat(substring(__s, 1, i-1), " +
+            "substring(__s, i+1, 2147483647)))")))
+      .select(col("__id"), concat_ws("\u0000",
+        col("__st"), col("pos").cast("string"), col("col")).as("__block"))
+    val subPairs = graft.llm.Dedup
+      .tiledPairs(subKeyed, Seq.empty, maxBlock, cache = false)
+      .select(col("id_a").as("__cka"), col("id_b").as("__ckb"))
+    val indelPairs = deletable.select(col("__st"), col("__ck").as("__cka"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, length(__s)), i -> " +
+            "concat(substring(__s, 1, i-1), " +
+            "substring(__s, i+1, 2147483647)))"))).as("__v"))
+      .join(classes.select(col("__st"), col("__s").as("__v"),
+        col("__ck").as("__ckb")), Seq("__st", "__v"))
+      .select(col("__cka"), col("__ckb"))
+    val one = subPairs.unionByName(indelPairs)
+      .join(members.select(col("__ck").as("__cka"),
+        col("__id").as("__ia")), "__cka")
+      .join(members.select(col("__ck").as("__ckb"),
+        col("__id").as("__ib")), "__ckb")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        lit(1L).as("dist"))
+    zero.unionByName(one)
   }
 }
