@@ -54,7 +54,14 @@ object Neighborhood {
       .withColumn("__part", spark_partition_id())
     val wLocal = Window.partitionBy("__part")
       .orderBy(col("__k"), col(idCol))
-    val local = ranged.withColumn("__lr", row_number().over(wLocal))
+    // PERSISTED: local is consumed twice (offsets + the join), and
+    // repartitionByRange SAMPLES its boundaries per evaluation — two
+    // un-shared evaluations can disagree, making the offsets lie about
+    // the main side's partition ids (the round-14 prefixSum lesson,
+    // measured as piecewise-constant rank errors). The cache pins ONE
+    // range shuffle for every consumer.
+    val local = graft.llm.CacheScope.persistTracked(
+      ranged.withColumn("__lr", row_number().over(wLocal)))
     // numPartitions rows — the bounded fold that replaces a global sort
     val wOff = Window.orderBy(col("__part"))
       .rowsBetween(Window.unboundedPreceding, -1)

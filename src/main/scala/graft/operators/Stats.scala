@@ -111,6 +111,55 @@ object Stats {
       .drop(groupCols.map(c => s"__gj_$c"): _*)
   }
 
+  /** Distributed prefix sum over a (unique-key, count) table — the
+    * scale-safe replacement for `Window.orderBy` with no partitioning
+    * (Spark's "Moving all data to a single partition" trap: one task
+    * sorts the whole table, corpus-sized when the keyed table is a
+    * distinct-VALUE collapse of a continuous column). Same engine as
+    * SNM's globalRank (Neighborhood.scala): range exchange on
+    * (parts…, order) → per-partition running sum → a broadcast offset
+    * fold over ≤ |parts|·numShufflePartitions rows. Values are exact
+    * integers, identical to the single-partition window's.
+    *
+    * `counts` must be UNIQUE on (parts…, order) (a groupBy collapse).
+    * Adds `__below` = Σ cnt over rows strictly before (same parts,
+    * smaller order) — or ≤, including the current row, when
+    * `current = true`.
+    */
+  private[graft] def prefixSum(
+      counts: DataFrame, order: String, cnt: String,
+      parts: Seq[String] = Nil, current: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = counts.sparkSession.sessionState.conf.numShufflePartitions
+    val pcols = parts.map(col)
+    // PERSISTED: the ranged frame is consumed twice (offsets + main),
+    // and repartitionByRange SAMPLES its boundaries per evaluation —
+    // two un-shared evaluations can disagree on the boundaries, making
+    // the offsets lie about the main side's partitions (measured on
+    // lineitem prices: piecewise-constant rank errors). The cache pins
+    // ONE shuffle, so every consumer sees the same partition ids.
+    val ranged = graft.llm.CacheScope.persistTracked(counts
+      .repartitionByRange(p, pcols :+ col(order): _*)
+      .sortWithinPartitions(pcols :+ col(order): _*)
+      .withColumn("__prt", spark_partition_id()))
+    val wLoc = Window.partitionBy(col("__prt") +: pcols: _*)
+      .orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding,
+        if (current) Window.currentRow else -1)
+    // the bounded fold that replaces a global sort: one row per
+    // (partition, parts) — at most numShufflePartitions per group
+    val wOff = Window.partitionBy(pcols: _*).orderBy(col("__prt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__prt") +: pcols: _*)
+      .agg(sum(col(cnt)).as("__pc"))
+      .withColumn("__poff", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
+      .select(col("__prt") +: pcols :+ col("__poff"): _*)
+    ranged.join(broadcast(offsets), "__prt" +: parts)
+      .withColumn("__below",
+        col("__poff") + coalesce(sum(col(cnt)).over(wLoc), lit(0L)))
+      .drop("__prt", "__poff")
+  }
+
   /** ABC / Pareto classification: rank each group's members by value,
     * accumulate their share of the group total, and label the classic
     * A/B/C bands (top ~80 % of value, next ~15 %, tail) — the
@@ -765,7 +814,6 @@ object Stats {
   def giniStump(
       df: DataFrame, featureCols: Seq[String], labelCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(featureCols.nonEmpty, "need at least one feature")
     val dec = "decimal(19,0)"
     val wide = "decimal(38,0)"
@@ -777,19 +825,22 @@ object Stats {
         .groupBy("limiar", "__c").agg(count(lit(1L)).as("__n"))
       val vals = counts.select("limiar").distinct()
       val classes = counts.groupBy("__c").agg(sum(col("__n")).as("__tot"))
-      val wCum = Window.partitionBy(col("__c")).orderBy(col("limiar"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val grid = vals.crossJoin(broadcast(classes))
-        .join(counts, Seq("limiar", "__c"), "left")
-        .na.fill(0L, Seq("__n"))
-        .withColumn("__cum", sum(col("__n")).over(wCum))
+      // per-class cumulative through the range-exchange prefix-sum
+      // engine: the contract admits CONTINUOUS features, where a
+      // per-class window over all distinct values is one corpus-sized
+      // task per class
+      val grid = prefixSum(
+          vals.crossJoin(broadcast(classes))
+            .join(counts, Seq("limiar", "__c"), "left")
+            .na.fill(0L, Seq("__n")),
+          "limiar", "__n", parts = Seq("__c"), current = true)
+        .withColumnRenamed("__below", "__cum")
       val byThresh = grid.groupBy("limiar").agg(
         sum(col("__cum")).as("n_esq"),
         sum(col("__cum").cast(dec) * col("__cum").cast(dec)).as("__sl"),
         sum((col("__tot") - col("__cum")).cast(dec) *
           (col("__tot") - col("__cum")).cast(dec)).as("__sr"),
         sum(col("__tot")).as("__ntot"))
-      val wBest = Window.orderBy(col("pontuacao").desc, col("limiar").asc)
       byThresh
         .withColumn("n_dir", col("__ntot") - col("n_esq"))
         .filter(col("n_dir") > 0L)
@@ -806,8 +857,11 @@ object Stats {
           (col("n_dir").cast(dec) * col("n_dir").cast(dec) - col("__sr"))
             .cast("double") /
           (col("n_dir").cast(dec) * col("n_dir").cast(dec)).cast("double"))
-        .withColumn("__rn", row_number().over(wBest))
-        .filter(col("__rn") === 1)
+        // argmax via TakeOrdered (a distributed top-1, never a global
+        // row_number window): same total order — equal scores break on
+        // the unique threshold — so the selected row is unchanged
+        .orderBy(col("pontuacao").desc, col("limiar").asc)
+        .limit(1)
         .select(lit(f).as("atributo"), col("limiar"), col("n_esq"),
           col("n_dir"), col("gini_esq"), col("gini_dir"), col("pontuacao"))
     }.reduce(_.unionByName(_))
@@ -837,7 +891,6 @@ object Stats {
     */
   def spearmanCorr(
       df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(pairs.nonEmpty, "need at least one column pair")
     val d19 = "decimal(19,0)"
     pairs.map { case (xc, yc) =>
@@ -846,15 +899,16 @@ object Stats {
           col(yc).cast("double").as("__y"))
         .filter(col("__x").isNotNull && col("__y").isNotNull)
         .transform(graft.llm.CacheScope.persistTracked)
-      def rankMap(c: String): DataFrame = {
-        val wBelow = Window.orderBy(col("__v"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        base.groupBy(col(c).as("__v")).agg(count(lit(1L)).as("__cnt"))
-          .withColumn("__below",
-            coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+      // cumulative count below each distinct value through the
+      // range-exchange prefix-sum engine — a continuous column's
+      // distinct-value table is corpus-sized, so a partition-less
+      // window here would single-task the whole rank map
+      def rankMap(c: String): DataFrame =
+        prefixSum(
+          base.groupBy(col(c).as("__v")).agg(count(lit(1L)).as("__cnt")),
+          "__v", "__cnt")
           .select(col("__v"),
             (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"))
-      }
       val ranked = base
         .join(rankMap("__x").withColumnRenamed("__r2", "__rx"),
           col("__x") === col("__v")).drop("__v")
@@ -957,18 +1011,17 @@ object Stats {
     */
   def kruskalWallis(
       df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d19 = "decimal(19,0)"
     val base = df
       .select(col(groupCol).cast("string").as("__g"),
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
       .transform(graft.llm.CacheScope.persistTracked)
-    val wBelow = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranks = base.groupBy("__v").agg(count(lit(1L)).as("__cnt"))
-      .withColumn("__below",
-        coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+    // distinct-value cumulative through the range-exchange prefix-sum
+    // engine (the spearmanCorr discipline — never a one-task rank sort)
+    val ranks = prefixSum(
+        base.groupBy("__v").agg(count(lit(1L)).as("__cnt")),
+        "__v", "__cnt")
       .select(col("__v"),
         (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"),
         (col("__cnt").cast(d19) * col("__cnt").cast(d19) *
@@ -1502,17 +1555,18 @@ object Stats {
       calib: DataFrame, apply: DataFrame, idCol: String,
       predCol: String, actualCol: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"need alpha in (0,1), got $alpha")
-    val res = calib
+    val res = graft.llm.CacheScope.persistTracked(calib
       .filter(col(predCol).isNotNull && col(actualCol).isNotNull)
       .select(col(idCol).as("__id"),
         abs(col(actualCol).cast("double") - col(predCol).cast("double"))
-          .as("__r"))
-    val wR = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-      .orderBy(col("__r").asc, col("__id").asc)
-    val ranked = res
-      .withColumn("__rk", row_number().over(wR).cast("long"))
-      .withColumn("__n", count(lit(1L)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+          .as("__r")))
+    // exact (residual, id) rank through SNM's distributed globalRank
+    // (range exchange + local row_number + broadcast offset fold) — a
+    // single-partition rank window here scales with the calibration
+    // set, which callers may cut as a fixed FRACTION of the corpus
+    val ranked = Neighborhood.globalRank(res, "__id", col("__r"))
+      .withColumnRenamed("__rank", "__rk")
+      .crossJoin(broadcast(res.agg(count(lit(1L)).as("__n"))))
     // rank = ceil((n+1)(1-alpha)) decided in integer arithmetic:
     // ceil(m·(1-alpha)) = m - floor(m·alpha) only for integral alpha·m —
     // stay with the double ceil but compare as long (both engines
