@@ -38,6 +38,51 @@ object SpotBench {
     c.unionByName(variants)
   }
 
+  /** q27's simhash signature frame (__id, __v0..__v3) over its graded
+    * corpus (documents + planted first-token-dropped variants) — the
+    * shared signature stage of the three decomposition probes below,
+    * factored so the probes cannot drift from each other (they are
+    * meant to DECOMPOSE one pipeline, not three).
+    */
+  private def q27Signatures(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(s, dir).select("doc_id", "text")
+    val variants = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+      .withColumn("text",
+        concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
+    val all = docs.unionByName(variants)
+    val m = md5(col("__tok").cast("binary"))
+    val tokRows = all.select(col("doc_id").as("__id"),
+        explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
+      .select(col("__id") +: (0 until 4).map(j =>
+        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+    val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+      sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+    val chunkVals = (0 until 4).map { j =>
+      (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+        .reduce(_ + _).as(s"__v$j")
+    }
+    tokRows.groupBy("__id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__id") +: chunkVals: _*)
+  }
+
+  /** The banded block explode over a (persisted) signature frame — the
+    * candidate-keying stage shared by q27_pairs_only / q27_cand_stream.
+    */
+  private def q27Keyed(
+      sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    sh.select(col("__id") +:
+      (0 until 4).map(j => col(s"__v$j")) :+
+      explode(array((0 until 4).map { j =>
+        lit(j.toLong * 65536L) + col(s"__v$j")
+      }: _*)).as("__block"): _*)
+  }
+
   /** Perf-probe variants — same inputs as their graded twins, internals
     * deliberately altered for attribution experiments.
     */
@@ -58,41 +103,45 @@ object SpotBench {
         docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
         maxBlock = Int.MaxValue)
     },
-    // q183 stage decomposition: the FastSS edit join's cost split into
-    // (a) deletion-variant explode + per-id distinct, (b) + the block
-    // self-join producing distinct candidate pairs, so the full query's
-    // residual is the two verify joins + banded levenshtein. Inputs are
-    // exactly q183's corpus.
-    "q183_variants_only" -> { (s, dir) =>
+    // q183 stage decomposition (round-14 positional channels): (a) the
+    // class collapse alone, (b) + both distance-1 channels producing
+    // class pairs (pre-expansion), so the full query's residual is the
+    // exact channel + the two output-bound expansion joins.
+    "q183_classes_only" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val rec = q183Corpus(s, dir)
-      val variants = rec.select(col("c_custkey").as("__id"),
-          col("nome").as("__v"))
-        .select(col("__id"), explode(expr(
-          "case when length(__v) = 0 then array(__v) else " +
-            "array_union(array(__v), transform(sequence(1, length(__v)), " +
-            "i -> concat(substring(__v, 1, i-1), " +
-            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
-      variants.select(col("__id"), col("__v").as("__block")).distinct()
+      q183Corpus(s, dir)
+        .select(col("nome").as("__s")).filter(col("__s").isNotNull)
+        .distinct()
         .agg(count(lit(1L)).as("n"))
     },
     "q183_cand_only" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val rec = q183Corpus(s, dir)
-      val variants = rec.select(col("c_custkey").as("__id"),
-          col("nome").as("__v"))
-        .select(col("__id"), explode(expr(
-          "case when length(__v) = 0 then array(__v) else " +
-            "array_union(array(__v), transform(sequence(1, length(__v)), " +
-            "i -> concat(substring(__v, 1, i-1), " +
-            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
-      val keyed = variants.select(col("__id"), col("__v").as("__block"))
-        .distinct()
-      llm.Dedup.tiledPairs(keyed, Seq.empty, llm.Dedup.AdaptiveBlock)
-        .select(least(col("id_a"), col("id_b")).as("a"),
-          greatest(col("id_a"), col("id_b")).as("b"))
-        .distinct()
-        .agg(count(lit(1L)).as("n"))
+      val classes = llm.CacheScope.persistTracked(
+        q183Corpus(s, dir)
+          .select(col("nome").as("__s")).filter(col("__s").isNotNull)
+          .distinct())
+      val deletable = classes.filter(length(col("__s")) > 0)
+      val subKeyed = deletable.select(col("__s").as("__id"),
+          posexplode(expr(
+            "transform(sequence(1, length(__s)), i -> " +
+              "concat(substring(__s, 1, i-1), " +
+              "substring(__s, i+1, 2147483647)))")))
+        .select(col("__id"),
+          concat_ws("\u0000", col("pos").cast("string"), col("col"))
+            .as("__block"))
+      val subPairs = llm.Dedup
+        .tiledPairs(subKeyed, Seq.empty, llm.Dedup.AdaptiveBlock,
+          cache = false)
+        .select(col("id_a").as("__cka"), col("id_b").as("__ckb"))
+      val indelPairs = deletable.select(col("__s").as("__cka"),
+          explode(array_distinct(expr(
+            "transform(sequence(1, length(__s)), i -> " +
+              "concat(substring(__s, 1, i-1), " +
+              "substring(__s, i+1, 2147483647)))"))).as("__v"))
+        .join(classes.select(col("__s").as("__v"), col("__s").as("__ckb")),
+          Seq("__v"))
+        .select(col("__cka"), col("__ckb"))
+      subPairs.unionByName(indelPairs).agg(count(lit(1L)).as("n"))
     },
     // q27 stage decomposition: simhash cost split into (a) the
     // signature aggregation alone, (b) + banded block explode +
@@ -100,59 +149,12 @@ object SpotBench {
     // the graded query's residual is hamming verify + pair distinct.
     "q27_sig_only" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      import graft.sources.Tables
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text",
-          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
-      val all = docs.unionByName(variants)
-      val m = md5(col("__tok").cast("binary"))
-      val tokRows = all.select(col("doc_id").as("__id"),
-          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
-        .select(col("__id") +: (0 until 4).map(j =>
-          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
-      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
-        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
-      val chunkVals = (0 until 4).map { j =>
-        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
-          .reduce(_ + _).as(s"__v$j")
-      }
-      tokRows.groupBy("__id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("__id") +: chunkVals: _*)
-        .agg(count(lit(1L)).as("n"))
+      q27Signatures(s, dir).agg(count(lit(1L)).as("n"))
     },
     "q27_pairs_only" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      import graft.sources.Tables
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text",
-          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
-      val all = docs.unionByName(variants)
-      val m = md5(col("__tok").cast("binary"))
-      val tokRows = all.select(col("doc_id").as("__id"),
-          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
-        .select(col("__id") +: (0 until 4).map(j =>
-          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
-      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
-        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
-      val chunkVals = (0 until 4).map { j =>
-        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
-          .reduce(_ + _).as(s"__v$j")
-      }
-      val sh = tokRows.groupBy("__id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("__id") +: chunkVals: _*)
-        .transform(llm.CacheScope.persistTracked)
-      val keyed = sh.select(col("__id") +:
-        (0 until 4).map(j => col(s"__v$j")) :+
-        explode(array((0 until 4).map { j =>
-          lit(j.toLong * 65536L) + col(s"__v$j")
-        }: _*)).as("__block"): _*)
-      llm.Dedup.tiledPairs(keyed, (0 until 4).map(j => s"__v$j"),
+      val sh = llm.CacheScope.persistTracked(q27Signatures(s, dir))
+      llm.Dedup.tiledPairs(q27Keyed(sh), (0 until 4).map(j => s"__v$j"),
           llm.Dedup.AdaptiveBlock, cache = false)
         .agg(count(lit(1L)).as("n"))
     },
@@ -188,34 +190,8 @@ object SpotBench {
     // hamming NOT yet filtered) — for `count:` cardinality attribution
     "q27_cand_stream" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      import graft.sources.Tables
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val variants = docs.filter(col("doc_id") % 5 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000)
-        .withColumn("text",
-          concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
-      val all = docs.unionByName(variants)
-      val m = md5(col("__tok").cast("binary"))
-      val tokRows = all.select(col("doc_id").as("__id"),
-          explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
-        .select(col("__id") +: (0 until 4).map(j =>
-          conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
-      val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
-        sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
-      val chunkVals = (0 until 4).map { j =>
-        (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
-          .reduce(_ + _).as(s"__v$j")
-      }
-      val sh = tokRows.groupBy("__id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("__id") +: chunkVals: _*)
-        .transform(llm.CacheScope.persistTracked)
-      val keyed = sh.select(col("__id") +:
-        (0 until 4).map(j => col(s"__v$j")) :+
-        explode(array((0 until 4).map { j =>
-          lit(j.toLong * 65536L) + col(s"__v$j")
-        }: _*)).as("__block"): _*)
-      llm.Dedup.tiledPairs(keyed, (0 until 4).map(j => s"__v$j"),
+      val sh = llm.CacheScope.persistTracked(q27Signatures(s, dir))
+      llm.Dedup.tiledPairs(q27Keyed(sh), (0 until 4).map(j => s"__v$j"),
         llm.Dedup.AdaptiveBlock, cache = false)
     },
     // q186's candidate layer in the r12 (join-back) shape: bare-id

@@ -291,14 +291,23 @@ object Pq {
       ((qdAll.count() + queryTile - 1) / queryTile).toInt
     if (nTiles <= 1) oneBatch(qdAll, assignedCells)
     else {
-      // deterministic hash tiling (xxhash64 is fixed-seed); per-tile
-      // results checkpoint eagerly so tiles execute one at a time
+      // deterministic RANK tiling: a hash bucket (the r13 shape) bounds
+      // only the AVERAGE tile — skewed or clustered ids can put far
+      // more than queryTile queries in one bucket, re-creating the
+      // in-flight blowup the tiling exists to prevent. The distributed
+      // globalRank (range exchange + offset fold) makes every tile
+      // EXACTLY <= queryTile rows; per-tile results checkpoint eagerly
+      // so tiles execute one at a time.
       val encCells = CacheScope.persistTracked(assignedCells)
+      val ranked = CacheScope.persistTracked(
+        graft.operators.Neighborhood
+          .globalRank(qdAll, "query_id", col("query_id"))
+          .withColumn("__qt",
+            ((col("__rank") - 1L) / queryTile).cast("int"))
+          .drop("__k", "__rank"))
       (0 until nTiles).map { t =>
-        oneBatch(
-          qdAll.filter(
-            pmod(xxhash64(col("query_id")), lit(nTiles.toLong)) === t),
-          encCells).localCheckpoint(true)
+        oneBatch(ranked.filter(col("__qt") === t).drop("__qt"), encCells)
+          .localCheckpoint(true)
       }.reduce(_.unionByName(_))
     }
   }

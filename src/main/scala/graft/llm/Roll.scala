@@ -19,11 +19,18 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Roll {
 
-  /** Unpersist the RDD behind a localCheckpoint'ed frame. No-op for
-    * plans that are not checkpoint leaves (safe to call on anything).
+  /** Unpersist the RDD behind a frame that IS a localCheckpoint result
+    * — i.e. whose ROOT plan is the LogicalRDD leaf. No-op otherwise
+    * (including the loops' first iteration, where the iterate is still
+    * the caller's relation-backed input). Matching the root, not every
+    * leaf, is load-bearing: collecting leaves anywhere in the plan
+    * would reach a CALLER-supplied checkpointed/RDD-backed input
+    * through the iterate's lineage and destroy blocks (a localCheckpoint
+    * RDD is unrecoverable after unpersist) that the caller — or this
+    * loop's own cached side tables — still depends on.
     */
   def free(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()

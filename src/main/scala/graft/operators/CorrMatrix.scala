@@ -84,10 +84,19 @@ object CorrMatrix {
       // pass on double-rounding residue (the doubles above are for the
       // VALUE of r only; the double > 0 guards stay to keep the sqrt
       // denominator nonzero when decimal says positive but double
-      // underflows — that edge emits null, never NaN or Infinity)
+      // underflows — that edge emits null, never NaN or Infinity).
+      // The decimal products land at decimal(38,6) under Spark's
+      // allowPrecisionLoss and OVERFLOW TO NULL once |Σx| ≳ 1e16 — a
+      // null gate is inconclusive, not "zero variance", so it falls
+      // back to the double test instead of silently nulling a genuinely
+      // varying pair's correlation
       val nD = col(s"__n_$p").cast(d)
-      val vxPos = nD * col(s"__sxx_$p") > col(s"__sx_$p") * col(s"__sx_$p")
-      val vyPos = nD * col(s"__syy_$p") > col(s"__sy_$p") * col(s"__sy_$p")
+      val vxPos = coalesce(
+        nD * col(s"__sxx_$p") > col(s"__sx_$p") * col(s"__sx_$p"),
+        vx > 0.0)
+      val vyPos = coalesce(
+        nD * col(s"__syy_$p") > col(s"__sy_$p") * col(s"__sy_$p"),
+        vy > 0.0)
       struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         col(s"__n_$p").as("n"),

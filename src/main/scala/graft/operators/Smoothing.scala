@@ -144,22 +144,33 @@ object Smoothing {
       .withColumn("__sigma", sqrt(greatest(
         col("__sxx").cast("double") / col("n").cast("double") -
           col("__mu") * col("__mu"), lit(0.0))))
-    // the fold carries (z, r2) and APPENDS each step's pair — the
-    // per-point chart needs every z_t, not just the last
-    val folded = aggregate(
-      col("__s"),
-      struct(col("__mu").as("z"), lit(1.0).as("r2"),
-        expr("CAST(array() AS ARRAY<STRUCT<z: DOUBLE, r2: DOUBLE>>)")
-          .as("arr")),
-      (st, e) => {
-        val zNew = lam * e.getField("__y") + oneMinus * st.getField("z")
-        val r2New = st.getField("r2") * rr
-        struct(zNew.as("z"), r2New.as("r2"),
-          concat(st.getField("arr"),
-            array(struct(zNew.as("z"), r2New.as("r2")))).as("arr"))
-      })
+    // the per-point chart needs every z_t, not just the last. z_t IS
+    // the left fold over the length-t prefix, so each point re-runs the
+    // fold with steps past t gated to exact no-ops: identical per-step
+    // IEEE ops in identical order (bit-equal to the sequential
+    // recursion — the oracle's recursive CTE replays unchanged), with
+    // ZERO per-step allocation. The previous shape appended to the
+    // carried array via concat — the same O(n²) step count but with an
+    // O(t) array copy PER STEP, a quadratic allocation churn in series
+    // length; n is calendar-bounded by the day-bucket contract, and
+    // the gated flops are branch-cheap where the copies were not.
+    val zs = transform(sequence(lit(1), col("n").cast("int")), t =>
+      aggregate(
+        col("__s"),
+        struct(col("__mu").as("z"), lit(1.0).as("r2"), lit(0).as("j")),
+        (st, e) => {
+          val live = st.getField("j") < t
+          struct(
+            when(live,
+              lam * e.getField("__y") + oneMinus * st.getField("z"))
+              .otherwise(st.getField("z")).as("z"),
+            when(live, st.getField("r2") * rr)
+              .otherwise(st.getField("r2")).as("r2"),
+            (st.getField("j") + 1).as("j"))
+        },
+        st => struct(st.getField("z").as("z"), st.getField("r2").as("r2"))))
     series
-      .withColumn("__zs", folded.getField("arr"))
+      .withColumn("__zs", zs)
       .select(g ++ Seq(col("__mu"), col("__sigma"),
         posexplode(zip_with(col("__s"), col("__zs"),
           (s, z) => struct(s.getField("__d").as("__d"),
