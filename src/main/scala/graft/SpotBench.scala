@@ -194,6 +194,14 @@ object SpotBench {
       llm.Dedup.tiledPairs(q27Keyed(sh), (0 until 4).map(j => s"__v$j"),
         llm.Dedup.AdaptiveBlock, cache = false)
     },
+    // q235's B-aggregation-columns twin (bit-identical output): the
+    // explode-form fans the scan ×B before the combinable aggregate;
+    // this probe pays 2·B buffer slots + B md5 calls per row instead.
+    "q235_cols_form" -> { (s, dir) =>
+      operators.Bootstrap.bootstrapMeanCiCols(
+        graft.sources.Tables.orders(s, dir), Seq("o_orderpriority"),
+        "o_orderkey", "o_totalprice", b = 100, alpha = 0.05)
+    },
     // q186's candidate layer in the r12 (join-back) shape: bare-id
     // candidate pairs distinct'd, then two joins to recover strings —
     // the A/B control for payload-carry at maxDist=2, where the variant

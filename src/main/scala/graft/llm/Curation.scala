@@ -868,12 +868,11 @@ object Curation {
       .withColumn("__wd", col(weightCol).cast("decimal(38,6)"))
     val zeroDec = lit(0).cast("decimal(38,6)")
     val bkTotals = withB.groupBy("__bk").agg(sum(col("__wd")).as("__bw"))
-    // exclusive prefix over ≤256 rows — the mixturePlan discipline: every
-    // window here runs on the reduced table, never the corpus
-    val wOff = Window.orderBy("__bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bkTotals.select(col("__bk"),
-      coalesce(sum(col("__bw")).over(wOff), zeroDec).as("__off"))
+    // exclusive prefix over ≤256 rows — the mixturePlan discipline
+    // (every fold here runs on the reduced table, never the corpus),
+    // via SmallFold so no WindowExec warning reaches the bench tail
+    val offsets = graft.operators.SmallFold.cumBefore(
+      bkTotals, "__bk", "__bw", out = "__off", zero = zeroDec)
     val total = bkTotals.agg(sum(col("__bw")).as("__tot"))
     val wc = Window.partitionBy("__bk").orderBy(col("__h"), col(idCol))
     val cum = withB

@@ -63,12 +63,11 @@ object Neighborhood {
     val local = graft.llm.CacheScope.persistTracked(
       ranged.withColumn("__lr", row_number().over(wLocal)))
     // numPartitions rows — the bounded fold that replaces a global sort
-    val wOff = Window.orderBy(col("__part"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__part")
-      .agg(count(lit(1L)).as("__pc"))
-      .withColumn("__off", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
-      .select("__part", "__off")
+    // (SmallFold: no WindowExec, so the plan never logs the
+    // single-partition warning for a 32-row table)
+    val offsets = SmallFold.cumBefore(
+      local.groupBy("__part").agg(count(lit(1L)).as("__pc")),
+      "__part", "__pc", out = "__off")
     local.join(broadcast(offsets), "__part")
       .withColumn("__rank", col("__off") + col("__lr"))
       .drop("__part", "__lr", "__off")

@@ -147,13 +147,12 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding,
         if (current) Window.currentRow else -1)
     // the bounded fold that replaces a global sort: one row per
-    // (partition, parts) — at most numShufflePartitions per group
-    val wOff = Window.partitionBy(pcols: _*).orderBy(col("__prt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__prt") +: pcols: _*)
-      .agg(sum(col(cnt)).as("__pc"))
-      .withColumn("__poff", coalesce(sum(col("__pc")).over(wOff), lit(0L)))
-      .select(col("__prt") +: pcols :+ col("__poff"): _*)
+    // (partition, parts) — at most numShufflePartitions per group,
+    // folded via SmallFold (no WindowExec, no single-partition warning)
+    val offsets = SmallFold.cumBefore(
+      ranged.groupBy(col("__prt") +: pcols: _*)
+        .agg(sum(col(cnt)).as("__pc")),
+      "__prt", "__pc", parts, out = "__poff")
     ranged.join(broadcast(offsets), "__prt" +: parts)
       .withColumn("__below",
         col("__poff") + coalesce(sum(col(cnt)).over(wLoc), lit(0L)))
@@ -310,10 +309,8 @@ object Stats {
             "CAST(__hi AS DOUBLE), 255)"))
           .otherwise(lit(1L)))
     val bkTotals = withB.groupBy("__bk").agg(sum(col("__c")).as("__bc"))
-    val wOff = Window.orderBy("__bk")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bkTotals.select(col("__bk"),
-      coalesce(sum(col("__bc")).over(wOff), lit(0L)).as("__off"))
+    // exclusive prefix over ≤256 buckets — SmallFold, not WindowExec
+    val offsets = SmallFold.cumBefore(bkTotals, "__bk", "__bc")
     val wLoc = Window.partitionBy("__bk").orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = withB

@@ -292,6 +292,13 @@ object Timeseries {
     * never events: one global row_number over the bucket table (tiny by
     * contract), one bounded range self-join (t+1 … t+maxLag → pair
     * volume ≤ maxLag·buckets), one combinable per-lag aggregation.
+    * CONTRACT, stated plainly: the series windows here (and in
+    * [[cusumChangepoints]] / [[classicalDecomposition]], which share
+    * this contract) are single-partition BY DESIGN — an ordered
+    * recursion over a calendar-bounded table (a decade of days is
+    * ~3.7k rows). WindowExec's single-partition warning on these paths
+    * refers to the bucket table, never the corpus; feeding un-bucketed
+    * event rows violates the contract and is the caller's bug.
     * Values must be exactly representable at `scale` decimal places
     * (the q164 cast trap — a 2dp money column at scale=2 is exact; a
     * raw float at any scale is not).
