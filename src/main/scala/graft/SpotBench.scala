@@ -202,6 +202,34 @@ object SpotBench {
         graft.sources.Tables.orders(s, dir), Seq("o_orderpriority"),
         "o_orderkey", "o_totalprice", b = 100, alpha = 0.05)
     },
+    // q195's rank map in isolation, new (valueBelow 256-bucket) vs old
+    // (partition-less window) — the r14 A/B for the distinct-value
+    // cumulative engine swap
+    "q195_rank_new" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val base = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_returnflag").cast("string").as("__g"),
+          col("l_extendedprice").cast("double").as("__v"))
+        .filter(col("__g").isNotNull && col("__v").isNotNull)
+        .transform(llm.CacheScope.persistTracked)
+      operators.Stats.valueBelow(base, "__v")
+        .agg(count(lit(1L)).as("n"), sum(col("__below")).as("s"))
+    },
+    "q195_rank_old" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val base = graft.sources.Tables.lineitem(s, dir)
+        .select(col("l_returnflag").cast("string").as("__g"),
+          col("l_extendedprice").cast("double").as("__v"))
+        .filter(col("__g").isNotNull && col("__v").isNotNull)
+        .transform(llm.CacheScope.persistTracked)
+      val wBelow = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy("__v").agg(count(lit(1L)).as("__cnt"))
+        .withColumn("__below",
+          coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
+        .agg(count(lit(1L)).as("n"), sum(col("__below")).as("s"))
+    },
     // q186's candidate layer in the r12 (join-back) shape: bare-id
     // candidate pairs distinct'd, then two joins to recover strings —
     // the A/B control for payload-carry at maxDist=2, where the variant

@@ -111,52 +111,63 @@ object Stats {
       .drop(groupCols.map(c => s"__gj_$c"): _*)
   }
 
-  /** Distributed prefix sum over a (unique-key, count) table — the
-    * scale-safe replacement for `Window.orderBy` with no partitioning
-    * (Spark's "Moving all data to a single partition" trap: one task
-    * sorts the whole table, corpus-sized when the keyed table is a
-    * distinct-VALUE collapse of a continuous column). Same engine as
-    * SNM's globalRank (Neighborhood.scala): range exchange on
-    * (parts…, order) → per-partition running sum → a broadcast offset
-    * fold over ≤ |parts|·numShufflePartitions rows. Values are exact
-    * integers, identical to the single-partition window's.
+  /** Distributed "count strictly below each distinct value" — the
+    * scale-safe rank map behind [[spearmanCorr]] / [[kruskalWallis]],
+    * replacing `Window.orderBy` with no partitioning (Spark's "Moving
+    * all data to a single partition" trap: one task sorts the whole
+    * distinct-value table, corpus-sized for a continuous column).
     *
-    * `counts` must be UNIQUE on (parts…, order) (a groupBy collapse).
-    * Adds `__below` = Σ cnt over rows strictly before (same parts,
-    * smaller order) — or ≤, including the current row, when
-    * `current = true`.
+    * Engine: the repo's deterministic 256-bucket decomposition (the
+    * quantileBinFit / ppsSample discipline). bucket =
+    * width_bucket(v, min, max) is a PURE FUNCTION of the value and two
+    * order-insensitive aggregates, so separate evaluations agree by
+    * construction — a repartitionByRange engine was built first and
+    * measured WRONG (range boundaries are SAMPLED per evaluation; the
+    * offsets' evaluation disagreed with the main side's, giving
+    * piecewise-constant rank errors on lineitem prices), and pinning
+    * its shuffle with a cache fixed correctness but cost ~2x wall at
+    * sf0.1–sf1. Here every auxiliary pass (bounds, per-bucket totals)
+    * runs over the CALLER-CACHED raw rows as a map-side-combinable
+    * aggregate — the distinct collapse itself is consumed exactly once,
+    * by the windowed main side, so nothing new needs a cache. The
+    * SmallFold offset fold walks ≤256 buckets. Worst-case value skew
+    * (everything in one bucket) degrades to the single-partition sort
+    * this replaces; typical spread keeps each window task ~1/256 of
+    * the distinct table.
+    *
+    * `base` must be persisted by the caller with a non-null numeric
+    * column `v`. Returns one row per distinct value: (__v, __cnt,
+    * __below). The distinct collapse is persisted internally — bounds,
+    * bucket totals and the windowed main side are three consumers, and
+    * re-deriving the corpus aggregation per consumer measured ~35%
+    * slower at sf1 (an offsets-from-raw-rows variant that avoided this
+    * cache measured worse still: two extra FULL passes over the fact
+    * cache per rank map).
     */
-  private[graft] def prefixSum(
-      counts: DataFrame, order: String, cnt: String,
-      parts: Seq[String] = Nil, current: Boolean = false): DataFrame = {
+  private[graft] def valueBelow(base: DataFrame, v: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = counts.sparkSession.sessionState.conf.numShufflePartitions
-    val pcols = parts.map(col)
-    // PERSISTED: the ranged frame is consumed twice (offsets + main),
-    // and repartitionByRange SAMPLES its boundaries per evaluation —
-    // two un-shared evaluations can disagree on the boundaries, making
-    // the offsets lie about the main side's partitions (measured on
-    // lineitem prices: piecewise-constant rank errors). The cache pins
-    // ONE shuffle, so every consumer sees the same partition ids.
-    val ranged = graft.llm.CacheScope.persistTracked(counts
-      .repartitionByRange(p, pcols :+ col(order): _*)
-      .sortWithinPartitions(pcols :+ col(order): _*)
-      .withColumn("__prt", spark_partition_id()))
-    val wLoc = Window.partitionBy(col("__prt") +: pcols: _*)
-      .orderBy(col(order))
-      .rowsBetween(Window.unboundedPreceding,
-        if (current) Window.currentRow else -1)
-    // the bounded fold that replaces a global sort: one row per
-    // (partition, parts) — at most numShufflePartitions per group,
-    // folded via SmallFold (no WindowExec, no single-partition warning)
+    val counts = graft.llm.CacheScope.persistTracked(
+      base.groupBy(col(v).as("__v")).agg(count(lit(1L)).as("__cnt")))
+    val bounds = counts.agg(
+      min(col("__v").cast("double")).as("__pslo"),
+      max(col("__v").cast("double")).as("__pshi"))
+    val bucketOf =
+      when(col("__pshi") > col("__pslo"),
+        expr("width_bucket(CAST(__v AS DOUBLE), " +
+          "__pslo, __pshi, 255)")).otherwise(lit(1L))
+    val bucketed = counts.crossJoin(broadcast(bounds))
+      .withColumn("__bk", bucketOf)
+      .drop("__pslo", "__pshi")
     val offsets = SmallFold.cumBefore(
-      ranged.groupBy(col("__prt") +: pcols: _*)
-        .agg(sum(col(cnt)).as("__pc")),
-      "__prt", "__pc", parts, out = "__poff")
-    ranged.join(broadcast(offsets), "__prt" +: parts)
+      bucketed.groupBy("__bk").agg(sum(col("__cnt")).as("__pc")),
+      "__bk", "__pc", out = "__poff")
+    val wLoc = Window.partitionBy("__bk").orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("__bk"))
       .withColumn("__below",
-        col("__poff") + coalesce(sum(col(cnt)).over(wLoc), lit(0L)))
-      .drop("__prt", "__poff")
+        col("__poff") + coalesce(sum(col("__cnt")).over(wLoc), lit(0L)))
+      .select(col("__v"), col("__cnt"), col("__below"))
   }
 
   /** ABC / Pareto classification: rank each group's members by value,
@@ -811,6 +822,7 @@ object Stats {
   def giniStump(
       df: DataFrame, featureCols: Seq[String], labelCol: String)
       : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(featureCols.nonEmpty, "need at least one feature")
     val dec = "decimal(19,0)"
     val wide = "decimal(38,0)"
@@ -822,16 +834,18 @@ object Stats {
         .groupBy("limiar", "__c").agg(count(lit(1L)).as("__n"))
       val vals = counts.select("limiar").distinct()
       val classes = counts.groupBy("__c").agg(sum(col("__n")).as("__tot"))
-      // per-class cumulative through the range-exchange prefix-sum
-      // engine: the contract admits CONTINUOUS features, where a
-      // per-class window over all distinct values is one corpus-sized
-      // task per class
-      val grid = prefixSum(
-          vals.crossJoin(broadcast(classes))
-            .join(counts, Seq("limiar", "__c"), "left")
-            .na.fill(0L, Seq("__n")),
-          "limiar", "__n", parts = Seq("__c"), current = true)
-        .withColumnRenamed("__below", "__cum")
+      // per-class cumulative over DISTINCT thresholds. CONTRACT: this
+      // window is one task per class over the distinct-value grid —
+      // bounded for the discrete/binned features this operator is for;
+      // a raw continuous feature must be pre-binned first (row 189's
+      // quantileBinFit — the same pre-bin the DECIMAL headroom wall in
+      // the scaladoc already mandates at large n).
+      val wCum = Window.partitionBy(col("__c")).orderBy(col("limiar"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val grid = vals.crossJoin(broadcast(classes))
+        .join(counts, Seq("limiar", "__c"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("__cum", sum(col("__n")).over(wCum))
       val byThresh = grid.groupBy("limiar").agg(
         sum(col("__cum")).as("n_esq"),
         sum(col("__cum").cast(dec) * col("__cum").cast(dec)).as("__sl"),
@@ -897,13 +911,11 @@ object Stats {
         .filter(col("__x").isNotNull && col("__y").isNotNull)
         .transform(graft.llm.CacheScope.persistTracked)
       // cumulative count below each distinct value through the
-      // range-exchange prefix-sum engine — a continuous column's
-      // distinct-value table is corpus-sized, so a partition-less
-      // window here would single-task the whole rank map
+      // bucket-decomposed engine — a continuous column's distinct-value
+      // table is corpus-sized, so a partition-less window here would
+      // single-task the whole rank map
       def rankMap(c: String): DataFrame =
-        prefixSum(
-          base.groupBy(col(c).as("__v")).agg(count(lit(1L)).as("__cnt")),
-          "__v", "__cnt")
+        valueBelow(base, c)
           .select(col("__v"),
             (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"))
       val ranked = base
@@ -1014,15 +1026,15 @@ object Stats {
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
       .transform(graft.llm.CacheScope.persistTracked)
-    // distinct-value cumulative through the range-exchange prefix-sum
-    // engine (the spearmanCorr discipline — never a one-task rank sort)
-    val ranks = prefixSum(
-        base.groupBy("__v").agg(count(lit(1L)).as("__cnt")),
-        "__v", "__cnt")
+    // distinct-value cumulative through the bucket-decomposed engine
+    // (the spearmanCorr discipline — never a one-task rank sort);
+    // persisted: consumed by BOTH the per-group rank sums and the tie
+    // aggregation below
+    val ranks = graft.llm.CacheScope.persistTracked(valueBelow(base, "__v")
       .select(col("__v"),
         (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"),
         (col("__cnt").cast(d19) * col("__cnt").cast(d19) *
-          col("__cnt").cast(d19) - col("__cnt").cast(d19)).as("__t"))
+          col("__cnt").cast(d19) - col("__cnt").cast(d19)).as("__t")))
     val perGroup = base.join(ranks, Seq("__v"))
       .groupBy("__g").agg(
         count(lit(1L)).as("n_grupo"),

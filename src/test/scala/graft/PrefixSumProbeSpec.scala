@@ -3,49 +3,42 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Scratch probe: prefixSum vs the single-partition window oracle. */
+/** Pins Stats.valueBelow (the bucket-decomposed rank-map engine behind
+  * spearman/kruskal) to the single-partition window oracle — including
+  * on real data, where the round-14 repartitionByRange prototype
+  * produced piecewise-constant rank errors from per-evaluation boundary
+  * sampling.
+  */
 class PrefixSumProbeSpec extends SparkSpec {
   import spark.implicits._
 
-  test("prefixSum equals the single-partition window on unique doubles") {
-    val df = spark.range(0, 100000)
-      .select((hash(col("id")).cast("double") / 7.0).as("__v"))
-      .groupBy("__v").agg(count(lit(1L)).as("__cnt"))
-    val got = graft.operators.Stats.prefixSum(df, "__v", "__cnt")
+  private def check(base: org.apache.spark.sql.DataFrame): Unit = {
+    val cached = graft.llm.CacheScope.persistTracked(base)
+    val got = graft.operators.Stats.valueBelow(cached, "__v")
       .select("__v", "__below")
-    val wBelow = Window.orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val want = df.withColumn("__below",
-      coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
-      .select("__v", "__below")
-    val diff = got.as[(Double, Long)].collect().toMap
-    val base = want.as[(Double, Long)].collect().toMap
-    val bad = base.iterator.filter { case (v, b) => diff.get(v) != Some(b) }
-      .take(5).toList
-    assert(diff.size == base.size, s"sizes ${diff.size} vs ${base.size}")
-    assert(bad.isEmpty, s"first mismatches: $bad vs ${bad.map(x => diff.get(x._1))}")
-  }
-
-  test("prefixSum equals the window on the q195 shape (lineitem price)") {
-    val base = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
-      .select(col("l_returnflag").cast("string").as("__g"),
-        col("l_extendedprice").cast("double").as("__v"))
-      .filter(col("__g").isNotNull && col("__v").isNotNull)
-      .transform(graft.llm.CacheScope.persistTracked)
-    val counts = base.groupBy("__v").agg(count(lit(1L)).as("__cnt"))
-    val got = graft.operators.Stats.prefixSum(counts, "__v", "__cnt")
-      .select("__v", "__below")
+    val counts = cached.groupBy("__v").agg(count(lit(1L)).as("__cnt"))
     val wBelow = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val want = counts.withColumn("__below",
       coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
       .select("__v", "__below")
-    val diff = got.as[(Double, Long)].collect().toMap
-    val base2 = want.as[(Double, Long)].collect().toMap
-    val bad = base2.iterator.filter { case (v, b) => diff.get(v) != Some(b) }
+    val a = got.as[(Double, Long)].collect().toMap
+    val b = want.as[(Double, Long)].collect().toMap
+    val bad = b.iterator.filter { case (v, x) => a.get(v) != Some(x) }
       .take(5).toList
-    assert(diff.size == base2.size, s"sizes ${diff.size} vs ${base2.size}")
+    assert(a.size == b.size, s"sizes ${a.size} vs ${b.size}")
     assert(bad.isEmpty,
-      s"first mismatches: $bad vs ${bad.map(x => diff.get(x._1))}")
+      s"first mismatches: $bad vs ${bad.map(x => a.get(x._1))}")
+  }
+
+  test("valueBelow equals the single-partition window on unique doubles") {
+    check(spark.range(0, 100000)
+      .select((hash(col("id")).cast("double") / 7.0).as("__v")))
+  }
+
+  test("valueBelow equals the window on the q195 shape (lineitem price)") {
+    check(graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_extendedprice").cast("double").as("__v"))
+      .filter(col("__v").isNotNull))
   }
 }
