@@ -291,72 +291,69 @@ object Linkage {
 
   /** Shared FastSS core over a pre-projected (__id, __s, __st) frame.
     *
-    * Two shapes, switched on the distance bound:
+    * Round-14 shape, BOTH distance regimes: identical (stratum, string)
+    * rows collapse to one CLASS before any candidate work (the q27/q227
+    * representative discipline), the within-class pairs are emitted
+    * directly as the dist-0 channel, the cross-class distance-[1,d]
+    * pairs are found on the DISTINCT-class table, and two output-bound
+    * equi-joins expand class pairs to member id pairs at the end. On a
+    * replicated corpus (gen_scale's verbatim xk) the candidate stage is
+    * sf-INVARIANT — only the expansion (the true answer's own volume)
+    * grows; the r13 shape ran variants per MEMBER row and its sf10
+    * shuffle exhausted 75 GB of disk on the maxDist = 2 member corpus.
     *
-    *   - maxDist <= 1: [[editJoinPositional]] — position-keyed channels
-    *     where the deletion filter sharpens from complete to EXACT and
-    *     the verification DP disappears entirely (round 14, the sf10
-    *     cure; see its scaladoc for the theorem).
+    * Cross-class channel, switched on the distance bound:
     *
-    *   - maxDist >= 2 (~ len²/2 variants/row): position-less ≤d-deletion
-    *     neighborhoods. Payload bytes dominate the variant shuffle and
-    *     near-dup pairs share MANY variants, so bare-id candidates +
-    *     distinct + two joins back to the corpus win — q186's candidate
-    *     layer measured 34.6 s join-back vs 82.1 s payload-carry at
-    *     sf1. The corpus frame is persisted (referenced three times:
-    *     variants + both join probes); verification is one BANDED exact
-    *     DP per candidate (Spark's thresholded `levenshtein(l, r, k)`,
-    *     O(d·L), bails with -1 past the threshold — emitted distances
-    *     are the exact DP values, so the oracle replay matches).
+    *   - maxDist <= 1: [[positionalClassPairs]] — position-keyed
+    *     channels where the deletion filter sharpens from complete to
+    *     EXACT and the verification DP disappears (see its scaladoc).
+    *
+    *   - maxDist >= 2: [[deletionClassPairs]] — position-less
+    *     <=d-deletion neighborhoods (~ len²/2 variants per class),
+    *     bare-class-key candidates + distinct + two joins back to the
+    *     class table, one BANDED exact DP per survivor (Spark's
+    *     thresholded `levenshtein(l, r, k)`, O(d·L), bails with -1 past
+    *     the threshold — emitted distances are the exact DP values, so
+    *     the oracle replay matches).
     */
   private def editJoinCore(
       strsIn: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
-    val strsBare = graft.llm.Spread(strsIn)
-      .withColumn("__len", length(col("__s")).cast("long"))
-    if (maxDist <= 1) return editJoinPositional(strsBare, maxDist, maxBlock)
-    val strs = graft.llm.CacheScope.persistTracked(strsBare)
-    // <=d-deletion neighborhood: d rounds of explode(self U one-char
-    // deletions), distinct per id. sequence(1,0) would step BACKWARD
-    // (Spark's sign-inferred step) — guard the empty string explicitly.
-    var variants = strs.select(col("__id"), col("__st"), col("__s").as("__v"))
-    for (_ <- 1 to maxDist) {
-      variants = variants.select(
-        col("__id"), col("__st"), explode(expr(
-          "case when length(__v) = 0 then array(__v) else " +
-            "array_union(array(__v), transform(sequence(1, length(__v)), " +
-            "i -> concat(substring(__v, 1, i-1), " +
-            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
-    }
-    // stratum is part of the block identity: variants collide only
-    // within equal strata (NUL-joined — the key is opaque to tiledPairs)
-    val block = concat_ws("\u0000", col("__st"), col("__v")).as("__block")
-    val keyed = variants.select(col("__id"), block).distinct()
-    val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
+    // class key = (stratum, string) — NUL-joined, opaque to the engine
+    val members = graft.llm.CacheScope.persistTracked(
+      graft.llm.Spread(strsIn)
+        .withColumn("__len", length(col("__s")).cast("long"))
+        .withColumn("__ck", concat_ws("\u0000", col("__st"), col("__s"))))
+    val zero = graft.llm.Dedup.tiledPairs(
+        members.select(col("__id"), col("__ck").as("__block")),
+        Seq.empty, maxBlock, cache = false)
       .select(
-        least(col("id_a"), col("id_b")).as("__ida"),
-        greatest(col("id_a"), col("id_b")).as("__idb"))
-      .distinct()
-    cand
-      .join(strs.select(col("__id").as("__ida"), col("__s").as("__sa"),
-        col("__len").as("__la")), "__ida")
-      .join(strs.select(col("__id").as("__idb"), col("__s").as("__sb"),
-        col("__len").as("__lb")), "__idb")
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"),
-        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
-          .as("dist"))
-      .filter(col("dist") >= 0L && col("dist") <= maxDist)
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        lit(0L).as("dist"))
+    if (maxDist == 0) return zero
+    val classes = graft.llm.CacheScope.persistTracked(
+      members.select("__st", "__s", "__len", "__ck").distinct())
+    val classPairs =
+      if (maxDist <= 1) positionalClassPairs(classes, maxBlock)
+      else deletionClassPairs(classes, maxDist, maxBlock)
+    val one = classPairs
+      .join(members.select(col("__ck").as("__cka"),
+        col("__id").as("__ia")), "__cka")
+      .join(members.select(col("__ck").as("__ckb"),
+        col("__id").as("__ib")), "__ckb")
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("dist"))
+    zero.unionByName(one)
   }
 
-  /** maxDist <= 1 core: POSITION-KEYED FastSS channels (round 14 — the
-    * sf10 cure for q183). At d = 1 the deletion filter sharpens from
-    * complete to EXACT, so verification disappears — no Levenshtein DP
-    * runs anywhere on this path:
+  /** maxDist = 1 cross-class channels: POSITION-KEYED FastSS (round 14
+    * — the sf10 cure for q183). At d = 1 the deletion filter sharpens
+    * from complete to EXACT, so verification disappears — no
+    * Levenshtein DP runs anywhere on this path:
     *
-    *   - '''dist 0''' — equal strings. Identical (stratum, string) rows
-    *     form one CLASS; within-class member pairs ARE the answer
-    *     (block = class through the shared tiling engine).
     *   - '''substitution''' — a = b except at exactly one position i.
     *     Then delete(a,i) = delete(b,i): both land in block
     *     (stratum, i, variant). CONVERSELY any two distinct members of
@@ -375,37 +372,19 @@ object Linkage {
     *     array_distinct over each class's variants makes each pair hit
     *     once ("aab"->"ab" from two positions is one variant row).
     *
-    * The channels are DISJOINT (equal strings / equal-length unequal
-    * strings / length gap 1), so the union needs no cross-channel
-    * dedup. Classes collapse before the channels (the q27/q227
-    * representative discipline), so a replicated corpus (gen_scale's
-    * verbatim xk) pays candidate work on DISTINCT strings only; the
-    * member cross-products — the true output's own volume — are
-    * restored by two output-bound equi-joins at the end.
-    *
+    * The channels are DISJOINT from each other (equal-length unequal
+    * strings / length gap 1) and from the caller's dist-0 class pairs
+    * (distinct classes differ), so no cross-channel dedup is needed.
     * Completeness at d = 1 is case arithmetic: ed <= 1 means equal,
     * one substitution, or one indel — each case has its channel.
     */
-  private def editJoinPositional(
-      members0: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
-    // class key = (stratum, string) — NUL-joined, opaque to the engine
-    val members = graft.llm.CacheScope.persistTracked(
-      members0.withColumn(
-        "__ck", concat_ws("\u0000", col("__st"), col("__s"))))
-    val zero = graft.llm.Dedup.tiledPairs(
-        members.select(col("__id"), col("__ck").as("__block")),
-        Seq.empty, maxBlock, cache = false)
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        lit(0L).as("dist"))
-    if (maxDist == 0) return zero
-    val classes = graft.llm.CacheScope.persistTracked(
-      members.select("__st", "__s", "__ck").distinct())
+  private def positionalClassPairs(
+      classes: DataFrame, maxBlock: Int): DataFrame = {
     // strings with at least one deletion variant (len > 0); the empty
-    // string still pairs via the exact channel and as the indel join's
-    // right side ("" is the variant of every single-char string)
-    val deletable = classes.filter(length(col("__s")) > 0)
+    // string still pairs through the caller's dist-0 channel and as
+    // the indel join's right side ("" is the variant of every
+    // single-char string)
+    val deletable = classes.filter(col("__len") > 0)
     val subKeyed = deletable.select(col("__ck").as("__id"), col("__st"),
         posexplode(expr(
           "transform(sequence(1, length(__s)), i -> " +
@@ -424,15 +403,51 @@ object Linkage {
       .join(classes.select(col("__st"), col("__s").as("__v"),
         col("__ck").as("__ckb")), Seq("__st", "__v"))
       .select(col("__cka"), col("__ckb"))
-    val one = subPairs.unionByName(indelPairs)
-      .join(members.select(col("__ck").as("__cka"),
-        col("__id").as("__ia")), "__cka")
-      .join(members.select(col("__ck").as("__ckb"),
-        col("__id").as("__ib")), "__ckb")
+    subPairs.unionByName(indelPairs).withColumn("dist", lit(1L))
+  }
+
+  /** maxDist >= 2 cross-class channel: position-less <=d-deletion
+    * neighborhoods over the DISTINCT-class table — d rounds of
+    * explode(self U one-char deletions), distinct per class key, block
+    * collisions through the shared tiling engine, then one banded
+    * exact DP per candidate pair. Candidates are bare class keys
+    * (payload bytes would dominate the d >= 2 variant shuffle —
+    * measured 34.6 s join-back vs 82.1 s payload-carry at sf1 in r13);
+    * the two string-recovery joins probe the cached class table, which
+    * is sf-invariant under replication.
+    */
+  private def deletionClassPairs(
+      classes: DataFrame, maxDist: Int, maxBlock: Int): DataFrame = {
+    // sequence(1,0) would step BACKWARD (Spark's sign-inferred step) —
+    // guard the empty string explicitly.
+    var variants = classes.select(
+      col("__ck"), col("__st"), col("__s").as("__v"))
+    for (_ <- 1 to maxDist) {
+      variants = variants.select(
+        col("__ck"), col("__st"), explode(expr(
+          "case when length(__v) = 0 then array(__v) else " +
+            "array_union(array(__v), transform(sequence(1, length(__v)), " +
+            "i -> concat(substring(__v, 1, i-1), " +
+            "substring(__v, i+1, 2147483647)))) end")).as("__v"))
+    }
+    // stratum is part of the block identity: variants collide only
+    // within equal strata (NUL-joined — the key is opaque to tiledPairs)
+    val keyed = variants.select(col("__ck").as("__id"),
+      concat_ws("\u0000", col("__st"), col("__v")).as("__block")).distinct()
+    val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
       .select(
-        least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"),
-        lit(1L).as("dist"))
-    zero.unionByName(one)
+        least(col("id_a"), col("id_b")).as("__cka"),
+        greatest(col("id_a"), col("id_b")).as("__ckb"))
+      .distinct()
+    cand
+      .join(classes.select(col("__ck").as("__cka"), col("__s").as("__sa"),
+        col("__len").as("__la")), "__cka")
+      .join(classes.select(col("__ck").as("__ckb"), col("__s").as("__sb"),
+        col("__len").as("__lb")), "__ckb")
+      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+      .select(col("__cka"), col("__ckb"),
+        levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 1L && col("dist") <= maxDist)
   }
 }
