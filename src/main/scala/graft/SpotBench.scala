@@ -230,6 +230,20 @@ object SpotBench {
           coalesce(sum(col("__cnt")).over(wBelow), lit(0L)))
         .agg(count(lit(1L)).as("n"), sum(col("__below")).as("s"))
     },
+    // q186's full pipeline with the answer AGGREGATED instead of
+    // globally sorted: at sf10 the answer is ~2.6B scored pairs (the
+    // x100 replica cross-product is the true result volume), and the
+    // graded query's determinism sort is not what a production consumer
+    // would do with it - this probe times the ENGINE (candidates,
+    // expansion, broadcast attr joins, scoring) with the output
+    // streamed into one combinable aggregate.
+    "q186_engine" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      SparkEntry.queries("q186_fellegi_sunter")(s, dir)
+        .groupBy("classificacao")
+        .agg(count(lit(1L)).as("n"),
+          sum(col("pontuacao").cast("decimal(38,12)")).as("soma"))
+    },
     // q186's candidate layer in the r12 (join-back) shape: bare-id
     // candidate pairs distinct'd, then two joins to recover strings —
     // the A/B control for payload-carry at maxDist=2, where the variant

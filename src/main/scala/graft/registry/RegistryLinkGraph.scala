@@ -215,12 +215,17 @@ private[graft] trait RegistryLinkGraph extends RegistryBase {
         .withColumn("eh_par", lit(false))
       val all = c.unionByName(v)
       val attrs = all.select("id", "faixa", "seg")
+      // attrs is the customer DIMENSION — broadcast both probes so the
+      // pair stream (output-bound, ~2.6B rows at sf10 from replica
+      // cross-products) is never shuffled or sorted for an equi-join;
+      // without the hint AQE plans SMJ and the sf10 shuffle write
+      // exhausted the rehearsal box's disk
       val cands = operators.Linkage.editJoinDeletesOn(
           all, "id", "nome", "nacao", maxDist = 2)
-        .join(attrs.select(col("id").as("id_a"),
-          col("faixa").as("faixa_a"), col("seg").as("seg_a")), "id_a")
-        .join(attrs.select(col("id").as("id_b"),
-          col("faixa").as("faixa_b"), col("seg").as("seg_b")), "id_b")
+        .join(broadcast(attrs.select(col("id").as("id_a"),
+          col("faixa").as("faixa_a"), col("seg").as("seg_a"))), "id_a")
+        .join(broadcast(attrs.select(col("id").as("id_b"),
+          col("faixa").as("faixa_b"), col("seg").as("seg_b"))), "id_b")
         .select(col("id_a"), col("id_b"),
           (col("dist") <= 1L).as("nome_igual"),
           (col("faixa_a") === col("faixa_b")).as("faixa_igual"),
