@@ -53,21 +53,11 @@ object SpotBench {
       .withColumn("doc_id", col("doc_id") + 1000000)
       .withColumn("text",
         concat_ws(" ", slice(llm.TextAnalysis.tokens(col("text")), 2, 100000)))
-    val all = docs.unionByName(variants)
-    val m = md5(col("__tok").cast("binary"))
-    val tokRows = all.select(col("doc_id").as("__id"),
-        explode(array_distinct(llm.TextAnalysis.tokens(col("text")))).as("__tok"))
-      .select(col("__id") +: (0 until 4).map(j =>
-        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
-    val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
-      sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
-    val chunkVals = (0 until 4).map { j =>
-      (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
-        .reduce(_ + _).as(s"__v$j")
-    }
-    tokRows.groupBy("__id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("__id") +: chunkVals: _*)
+    // delegates to the production signature stage (round-15: the
+    // distinct-text collapse lives INSIDE it, so the probes keep
+    // decomposing the real pipeline rather than a stale copy)
+    llm.Dedup.simhashSignaturesPortable(
+      docs.unionByName(variants), "doc_id", "text")
   }
 
   /** The banded block explode over a (persisted) signature frame — the

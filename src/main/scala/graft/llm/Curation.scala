@@ -319,18 +319,25 @@ object Curation {
       df: DataFrame, domainCol: String, tokenCol: Column,
       budget: Long): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
-    val avail = df.groupBy(col(domainCol))
-      .agg(sum(tokenCol).cast("long").as("tokens_disponiveis"))
-    val byC = Window.orderBy(col("tokens_disponiveis"), col(domainCol))
-    val ranked = avail
-      .withColumn("__rank", row_number().over(byC))
-      .withColumn("__prefix",
-        coalesce(sum(col("tokens_disponiveis"))
-          .over(byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val flagged = ranked
-      .withColumn("__n",
-        count(lit(1)).over(byC.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // persisted: the availability table is corpus-derived and consumed
+    // by the water-filling fold AND the final select — without the pin
+    // the corpus aggregation executed twice (round-14 shape)
+    val avail = CacheScope.persistTracked(df.groupBy(col(domainCol))
+      .agg(sum(tokenCol).cast("long").as("tokens_disponiveis")))
+    // rank + prefix over the |domains|-row table via ONE SmallFold
+    // broadcast self-join on the composite unique key (tokens, domain)
+    // — keeps the plan free of partition-less WindowExec (the SmallFold
+    // warning discipline; mixture tables are hundreds of rows at 100 TB)
+    val availK = avail
+      .withColumn("__ok", struct(col("tokens_disponiveis"), col(domainCol)))
+      .withColumn("__one", lit(1L))
+    val folds = graft.operators.SmallFold.cumBeforeMulti(availK, "__ok",
+      Seq(("tokens_disponiveis", "__prefix", lit(0L)),
+        ("__one", "__rb", lit(0L))))
+    val flagged = availK
+      .join(broadcast(folds), Seq("__ok"))
+      .crossJoin(broadcast(avail.agg(count(lit(1L)).as("__n"))))
+      .withColumn("__rank", col("__rb") + lit(1L))
       .withColumn("inteiro",
         col("tokens_disponiveis") * (col("__n") - col("__rank") + 1) +
           col("__prefix") <= budget)

@@ -752,23 +752,28 @@ object Dedup {
       maxBlock: Int = AdaptiveBlock): DataFrame = {
     // Simhash via explode + 64 signed-bit sums: one codegen'd xxhash64 per
     // token row and codegen'd HashAggregate bit sums, instead of the
-    // interpreted 64×tokens higher-order fold in simhash64. Persisted: the
+    // interpreted 64×tokens higher-order fold in simhash64. The token
+    // explode and the bit sums run over DISTINCT texts only (see
+    // [[distinctTexts]]); members re-attach by join. Persisted: the
     // block counts and both tile sides re-derive the banded explode from
     // this compact per-doc signature (cheaper to cache than the 4x-banded
     // rows — tiledPairs runs with cache=false).
-    val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
-      .select(col("__id"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
+    val (base, texts) = distinctTexts(docs, idCol, textCol)
+    val tokRows = texts
+      .select(col("__tid"),
+        explode(array_distinct(TextAnalysis.tokens(col("__sim_txt"))))
+          .as("__tok"))
       .withColumn("__th", xxhash64(col("__tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(col("__th").bitwiseAND(1L << i) =!= 0, 1).otherwise(-1)).as(s"__b$i")
     }
-    val sh = tokRows.groupBy("__id")
+    val sigs = tokRows.groupBy("__tid")
       .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("__id"),
+      .select(col("__tid"),
         (0 until 64).map(i =>
           when(col(s"__b$i") > 0, lit(1L << i)).otherwise(0L))
           .reduce(_ + _).as("__sim"))
+    val sh = memberSignatures(base, texts, sigs)
       .transform(CacheScope.persistTracked)
     simhashTail(sh, Seq("__sim"),
       (0 until 4).map { j =>
@@ -845,6 +850,65 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Distinct-text collapse shared by the simhash family (the q183/q227
+    * representative discipline applied one stage EARLIER, before
+    * tokenization): a signature is a pure function of the text, so on a
+    * corpus with verbatim replicas (the CommonCrawl refetch reality —
+    * and the round-14 sf10 rehearsal, where signature work over 600k
+    * members of ~6k distinct texts read ×175 super-linear) the token
+    * explode and the bit-sum aggregation must run over DISTINCT texts,
+    * not members. Cost on a mostly-unique corpus: one extra text-keyed
+    * shuffle (the exactDedup shape) and a signature join-back — linear,
+    * and the signature stage's input can never exceed the distinct-text
+    * count.
+    *
+    * Returns (member frame (__id, __sim_txt), persisted distinct-text
+    * frame (__sim_txt, __tid = min member id)).
+    */
+  private def distinctTexts(
+      docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val base = Spread(
+      docs.select(col(idCol).as("__id"), col(textCol).as("__sim_txt")))
+    val texts = CacheScope.persistTracked(
+      base.groupBy("__sim_txt").agg(min(col("__id")).as("__tid")))
+    (base, texts)
+  }
+
+  /** Re-attach per-distinct-text signatures to every member row:
+    * (__id, sig…). Null-text and zero-token members drop exactly as
+    * they did when signatures were computed per member (no token row →
+    * no signature; a null text never equi-joins). */
+  private def memberSignatures(
+      base: DataFrame, texts: DataFrame, sigs: DataFrame): DataFrame =
+    base.join(texts, Seq("__sim_txt")).drop("__sim_txt")
+      .join(sigs, Seq("__tid")).drop("__tid")
+
+  /** The portable signature stage of [[simhashPairsPortable]]: one row
+    * per member — (__id, __v0..__v3). Exposed for the SpotBench stage-
+    * decomposition probes (NOT persisted here — callers decide). */
+  private[graft] def simhashSignaturesPortable(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (base, texts) = distinctTexts(docs, idCol, textCol)
+    val m = md5(col("__tok").cast("binary"))
+    val tokRows = texts
+      .select(col("__tid"),
+        explode(array_distinct(TextAnalysis.tokens(col("__sim_txt"))))
+          .as("__tok"))
+      .select(col("__tid") +: (0 until 4).map(j =>
+        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
+    val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
+      sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
+    val chunkVals = (0 until 4).map { j =>
+      (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
+        .reduce(_ + _).as(s"__v$j")
+    }
+    val sigs = tokRows.groupBy("__tid")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("__tid") +: chunkVals: _*)
+    memberSignatures(base, texts, sigs)
+  }
+
   /** [[simhashPairs]] with portable hashing: the 64-bit token hash is the
     * first 16 hex chars of md5(token), handled as 4 × 16-bit chunks — the
     * chunks are exactly the blocking key, every value stays small and
@@ -854,21 +918,7 @@ object Dedup {
   def simhashPairsPortable(
       docs: DataFrame, idCol: String, textCol: String, maxHamming: Int,
       maxBlock: Int = AdaptiveBlock): DataFrame = {
-    val m = md5(col("__tok").cast("binary"))
-    val tokRows = Spread(docs.select(col(idCol).as("__id"), col(textCol)))
-      .select(col("__id"),
-        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("__tok"))
-      .select(col("__id") +: (0 until 4).map(j =>
-        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("int").as(s"__c$j")): _*)
-    val bitSums = for (j <- 0 until 4; b <- 0 until 16) yield
-      sum(when(col(s"__c$j").bitwiseAND(1 << b) =!= 0, 1).otherwise(-1)).as(s"__s${j}_$b")
-    val chunkVals = (0 until 4).map { j =>
-      (0 until 16).map(b => when(col(s"__s${j}_$b") > 0, lit(1 << b)).otherwise(0))
-        .reduce(_ + _).as(s"__v$j")
-    }
-    val sh = tokRows.groupBy("__id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("__id") +: chunkVals: _*)
+    val sh = simhashSignaturesPortable(docs, idCol, textCol)
       // counts + both tile sides re-derive the banded explode from this
       // compact signature (tiledPairs runs with cache=false)
       .transform(CacheScope.persistTracked)

@@ -240,18 +240,18 @@ object Incremental {
   /** Merge two [[heavyHitters]] summaries built with the same k: add
     * counters, then subtract the (k+1)-th largest sum from all and keep
     * the positive remainder — the mergeable-summaries trim. Inputs are
-    * ≤ k rows each, so the window here orders ≤ 2k rows, never data.
+    * ≤ k rows each; the (k+1)-th largest comes from a distributed
+    * TakeOrdered top-(k+1) (its minimum IS the rank-(k+1) counter — the
+    * set is sorted descending), not a partition-less ranking window
+    * (the SmallFold warning discipline).
     */
   def heavyHittersMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val summed = a.unionByName(b)
       .groupBy("item").agg(sum(col("contagem")).as("contagem"))
-    val ranked = summed.withColumn("__r",
-      row_number().over(Window.orderBy(col("contagem").desc, col("item"))))
-    val cut = ranked.agg(
-      coalesce(max(when(col("__r") === k + 1, col("contagem"))), lit(0L))
-        .as("__cut"))
-    ranked.crossJoin(broadcast(cut))
+    summed.crossJoin(broadcast(
+      summed.orderBy(col("contagem").desc, col("item")).limit(k + 1)
+        .agg(coalesce(when(count(lit(1L)) === k + 1,
+          min(col("contagem"))), lit(0L)).as("__cut"))))
       .select(col("item"), (col("contagem") - col("__cut")).as("contagem"))
       .filter(col("contagem") > 0L)
   }

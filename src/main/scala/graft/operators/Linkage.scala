@@ -439,11 +439,15 @@ object Linkage {
         least(col("id_a"), col("id_b")).as("__cka"),
         greatest(col("id_a"), col("id_b")).as("__ckb"))
       .distinct()
+    // the class table is sf-invariant under replication (distinct
+    // strings only) — broadcast both string-recovery probes so the
+    // candidate stream never shuffles for them (ADVICE r14; same
+    // rationale as the Fellegi–Sunter attribute probes)
     cand
-      .join(classes.select(col("__ck").as("__cka"), col("__s").as("__sa"),
-        col("__len").as("__la")), "__cka")
-      .join(classes.select(col("__ck").as("__ckb"), col("__s").as("__sb"),
-        col("__len").as("__lb")), "__ckb")
+      .join(broadcast(classes.select(col("__ck").as("__cka"),
+        col("__s").as("__sa"), col("__len").as("__la"))), "__cka")
+      .join(broadcast(classes.select(col("__ck").as("__ckb"),
+        col("__s").as("__sb"), col("__len").as("__lb"))), "__ckb")
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select(col("__cka"), col("__ckb"),
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")

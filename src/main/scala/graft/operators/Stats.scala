@@ -145,29 +145,66 @@ object Stats {
     * cache per rank map).
     */
   private[graft] def valueBelow(base: DataFrame, v: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = graft.llm.CacheScope.persistTracked(
-      base.groupBy(col(v).as("__v")).agg(count(lit(1L)).as("__cnt")))
-    val bounds = counts.agg(
-      min(col("__v").cast("double")).as("__pslo"),
-      max(col("__v").cast("double")).as("__pshi"))
+      base.groupBy(col(v).as("__v")).agg(count(lit(1L)).as("__cnt"))
+        .withColumn("__c", lit("v")))
+    belowFromCounts(counts).drop("__c")
+  }
+
+  /** The bucket-decomposition core behind [[valueBelow]], generalized to
+    * MULTIPLE labeled columns in one pass: `counts` holds one row per
+    * (column label `__c`, distinct value `__v`) with its multiplicity
+    * `__cnt`, and the result adds `__below` = Σ __cnt over same-`__c`
+    * rows with strictly smaller `__v` — ONE bounds aggregate, ONE
+    * SmallFold offset fold and ONE per-(__c,__bk) window serve every
+    * column (spearmanCorr folds a whole pair list's rank maps through a
+    * single call where the round-14 engine paid the full stack per
+    * column per pair — 6 folds and 6 persisted counts tables for
+    * q193's three pairs).
+    *
+    * Non-finite guard (the round-14 silent-NaN regression): bounds are
+    * computed over FINITE values only — one NaN input used to make
+    * `max()` return NaN, width_bucket then returned null for EVERY row
+    * and the inner `__bk` join silently dropped the whole column.
+    * Non-finite values never reach width_bucket: −Inf maps to bucket 0,
+    * +Inf to 256 (width_bucket's own out-of-range buckets, ordered
+    * correctly around the finite range) and NaN to a sentinel bucket
+    * 257 AFTER everything else — exactly where a plain `orderBy(v)`
+    * ranks NaN in both Spark and DuckDB (greatest, equal to itself).
+    *
+    * `counts` must be persisted by the caller (bounds, bucket totals
+    * and the windowed main side are three consumers). Worst-case value
+    * skew (every value in one bucket) degrades to the single-partition
+    * sort this replaces; typical spread keeps each window task ~1/256
+    * of the distinct-value table.
+    */
+  private[graft] def belowFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vd = col("__v").cast("double")
+    val finite =
+      when(!isnan(vd) && abs(vd) =!= lit(Double.PositiveInfinity), vd)
+    val bounds = counts.groupBy("__c").agg(
+      min(finite).as("__pslo"), max(finite).as("__pshi"))
     val bucketOf =
-      when(col("__pshi") > col("__pslo"),
-        expr("width_bucket(CAST(__v AS DOUBLE), " +
-          "__pslo, __pshi, 255)")).otherwise(lit(1L))
-    val bucketed = counts.crossJoin(broadcast(bounds))
+      when(isnan(vd), lit(257L))
+        .when(vd === lit(Double.PositiveInfinity), lit(256L))
+        .when(vd === lit(Double.NegativeInfinity), lit(0L))
+        .when(col("__pshi") > col("__pslo"),
+          expr("width_bucket(CAST(__v AS DOUBLE), " +
+            "__pslo, __pshi, 255)")).otherwise(lit(1L))
+    val bucketed = counts.join(broadcast(bounds), Seq("__c"))
       .withColumn("__bk", bucketOf)
       .drop("__pslo", "__pshi")
     val offsets = SmallFold.cumBefore(
-      bucketed.groupBy("__bk").agg(sum(col("__cnt")).as("__pc")),
-      "__bk", "__pc", out = "__poff")
-    val wLoc = Window.partitionBy("__bk").orderBy(col("__v"))
+      bucketed.groupBy("__c", "__bk").agg(sum(col("__cnt")).as("__pc")),
+      "__bk", "__pc", parts = Seq("__c"), out = "__poff")
+    val wLoc = Window.partitionBy("__c", "__bk").orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
-      .join(broadcast(offsets), Seq("__bk"))
+      .join(broadcast(offsets), Seq("__c", "__bk"))
       .withColumn("__below",
         col("__poff") + coalesce(sum(col("__cnt")).over(wLoc), lit(0L)))
-      .select(col("__v"), col("__cnt"), col("__below"))
+      .select(col("__c"), col("__v"), col("__cnt"), col("__below"))
   }
 
   /** ABC / Pareto classification: rank each group's members by value,
@@ -894,9 +931,21 @@ object Stats {
     * Shape at 100 TB: ranks depend only on the VALUE, so each column
     * collapses to its distinct values (one combinable count + one
     * cumulative window over distinct values — never a corpus-wide rank
-    * sort); rows join the two small value→rank maps back and ONE
+    * sort); rows join the small value→rank maps back and ONE
     * combinable aggregation produces every statistic. Pairs with a
     * constant column report null rho.
+    *
+    * Fixed-overhead discipline (the round-14 lesson — q193's three
+    * pairs paid 9 persists and 6 offset folds, ×9 wall at sf0.1): one
+    * cheap null-census action first; every pair whose two columns are
+    * null-free (the overwhelmingly common case — Spearman's pairwise
+    * deletion only differs when a null exists) shares ONE persisted
+    * projection, ONE labeled multi-column rank engine pass
+    * ([[belowFromCounts]]), |columns| (not 2·|pairs|) rank joins onto
+    * one annotated frame, and ONE final aggregation computing every
+    * pair's sufficient statistics together. Pairs with nulls fall back
+    * to a per-pair frame with the pairwise-complete filter — identical
+    * semantics, same arithmetic.
     *
     * Output: one row per pair — (coluna_x, coluna_y, n, rho).
     */
@@ -904,47 +953,83 @@ object Stats {
       df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one column pair")
     val d19 = "decimal(19,0)"
-    pairs.map { case (xc, yc) =>
-      val base = df
-        .select(col(xc).cast("double").as("__x"),
-          col(yc).cast("double").as("__y"))
-        .filter(col("__x").isNotNull && col("__y").isNotNull)
-        .transform(graft.llm.CacheScope.persistTracked)
-      // cumulative count below each distinct value through the
-      // bucket-decomposed engine — a continuous column's distinct-value
-      // table is corpus-sized, so a partition-less window here would
-      // single-task the whole rank map
-      def rankMap(c: String): DataFrame =
-        valueBelow(base, c)
-          .select(col("__v"),
-            (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"))
-      val ranked = base
-        .join(rankMap("__x").withColumnRenamed("__r2", "__rx"),
-          col("__x") === col("__v")).drop("__v")
-        .join(rankMap("__y").withColumnRenamed("__r2", "__ry"),
-          col("__y") === col("__v")).drop("__v")
-      val stats = ranked.agg(
-        count(lit(1L)).as("n"),
-        sum(col("__rx").cast(d19)).as("__sx"),
-        sum(col("__ry").cast(d19)).as("__sy"),
-        sum(col("__rx").cast(d19) * col("__rx").cast(d19)).as("__sxx"),
-        sum(col("__ry").cast(d19) * col("__ry").cast(d19)).as("__syy"),
-        sum(col("__rx").cast(d19) * col("__ry").cast(d19)).as("__sxy"))
-      stats.select(
-        lit(xc).as("coluna_x"), lit(yc).as("coluna_y"), col("n"),
-        {
-          val dx = col("n").cast(d19) * col("__sxx") -
-            col("__sx") * col("__sx")
-          val dy = col("n").cast(d19) * col("__syy") -
-            col("__sy") * col("__sy")
-          val num = col("n").cast(d19) * col("__sxy") -
-            col("__sx") * col("__sy")
+
+    // Rank-annotate `base0` (columns __v_<c>, already pairwise-complete
+    // for every pair in `gpairs`) and emit one result row per pair from
+    // ONE aggregation. Doubled tie-averaged ranks r2 = 2·below+equal+1
+    // keep every statistic an exact DECIMAL(38,0) sum — bit-identical
+    // to the round-14 per-pair engine.
+    def statsFor(
+        base0: DataFrame, gcols: Seq[String],
+        gpairs: Seq[(String, String)]): DataFrame = {
+      val base = graft.llm.CacheScope.persistTracked(base0)
+      val longForm = base.select(explode(array(gcols.map(c =>
+        struct(lit(c).as("__c"), col(s"__v_$c").as("__v"))): _*)).as("__e"))
+        .select(col("__e.__c").as("__c"), col("__e.__v").as("__v"))
+      val counts = graft.llm.CacheScope.persistTracked(
+        longForm.groupBy("__c", "__v").agg(count(lit(1L)).as("__cnt")))
+      val rmap = graft.llm.CacheScope.persistTracked(
+        belowFromCounts(counts).select(col("__c"), col("__v"),
+          (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2")))
+      val ranked = gcols.foldLeft(base) { (acc, c) =>
+        acc.join(rmap.filter(col("__c") === c)
+          .select(col("__v").as(s"__v_$c"), col("__r2").as(s"__r_$c")),
+          Seq(s"__v_$c"))
+      }
+      val aggs = (count(lit(1L)).as("__n") +:
+        gcols.flatMap(c => Seq(
+          sum(col(s"__r_$c").cast(d19)).as(s"__s_$c"),
+          sum(col(s"__r_$c").cast(d19) * col(s"__r_$c").cast(d19))
+            .as(s"__q_$c")))) ++
+        gpairs.zipWithIndex.map { case ((a, b), i) =>
+          sum(col(s"__r_$a").cast(d19) * col(s"__r_$b").cast(d19))
+            .as(s"__p_$i") }
+      val one = ranked.agg(aggs.head, aggs.tail: _*)
+      val rows = gpairs.zipWithIndex.map { case ((xc, yc), i) =>
+        val n = col("__n").cast(d19)
+        val dx = n * col(s"__q_$xc") - col(s"__s_$xc") * col(s"__s_$xc")
+        val dy = n * col(s"__q_$yc") - col(s"__s_$yc") * col(s"__s_$yc")
+        val num = n * col(s"__p_$i") - col(s"__s_$xc") * col(s"__s_$yc")
+        struct(
+          lit(xc).as("coluna_x"), lit(yc).as("coluna_y"),
+          col("__n").as("n"),
           when(dx > 0 && dy > 0,
             num.cast("double") /
               (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))))
-            .as("rho")
-        })
-    }.reduce(_.unionByName(_))
+            .as("rho"))
+      }
+      one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+    }
+
+    val cols = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+    // One combinable pass: which columns are null-free after the
+    // numeric cast? (count() skips nulls; NaN is non-null and ranks
+    // through the engine's sentinel bucket.)
+    val census = df.agg(count(lit(1L)).as("__all"),
+      cols.map(c => count(col(c).cast("double")).as(s"__nn_$c")): _*).head()
+    val total = census.getAs[Long]("__all")
+    val nullFree =
+      cols.filter(c => census.getAs[Long](s"__nn_$c") == total).toSet
+    val (shared, perPair) = pairs.partition { case (a, b) =>
+      nullFree(a) && nullFree(b) }
+    val sharedOut =
+      if (shared.isEmpty) Nil
+      else {
+        val sCols = shared.flatMap { case (a, b) => Seq(a, b) }.distinct
+        Seq(statsFor(
+          df.select(sCols.map(c =>
+            col(c).cast("double").as(s"__v_$c")): _*),
+          sCols, shared))
+      }
+    val perPairOut = perPair.map { case (xc, yc) =>
+      val gcols = Seq(xc, yc).distinct
+      statsFor(
+        df.select(gcols.map(c =>
+          col(c).cast("double").as(s"__v_$c")): _*)
+          .filter(gcols.map(c => col(s"__v_$c").isNotNull).reduce(_ && _)),
+        gcols, Seq((xc, yc)))
+    }
+    (sharedOut ++ perPairOut).reduce(_.unionByName(_))
   }
 
   /** Two-proportion z-test (the A/B experiment readout): pooled
@@ -1026,20 +1111,38 @@ object Stats {
         col(valueCol).cast("double").as("__v"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
       .transform(graft.llm.CacheScope.persistTracked)
-    // distinct-value cumulative through the bucket-decomposed engine
-    // (the spearmanCorr discipline — never a one-task rank sort);
-    // persisted: consumed by BOTH the per-group rank sums and the tie
-    // aggregation below
-    val ranks = graft.llm.CacheScope.persistTracked(valueBelow(base, "__v")
-      .select(col("__v"),
-        (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"),
-        (col("__cnt").cast(d19) * col("__cnt").cast(d19) *
-          col("__cnt").cast(d19) - col("__cnt").cast(d19)).as("__t")))
-    val perGroup = base.join(ranks, Seq("__v"))
-      .groupBy("__g").agg(
-        count(lit(1L)).as("n_grupo"),
-        sum(col("__r2").cast(d19)).as("__rg2"))
-    val ties = ranks.agg(sum(col("__t")).as("__st"))
+    // distinct-value collapse, persisted ONCE and consumed three ways:
+    // the rank map's bounds/offsets/window (belowFromCounts) and the
+    // tie aggregation — which needs only the multiplicities, so it
+    // reads the counts directly instead of forcing a second persisted
+    // layer on top of the rank map (the round-14 shape: base + counts
+    // + ranks = 3 persists per call; now 2, and the rank map itself is
+    // consumed exactly once, by the per-group join below)
+    val counts = graft.llm.CacheScope.persistTracked(
+      base.groupBy(col("__v")).agg(count(lit(1L)).as("__cnt"))
+        .withColumn("__c", lit("v")))
+    val ranks = belowFromCounts(counts)
+      .select(col("__v"), col("__cnt"),
+        (lit(2L) * col("__below") + col("__cnt") + lit(1L)).as("__r2"))
+    // persisted: consumed by BOTH the cross-group total fold and the
+    // final select — without the pin, the base⋈ranks shuffle AND the
+    // whole rank-map derivation execute twice (measured: the pin is
+    // nearly half of q195's sf0.1 wall). ≤|groups| rows — trivial state.
+    // persisted: consumed by BOTH the cross-group total fold and the
+    // final select — without the pin, the base⋈ranks shuffle AND the
+    // whole rank-map derivation execute twice (measured: the pin is
+    // nearly half of q195's sf0.1 wall). ≤|groups| rows — trivial state.
+    // The tie term rides the SAME aggregation: a joined row whose value
+    // has multiplicity t contributes t²−1, and Σ_rows (t²−1) =
+    // Σ_values t·(t²−1) = Σ(t³−t) exactly (integer DECIMAL) — so the
+    // round-14 separate ties pass over the counts cache disappears.
+    val perGroup = graft.llm.CacheScope.persistTracked(
+      base.join(ranks, Seq("__v"))
+        .groupBy("__g").agg(
+          count(lit(1L)).as("n_grupo"),
+          sum(col("__r2").cast(d19)).as("__rg2"),
+          sum(col("__cnt").cast(d19) * col("__cnt").cast(d19) - lit(1L))
+            .as("__tg")))
     // Σ_g Rg²/n_g: each term is EXACT integer __rg2² (decimal(38,0) —
     // the headroom wall is __rg2 ≤ 10¹⁹, i.e. N ≤ ~2·10⁹ rows; the
     // previous decimal(38,18) accumulator burned 18 of those digits on
@@ -1054,6 +1157,7 @@ object Stats {
     val tot = perGroup.agg(
       sum(col("n_grupo")).as("__n"),
       count(lit(1L)).as("__k"),
+      sum(col("__tg")).as("__st"),
       aggregate(
         array_sort(collect_list(struct(col("__g"), term.as("__t")))),
         lit(0.0), (acc, x) => acc + x.getField("__t")).as("__s2sum"))
@@ -1064,7 +1168,6 @@ object Stats {
       col("__st").cast("double") / (nd * nd * nd - nd)
     perGroup
       .crossJoin(broadcast(tot))
-      .crossJoin(broadcast(ties))
       .select(col("__g").as("grupo"), col("n_grupo"),
         (col("__rg2").cast("double") /
           (lit(2.0) * col("n_grupo").cast("double"))).as("posto_medio"),

@@ -219,7 +219,11 @@ private[graft] trait RegistryLinkGraph extends RegistryBase {
       // pair stream (output-bound, ~2.6B rows at sf10 from replica
       // cross-products) is never shuffled or sorted for an equi-join;
       // without the hint AQE plans SMJ and the sf10 shuffle write
-      // exhausted the rehearsal box's disk
+      // exhausted the rehearsal box's disk. CEILING: attrs grows
+      // linearly with sf (~1.65M rows at sf10); past ~sf50 two copies
+      // of it approach Spark's 8 GB broadcast hard limit / driver
+      // heap, at which point this hint must be dropped (degrade to
+      // SMJ) or the dimension bucketed — rehearsed scales are safe.
       val cands = operators.Linkage.editJoinDeletesOn(
           all, "id", "nome", "nacao", maxDist = 2)
         .join(broadcast(attrs.select(col("id").as("id_a"),

@@ -16,6 +16,72 @@ private[graft] trait RegistryStats extends RegistryBase {
 
   protected def queriesStats: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // §2 row 252 — Mann–Whitney U on open-vs-closed order values (the
+    // q201/q203 comparison, now on ranks): doubled tie-averaged ranks
+    // from the bucket-decomposed distinct-value collapse, exact
+    // DECIMAL U statistics, tie term fused into the same aggregation,
+    // one fixed IEEE z edge.
+    "q238_mann_whitney" -> { (s, dir) =>
+      ordered(operators.Inference.mannWhitneyU(
+        Tables.orders(s, dir), "o_orderstatus", "o_totalprice",
+        "O", "F"))
+    },
+
+    // §2 row 253 — one-way ANOVA F across return-flag groups on
+    // extended price (the parametric twin of q195): exact DECIMAL
+    // sufficient statistics per group, deterministic sorted fold of
+    // the k per-group divisions, fixed F edge.
+    "q239_anova_f" -> { (s, dir) =>
+      ordered(operators.Inference.anovaF(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice"))
+    },
+
+    // §2 row 254 — Jensen–Shannon + Hellinger drift between the same
+    // pre/post-1995-06-17 priority distributions as q167's PSI/χ²
+    // gate: bounded symmetric distances, per-bucket IEEE contributions
+    // decimal-accumulated.
+    "q240_js_hellinger" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val cut = lit("1995-06-17 00:00:00").cast("timestamp_ntz")
+      ordered(operators.Inference.jsHellingerDrift(
+        o.filter(col("o_orderdate") < cut),
+        o.filter(col("o_orderdate") >= cut),
+        "o_orderpriority"))
+    },
+
+    // §2 row 255 — Bradley–Terry strengths over part-brand "duels":
+    // within an order, a strictly-earlier ship date beats a different
+    // brand; the corpus collapses to the (i,j) match matrix once, 5
+    // fixed MM steps run on the broadcast-sized matrix with
+    // decimal-accumulated denominators.
+    "q241_bradley_terry" -> { (s, dir) =>
+      val l = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("m"),
+          col("l_shipdate").as("d"))
+      val duels = l.as("a").join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.m") =!= col("b.m") &&
+          col("a.d") < col("b.d"))
+        .select(col("a.m").as("vencedor"), col("b.m").as("perdedor"))
+      ordered(operators.Inference.bradleyTerry(
+        duels, "vencedor", "perdedor", iters = 5))
+    },
+
+    // §2 row 256 — Cohen's kappa between two deterministic document
+    // "raters" (length tercile vs whitespace-token tercile): exact
+    // integer marginal-product agreement, one fixed κ edge.
+    "q242_cohen_kappa" -> { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        when(length(col("text")) < 400, "curto")
+          .when(length(col("text")) < 800, "medio")
+          .otherwise("longo").as("rotulo_a"),
+        when(llm.TextAnalysis.wsTokenCount(col("text")) < 70L, "curto")
+          .when(llm.TextAnalysis.wsTokenCount(col("text")) < 140L, "medio")
+          .otherwise("longo").as("rotulo_b"))
+      ordered(operators.Inference.cohenKappa(d, "rotulo_a", "rotulo_b"))
+    },
+
     // §2 row 249 — Poisson bootstrap CI (Chamandy et al. 2012): one
     // scan computes all B replicates (per-(row,b) Poisson(1) weights
     // from the md5 dyadic uniform against driver-computed CDF literals
@@ -512,7 +578,205 @@ private[graft] trait RegistryStats extends RegistryBase {
        |ORDER BY ALL NULLS FIRST""".stripMargin
   }
 
+  /** q241's oracle: the fixed MM iteration unrolled — each step is one
+    * decimal-accumulated denominator aggregation + one division, so
+    * the replay is mechanical (`iters` chained CTE pairs).
+    */
+  private def btOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT g.i AS i,
+         |    CAST(sum(CAST(CAST(g.nij AS DOUBLE) / (pa.p + pb.p)
+         |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS den
+         |  FROM games g JOIN p${k - 1} pa ON g.i = pa.i
+         |    JOIN p${k - 1} pb ON g.j = pb.i GROUP BY 1),
+         |p$k AS (SELECT fi.i AS i,
+         |    CAST(fi.vit AS DOUBLE) / CAST(d$k.den AS DOUBLE) AS p
+         |  FROM fi JOIN d$k ON fi.i = d$k.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH l AS (SELECT l_orderkey AS ok, p_brand AS m,
+       |    l_shipdate AS d FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey),
+       |cmp AS (SELECT a.m AS w, b.m AS lo FROM l a JOIN l b
+       |  ON a.ok = b.ok AND a.m <> b.m AND a.d < b.d),
+       |wins AS (SELECT w, lo, CAST(count(*) AS BIGINT) AS n FROM cmp
+       |  GROUP BY 1, 2),
+       |wt AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS vit
+       |  FROM wins GROUP BY 1),
+       |lt AS (SELECT lo AS i, CAST(sum(n) AS BIGINT) AS der
+       |  FROM wins GROUP BY 1),
+       |items AS (SELECT coalesce(wt.i, lt.i) AS i,
+       |    coalesce(vit, 0) AS vit, coalesce(der, 0) AS der,
+       |    coalesce(vit, 0) > 0 AND coalesce(der, 0) > 0 AS fit
+       |  FROM wt FULL OUTER JOIN lt ON wt.i = lt.i),
+       |fi AS (SELECT i, vit FROM items WHERE fit),
+       |g0 AS (SELECT w AS i, lo AS j, n FROM wins
+       |  UNION ALL SELECT lo, w, n FROM wins),
+       |games AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM g0
+       |  WHERE i IN (SELECT i FROM fi) AND j IN (SELECT i FROM fi)
+       |  GROUP BY 1, 2),
+       |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM fi),
+       |$steps,
+       |z AS (SELECT CAST(sum(CAST(p AS DECIMAL(38,12)))
+       |    AS DECIMAL(38,12)) AS z FROM p$iters)
+       |SELECT it.i AS item, it.vit AS vitorias, it.der AS derrotas,
+       |  CASE WHEN it.fit THEN pf.p / CAST(z.z AS DOUBLE) END AS forca
+       |FROM items it LEFT JOIN p$iters pf ON it.i = pf.i, z
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+
+    // Replays the doubled ranks, the fused tie term and the fixed
+    // U / z IEEE chain.
+    "q238_mann_whitney" ->
+      """WITH b AS (SELECT o_orderstatus = 'O' AS a,
+        |    CAST(o_totalprice AS DOUBLE) AS v FROM orders
+        |  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL),
+        |cv AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM b
+        |  GROUP BY 1),
+        |rk AS (SELECT v, cnt, 2 * COALESCE(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS r2 FROM cv),
+        |ag AS (SELECT
+        |    CAST(count(*) FILTER (a) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (NOT a) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS ra2,
+        |    sum(CAST(cnt AS HUGEINT) * cnt - 1) AS st
+        |  FROM b JOIN rk USING (v)),
+        |u AS (SELECT n_a, n_b,
+        |    ra2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS u2a, st
+        |  FROM ag)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(u2a AS DOUBLE) / 2.0 END AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(2 * CAST(n_a AS HUGEINT) * n_b - u2a AS DOUBLE) / 2.0
+        |  END AS u_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(st AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0 THEN
+        |    (CAST(u2a AS DOUBLE) -
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(st AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) *
+        |          (CAST(n_a + n_b AS DOUBLE) - 1.0)))))
+        |  END AS z
+        |FROM u ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the exact decimal sufficient statistics, the sorted
+    // deterministic fold of per-group divisions and the fixed F edge.
+    "q239_anova_f" ->
+      """WITH b AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS s,
+        |    CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12))
+        |      AS q
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(s) AS DECIMAL(38,12)) AS ss,
+        |    CAST(sum(q) AS DECIMAL(38,12)) AS qq,
+        |    0.0 + list_reduce(
+        |      list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+        |        CAST(n AS DOUBLE) ORDER BY g),
+        |      (acc, x) -> acc + x) AS s2
+        |  FROM pg)
+        |SELECT n, k,
+        |  CASE WHEN n > 0 THEN s2 - CAST(ss AS DOUBLE) *
+        |    CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) END AS ss_entre,
+        |  CASE WHEN n > 0 THEN CAST(qq AS DOUBLE) - s2 END AS ss_dentro,
+        |  CASE WHEN k >= 2 AND n > k AND CAST(qq AS DOUBLE) - s2 > 0.0
+        |    THEN ((s2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) /
+        |      CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) /
+        |      ((CAST(qq AS DOUBLE) - s2) /
+        |        (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |  END AS f
+        |FROM tot ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Replays the per-bucket proportion contributions and the
+    // decimal-accumulated cross-bucket sums.
+    "q240_js_hellinger" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT)
+        |    AS n_base
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1995-06-17'
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority AS bucket, CAST(count(*) AS BIGINT)
+        |    AS n_atual
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1995-06-17'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_atual, 0) AS n_atual
+        |  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+        |t AS (SELECT CAST(sum(n_base) AS BIGINT) AS nt,
+        |    CAST(sum(n_atual) AS BIGINT) AS mt FROM j),
+        |k AS (SELECT n_base, n_atual, nt, mt,
+        |    CAST(n_base AS DOUBLE) / CAST(nt AS DOUBLE) AS p,
+        |    CAST(n_atual AS DOUBLE) / CAST(mt AS DOUBLE) AS q
+        |  FROM j, t),
+        |con AS (SELECT nt, mt,
+        |    (CASE WHEN n_base > 0 THEN p * log2(p / ((p + q) / 2.0))
+        |      ELSE 0.0 END +
+        |     CASE WHEN n_atual > 0 THEN q * log2(q / ((p + q) / 2.0))
+        |      ELSE 0.0 END) / 2.0 AS jc,
+        |    (sqrt(p) - sqrt(q)) * (sqrt(p) - sqrt(q)) AS hc
+        |  FROM k),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |    max(nt) AS nt, max(mt) AS mt,
+        |    CAST(sum(CAST(jc AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS jsd,
+        |    CAST(sum(CAST(hc AS DECIMAL(38,18))) AS DECIMAL(38,18))
+        |      AS hd
+        |  FROM con)
+        |SELECT n_buckets,
+        |  CASE WHEN nt > 0 AND mt > 0 THEN CAST(jsd AS DOUBLE) END AS js,
+        |  CASE WHEN nt > 0 AND mt > 0 THEN
+        |    sqrt(CAST(hd AS DOUBLE) / 2.0) END AS hellinger
+        |FROM ag ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q241_bradley_terry" -> btOracle(5),
+
+    // Replays the exact integer marginal-product chance agreement and
+    // the fixed kappa edge.
+    "q242_cohen_kappa" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN len(text) < 400 THEN 'curto'
+        |      WHEN len(text) < 800 THEN 'medio' ELSE 'longo' END AS ra,
+        |    CASE WHEN len(string_split_regex(trim(lower(text)), '\s+'))
+        |        < 70 THEN 'curto'
+        |      WHEN len(string_split_regex(trim(lower(text)), '\s+'))
+        |        < 140 THEN 'medio' ELSE 'longo' END AS rb
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (ra = rb) AS BIGINT) AS ag FROM d),
+        |ma AS (SELECT ra, CAST(count(*) AS BIGINT) AS na FROM d
+        |  GROUP BY 1),
+        |mb AS (SELECT rb, CAST(count(*) AS BIGINT) AS nb FROM d
+        |  GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(CAST(na AS HUGEINT) * nb),
+        |    CAST(0 AS HUGEINT)) AS pen
+        |  FROM ma JOIN mb ON ma.ra = mb.rb)
+        |SELECT n,
+        |  CASE WHEN n > 0 THEN CAST(ag AS DOUBLE) / CAST(n AS DOUBLE)
+        |    END AS concordancia,
+        |  CASE WHEN n > 0 THEN CAST(pen AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * n AS DOUBLE) END AS esperada,
+        |  CASE WHEN n > 0 AND CAST(pen AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n AS DOUBLE) < 1.0 THEN
+        |    (CAST(ag AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      CAST(pen AS DOUBLE) /
+        |        CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) /
+        |    (1.0 - CAST(pen AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+        |  END AS kappa
+        |FROM t, pe ORDER BY ALL NULLS FIRST""".stripMargin,
 
     "q235_bootstrap_ci" -> bootstrapCiSql,
 
