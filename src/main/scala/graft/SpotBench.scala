@@ -60,6 +60,25 @@ object SpotBench {
       docs.unionByName(variants), "doc_id", "text")
   }
 
+  /** q241's graded corpus with a configurable MM iteration count — the
+    * scaling probes (q241_bt1/bt3) share it. */
+  private def q241Duels(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    val l = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("m"),
+        col("l_shipdate").as("d"))
+    val duels = l.as("a").join(l.as("b"),
+      col("a.ok") === col("b.ok") && col("a.m") =!= col("b.m") &&
+        col("a.d") < col("b.d"))
+      .select(col("a.m").as("vencedor"), col("b.m").as("perdedor"))
+    graft.operators.Inference.bradleyTerry(
+      duels, "vencedor", "perdedor", iters = iters)
+  }
+
   /** The banded block explode over a (persisted) signature frame — the
     * candidate-keying stage shared by q27_pairs_only / q27_cand_stream.
     */
@@ -93,6 +112,27 @@ object SpotBench {
         docs.unionByName(variants), "doc_id", "text", maxHamming = 3,
         maxBlock = Int.MaxValue)
     },
+    // q241 stage decomposition: the brand-duel corpus collapse alone
+    // (self-join + win-count aggregation), so the full query's residual
+    // is the MM iteration tail on the 25-item matrix.
+    "q241_duels_only" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import graft.sources.Tables
+      val l = Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("m"),
+          col("l_shipdate").as("d"))
+      l.as("a").join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.m") =!= col("b.m") &&
+          col("a.d") < col("b.d"))
+        .select(col("a.m").as("vencedor"), col("b.m").as("perdedor"))
+        .groupBy("vencedor", "perdedor").agg(count(lit(1L)).as("n"))
+    },
+    // q241 iteration-count scaling probes (is the MM tail linear in k,
+    // or a per-step plan pathology?)
+    "q241_bt1" -> { (s, dir) => q241Duels(s, dir, 1) },
+    "q241_bt3" -> { (s, dir) => q241Duels(s, dir, 3) },
     // q183 stage decomposition (round-14 positional channels): (a) the
     // class collapse alone, (b) + both distance-1 channels producing
     // class pairs (pre-expansion), so the full query's residual is the

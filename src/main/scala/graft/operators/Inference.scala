@@ -239,7 +239,7 @@ object Inference {
     * normalization.
     *
     * Determinism: the MM update's denominator sums per-opponent DOUBLE
-    * ratios through DECIMAL(38,12) casts (order-independent — the
+    * ratios through DECIMAL(38,12) rounding (order-independent — the
     * row-154 decimal-of-double discipline), every division is one IEEE
     * op, and the iteration count is FIXED, so the fit replays
     * bit-for-bit in any engine (the oracle unrolls the same `iters`
@@ -248,10 +248,18 @@ object Inference {
     *
     * Shape at 100 TB: comparisons collapse to the (i, j, n_ij) match
     * matrix in one combinable aggregation — the corpus is touched
-    * once; every MM step then runs on the matrix alone. CONTRACT: the
-    * ITEM set is test-statistic-small (brands, arms, model variants —
-    * the row-211 k-groups discipline), so the per-step joins broadcast;
-    * the comparison STREAM is unbounded.
+    * once; the MM steps then run on the COLLECTED matrix on the driver
+    * (k²-bounded state — the k-means-centroid bounded-collect call).
+    * CONTRACT: the ITEM set is test-statistic-small (brands, arms,
+    * model variants — the row-211 k-groups discipline); the comparison
+    * STREAM is unbounded. A DataFrame-loop MM was built first and
+    * measured EXPONENTIAL in the step count (54 s at k=5 on a 25-item
+    * matrix at sf0.1): each step references the previous strengths
+    * frame twice, the self-join attribute dedup rewrites one branch,
+    * and the rewritten branch misses the cache — per-step persists do
+    * not save it. Driver arithmetic replicates Spark's cast semantics
+    * exactly: scala BigDecimal(double) (shortest-string) → setScale(12,
+    * HALF_UP) → exact decimal sums → correctly-rounded toDouble.
     *
     * The MLE only exists on items with ≥1 win and ≥1 loss; one-sided
     * items (their MLE is 0/∞) are excluded from the fit and reported
@@ -265,7 +273,6 @@ object Inference {
       comparisons: DataFrame, winnerCol: String, loserCol: String,
       iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, s"need 1 <= iters <= 50, got $iters")
-    val dd = "decimal(38,12)"
     val wins = graft.llm.CacheScope.persistTracked(
       comparisons
         .select(col(winnerCol).cast("string").as("__w"),
@@ -284,36 +291,47 @@ object Inference {
           coalesce(col("derrotas"), lit(0L)).as("derrotas"))
         .withColumn("__fit",
           col("vitorias") > 0L && col("derrotas") > 0L))
-    val fitItems = items.filter(col("__fit")).select("__i", "vitorias")
-    // symmetric match matrix restricted to fittable endpoints
-    val games = graft.llm.CacheScope.persistTracked(
-      wins.select(col("__w").as("__i"), col("__l").as("__j"), col("__n"))
-        .unionByName(wins.select(col("__l").as("__i"),
-          col("__w").as("__j"), col("__n")))
-        .groupBy("__i", "__j").agg(sum(col("__n")).as("__nij"))
-        .join(fitItems.select(col("__i")), Seq("__i"))
-        .join(fitItems.select(col("__i").as("__j")), Seq("__j")))
-    var p = fitItems.select(col("__i"), lit(1.0).as("__p"))
+    val fitIds = items.filter(col("__fit"))
+      .select("__i").collect().map(_.getString(0))
+    // directed win counts restricted to fittable endpoints — collected:
+    // ≤k² rows by the item-set contract. The fit runs on CONDITIONED
+    // totals (wins against excluded items must not leak into a
+    // strength); an item whose conditioned wins hit zero keeps strength
+    // 0 through the iteration (the BT limit for a conditioned sink),
+    // and (0,0) pairs contribute nothing — the MM stays total without
+    // a cascaded re-filter.
+    val winsRows =
+      if (fitIds.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else wins.filter(col("__w").isin(fitIds: _*) &&
+        col("__l").isin(fitIds: _*)).collect()
+    val wi2 = winsRows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap.withDefaultValue(0L)
+    val nij = winsRows
+      .flatMap(r => Seq(
+        (r.getString(0), r.getString(1)) -> r.getLong(2),
+        (r.getString(1), r.getString(0)) -> r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val dec12 = (v: Double) =>
+      scala.math.BigDecimal(v).setScale(12,
+        scala.math.BigDecimal.RoundingMode.HALF_UP)
+    var p: Map[String, Double] = fitIds.map(_ -> 1.0).toMap
     for (_ <- 1 to iters) {
-      val denom = games
-        .join(broadcast(p), Seq("__i"))
-        .join(broadcast(p.select(col("__i").as("__j"),
-          col("__p").as("__pj"))), Seq("__j"))
-        .select(col("__i"),
-          (col("__nij").cast("double") / (col("__p") + col("__pj")))
-            .cast(dd).as("__term"))
-        .groupBy("__i").agg(sum(col("__term")).cast(dd).as("__den"))
-      p = fitItems.join(denom, Seq("__i"))
-        .select(col("__i"),
-          (col("vitorias").cast("double") / col("__den").cast("double"))
-            .as("__p"))
+      val den = collection.mutable.Map.empty[String, scala.math.BigDecimal]
+      for (((i, j), n) <- nij; s = p(i) + p(j); if s > 0.0)
+        den(i) = den.getOrElse(i, scala.math.BigDecimal(0)) +
+          dec12(n.toDouble / s)
+      p = fitIds.map(i => i -> (
+        if (wi2(i) == 0L) 0.0
+        else wi2(i).toDouble / den(i).doubleValue)).toMap
     }
-    val norm = p.agg(sum(col("__p").cast(dd)).cast(dd).as("__z"))
+    val z = p.values.map(dec12).sum.doubleValue
+    val spark = comparisons.sparkSession
+    import spark.implicits._
+    val strengths =
+      (if (z > 0.0) p.toSeq.map { case (i, v) => (i, v / z) }
+       else Seq.empty[(String, Double)]).toDF("__i", "forca")
     items
-      .join(p.crossJoin(broadcast(norm))
-        .select(col("__i"),
-          (col("__p") / col("__z").cast("double")).as("forca")),
-        Seq("__i"), "left")
+      .join(broadcast(strengths), Seq("__i"), "left")
       .select(col("__i").as("item"), col("vitorias"), col("derrotas"),
         col("forca"))
   }

@@ -585,13 +585,15 @@ private[graft] trait RegistryStats extends RegistryBase {
   private def btOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""d$k AS (SELECT g.i AS i,
-         |    CAST(sum(CAST(CAST(g.nij AS DOUBLE) / (pa.p + pb.p)
-         |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS den
+         |    CAST(sum(CASE WHEN pa.p + pb.p > 0 THEN
+         |      CAST(CAST(g.nij AS DOUBLE) / (pa.p + pb.p)
+         |        AS DECIMAL(38,12)) END) AS DECIMAL(38,12)) AS den
          |  FROM games g JOIN p${k - 1} pa ON g.i = pa.i
          |    JOIN p${k - 1} pb ON g.j = pb.i GROUP BY 1),
          |p$k AS (SELECT fi.i AS i,
-         |    CAST(fi.vit AS DOUBLE) / CAST(d$k.den AS DOUBLE) AS p
-         |  FROM fi JOIN d$k ON fi.i = d$k.i)""".stripMargin
+         |    CASE WHEN fi.vit2 = 0 THEN 0.0 ELSE
+         |      CAST(fi.vit2 AS DOUBLE) / CAST(d$k.den AS DOUBLE) END AS p
+         |  FROM fi LEFT JOIN d$k ON fi.i = d$k.i)""".stripMargin
     }.mkString(",\n")
     s"""WITH l AS (SELECT l_orderkey AS ok, p_brand AS m,
        |    l_shipdate AS d FROM lineitem
@@ -608,18 +610,24 @@ private[graft] trait RegistryStats extends RegistryBase {
        |    coalesce(vit, 0) AS vit, coalesce(der, 0) AS der,
        |    coalesce(vit, 0) > 0 AND coalesce(der, 0) > 0 AS fit
        |  FROM wt FULL OUTER JOIN lt ON wt.i = lt.i),
-       |fi AS (SELECT i, vit FROM items WHERE fit),
-       |g0 AS (SELECT w AS i, lo AS j, n FROM wins
-       |  UNION ALL SELECT lo, w, n FROM wins),
+       |f0 AS (SELECT i FROM items WHERE fit),
+       |wins2 AS (SELECT w, lo, n FROM wins
+       |  WHERE w IN (SELECT i FROM f0) AND lo IN (SELECT i FROM f0)),
+       |wt2 AS (SELECT w AS i, CAST(sum(n) AS BIGINT) AS vit2
+       |  FROM wins2 GROUP BY 1),
+       |fi AS (SELECT f0.i, coalesce(wt2.vit2, 0) AS vit2
+       |  FROM f0 LEFT JOIN wt2 ON f0.i = wt2.i),
+       |g0 AS (SELECT w AS i, lo AS j, n FROM wins2
+       |  UNION ALL SELECT lo, w, n FROM wins2),
        |games AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij FROM g0
-       |  WHERE i IN (SELECT i FROM fi) AND j IN (SELECT i FROM fi)
        |  GROUP BY 1, 2),
        |p0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM fi),
        |$steps,
        |z AS (SELECT CAST(sum(CAST(p AS DECIMAL(38,12)))
        |    AS DECIMAL(38,12)) AS z FROM p$iters)
        |SELECT it.i AS item, it.vit AS vitorias, it.der AS derrotas,
-       |  CASE WHEN it.fit THEN pf.p / CAST(z.z AS DOUBLE) END AS forca
+       |  CASE WHEN it.fit AND CAST(z.z AS DOUBLE) > 0 THEN
+       |    pf.p / CAST(z.z AS DOUBLE) END AS forca
        |FROM items it LEFT JOIN p$iters pf ON it.i = pf.i, z
        |ORDER BY ALL NULLS FIRST""".stripMargin
   }
