@@ -83,10 +83,15 @@ object Bootstrap {
     require(b >= 4, s"need b >= 4 replicates, got $b")
     require(alpha > 0 && alpha < 1, s"need alpha in (0,1), got $alpha")
     val g = groupCols.map(col)
-    val base = df
+    // Spread: the ×B explode multiplies PER-ROW CPU (B md5 inversions per
+    // input row), so a byte-sized single-split scan serializes the whole
+    // weight stage on one task (guide §2.5 input skew / §6 split sizing —
+    // measured 30.5 s at sf0.1 with orders.parquet arriving as one split;
+    // ~1/cores of that once spread). No-op on an already-wide scan.
+    val base = graft.llm.Spread(df
       .filter(col(valueCol).isNotNull)
       .select(g :+ col(idCol).as("__id") :+
-        col(valueCol).cast("double").as("__x"): _*)
+        col(valueCol).cast("double").as("__x"): _*))
     val point = base.groupBy(g: _*).agg(
       count(lit(1L)).as("n"),
       (sum(col("__x").cast("decimal(38,12)")).cast("double") /
@@ -117,8 +122,15 @@ object Bootstrap {
           .select(g ++ Seq(col("__e.__b").as("__b"),
             col("__e.__sw").as("__sw"), col("__e.__swx").as("__swx")): _*)
       }
-    val rep = cells
-      .filter(col("__sw") > 0L)
+    // Pin the |groups|·B replicate cells: `rep` feeds BOTH the rank
+    // window and (through the window-to-aggregate rewrite of the
+    // per-group count) a second consumer — unpersisted, the second
+    // consumer RECOMPUTES the whole ×B explode + md5 weight stage
+    // (measured: the duplicated subtree was ~half of q235's 30 s wall
+    // at sf0.1; guide §2.4 — share one computation, the frame is
+    // |groups|·B rows, trivial state).
+    val rep = graft.llm.CacheScope.persistTracked(cells
+      .filter(col("__sw") > 0L))
       .withColumn("__m",
         col("__swx").cast("double") / col("__sw").cast("double"))
     val wRank = Window.partitionBy(g: _*)
