@@ -264,16 +264,23 @@ object Components {
     while (!done) {
       require(it < maxIter,
         s"k-core did not converge in $maxIter rounds (pathological chain?)")
+      // pin the round's degree table: the convergence probe (weak
+      // nonempty?) and the survivor semi-joins are two consumers, and
+      // unpinned each round paid the FULL degree aggregation twice
+      // (guide §2.4 — share one computation; the table is |V| rows,
+      // trivial state, freed before the next round)
       val deg = degrees(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val weak = deg.filter(col("grau") < k)
-      if (weak.isEmpty) done = true
+      if (weak.isEmpty) { deg.unpersist(false); done = true }
       else {
         val strong = deg.filter(col("grau") >= k).select(col("v"))
         val next = e
           .join(strong.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(strong.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
           .localCheckpoint(true, storage)
-        Roll.free(e) // the eager checkpoint above no longer reads it
+        deg.unpersist(false) // the eager checkpoint no longer reads it
+        Roll.free(e)
         e = next
         it += 1
       }

@@ -831,9 +831,18 @@ object Dedup {
       // the dedup shuffle carries survivors only
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    // the two member joins multiply each representative pair by its
+    // group sizes (×gₐ, then ×g_b — the answer's own volume). The same
+    // AQE-coalescing trap as the tile join above: the rep-pair frame is
+    // sf-invariant-small, so unpinned both expansions ran in one
+    // post-coalesce task; explicit key-repartitions keep the
+    // output-bound work spread at every scale.
+    val xparts = sh.sparkSession.sessionState.conf.numShufflePartitions
     val cross = repPairs
+      .repartition(xparts, col("__ra"))
       .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
         "__ra")
+      .repartition(xparts, col("__rb"))
       .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
         "__rb")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
@@ -1044,10 +1053,25 @@ object Dedup {
       .withColumn("__i2", explode(sequence(lit(0), col("__u"))))
       .select(col("__block").as("__block2") +: col("__i2") +: col("__u").as("__j2") +:
         col("__id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b")): _*)
-    a.join(b,
-      col("__block") === col("__block2") &&
-        col("__i") === col("__i2") && col("__j") === col("__j2") &&
-        (col("__i") < col("__j") || col("id_a") < col("id_b")))
+    // EXPLICIT key-repartition of both tile sides (round 15). The
+    // self-join's output is quadratic in block size while its INPUT can
+    // be tiny — exactly when a representative collapse (q27 reps, q183/
+    // q186 classes) shrinks the keyed table to an sf-invariant few-MB
+    // frame. AQE coalesces shuffles by INPUT bytes, blind to join
+    // multiplicity, so at sf10 the whole ~10⁸-row candidate stream was
+    // generated and partially aggregated inside ONE post-coalesce task
+    // (thread-dumped: 31 min of single-task HashAggregate; guide §2.5
+    // input skew / §7.3). A user-specified partition count is exempt
+    // from AQE coalescing, and hashing on the full (block, i, j) tile
+    // key keeps hot-block tiles spread. Same exchange the join would
+    // plan anyway at scale — this only pins its width.
+    val parts = keyed.sparkSession.sessionState.conf.numShufflePartitions
+    a.repartition(parts, col("__block"), col("__i"), col("__j"))
+      .join(
+        b.repartition(parts, col("__block2"), col("__i2"), col("__j2")),
+        col("__block") === col("__block2") &&
+          col("__i") === col("__i2") && col("__j") === col("__j2") &&
+          (col("__i") < col("__j") || col("id_a") < col("id_b")))
   }
 
   /** Embedding-cosine near-duplicate pairs within a deterministic block

@@ -532,10 +532,22 @@ object Retrieval {
       docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       k: Int, kDocs: Int = 5, mTerms: Int = 3,
       maxDfFraction: Double = 1.0): DataFrame = {
-    val r1 = bm25TopK(docs, queries, idCol, textCol, kDocs,
-      maxDfFraction = maxDfFraction)
+    // ONE persisted postings table and ONE persisted stats row feed both
+    // retrieval passes. Calling bm25TopK twice paid the corpus stats'
+    // full tokenize scan per pass (the postings cache dedupes through
+    // the CacheManager, the stats scan does not — guide §2.4, share the
+    // computation); the stats values are the same bits either way.
     val post = CacheScope.persistTracked(postings(docs, idCol, textCol))
-    val fb = r1.select(col("query_id"), col("doc_id"))
+    val stats = CacheScope.persistTracked(
+      rawStats(docs, textCol)
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+            .as("avgdl")))
+    val r1 = bm25Core(post, stats, queries, idCol, textCol, kDocs,
+      k1 = 1.2, b = 0.75, maxDfFraction = maxDfFraction, logIdf = false)
+    // the feedback frame is ≤ kDocs·|queries| rows — broadcast it so
+    // the posting table is probed in place, never shuffled (guide §3.1)
+    val fb = broadcast(r1.select(col("query_id"), col("doc_id")))
       .join(post, Seq("doc_id"))
       .groupBy("query_id", "term").agg(sum(col("tf")).as("__w"))
     val top = TopK.groupTopKRows(
@@ -548,8 +560,8 @@ object Retrieval {
       .select(queries(idCol),
         concat_ws(" ", col(textCol), coalesce(col("__fb"), lit("")))
           .as(textCol))
-    bm25TopK(docs, expanded, idCol, textCol, k,
-      maxDfFraction = maxDfFraction)
+    bm25Core(post, stats, expanded, idCol, textCol, k,
+      k1 = 1.2, b = 0.75, maxDfFraction = maxDfFraction, logIdf = false)
   }
 
   /** Exact phrase search over POSITIONAL postings — the search-engine

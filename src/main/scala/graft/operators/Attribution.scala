@@ -179,31 +179,47 @@ object Attribution {
         .select(col("__var"), col("__a"), col("__b"),
           (col("__c").cast("double") / col("__tot").cast("double"))
             .as("__p")))
-    val states = CacheScope.persistTracked(
-      probs.select(col("__var"), col("__a").as("__s"))
-        .unionByName(probs.select(col("__var"), col("__b").as("__s")))
-        .distinct())
-    val absorbing = when(col("__s") === "conv", lit(1.0))
-      .when(col("__s") === "null", lit(0.0))
-    var x = states.withColumn("__x", coalesce(absorbing, lit(0.0)))
+    // The `iters` fixed power iterations run on the DRIVER (round 15 —
+    // the q241 Bradley–Terry discipline): every post-collapse frame is
+    // (variants ≤ k+1) × (states ≤ k+3) rows by the channel contract,
+    // and the DataFrame loop paid ~iters × (join + agg + checkpoint)
+    // scheduler rounds on ~2k rows — pure fixed overhead (measured
+    // 7.5 s at sf0.1 with the corpus work a fraction of that). Driver
+    // arithmetic replicates the replaced plan op-for-op: per-term IEEE
+    // product → Spark's double→DECIMAL(38,18) cast (scala BigDecimal
+    // shortest-string, setScale 18 HALF_UP) → exact decimal sum
+    // (order-free) → one correctly-rounded toDouble per state per
+    // round — bit-identical to the DataFrame loop it replaces, and the
+    // oracle's unrolled CTEs replay it unchanged.
+    val probRows = probs
+      .select("__var", "__a", "__b", "__p").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    val stateKeys = (probRows.map(r => (r._1, r._2)) ++
+      probRows.map(r => (r._1, r._3))).distinct
+    val dec18 = (v: Double) =>
+      scala.math.BigDecimal(v).setScale(18,
+        scala.math.BigDecimal.RoundingMode.HALF_UP)
+    def absorbD(s: String): Option[Double] =
+      if (s == "conv") Some(1.0) else if (s == "null") Some(0.0) else None
+    var xm: Map[(String, String), Double] =
+      stateKeys.map(k => k -> absorbD(k._2).getOrElse(0.0)).toMap
     for (_ <- 0 until iters) {
-      val folded = probs
-        .join(x.select(col("__var"), col("__s").as("__b"),
-          col("__x").as("__xb")), Seq("__var", "__b"))
-        .select(col("__var"), col("__a").as("__s"),
-          (col("__p") * col("__xb")).cast("decimal(38,18)").as("__t"))
-        .groupBy("__var", "__s")
-        .agg(sum(col("__t")).cast("decimal(38,18)").as("__in"))
-      val next = states.join(folded, Seq("__var", "__s"), "left")
-        .select(col("__var"), col("__s"),
-          coalesce(absorbing,
-            coalesce(col("__in").cast("double"), lit(0.0))).as("__x"))
-        .localCheckpoint()
-      graft.llm.Roll.free(x) // superseded iterate — residency stays ≤ 2
-      x = next
+      val folded =
+        collection.mutable.Map.empty[(String, String), scala.math.BigDecimal]
+      for ((v, a, b, p) <- probRows) {
+        val t = dec18(p * xm((v, b)))
+        val k = (v, a)
+        folded(k) = folded.getOrElse(k, scala.math.BigDecimal(0)) + t
+      }
+      xm = stateKeys.map { k =>
+        k -> absorbD(k._2).getOrElse(
+          folded.get(k).map(_.doubleValue).getOrElse(0.0))
+      }.toMap
     }
-    val pStart = x.filter(col("__s") === "start")
-      .select(col("__var"), col("__x"))
+    val pStart = stateKeys.filter(_._2 == "start")
+      .map(k => (k._1, xm(k)))
+      .sortBy(_._1).toSeq.toDF("__var", "__x")
     val pTotal = pStart.filter(col("__var") === "total")
       .select(col("__x").as("__pt"))
     val removals = pStart.filter(col("__var") =!= "total")

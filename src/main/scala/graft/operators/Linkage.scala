@@ -337,9 +337,19 @@ object Linkage {
     val classPairs =
       if (maxDist <= 1) positionalClassPairs(classes, maxBlock)
       else deletionClassPairs(classes, maxDist, maxBlock)
+    // class pairs are sf-invariant-small while each member join
+    // multiplies them by a class's replica count (the answer's own
+    // volume): pin both expansions to the session's shuffle width so
+    // AQE's byte-based coalescing cannot fold the output-bound work
+    // into one task (round 15 — the trap thread-dumped on q27's sf10
+    // run applies to every representative-collapse expansion)
+    val xparts =
+      strsIn.sparkSession.sessionState.conf.numShufflePartitions
     val one = classPairs
+      .repartition(xparts, col("__cka"))
       .join(members.select(col("__ck").as("__cka"),
         col("__id").as("__ia")), "__cka")
+      .repartition(xparts, col("__ckb"))
       .join(members.select(col("__ck").as("__ckb"),
         col("__id").as("__ib")), "__ckb")
       .select(
@@ -431,9 +441,16 @@ object Linkage {
             "substring(__v, i+1, 2147483647)))) end")).as("__v"))
     }
     // stratum is part of the block identity: variants collide only
-    // within equal strata (NUL-joined — the key is opaque to tiledPairs)
+    // within equal strata. The block key is HASHED (guide §2.3 —
+    // shuffle narrower types): the ~L²/2 variant rows per class carry
+    // an 8-byte xxhash64 instead of the ~20-byte stratum+variant
+    // string through the distinct and the tile self-join. Safe HERE
+    // (unlike the d<=1 channels and the dist-0 channel, which emit
+    // pairs unverified): every candidate passes the exact banded
+    // Levenshtein below, so a hash collision costs one wasted DP row,
+    // never a wrong pair.
     val keyed = variants.select(col("__ck").as("__id"),
-      concat_ws("\u0000", col("__st"), col("__v")).as("__block")).distinct()
+      xxhash64(col("__st"), col("__v")).as("__block")).distinct()
     val cand = graft.llm.Dedup.tiledPairs(keyed, Seq.empty, maxBlock)
       .select(
         least(col("id_a"), col("id_b")).as("__cka"),
@@ -442,11 +459,19 @@ object Linkage {
     // the class table is sf-invariant under replication (distinct
     // strings only) — broadcast both string-recovery probes so the
     // candidate stream never shuffles for them (ADVICE r14; same
-    // rationale as the Fellegi–Sunter attribute probes)
+    // rationale as the Fellegi–Sunter attribute probes). Conf-gated
+    // (default on) so the trade is measurable per scale: at sf0.1 the
+    // candidate stream is small and AQE's own choice can win, at sf10
+    // the stream-side shuffle is the disk-filling term.
+    val hint: DataFrame => DataFrame =
+      if (classes.sparkSession.conf
+          .getOption("spark.graft.linkage.broadcastRecovery")
+          .forall(_.toBoolean)) broadcast
+      else identity
     cand
-      .join(broadcast(classes.select(col("__ck").as("__cka"),
+      .join(hint(classes.select(col("__ck").as("__cka"),
         col("__s").as("__sa"), col("__len").as("__la"))), "__cka")
-      .join(broadcast(classes.select(col("__ck").as("__ckb"),
+      .join(hint(classes.select(col("__ck").as("__ckb"),
         col("__s").as("__sb"), col("__len").as("__lb"))), "__ckb")
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .select(col("__cka"), col("__ckb"),

@@ -106,9 +106,17 @@ object TfIdfLink {
       .filter(col("cosseno") >= threshold)
       .select(col("__ra"), col("__rb"), col("tokens_comuns"),
         col("cosseno"))
+    // representative pairs are density-small while the member joins
+    // expand them by replica counts — pin both expansions to the
+    // session shuffle width so AQE's byte-based coalescing cannot fold
+    // the output-bound work into one task (round 15, the q27 sf10
+    // thread-dump trap; same fix as Dedup.simhashTail)
+    val xparts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cross = repPairs
+      .repartition(xparts, col("__ra"))
       .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
         "__ra")
+      .repartition(xparts, col("__rb"))
       .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
         "__rb")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
