@@ -216,6 +216,21 @@ object SpotBench {
         .groupBy("v").agg(count(lit(1L)).as("grau"))
         .agg(count(lit(1L)).as("n"))
     },
+    // q27's full pipeline with the answer AGGREGATED instead of
+    // globally sorted (the q186_engine discipline): at sf10 the answer
+    // is ~2.46B pairs (×100 replication squares every group expansion
+    // — measured count:q27_simhash this round), so the graded query's
+    // determinism sort times the answer's own volume; this probe times
+    // the ENGINE (signatures, banding, hamming verify, expansion) with
+    // the output streamed into one combinable aggregate.
+    "q27_engine" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      SparkEntry.queries("q27_simhash")(s, dir)
+        .groupBy("hamming")
+        .agg(count(lit(1L)).as("n"),
+          sum((col("id_a") + col("id_b")).cast("decimal(38,0)"))
+            .as("soma"))
+    },
     // q27's raw candidate stream (tiledPairs output, payload carried,
     // hamming NOT yet filtered) — for `count:` cardinality attribution
     "q27_cand_stream" -> { (s, dir) =>

@@ -161,8 +161,15 @@ object Components {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && damping > 0 && damping < 1,
       s"need iters >= 1 and 0 < damping < 1; got $iters/$damping")
+    // persisted PRE-PARTITIONED on the join key: every iteration's
+    // contribution join requires clustering on __s, and an edge table
+    // cached in the distinct's (__s, __d) layout re-exchanged ALL of E
+    // per iteration — hash(__s) satisfies the join's distribution, so
+    // the per-iteration shuffle drops to the |V|-row rank side
+    // (guide §2.4: two operations keyed the same way share one exchange)
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .distinct()
+      .repartition(col("__s"))
       .transform(CacheScope.persistTracked)
     val nodes = e.select(col("__s").as("__n"))
       .unionByName(e.select(col("__d").as("__n"))).distinct()

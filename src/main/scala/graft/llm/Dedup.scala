@@ -831,29 +831,40 @@ object Dedup {
       // the dedup shuffle carries survivors only
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    // the two member joins multiply each representative pair by its
-    // group sizes (×gₐ, then ×g_b — the answer's own volume). The same
-    // AQE-coalescing trap as the tile join above: the rep-pair frame is
-    // sf-invariant-small, so unpinned both expansions ran in one
-    // post-coalesce task; explicit key-repartitions keep the
-    // output-bound work spread at every scale.
-    val xparts = sh.sparkSession.sessionState.conf.numShufflePartitions
-    val cross = repPairs
-      .repartition(xparts, col("__ra"))
-      .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
-        "__ra")
-      .repartition(xparts, col("__rb"))
-      .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
-        "__rb")
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
-    val within = tiledPairs(
-        memb.select(col("__id"), col("__rep").as("__block")),
-        Seq.empty, maxBlock, cache = false)
+    // within-group pairs first: its tiling stats (Σ group-size²) ARE
+    // the replication signal — the dist-0 output volume — and gate the
+    // cross-expansion width pins below for free.
+    val (withinRaw, withinVolume) = tiledPairsStats(
+      memb.select(col("__id"), col("__rep").as("__block")),
+      Seq.empty, maxBlock, cache = false)
+    val within = withinRaw
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         (lit(0): Column).cast(
           org.apache.spark.sql.types.IntegerType).as("hamming"))
+    // the two member joins multiply each representative pair by its
+    // group sizes (×gₐ, then ×g_b — the answer's own volume). The same
+    // AQE-coalescing trap as the tile join above: the rep-pair frame is
+    // sf-invariant-small, so unpinned both expansions ran in one
+    // post-coalesce task at sf10; explicit key-repartitions keep the
+    // output-bound work spread. Gated on the within volume — when
+    // replication is low (Σg² ≈ |memb|, below the pin threshold) the
+    // expansions do not expand and AQE's own coalescing is right.
+    val sessConf = sh.sparkSession.sessionState.conf
+    val pinX = withinVolume >= sessConf
+      .getConfString("spark.graft.pairs.pinWidthMinPairs", "16777216")
+      .toDouble
+    val xparts = sessConf.numShufflePartitions
+    val xpin: (DataFrame, Column) => DataFrame =
+      if (pinX) (df, c) => df.repartition(xparts, c) else (df, _) => df
+    val cross = xpin(repPairs, col("__ra"))
+      .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
+        "__ra")
+      .transform(df => xpin(df, col("__rb")))
+      .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
+        "__rb")
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("hamming"))
     // disjoint by construction (same group vs different groups), and
     // each side emits every pair exactly once — no final distinct
     cross.unionByName(within)
@@ -972,16 +983,23 @@ object Dedup {
     * eager pre-action here re-derived the caller's whole `keyed` lineage
     * once more just to learn the threshold.
     */
-  private[graft] def adaptiveMaxBlock(counts: DataFrame, parallelism: Int): Int = {
+  private[graft] def adaptiveMaxBlock(counts: DataFrame, parallelism: Int): Int =
+    adaptiveMaxBlockStats(counts, parallelism)._1
+
+  /** [[adaptiveMaxBlock]] plus the observed pair volume W = Σn² it was
+    * derived from — the round-15 width-pinning gate reads W from the
+    * SAME action, so the gate costs nothing extra. */
+  private[graft] def adaptiveMaxBlockStats(
+      counts: DataFrame, parallelism: Int): (Int, Double) = {
     val row = counts.agg(
       sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w")).head()
-    if (row.isNullAt(0)) return 256 // empty input: any size works
+    if (row.isNullAt(0)) return (256, 0.0) // empty input: any size works
     val w = row.getDouble(0)
     val k = counts.sparkSession.sessionState.conf
       .getConfString("spark.graft.tileBudgetFactor", "4").toDouble
     val target =
       math.ceil(k * math.sqrt(w / math.max(parallelism, 1))).toLong
-    math.max(256L, math.min(target, 32768L)).toInt
+    (math.max(256L, math.min(target, 32768L)).toInt, w)
   }
 
   /** Skew-bounded within-block pair generation, shared by the exact
@@ -1011,7 +1029,16 @@ object Dedup {
     */
   private[graft] def tiledPairs(
       keyed: DataFrame, payload: Seq[String], maxBlock: Int,
-      cache: Boolean = true): DataFrame = {
+      cache: Boolean = true): DataFrame =
+    tiledPairsStats(keyed, payload, maxBlock, cache)._1
+
+  /** [[tiledPairs]] plus the observed pair volume W = Σn² (−1 on the
+    * fixed-maxBlock path, which runs no sizing action) — callers whose
+    * DOWNSTREAM joins multiply by replica counts gate their own width
+    * pins on it (the round-15 expansion discipline). */
+  private[graft] def tiledPairsStats(
+      keyed: DataFrame, payload: Seq[String], maxBlock: Int,
+      cache: Boolean = true): (DataFrame, Double) = {
     val cached = if (cache) CacheScope.persistTracked(keyed) else keyed
     // Only OVERSIZED blocks need a salt factor, and there are at most
     // rows/maxBlock of them — broadcast that tiny table instead of
@@ -1032,10 +1059,21 @@ object Dedup {
     // broadcast builds that the scheduler materializes serially.
     val counts =
       if (maxBlock > 0) countsRaw else CacheScope.persistTracked(countsRaw)
-    val effBlock =
-      if (maxBlock > 0) maxBlock
-      else adaptiveMaxBlock(counts,
-        keyed.sparkSession.sessionState.conf.numShufflePartitions)
+    val sessConf = keyed.sparkSession.sessionState.conf
+    val (effBlock, pairVolume) =
+      if (maxBlock > 0) (maxBlock, -1.0)
+      else adaptiveMaxBlockStats(counts, sessConf.numShufflePartitions)
+    // Width-pinning gate (see the repartition below): only a LARGE
+    // observed pair volume justifies suppressing AQE's coalescing —
+    // at small volume the extra 32-task exchanges cost more than they
+    // save (measured +2..3 s on q27/q183 at sf0.1), at ~10⁸+ pairs an
+    // unpinned plan ran the whole candidate stream in one task.
+    // Threshold parameterized (deploy knob), default 2^24 pairs.
+    val pinWidth = pairVolume >= sessConf
+      .getConfString("spark.graft.pairs.pinWidthMinPairs", "16777216")
+      .toDouble
+    if (sys.env.contains("GRAFT_DEBUG_PINS"))
+      System.err.println(s"[pins] tile w=$pairVolume pin=$pinWidth")
     val hot = counts
       .filter(col("__cnt") > effBlock)
       .select(col("__block"),
@@ -1053,25 +1091,32 @@ object Dedup {
       .withColumn("__i2", explode(sequence(lit(0), col("__u"))))
       .select(col("__block").as("__block2") +: col("__i2") +: col("__u").as("__j2") +:
         col("__id").as("id_b") +: payload.map(c => col(c).as(s"${c}_b")): _*)
-    // EXPLICIT key-repartition of both tile sides (round 15). The
-    // self-join's output is quadratic in block size while its INPUT can
-    // be tiny — exactly when a representative collapse (q27 reps, q183/
-    // q186 classes) shrinks the keyed table to an sf-invariant few-MB
-    // frame. AQE coalesces shuffles by INPUT bytes, blind to join
-    // multiplicity, so at sf10 the whole ~10⁸-row candidate stream was
-    // generated and partially aggregated inside ONE post-coalesce task
+    // EXPLICIT key-repartition of both tile sides when the observed
+    // pair volume is large (round 15). The self-join's output is
+    // quadratic in block size while its INPUT can be tiny — exactly
+    // when a representative collapse (q27 reps, q183/q186 classes)
+    // shrinks the keyed table to an sf-invariant few-MB frame. AQE
+    // coalesces shuffles by INPUT bytes, blind to join multiplicity,
+    // so at sf10 the whole ~10⁹-row candidate stream was generated and
+    // partially aggregated inside ONE post-coalesce task
     // (thread-dumped: 31 min of single-task HashAggregate; guide §2.5
     // input skew / §7.3). A user-specified partition count is exempt
     // from AQE coalescing, and hashing on the full (block, i, j) tile
     // key keeps hot-block tiles spread. Same exchange the join would
-    // plan anyway at scale — this only pins its width.
-    val parts = keyed.sparkSession.sessionState.conf.numShufflePartitions
-    a.repartition(parts, col("__block"), col("__i"), col("__j"))
-      .join(
-        b.repartition(parts, col("__block2"), col("__i2"), col("__j2")),
-        col("__block") === col("__block2") &&
-          col("__i") === col("__i2") && col("__j") === col("__j2") &&
-          (col("__i") < col("__j") || col("id_a") < col("id_b")))
+    // plan anyway at scale — pinning only fixes its width; gated on
+    // pairVolume because at SMALL volume AQE's coalescing was right.
+    val cond = col("__block") === col("__block2") &&
+      col("__i") === col("__i2") && col("__j") === col("__j2") &&
+      (col("__i") < col("__j") || col("id_a") < col("id_b"))
+    val joined =
+      if (pinWidth) {
+        val parts = sessConf.numShufflePartitions
+        a.repartition(parts, col("__block"), col("__i"), col("__j"))
+          .join(
+            b.repartition(parts, col("__block2"), col("__i2"), col("__j2")),
+            cond)
+      } else a.join(b, cond)
+    (joined, pairVolume)
   }
 
   /** Embedding-cosine near-duplicate pairs within a deterministic block

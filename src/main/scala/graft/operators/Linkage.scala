@@ -324,9 +324,12 @@ object Linkage {
       graft.llm.Spread(strsIn)
         .withColumn("__len", length(col("__s")).cast("long"))
         .withColumn("__ck", concat_ws("\u0000", col("__st"), col("__s"))))
-    val zero = graft.llm.Dedup.tiledPairs(
+    // the zero channel's tiling stats (Σ class-size²) are the
+    // replication signal gating the class-pair expansion pins below
+    val (zeroRaw, zeroVolume) = graft.llm.Dedup.tiledPairsStats(
         members.select(col("__id"), col("__ck").as("__block")),
         Seq.empty, maxBlock, cache = false)
+    val zero = zeroRaw
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
@@ -342,14 +345,21 @@ object Linkage {
     // volume): pin both expansions to the session's shuffle width so
     // AQE's byte-based coalescing cannot fold the output-bound work
     // into one task (round 15 — the trap thread-dumped on q27's sf10
-    // run applies to every representative-collapse expansion)
-    val xparts =
-      strsIn.sparkSession.sessionState.conf.numShufflePartitions
-    val one = classPairs
-      .repartition(xparts, col("__cka"))
+    // run applies to every representative-collapse expansion). Gated
+    // on the zero channel's observed Σ class-size²: with no
+    // replication the expansions do not expand and the pin would only
+    // add exchanges.
+    val sessConf = strsIn.sparkSession.sessionState.conf
+    val pinX = zeroVolume >= sessConf
+      .getConfString("spark.graft.pairs.pinWidthMinPairs", "16777216")
+      .toDouble
+    val xparts = sessConf.numShufflePartitions
+    val xpin: (DataFrame, Column) => DataFrame =
+      if (pinX) (df, c) => df.repartition(xparts, c) else (df, _) => df
+    val one = xpin(classPairs, col("__cka"))
       .join(members.select(col("__ck").as("__cka"),
         col("__id").as("__ia")), "__cka")
-      .repartition(xparts, col("__ckb"))
+      .transform(df => xpin(df, col("__ckb")))
       .join(members.select(col("__ck").as("__ckb"),
         col("__id").as("__ib")), "__ckb")
       .select(

@@ -110,13 +110,25 @@ object TfIdfLink {
     // expand them by replica counts — pin both expansions to the
     // session shuffle width so AQE's byte-based coalescing cannot fold
     // the output-bound work into one task (round 15, the q27 sf10
-    // thread-dump trap; same fix as Dedup.simhashTail)
-    val xparts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val cross = repPairs
-      .repartition(xparts, col("__ra"))
+    // thread-dump trap; same fix as Dedup.simhashTail). Gate: the
+    // observed Σ set-group-size² over the persisted membership (one
+    // combinable aggregation on an (id, rep) frame — the replication
+    // signal; ≈ |docs| on an unreplicated corpus, quadratic under
+    // verbatim replicas).
+    val sessConf = df.sparkSession.sessionState.conf
+    val gsqRow = memb.groupBy("__rep").agg(count(lit(1L)).as("__g"))
+      .agg(sum(col("__g").cast("double") * col("__g").cast("double"))
+        .as("__w")).head()
+    val pinX = !gsqRow.isNullAt(0) && gsqRow.getDouble(0) >= sessConf
+      .getConfString("spark.graft.pairs.pinWidthMinPairs", "16777216")
+      .toDouble
+    val xparts = sessConf.numShufflePartitions
+    val xpin: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
+      if (pinX) (d, c) => d.repartition(xparts, c) else (d, _) => d
+    val cross = xpin(repPairs, col("__ra"))
       .join(memb.select(col("__rep").as("__ra"), col("__id").as("__ma")),
         "__ra")
-      .repartition(xparts, col("__rb"))
+      .transform(d => xpin(d, col("__rb")))
       .join(memb.select(col("__rep").as("__rb"), col("__id").as("__mb")),
         "__rb")
       .select(least(col("__ma"), col("__mb")).as("id_a"),
