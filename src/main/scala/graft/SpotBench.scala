@@ -228,7 +228,10 @@ object SpotBench {
       SparkEntry.queries("q27_simhash")(s, dir)
         .groupBy("hamming")
         .agg(count(lit(1L)).as("n"),
-          sum((col("id_a") + col("id_b")).cast("decimal(38,0)"))
+          // cast each id BEFORE adding: long + long can overflow before
+          // a post-add cast widens (ADVICE r15; probe-only checksum)
+          sum(col("id_a").cast("decimal(38,0)") +
+            col("id_b").cast("decimal(38,0)"))
             .as("soma"))
     },
     // q27's raw candidate stream (tiledPairs output, payload carried,

@@ -269,8 +269,11 @@ object Components {
     var it = 0
     var done = false
     while (!done) {
-      require(it < maxIter,
-        s"k-core did not converge in $maxIter rounds (pathological chain?)")
+      if (it >= maxIter) {
+        Roll.free(e) // don't leak the round's checkpoint blocks on throw
+        throw new IllegalArgumentException(
+          s"requirement failed: k-core did not converge in $maxIter rounds (pathological chain?)")
+      }
       // pin the round's degree table: the convergence probe (weak
       // nonempty?) and the survivor semi-joins are two consumers, and
       // unpinned each round paid the FULL degree aggregation twice

@@ -1072,6 +1072,15 @@ object Dedup {
     val pinWidth = pairVolume >= sessConf
       .getConfString("spark.graft.pairs.pinWidthMinPairs", "16777216")
       .toDouble
+    // An explicit maxBlock runs no sizing action, so the pair volume is
+    // UNKNOWN (−1) and every width-pinning gate downstream stays off —
+    // exactly the single-task AQE-coalescing trap the gates exist for
+    // (ADVICE r15). No production caller passes a fixed maxBlock; warn
+    // loudly if one ever does at scale.
+    if (maxBlock > 0)
+      System.err.println(
+        "[graft] tiledPairs: fixed maxBlock skips the sizing action — " +
+          "pair volume unknown, width-pinning gates disabled for this call")
     if (sys.env.contains("GRAFT_DEBUG_PINS"))
       System.err.println(s"[pins] tile w=$pairVolume pin=$pinWidth")
     val hot = counts

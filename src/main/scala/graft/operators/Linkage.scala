@@ -472,18 +472,37 @@ object Linkage {
     // rationale as the Fellegi–Sunter attribute probes). Conf-gated
     // (default on) so the trade is measurable per scale: at sf0.1 the
     // candidate stream is small and AQE's own choice can win, at sf10
-    // the stream-side shuffle is the disk-filling term.
+    // the stream-side shuffle is the disk-filling term. SIZE-GUARDED
+    // (round 16, VERDICT item 4): "distinct strings" is only small
+    // under replication — a mostly-unique corpus has distinct ≈ corpus,
+    // and two unconditional copies of it would hit Spark's 8 GB /
+    // 512M-row broadcast hard cap and the driver heap (the
+    // RegistryLinkGraph q186 attrs ceiling, made a runtime gate here).
+    // The count is one aggregation over the already-persisted class
+    // cache the recovery probes materialize anyway.
+    val maxBcClasses = classes.sparkSession.conf
+      .getOption("spark.graft.linkage.broadcastRecoveryMaxClasses")
+      .map(_.toLong).getOrElse(33554432L) // 2^25 rows ≈ low-GB framed
     val hint: DataFrame => DataFrame =
       if (classes.sparkSession.conf
           .getOption("spark.graft.linkage.broadcastRecovery")
-          .forall(_.toBoolean)) broadcast
+          .forall(_.toBoolean) && classes.count() <= maxBcClasses) broadcast
       else identity
     cand
       .join(hint(classes.select(col("__ck").as("__cka"),
-        col("__s").as("__sa"), col("__len").as("__la"))), "__cka")
+        col("__s").as("__sa"), col("__len").as("__la"),
+        col("__st").as("__sta"))), "__cka")
       .join(hint(classes.select(col("__ck").as("__ckb"),
-        col("__s").as("__sb"), col("__len").as("__lb"))), "__ckb")
-      .filter(abs(col("__la") - col("__lb")) <= maxDist)
+        col("__s").as("__sb"), col("__len").as("__lb"),
+        col("__st").as("__stb"))), "__ckb")
+      // stratum equality re-checked on the RECOVERED rows: the 8-byte
+      // block key is xxhash64(__st, __v), so a cross-stratum 64-bit
+      // collision between strings within maxDist would otherwise emit
+      // a wrong cross-stratum pair (ADVICE r15 — the "never a wrong
+      // pair" claim held only same-stratum). One string equality per
+      // candidate, no extra shuffle.
+      .filter(col("__sta") === col("__stb") &&
+        abs(col("__la") - col("__lb")) <= maxDist)
       .select(col("__cka"), col("__ckb"),
         levenshtein(col("__sa"), col("__sb"), maxDist).cast("long")
           .as("dist"))
