@@ -266,37 +266,98 @@ object Components {
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("a").as("v")).unionByName(ed.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1L)).as("grau"))
+    // INCREMENTAL degree maintenance (round 16, guide §1.2 step 1 /
+    // §2.3): the old loop re-aggregated ALL degrees from the full edge
+    // snapshot every round — O(rounds × |E|) shuffle for a peel whose
+    // per-round change is only the weak frontier (measured at sf0.1:
+    // 10 rounds × 2.2M-row degree scans while the edge set shrank 1.20M
+    // → 1.08M). Here the degree table updates by SUBTRACTING each
+    // round's removed-edge endpoint counts — per-round shuffle is
+    // O(|edges touching the frontier|), the removal joins build against
+    // the small WEAK side (anti-join) instead of the |V|-row strong
+    // side, and total work is O(|E| + Σ frontier) — the textbook peel.
+    // Every round still checkpoints the shrunken edge set (lineage) and
+    // the final degrees are re-derived from the SURVIVING edges alone,
+    // so results are bit-identical to the recompute form (spec-pinned,
+    // KCoreIncrementalSpec cross-checks random graphs).
+    // the degree table is EAGERLY localCheckpoint'd (not just persisted)
+    // each round: its incremental plan references the previous round's
+    // table, so persist alone would chain the logical plans across
+    // rounds AND make an evicted block replay through freed checkpoint
+    // RDDs — the exact lineage trap the e-snapshot discipline exists for
+    val degStorage = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var deg = degrees(e).localCheckpoint(true, degStorage)
     var it = 0
     var done = false
     while (!done) {
       if (it >= maxIter) {
+        Roll.free(deg)
         Roll.free(e) // don't leak the round's checkpoint blocks on throw
         throw new IllegalArgumentException(
           s"requirement failed: k-core did not converge in $maxIter rounds (pathological chain?)")
       }
-      // pin the round's degree table: the convergence probe (weak
-      // nonempty?) and the survivor semi-joins are two consumers, and
-      // unpinned each round paid the FULL degree aggregation twice
-      // (guide §2.4 — share one computation; the table is |V| rows,
-      // trivial state, freed before the next round)
-      val deg = degrees(e)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val weak = deg.filter(col("grau") < k)
-      if (weak.isEmpty) { deg.unpersist(false); done = true }
+      // ONE action serves as convergence probe AND broadcast gate: the
+      // checkpointed degree table is a LogicalRDD with no size stats, so
+      // without an explicit hint every frontier join planned a FULL
+      // shuffle of the edge snapshot (profiled at sf0.1: 4 × 1.1M-row
+      // exchanges per round — worse than the recompute it replaced).
+      // The frontier is usually tiny (it is the peel's per-round
+      // change); past the gate (an adversarial first round can hold
+      // most of V) fall back to the planner's shuffle join.
+      val weakCount = weak.count()
+      if (weakCount == 0L) { done = true }
       else {
-        val strong = deg.filter(col("grau") >= k).select(col("v"))
+        val bcMax = edges.sparkSession.conf
+          .getOption("spark.graft.kcore.broadcastFrontierMax")
+          .map(_.toLong).getOrElse(4194304L) // 2^22 longs ≈ tens of MB
+        val hint: DataFrame => DataFrame =
+          if (weakCount <= bcMax) broadcast else identity
+        val weakV = weak.select(col("v"))
+        // edges with ≥1 weak endpoint leave the graph; each survivor
+        // endpoint of a leaving edge loses one degree
         val next = e
-          .join(strong.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(strong.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .join(hint(weakV.withColumnRenamed("v", "a")), Seq("a"), "left_anti")
+          .join(hint(weakV.withColumnRenamed("v", "b")), Seq("b"), "left_anti")
           .localCheckpoint(true, storage)
-        deg.unpersist(false) // the eager checkpoint no longer reads it
+        // a SURVIVOR loses one degree per edge that pairs it with a weak
+        // endpoint: two semi-joins of the (checkpoint-cached) edge set
+        // against the small weak frontier, endpoint counts combined.
+        // Contributions landing on weak vertices are moot — the weak
+        // rows leave the degree table in the same step.
+        val delta = e
+          .join(hint(weakV.withColumnRenamed("v", "a")), Seq("a"), "left_semi")
+          .select(col("b").as("v"))
+          .unionByName(e
+            .join(hint(weakV.withColumnRenamed("v", "b")), Seq("b"), "left_semi")
+            .select(col("a").as("v")))
+          .groupBy("v").agg(count(lit(1L)).as("__d"))
+        val nextDeg = deg
+          // fresh attribute for the anti probe: weakV descends from deg
+          // itself, and a same-exprId using-join trips the self-join
+          // ambiguity check
+          .join(hint(weakV.select(col("v").as("__wv"))),
+            col("v") === col("__wv"), "left_anti")
+          .join(delta, Seq("v"), "left")
+          .select(col("v"),
+            (col("grau") - coalesce(col("__d"), lit(0L))).as("grau"))
+          // a survivor whose every edge left has grau 0 — identical to
+          // absent in the recompute form; drop it so the loop never
+          // spins a round on degree-0 ghosts
+          .filter(col("grau") > 0L)
+          .localCheckpoint(true, degStorage) // materializes before the frees
+        Roll.free(deg)
         Roll.free(e)
+        deg = nextDeg
         e = next
         it += 1
       }
     }
-    val out = degrees(e)
+    // at the fixpoint the maintained table IS degrees(e) (spec-pinned);
+    // reading it avoids one final full-edge aggregation
+    val out = deg
       .select(col("v").as("vertice"), col("grau").as("grau_core"))
+    Roll.free(e)
     out
   }
 

@@ -988,18 +988,23 @@ object Dedup {
 
   /** [[adaptiveMaxBlock]] plus the observed pair volume W = Σn² it was
     * derived from — the round-15 width-pinning gate reads W from the
-    * SAME action, so the gate costs nothing extra. */
+    * SAME action, so the gate costs nothing extra — plus the count of
+    * MULTI-row blocks (n ≥ 2, the only blocks that can emit a pair),
+    * which sizes the round-16 singleton-pruning broadcast below. One
+    * action covers all three. */
   private[graft] def adaptiveMaxBlockStats(
-      counts: DataFrame, parallelism: Int): (Int, Double) = {
+      counts: DataFrame, parallelism: Int): (Int, Double, Long) = {
     val row = counts.agg(
-      sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w")).head()
-    if (row.isNullAt(0)) return (256, 0.0) // empty input: any size works
+      sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w"),
+      sum(when(col("__cnt") >= 2L, 1L).otherwise(0L)).as("__nm")).head()
+    if (row.isNullAt(0)) return (256, 0.0, 0L) // empty input: any size works
     val w = row.getDouble(0)
+    val nMulti = row.getLong(1)
     val k = counts.sparkSession.sessionState.conf
       .getConfString("spark.graft.tileBudgetFactor", "4").toDouble
     val target =
       math.ceil(k * math.sqrt(w / math.max(parallelism, 1))).toLong
-    (math.max(256L, math.min(target, 32768L)).toInt, w)
+    (math.max(256L, math.min(target, 32768L)).toInt, w, nMulti)
   }
 
   /** Skew-bounded within-block pair generation, shared by the exact
@@ -1060,8 +1065,8 @@ object Dedup {
     val counts =
       if (maxBlock > 0) countsRaw else CacheScope.persistTracked(countsRaw)
     val sessConf = keyed.sparkSession.sessionState.conf
-    val (effBlock, pairVolume) =
-      if (maxBlock > 0) (maxBlock, -1.0)
+    val (effBlock, pairVolume, nMulti) =
+      if (maxBlock > 0) (maxBlock, -1.0, -1L)
       else adaptiveMaxBlockStats(counts, sessConf.numShufflePartitions)
     // Width-pinning gate (see the repartition below): only a LARGE
     // observed pair volume justifies suppressing AQE's coalescing —
@@ -1083,15 +1088,45 @@ object Dedup {
           "pair volume unknown, width-pinning gates disabled for this call")
     if (sys.env.contains("GRAFT_DEBUG_PINS"))
       System.err.println(s"[pins] tile w=$pairVolume pin=$pinWidth")
-    val hot = counts
-      .filter(col("__cnt") > effBlock)
-      .select(col("__block"),
-        ceil(col("__cnt").cast("double") / effBlock).cast("int").as("__hs"))
+    // SINGLETON-BLOCK PRUNING (round 16, guide §3.2 pre-filter / §2.3
+    // shuffle fewer bytes): a block with one row can never emit a pair
+    // (the diagonal tile's id_a < id_b guard kills the self-pair), yet
+    // singleton rows used to ride BOTH tile-side exchanges and the
+    // self-join. On sparse blockings they dominate — q186's d=2 FastSS
+    // variants at sf0.1 are 1.78M distinct blocks over 1.81M rows (~97%
+    // singletons), so the inner join below cuts the candidate-stage
+    // shuffle ~25× with an output provably identical. The multi-block
+    // set comes from the SAME persisted counts table the sizing action
+    // already aggregates, so learning it is free; it is broadcast only
+    // while it fits (conf `spark.graft.pairs.multiBlockBroadcastMax`,
+    // default 2^22 rows ≈ ~100 MB framed — past that, a dense-collision
+    // regime where pruning would drop little anyway, fall back to the
+    // hot-only left_outer). Fixed-maxBlock callers run no sizing action
+    // (nMulti unknown = -1) and keep the old path.
+    val maxBcBlocks = sessConf
+      .getConfString("spark.graft.pairs.multiBlockBroadcastMax", "4194304")
+      .toLong
+    val pruneSingletons = nMulti >= 0L && nMulti <= maxBcBlocks
     // The salt is a deterministic function of the id so re-runs partition
-    // identically.
-    val salted = cached.join(broadcast(hot), Seq("__block"), "left_outer")
-      .withColumn("__s", coalesce(col("__hs"), lit(1)))
-      .withColumn("__u", pmod(hash(col("__id")), col("__s")))
+    // identically. ceil(n/effBlock) is 1 for every sub-threshold block,
+    // so the pruning join's carried salt equals the old coalesce(hs, 1).
+    val salted =
+      if (pruneSingletons) {
+        val active = counts
+          .filter(col("__cnt") >= 2L)
+          .select(col("__block"),
+            ceil(col("__cnt").cast("double") / effBlock).cast("int").as("__s"))
+        cached.join(broadcast(active), Seq("__block"))
+          .withColumn("__u", pmod(hash(col("__id")), col("__s")))
+      } else {
+        val hot = counts
+          .filter(col("__cnt") > effBlock)
+          .select(col("__block"),
+            ceil(col("__cnt").cast("double") / effBlock).cast("int").as("__hs"))
+        cached.join(broadcast(hot), Seq("__block"), "left_outer")
+          .withColumn("__s", coalesce(col("__hs"), lit(1)))
+          .withColumn("__u", pmod(hash(col("__id")), col("__s")))
+      }
     val a = salted
       .withColumn("__j", explode(sequence(col("__u"), col("__s") - 1)))
       .select(col("__block") +: col("__u").as("__i") +: col("__j") +:

@@ -145,6 +145,38 @@ class ComponentsSpec extends SparkSpec {
       "no 4-core exists in K4 + pendants")
   }
 
+  test("kCore incremental degree maintenance matches a brute-force peel " +
+      "on a deterministic pseudo-random graph (round-16 cross-check)") {
+    // ~60-vertex graph with hash-derived edges: multi-round cascades,
+    // duplicate/reversed edges, vertices whose every edge peels away
+    // (the grau-0 ghost case), and a surviving dense core
+    val raw = (0L until 400L).map { i =>
+      val a = (i * 2654435761L) % 60L
+      val b = (i * 40503L + 7L) % 60L
+      (a, b)
+    } ++ (0L until 10L).flatMap(i => (0L until 10L).map(j => (i, j)))
+    val edges = raw.filter { case (a, b) => a != b }.toDF("src", "dst")
+    for (k <- Seq(2, 5, 9, 12)) {
+      val got = Components.kCore(edges, "src", "dst", k = k)
+        .as[(Long, Long)].collect().toMap
+      graft.llm.CacheScope.releaseAll()
+      // reference: in-memory peel over the canonical undirected edge set
+      var und = raw.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = und.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, n) => v -> n.size.toLong }
+        val weak = deg.filter(_._2 < k).keySet
+        changed = weak.nonEmpty
+        und = und.filter { case (a, b) => !weak(a) && !weak(b) }
+      }
+      val want = und.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, n) => v -> n.size.toLong }
+      assert(got == want, s"k=$k core mismatch: got $got want $want")
+    }
+  }
+
   test("triangleCount: K4 has 3 triangles per vertex; paths have none; " +
       "reversed/duplicate/self-loop edges are normalized away") {
     import spark.implicits._
