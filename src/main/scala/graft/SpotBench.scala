@@ -1,14 +1,23 @@
 package graft
 
-/** Print the executed plan of named queries (plan-audit loop). */
+/** Print the executed plan of named queries (plan-audit loop). Args
+  * containing `=` are session conf sets applied in order (the SpotBench
+  * A/B convention), so a pinned/unpinned plan pair comes from one main.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.create()
-    for (name <- args) {
-      println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      llm.CacheScope.releaseAll()
+    for (arg <- args) {
+      if (arg.contains("=")) {
+        val Array(k, v) = arg.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"EXPLAIN-CONF $k=$v")
+      } else {
+        println(s"===== $arg =====")
+        SparkEntry.queries(arg)(spark, sfDir).explain("formatted")
+        llm.CacheScope.releaseAll()
+      }
     }
     spark.stop()
   }
