@@ -107,18 +107,40 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("tiledPairs joins the hot-block table by broadcast, not shuffle") {
-    // The salt-factor lookup must be a BroadcastHashJoin against the tiny
-    // oversized-blocks table: an earlier all-blocks shuffle join tripled
-    // shuffled bytes and made the no-skew case ~2.5x slower at sf1. The
-    // pair join itself stays a shuffled equi-join on (block, tile).
+  test("tiledPairs joins the multi-block salt table by broadcast, not shuffle") {
+    // The salt/prune lookup must be a BroadcastHashJoin against the
+    // block-counts-derived table: an earlier all-blocks shuffle join
+    // tripled shuffled bytes and made the no-skew case ~2.5x slower at
+    // sf1. Round 16 made it an INNER join against the multi-row-block
+    // set (singleton rows can never emit a pair), so the shape to pin
+    // is: broadcast build side, no shuffle join, and no LeftOuter
+    // (LeftOuter would mean the pruning path silently fell back while
+    // the gate said prune). The pair join itself stays a shuffled
+    // equi-join on (block, tile).
     val plan = planString(SparkEntry.queries("q27_simhash")(spark, sfDir))
-    val outer = "(?s)BroadcastHashJoin.*LeftOuter.*BuildRight".r
-    assert(outer.findFirstIn(plan).isDefined,
-      s"hot-block salt lookup must broadcast:\n$plan")
+    val inner = "(?s)BroadcastHashJoin.*Inner.*BuildRight".r
+    assert(inner.findFirstIn(plan).isDefined,
+      s"multi-block salt lookup must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin LeftOuter") &&
       !plan.contains("ShuffledHashJoin LeftOuter"),
-      s"hot-block salt lookup degenerated to a shuffle join:\n$plan")
+      s"salt lookup degenerated to a shuffle join:\n$plan")
+  }
+
+  test("tiledPairs falls back to the hot-only LeftOuter broadcast past " +
+      "the multi-block broadcast gate") {
+    val prev = spark.conf.getOption("spark.graft.pairs.multiBlockBroadcastMax")
+    try {
+      spark.conf.set("spark.graft.pairs.multiBlockBroadcastMax", "0")
+      val plan = planString(SparkEntry.queries("q27_simhash")(spark, sfDir))
+      val outer = "(?s)BroadcastHashJoin.*LeftOuter.*BuildRight".r
+      assert(outer.findFirstIn(plan).isDefined,
+        s"gated-off path must keep the hot-block LeftOuter broadcast:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.pairs.multiBlockBroadcastMax", v)
+        case None => spark.conf.unset("spark.graft.pairs.multiBlockBroadcastMax")
+      }
+    }
   }
 
   test("co-bucketed tables join without any shuffle") {
