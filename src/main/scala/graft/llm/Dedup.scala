@@ -984,27 +984,35 @@ object Dedup {
     * once more just to learn the threshold.
     */
   private[graft] def adaptiveMaxBlock(counts: DataFrame, parallelism: Int): Int =
-    adaptiveMaxBlockStats(counts, parallelism)._1
+    adaptiveMaxBlockStats(counts, parallelism).effBlock
 
-  /** [[adaptiveMaxBlock]] plus the observed pair volume W = Σn² it was
-    * derived from — the round-15 width-pinning gate reads W from the
-    * SAME action, so the gate costs nothing extra — plus the count of
-    * MULTI-row blocks (n ≥ 2, the only blocks that can emit a pair),
-    * which sizes the round-16 singleton-pruning broadcast below. One
-    * action covers all three. */
+  /** Block-distribution stats from ONE action over the counts table:
+    * the adaptive tile side, the observed pair volume W = Σn² (the
+    * round-15 width-pinning gate reads it), the count of MULTI-row
+    * blocks (n ≥ 2 — the only blocks that can emit a pair; sizes the
+    * round-16 singleton-pruning broadcast), and the row totals on each
+    * side of that split (the pruning PAYOFF gate — see
+    * [[tiledPairsStats]]). */
+  private[graft] final case class BlockStats(
+      effBlock: Int, pairVolume: Double, nMulti: Long,
+      totalRows: Long, multiRows: Long)
+
   private[graft] def adaptiveMaxBlockStats(
-      counts: DataFrame, parallelism: Int): (Int, Double, Long) = {
+      counts: DataFrame, parallelism: Int): BlockStats = {
     val row = counts.agg(
       sum(col("__cnt").cast("double") * col("__cnt").cast("double")).as("__w"),
-      sum(when(col("__cnt") >= 2L, 1L).otherwise(0L)).as("__nm")).head()
-    if (row.isNullAt(0)) return (256, 0.0, 0L) // empty input: any size works
+      sum(when(col("__cnt") >= 2L, 1L).otherwise(0L)).as("__nm"),
+      sum(col("__cnt")).as("__rows"),
+      sum(when(col("__cnt") >= 2L, col("__cnt")).otherwise(0L)).as("__mrows"))
+      .head()
+    if (row.isNullAt(0)) return BlockStats(256, 0.0, 0L, 0L, 0L) // empty input
     val w = row.getDouble(0)
-    val nMulti = row.getLong(1)
     val k = counts.sparkSession.sessionState.conf
       .getConfString("spark.graft.tileBudgetFactor", "4").toDouble
     val target =
       math.ceil(k * math.sqrt(w / math.max(parallelism, 1))).toLong
-    (math.max(256L, math.min(target, 32768L)).toInt, w, nMulti)
+    BlockStats(math.max(256L, math.min(target, 32768L)).toInt, w,
+      row.getLong(1), row.getLong(2), row.getLong(3))
   }
 
   /** Skew-bounded within-block pair generation, shared by the exact
@@ -1065,9 +1073,10 @@ object Dedup {
     val counts =
       if (maxBlock > 0) countsRaw else CacheScope.persistTracked(countsRaw)
     val sessConf = keyed.sparkSession.sessionState.conf
-    val (effBlock, pairVolume, nMulti) =
-      if (maxBlock > 0) (maxBlock, -1.0, -1L)
+    val bs =
+      if (maxBlock > 0) BlockStats(maxBlock, -1.0, -1L, -1L, -1L)
       else adaptiveMaxBlockStats(counts, sessConf.numShufflePartitions)
+    val (effBlock, pairVolume) = (bs.effBlock, bs.pairVolume)
     // Width-pinning gate (see the repartition below): only a LARGE
     // observed pair volume justifies suppressing AQE's coalescing —
     // at small volume the extra 32-task exchanges cost more than they
@@ -1087,7 +1096,8 @@ object Dedup {
         "[graft] tiledPairs: fixed maxBlock skips the sizing action — " +
           "pair volume unknown, width-pinning gates disabled for this call")
     if (sys.env.contains("GRAFT_DEBUG_PINS"))
-      System.err.println(s"[pins] tile w=$pairVolume pin=$pinWidth")
+      System.err.println(s"[pins] tile w=$pairVolume pin=$pinWidth " +
+        s"rows=${bs.totalRows} multiRows=${bs.multiRows} nMulti=${bs.nMulti}")
     // SINGLETON-BLOCK PRUNING (round 16, guide §3.2 pre-filter / §2.3
     // shuffle fewer bytes): a block with one row can never emit a pair
     // (the diagonal tile's id_a < id_b guard kills the self-pair), yet
@@ -1097,16 +1107,29 @@ object Dedup {
     // singletons), so the inner join below cuts the candidate-stage
     // shuffle ~25× with an output provably identical. The multi-block
     // set comes from the SAME persisted counts table the sizing action
-    // already aggregates, so learning it is free; it is broadcast only
-    // while it fits (conf `spark.graft.pairs.multiBlockBroadcastMax`,
-    // default 2^22 rows ≈ ~100 MB framed — past that, a dense-collision
-    // regime where pruning would drop little anyway, fall back to the
-    // hot-only left_outer). Fixed-maxBlock callers run no sizing action
-    // (nMulti unknown = -1) and keep the old path.
+    // already aggregates, so learning it is free. TWO gates, both from
+    // that one action:
+    //   - the multi-block set must fit a broadcast
+    //     (`spark.graft.pairs.multiBlockBroadcastMax`, default 2^22
+    //     rows ≈ ~100 MB framed);
+    //   - pruning must PAY: singletons must be ≥ the dropped-fraction
+    //     floor (`spark.graft.pairs.pruneMinDropFraction`, default
+    //     0.25) of the rows. On dense blockings (q227's token blocks:
+    //     nearly every row shares a block) the first cut of this
+    //     change broadcast a multi-million-row salt table to drop
+    //     almost nothing — measured 4.9 → 11.3 s on q227 at sf0.1 —
+    //     where the old path broadcasts only the tiny hot set.
+    // Fixed-maxBlock callers run no sizing action (stats unknown = -1)
+    // and keep the old path.
     val maxBcBlocks = sessConf
       .getConfString("spark.graft.pairs.multiBlockBroadcastMax", "4194304")
       .toLong
-    val pruneSingletons = nMulti >= 0L && nMulti <= maxBcBlocks
+    val minDrop = sessConf
+      .getConfString("spark.graft.pairs.pruneMinDropFraction", "0.25")
+      .toDouble
+    val pruneSingletons = bs.nMulti >= 0L && bs.nMulti <= maxBcBlocks &&
+      bs.totalRows > 0L &&
+      (bs.totalRows - bs.multiRows).toDouble >= minDrop * bs.totalRows
     // The salt is a deterministic function of the id so re-runs partition
     // identically. ceil(n/effBlock) is 1 for every sub-threshold block,
     // so the pruning join's carried salt equals the old coalesce(hs, 1).
